@@ -1,0 +1,93 @@
+"""PGN text source: line stream → sessionized game blocks → header map.
+
+Reference semantics (SURVEY.md §2.1-2.2):
+
+- A game block is a run of ``[Key "Value"]`` header lines terminated by a
+  move line starting with ``"1. "`` (reference
+  ``ingestion/get_games_from_tv.py:196-199``).
+- Header parse: ``[Key "Value"]`` → (lower(key), value); split on first
+  space, strip brackets/quotes (reference ``utils/pgn_parser.py:33-36``);
+  non-header lines joined with a space into ``moves``
+  (``pgn_parser.py:42``).
+- Blocks without a ``site`` header are dropped
+  (``get_games_from_tv.py:208-209``).
+
+Spark plan: one window (partitioned by source file, ordered by line
+number) assigns ``game_seq`` = number of *preceding* move lines; one
+groupBy assembles each block. Both are a single shuffle keyed by
+(src, game_seq); at 100 TB the PGN corpus is many files, so ``src``
+gives natural parallelism and no global ordering is ever required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+HEADER_RE = r'^\[(\w+)\s+"(.*)"\]\s*$'
+MOVE_PREFIX = "1. "
+
+
+def read_pgn_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-read PGN dump files as ordered lines with provenance.
+
+    ``input_file_name`` + a per-file line number keeps ordering local to a
+    file — the only ordering PGN needs — so files parse in parallel.
+    """
+    df = spark.read.text(path).select(
+        F.col("value").alias("line"),
+        F.input_file_name().alias("src"),
+    )
+    w = Window.partitionBy("src").orderBy(F.monotonically_increasing_id())
+    return df.withColumn("line_no", F.row_number().over(w))
+
+
+def lines_from_text(spark: SparkSession, text: str, src: str = "inline") -> DataFrame:
+    """Build the same shape from an in-memory PGN string (tests/fixtures)."""
+    rows = [(ln, i + 1, src) for i, ln in enumerate(text.splitlines())]
+    return spark.createDataFrame(rows, "line string, line_no long, src string")
+
+
+def sessionize(lines: DataFrame) -> DataFrame:
+    """Assign ``game_seq``: running count of move lines *before* each line
+    (reference boundary rule ``get_games_from_tv.py:196-199`` — the move
+    line closes the block, so it belongs to the block it terminates)."""
+    is_move = F.when(F.col("line").startswith(MOVE_PREFIX), F.lit(1)).otherwise(F.lit(0))
+    w = (
+        Window.partitionBy("src")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return lines.withColumn("game_seq", F.coalesce(F.sum(is_move).over(w), F.lit(0)))
+
+
+def assemble_games(lines_with_seq: DataFrame) -> DataFrame:
+    """Group each block into one row: ``headers`` map + ``moves`` string.
+
+    Header keys are lower-cased (``pgn_parser.py:34``); duplicate keys
+    last-win (session conf ``spark.sql.mapKeyDedupPolicy=LAST_WIN``).
+    Non-header, non-blank lines become ``moves`` joined by one space in
+    line order (``pgn_parser.py:38-42``).
+    """
+    key = F.regexp_extract("line", HEADER_RE, 1)
+    val = F.regexp_extract("line", HEADER_RE, 2)
+    is_header = F.col("line").rlike(HEADER_RE)
+    tagged = lines_with_seq.select(
+        "src",
+        "game_seq",
+        "line_no",
+        F.when(is_header, F.struct(F.lower(key).alias("key"), val.alias("value"))).alias("hdr"),
+        F.when(~is_header & (F.trim("line") != ""), F.struct(F.col("line_no").alias("n"), F.col("line").alias("l"))).alias("mv"),
+    )
+    grouped = tagged.groupBy("src", "game_seq").agg(
+        F.map_from_entries(
+            F.coalesce(F.collect_list("hdr"), F.array())
+        ).alias("headers"),
+        F.array_sort(F.collect_list("mv")).alias("_mvs"),
+    )
+    return grouped.select(
+        "src",
+        "game_seq",
+        "headers",
+        F.concat_ws(" ", F.transform("_mvs", lambda s: s["l"])).alias("moves"),
+    ).filter(F.map_contains_key("headers", F.lit("site")))
