@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every declared query from SURVEY.md §2.8 plus the
+scale-extension operators (dedup / similarity / text analysis / events);
+``oracle_sql()`` returns the DuckDB-equivalent SQL for each
+SQL-expressible entry. Implementations live in
+``knightshift_spark/queries/`` — this module is only the contract shim.
 """
 
 from __future__ import annotations
@@ -13,26 +13,36 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from knightshift_spark.queries import load_all
+from knightshift_spark.session import tune_session
+
+_SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: TPC-H Q1-shaped pricing summary (q15)."""
+    specs = load_all()
+    return specs["q15_pricing_summary"].spark_fn(tune_session(spark), _SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator/query (SURVEY.md §2)."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(tune_session(spark), sf_dir)
+
+        return run
+
+    return {name: _wrap(spec.spark_fn) for name, spec in sorted(load_all().items())}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL for each SQL-expressible query; entries
+    without an oracle (engine-internal hashing/bucketing) are omitted →
+    the driver records a rows-only check for those."""
+    return {
+        name: spec.oracle
+        for name, spec in sorted(load_all().items())
+        if spec.oracle is not None
+    }

@@ -1,0 +1,214 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all shuffle-conscious (SURVEY.md §2.7):
+
+- **exact**: hash-groupBy on a fingerprint — one shuffle, linear.
+- **n-gram Jaccard**: exact set similarity via a shingle equi-join —
+  quadratic in colliding docs; used as the small-scope oracle baseline.
+- **MinHash**: fixed-size signatures (k hashes) → agreement estimates
+  Jaccard; signature build is one groupBy, pair generation joins on
+  (hash-index, value) so only signature collisions pair up.
+- **MinHash+LSH banding**: signatures split into bands; docs sharing a
+  band-hash land in one bucket → candidate pairs only within buckets.
+  This is the 100 TB path: cost is O(docs × bands) + bucket-local pairs.
+- **SimHash**: per-doc fingerprint whose Hamming distance tracks cosine
+  similarity of the term-frequency vectors; near-dup = small Hamming ball.
+
+All hashing is anchored on ``conv(substr(md5(token),1,8),16,10)`` — a
+deterministic 32-bit integer identical in any engine that has md5, which
+is what makes the DuckDB oracles exact (no engine-specific hash()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2147483647  # 2^31-1, modulus for the affine hash family
+
+
+def word_tokens(c: Column) -> Column:
+    """Lowercased whitespace tokens; blank → empty array."""
+    t = F.trim(F.lower(c))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def word_bigrams(tk: Column) -> Column:
+    """Distinct word 2-gram shingles of a token array."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
+    )
+    return F.array_distinct(
+        F.when(F.size(tk) < 2, F.array().cast("array<string>")).otherwise(grams)
+    )
+
+
+def stable_hash32(c: Column) -> Column:
+    """Deterministic 32-bit integer hash of a string: first 8 hex chars of
+    md5 — engine-portable (unlike xxhash64/murmur, which differ per engine)."""
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10).cast("bigint")
+
+
+def minhash_j(h: Column, j: int) -> Column:
+    """j-th affine MinHash function over a base hash: ((2j+1)·h + 1000003j) mod p."""
+    return (F.lit(2 * j + 1) * h + F.lit(1000003 * j)) % F.lit(MERSENNE_P)
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact dedup: one row per distinct value of ``cols`` (hash-groupBy;
+    map-side partial aggregation keeps the shuffle small)."""
+    return df.dropDuplicates(cols)
+
+
+def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle) rows — distinct word bigrams per document."""
+    tk = word_tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col), F.explode(word_bigrams(tk)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.05,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
+
+    The equi-join on ``shingle`` only pairs docs that actually collide; at
+    scale, cap shingle document-frequency first (drop shingles appearing
+    in >df_max docs — they only create noise pairs). Output:
+    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = shingle_table(docs, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.round(jac, 4) >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Long-form MinHash signatures: (id, j, mh) for j in [0, num_hashes).
+
+    One groupBy over the shingle table per plan (the j-explode multiplies
+    rows ×k before the shuffle, but partial MIN aggregation collapses them
+    map-side, so shuffle volume is O(docs × k)).
+    """
+    sh = shingle_table(docs, id_col, text_col)
+    h = stable_hash32(F.col("shingle"))
+    exploded = sh.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.struct(F.lit(j).alias("j"), minhash_j(h, j).alias("v")) for j in range(num_hashes)])
+        ).alias("jh"),
+    )
+    return exploded.groupBy(id_col, F.col("jh.j").alias("j")).agg(
+        F.min("jh.v").alias("mh")
+    )
+
+
+def minhash_pairs(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    min_agree: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Estimated-Jaccard pairs from signature agreement (small-scope form:
+    joins on hash index; use ``lsh_candidate_pairs`` at scale)."""
+    mh = minhash_signatures(docs, num_hashes, id_col, text_col)
+    a = mh.select(F.col(id_col).alias("doc_a"), "j", F.col("mh").alias("mh_a"))
+    b = mh.select(F.col(id_col).alias("doc_b"), "j", F.col("mh").alias("mh_b"))
+    return (
+        a.join(b, "j")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")).alias("n_agree"))
+        .filter(F.col("n_agree") >= min_agree)
+        .withColumn("est_jaccard", F.round(F.col("n_agree") / F.lit(float(num_hashes)), 4))
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH banding: the 100 TB near-dup path.
+
+    Signatures are split into ``bands`` bands of ``num_hashes/bands`` rows;
+    a band's values hash to one bucket key; only docs sharing a bucket
+    become candidates. Shuffle cost: O(docs × bands) for bucketing plus
+    bucket-local pair expansion — never all-pairs. Dedup of candidate
+    pairs across bands is one final distinct.
+    """
+    rows_per_band = num_hashes // bands
+    mh = minhash_signatures(docs, num_hashes, id_col, text_col)
+    banded = mh.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+    buckets = banded.groupBy(id_col, "band").agg(
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "j", "mh"))))).alias("bucket")
+    )
+    a = buckets.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over term frequencies: (id, simhash).
+
+    Per-doc cost is O(tokens × 16) before a map-side-combinable groupBy;
+    near-dup detection then compares fingerprints via Hamming distance
+    (``bit_count(a XOR b)``) — cheap enough to run pairwise inside LSH
+    buckets or against a broadcast center list.
+    """
+    tk = word_tokens(F.col(text_col))
+    wc = (
+        docs.select(F.col(id_col), F.explode(tk).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    h = stable_hash32(F.col("w"))
+    bits = wc.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+        F.col("c"),
+        h.alias("h"),
+    ).withColumn(
+        "contrib",
+        F.when(F.expr("(h >> b) & 1") == 1, F.col("c")).otherwise(-F.col("c")),
+    )
+    return (
+        bits.groupBy(id_col, "b")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << b")).otherwise(0)
+            ).alias("simhash")
+        )
+    )

@@ -1,0 +1,156 @@
+"""Embedding similarity search (ANN) over an ``array<float>`` column.
+
+Two tiers (SURVEY.md §2.7):
+
+- **Brute-force cosine top-k** — exact baseline. The query set broadcasts
+  (it is small by construction); candidates never shuffle: each partition
+  scores its local rows against the broadcast queries and a
+  TakeOrdered/top-k per query key finishes it. Cost O(|Q|·N·d) flops,
+  O(N) I/O, zero shuffles besides the final top-k.
+- **LSH-bucketed (random hyperplane / SRP)** — scale path. Each vector
+  gets a b-bit sign sketch; candidates = same-bucket (or
+  Hamming-adjacent) vectors only. Bucketing is one projection; the join
+  is bucket-equi, so cost tracks bucket occupancy, not N².
+
+Arithmetic is done in DOUBLE with left-to-right array folds so results
+are bit-identical to the DuckDB oracle's ``list_sum(list_transform(...))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold of the element-wise product (deterministic)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, sim, rank).
+
+    ``queries`` is broadcast; the crossJoin is really a broadcast
+    nested-loop scoring pass over the candidate scan — on a cluster every
+    executor scores its own parquet splits, no repartitioning of the big
+    side. The per-query top-k is a window over query_id (k small → the
+    rank filter prunes before any further stage).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("__sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("__sim", 4).alias("sim"), "rank")
+    )
+
+
+def srp_sketch(vec: Column, bits: int = 16, dim: int = 64) -> Column:
+    """Signed-random-projection sketch: ``bits``-bit sign pattern of dot
+    products with deterministic pseudo-random hyperplanes.
+
+    Hyperplane components are derived from md5 of ``srp:{bit}:{dim-index}``
+    strings → ±1 entries — the same portable hash family as
+    ``stable_hash32``, folded to plain float literals at plan-build time
+    (no per-row hashing cost).
+    """
+    import hashlib
+
+    def sign(b: int, i: int) -> float:
+        h = int(hashlib.md5(f"srp:{b}:{i}".encode()).hexdigest()[:8], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    sketch = F.lit(0).cast("bigint")
+    for b in range(bits):
+        proj = F.aggregate(
+            F.zip_with(
+                _as_double(vec),
+                F.array(*[F.lit(sign(b, i)) for i in range(dim)]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sketch = sketch + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sketch
+
+
+def knn_lsh(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed ANN: score only candidates whose SRP sketch matches the
+    query's. Recall < 1.0 by design; the scale win is that the candidate
+    join is equi on the sketch (shuffle O(N) once, reusable across query
+    batches if the sketch column is persisted with the table)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        srp_sketch(F.col(vec_col), bits, dim).alias("__sk"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        srp_sketch(F.col(vec_col), bits, dim).alias("__sk"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "__sk")
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__sim")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("__sim", 4).alias("sim"), "rank")
+    )

@@ -1,0 +1,153 @@
+"""Dedup queries over ``documents`` (SURVEY.md §2.7 extension operators).
+
+Oracles reproduce the exact same arithmetic in DuckDB: the portable
+md5-based 32-bit hash (``stable_hash32``) makes MinHash/SimHash
+engine-independent — integer math end-to-end, no float drift.
+``q30``/``q31`` scope to ``doc_id < 60`` because all-pairs exact Jaccard
+is the *oracle baseline*; the scale path is ``lsh_candidate_pairs``
+(banded MinHash, q31b) which never materializes all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knightshift_spark.operators.dedup import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_pairs,
+    simhash16,
+)
+from knightshift_spark.queries import query
+from knightshift_spark.tables import load_table as t
+
+# Shared DuckDB CTE: lowercased whitespace tokens + distinct word bigrams,
+# matching operators.dedup.word_tokens / word_bigrams.
+_SHINGLES_CTE = r"""
+  WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
+    FROM documents {scope}),
+  sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i+1]))) AS shingle
+    FROM toks)
+"""
+
+# Portable 32-bit hash: int of first 8 hex chars of md5 — identical to
+# operators.dedup.stable_hash32 (Spark conv(substr(md5(x),1,8),16,10)).
+_HASH32 = (
+    "list_sum(list_transform(range(1, 9), i -> "
+    "CAST((strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1) AS BIGINT)"
+    " * (CAST(1 AS BIGINT) << (4 * (8 - i)))))"
+)
+_HASH32_W = _HASH32.replace("md5(shingle)", "md5(w)")
+
+
+@query(
+    "q29_dedup_exact",
+    oracle=r"""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+                      MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+               FROM documents GROUP BY 1""",
+    doc="exact dedup: group by normalized-text fingerprint, keep min id",
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    from knightshift_spark.functions.text import doc_fingerprint
+
+    return (
+        t(spark, sf, "documents")
+        .groupBy(doc_fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "q30_ngram_jaccard",
+    oracle=_SHINGLES_CTE.format(scope="WHERE doc_id < 60")
+    + """,
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+      FROM inter
+      JOIN sz sa ON doc_a = sa.doc_id
+      JOIN sz sb ON doc_b = sb.doc_id
+      WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.05""",
+    doc="exact word-bigram Jaccard pairs (oracle baseline for near-dup)",
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    return jaccard_pairs(docs, threshold=0.05)
+
+
+@query(
+    "q31_minhash",
+    oracle=_SHINGLES_CTE.format(scope="WHERE doc_id < 60")
+    + f""",
+      hx AS (SELECT doc_id, shingle, {_HASH32} AS h FROM sh),
+      mh AS (
+        SELECT doc_id, j,
+               MIN((CAST(2*j+1 AS BIGINT) * h + CAST(1000003*j AS BIGINT)) % 2147483647) AS mh
+        FROM hx, unnest(range(0, 8)) AS u(j)
+        GROUP BY doc_id, j),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS n_agree
+        FROM mh a JOIN mh b ON a.j = b.j AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_agree, ROUND(n_agree / 8.0, 4) AS est_jaccard
+      FROM pairs WHERE n_agree >= 2""",
+    doc="MinHash signature agreement (k=8, portable md5-based hash family)",
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    return minhash_pairs(docs, num_hashes=8, min_agree=2).select(
+        "doc_a", "doc_b", F.col("n_agree").cast("bigint").alias("n_agree"), "est_jaccard"
+    )
+
+
+@query(
+    "q31b_minhash_lsh",
+    oracle=None,  # banding bucket-hash is engine-internal → rows-only check
+    doc="MinHash+LSH banded candidate pairs — the 100 TB near-dup path",
+)
+def q31b(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return lsh_candidate_pairs(docs, num_hashes=16, bands=4)
+
+
+@query(
+    "q32_simhash",
+    oracle=r"""
+      WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
+        FROM documents),
+      wc AS (
+        SELECT doc_id, unnest(tk) AS w FROM toks),
+      wcn AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM wc GROUP BY 1, 2),
+      hx AS (SELECT doc_id, w, c, """
+    + _HASH32_W
+    + """ AS h FROM wcn),
+      bits AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h >> b) & 1 = 1 THEN c ELSE -c END) AS s
+        FROM hx, unnest(range(0, 16)) AS u(b)
+        GROUP BY doc_id, b)
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id""",
+    doc="16-bit SimHash fingerprint over term frequencies",
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash16(t(spark, sf, "documents")).select(
+        "doc_id", F.col("simhash").cast("bigint").alias("simhash")
+    )

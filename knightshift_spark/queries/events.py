@@ -1,0 +1,107 @@
+"""Event-stream queries: sessionization, per-group top-k, as-of join.
+
+These are the batch forms of the streaming operators in
+``knightshift_spark.streaming`` — same transform functions, so streaming
+and batch stay semantically identical (the reference's poll-loop
+micro-batching has no event-time semantics to preserve; these extend it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from knightshift_spark.queries import query
+from knightshift_spark.tables import load_table as t
+
+SESSION_GAP_S = 1800
+
+
+@query(
+    "q39_sessionize",
+    oracle="""
+      WITH x AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts - lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x""",
+    doc="gap-based sessionization (30 min) — the batch twin of the "
+        "reference's stream record-izer (OP-02): lag + running sum, one shuffle",
+)
+def q39(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf, "events")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(F.lag("ts").over(w).isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(new_s).over(wsum).cast("bigint").alias("session_id"),
+    )
+
+
+@query(
+    "q40_topk_per_group",
+    oracle="""
+      WITH r AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events)
+      SELECT user_id, event_id, ROUND(value, 2) AS v, CAST(rn AS INT) AS rn
+      FROM r WHERE rn <= 2""",
+    doc="per-group top-k via ranked window (deterministic tie-break)",
+)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return (
+        t(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("user_id", "event_id", F.round("value", 2).alias("v"), "rn")
+    )
+
+
+@query(
+    "q41_asof_join",
+    oracle="""
+      WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'view' THEN event_id END AS view_id
+        FROM events WHERE event_type IN ('view', 'purchase')),
+      carried AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAST_VALUE(view_id IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_id
+        FROM tagged)
+      SELECT event_id, last_view_id FROM carried WHERE event_type = 'purchase'""",
+    doc="as-of join (purchase → most recent prior view, per user) via the "
+        "union+last_value carry-forward — one shuffle, no range join, the "
+        "scalable as-of pattern Spark lacks natively",
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events").filter(F.col("event_type").isin("view", "purchase"))
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("view_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        tagged.withColumn("last_view_id", F.last("view_id", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "last_view_id")
+    )

@@ -1,0 +1,87 @@
+"""Similarity-search queries over ``embeddings`` (SURVEY.md §2.7).
+
+The oracle reproduces cosine with the *same* left-to-right double-precision
+folds (``list_sum(list_transform(...))`` ↔ ``F.aggregate``), so values are
+bit-identical before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knightshift_spark.operators.similarity import cosine, knn_bruteforce, knn_lsh
+from knightshift_spark.queries import query
+from knightshift_spark.tables import load_table as t
+
+_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))"
+    )
+
+
+@query(
+    "q33_knn_cosine",
+    oracle=f"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      scored AS (
+        SELECT query_id, neighbor_id, {_cos('qv', 'cv')} AS sim FROM q, c),
+      ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 3""",
+    doc="brute-force cosine top-k (exact ANN baseline; broadcast queries)",
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    return knn_bruteforce(
+        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5), k=3
+    )
+
+
+@query(
+    "q34_embedding_neardup",
+    oracle=f"""
+      WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND({_cos('a.embedding', 'b.embedding')}, 4) AS sim
+      FROM v a, v b
+      WHERE a.vec_id < b.vec_id
+        AND ROUND({_cos('a.embedding', 'b.embedding')}, 4) >= 0.3""",
+    doc="embedding-cosine near-duplicate pairs (threshold 0.3)",
+)
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    v = t(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__ea"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__eb"))
+    sim = F.round(cosine(F.col("__ea"), F.col("__eb")), 4)
+    return (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.3)
+    )
+
+
+@query(
+    "q33b_knn_lsh",
+    oracle=None,  # SRP bucketing is engine-internal → rows-only check
+    doc="LSH-bucketed ANN (signed random projections) — the scale path",
+)
+def q33b(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    return knn_lsh(
+        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5),
+        k=3, bits=4,
+    )

@@ -1,0 +1,149 @@
+"""Text-analysis queries over ``documents`` (Q26/Q27 + training-data ops).
+
+These wrap the column functions in ``knightshift_spark.functions.text`` —
+language-ID, quality scoring, token counting, fingerprinting — all native
+expressions (no Python UDFs), so they run JVM-side at 100 TB. Every query
+here is a pure projection or a single-shuffle rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knightshift_spark.functions.text import (
+    STOPWORDS_DE,
+    STOPWORDS_EN,
+    STOPWORDS_ES,
+    STOPWORDS_FR,
+    doc_fingerprint,
+    lang_id,
+    sql_array,
+    token_count,
+    tokens,
+)
+from knightshift_spark.queries import query
+from knightshift_spark.tables import load_table as t
+
+_EN, _FR, _DE, _ES = (
+    sql_array(STOPWORDS_EN),
+    sql_array(STOPWORDS_FR),
+    sql_array(STOPWORDS_DE),
+    sql_array(STOPWORDS_ES),
+)
+
+_TOKS_CTE = r"""
+  WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
+    FROM documents)
+"""
+
+
+@query(
+    "q26_lang_stats",
+    oracle="""SELECT lang, COUNT(*) AS n, ROUND(AVG(n_chars), 2) AS avg_chars
+              FROM documents GROUP BY lang""",
+    doc="text analysis rollup (SURVEY Q26)",
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("n_chars"), 2).alias("avg_chars"))
+    )
+
+
+@query(
+    "q27_distinct_text",
+    oracle="SELECT COUNT(DISTINCT text) AS n FROM documents",
+    doc="exact dedup cardinality (SURVEY Q27)",
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").agg(F.count_distinct("text").alias("n"))
+
+
+@query(
+    "q35_token_count",
+    oracle=r"""SELECT doc_id,
+              CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+              FROM documents""",
+    doc="whitespace token counting — pure projection, no shuffle",
+)
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+@query(
+    "q36_text_quality",
+    oracle=_TOKS_CTE
+    + f"""
+      SELECT doc_id,
+             len(tk) AS n_tokens,
+             ROUND(CASE WHEN len(tk) = 0 THEN 0.0
+                   ELSE CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) / len(tk) END, 4)
+               AS avg_token_len,
+             ROUND(CASE WHEN len(tk) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(tk, x -> list_contains({_EN}, x))) AS DOUBLE) / len(tk) END, 4)
+               AS stopword_ratio
+      FROM toks""",
+    doc="quality scoring: token count, mean token length, stopword ratio",
+)
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    tk = tokens(F.lower(F.col("text")))
+    n = F.size(tk)
+    total_chars = F.aggregate(tk, F.lit(0), lambda acc, x: acc + F.length(x))
+    sw = F.size(F.filter(tk, lambda x: x.isin(*STOPWORDS_EN)))
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(total_chars.cast("double") / n), 4
+        ).alias("avg_token_len"),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(sw.cast("double") / n), 4
+        ).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "q37_lang_id",
+    oracle=_TOKS_CTE
+    + f""",
+      sc AS (
+        SELECT doc_id, len(tk) AS n,
+               len(list_filter(tk, x -> list_contains({_EN}, x))) AS en,
+               len(list_filter(tk, x -> list_contains({_FR}, x))) AS fr,
+               len(list_filter(tk, x -> list_contains({_DE}, x))) AS de,
+               len(list_filter(tk, x -> list_contains({_ES}, x))) AS es
+        FROM toks)
+      SELECT doc_id,
+             CASE WHEN n = 0 OR greatest(en, fr, de, es) * 10 < n THEN 'und'
+                  WHEN en = greatest(en, fr, de, es) THEN 'en'
+                  WHEN fr = greatest(en, fr, de, es) THEN 'fr'
+                  WHEN de = greatest(en, fr, de, es) THEN 'de'
+                  ELSE 'es' END AS lang_pred
+      FROM sc""",
+    doc="stopword-vote language ID (deterministic tie order en>fr>de>es)",
+)
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@query(
+    "q38_fingerprint",
+    oracle=r"""SELECT doc_id,
+              md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+              FROM documents""",
+    doc="document fingerprint: md5 over whitespace-normalized lowercase text",
+)
+def q38(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fp")
+    )

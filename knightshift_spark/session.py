@@ -30,6 +30,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # PGN header maps dedup duplicate keys last-wins (reference parser
+    # overwrites repeated tags: utils/pgn_parser.py:33-36).
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     # local[32] default; real clusters override via spark-submit conf.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
 }
@@ -50,6 +53,7 @@ def get_spark(app_name: str = "knightshift-spark", master: str | None = None) ->
         .master(master)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in RUNTIME_CONFS.items():

@@ -1,0 +1,111 @@
+"""Dedup + similarity operator tests on crafted inputs with known answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from knightshift_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_pairs,
+    minhash_signatures,
+    simhash16,
+)
+from knightshift_spark.operators.similarity import cosine, knn_bruteforce, knn_lsh
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "completely different words entirely unrelated text here"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_exact_dedup(spark):
+    assert exact_dedup(_docs(spark), ["text"]).count() == 3
+
+
+def test_jaccard_pairs(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(_docs(spark), threshold=0.05).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # identical
+    assert 0.5 < pairs[(1, 2)] < 1.0  # near-dup
+    assert (1, 3) not in pairs  # unrelated
+
+
+def test_minhash_identical_docs_agree_fully(spark):
+    mh = minhash_signatures(_docs(spark), num_hashes=8)
+    sig = {
+        (r["doc_id"], r["j"]): r["mh"] for r in mh.collect()
+    }
+    assert all(sig[(1, j)] == sig[(4, j)] for j in range(8))
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_agree"]
+        for r in minhash_pairs(_docs(spark), num_hashes=8, min_agree=1).collect()
+    }
+    assert pairs[(1, 4)] == 8
+
+
+def test_lsh_finds_exact_dups(spark):
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(_docs(spark), num_hashes=16, bands=4).collect()
+    }
+    assert (1, 4) in cand
+
+
+def test_simhash_identical_for_dups(spark):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash16(_docs(spark)).collect()}
+    assert sh[1] == sh[4]
+    assert 0 <= sh[1] < 2**16
+
+
+def _vecs(spark):
+    return spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # closest to 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),  # opposite
+        ],
+        "vec_id int, embedding array<float>",
+    )
+
+
+def test_cosine_values(spark):
+    v = _vecs(spark)
+    a = v.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("a"))
+    b = v.filter(F.col("vec_id") == 3).select(F.col("embedding").alias("b"))
+    sim = a.crossJoin(b).select(cosine(F.col("a"), F.col("b")).alias("s")).collect()[0]["s"]
+    assert abs(sim + 1.0) < 1e-9
+
+
+def test_knn_bruteforce_ranking(spark):
+    v = _vecs(spark)
+    out = knn_bruteforce(
+        v.filter(F.col("vec_id") == 0), v.filter(F.col("vec_id") > 0), k=3
+    ).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]
+
+
+def test_knn_lsh_self_bucket(spark):
+    # identical vectors share every SRP bucket → always retrievable
+    v = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id int, embedding array<float>",
+    )
+    out = knn_lsh(
+        v.filter(F.col("vec_id") == 0), v.filter(F.col("vec_id") > 0),
+        k=2, bits=4, dim=4,
+    ).collect()
+    assert sorted(r["neighbor_id"] for r in out) == [1, 2]
+    assert all(abs(r["sim"] - 1.0) < 1e-6 for r in out)
