@@ -1,0 +1,129 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+Design (SURVEY north-star extension): media travels as a ``binary`` column
+with a typed metadata struct; decode / feature-extract / resize /
+frame-sample run as Arrow-batched ``mapInPandas`` stages so bytes never
+round-trip through Python row-at-a-time. The actual codec calls are
+STUBBED behind ``MediaCodecUnavailable`` (image/audio libs are not in this
+container) with a deterministic fake used by tests — the Spark-side
+contract (schemas, batch iteration, partition sizing) is real.
+
+Scale notes: media rows are large → size partitions by *bytes* not rows
+(``media_repartition``), keep metadata in separate small columns so
+metadata-only queries never touch the blobs (parquet column pruning), and
+push blob-free filters ahead of any decode stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+class MediaCodecUnavailable(NotImplementedError):
+    """Raised when a real codec (PIL/ffmpeg/torchaudio) would be needed."""
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB: real implementation would be ``PIL.Image.open(BytesIO(payload))``.
+
+    The container ships no image libs; tests use ``fake_feature`` below.
+    """
+    raise MediaCodecUnavailable("image decode requires PIL/opencv, not in container")
+
+
+def fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in feature extractor: md5-seeded pseudo-embedding.
+
+    Exercises the full Arrow batch path with reproducible outputs.
+    """
+    if payload is None:
+        return [0.0] * dim
+    h = hashlib.md5(payload).digest()
+    return [h[i % len(h)] / 255.0 for i in range(dim)]
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Binary payload → feature vector via Arrow-batched ``mapInPandas``.
+
+    Batches stream through pandas; only ``media_id``+``payload`` are
+    selected so parquet prunes every other column before the Python stage.
+    """
+    src = media.select("media_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": pdf["payload"].map(lambda p: fake_feature(p, dim)),
+                }
+            )
+
+    return src.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def media_repartition(media: DataFrame, target_bytes: int = 128 << 20) -> DataFrame:
+    """Repartition media rows so each partition holds ~``target_bytes`` of
+    payload — row-count partitioning is wrong when rows are megabytes."""
+    stats = media.agg(
+        F.sum(F.coalesce(F.col("meta.n_bytes"), F.length("payload"))).alias("b"),
+    ).collect()[0]
+    total = stats["b"] or 0
+    n = max(1, int(total // target_bytes) + 1)
+    return media.repartition(n)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled timestamp.
+
+    The decode itself is stubbed; the row-explosion plumbing (sequence +
+    explode on duration metadata, no Python involved) is the real scale
+    cost and is fully implemented.
+    """
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )

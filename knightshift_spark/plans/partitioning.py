@@ -1,0 +1,69 @@
+"""Partitioning & skew utilities — the 100 TB playbook as code.
+
+- ``write_partitioned``: date/key-partitioned parquet layout so reads
+  prune (replaces the reference's Postgres B-tree indexes,
+  ``tv_channel_games.sql:31-35`` — SURVEY.md §4).
+- ``salted_join``: explicit key-salting for joins whose hot keys AQE's
+  skew-join splitting cannot fix (e.g. one key = 30% of rows). The small
+  side is replicated ×``salt`` (explode), the big side picks a random
+  salt — every hot key fans out over ``salt`` reducers.
+- ``explain_str``: capture ``explain("formatted")`` output for plan
+  assertions in tests (PushedFilters, broadcast, codegen spans).
+"""
+
+from __future__ import annotations
+
+import io
+from collections.abc import Sequence
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    target_file_rows: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet partitioned by the pruning columns.
+
+    ``target_file_rows`` caps rows per output file (avoids the
+    many-small-files failure mode when a partition key is fine-grained).
+    """
+    writer = df.write.mode(mode)
+    if target_file_rows:
+        writer = writer.option("maxRecordsPerFile", target_file_rows)
+    writer.partitionBy(*partition_by).parquet(path)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with explicit salting for pathological key skew.
+
+    big gets a uniform random salt in [0, salt); small is exploded into
+    all ``salt`` copies; the join key becomes (key, salt) so one hot key
+    spreads over ``salt`` partitions. Random salt does not affect
+    correctness (each big row joins exactly its one replicated partner).
+    """
+    b = big.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = b.join(s, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """Capture ``df.explain(mode)`` as a string (it prints to stdout)."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()

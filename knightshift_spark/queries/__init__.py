@@ -48,6 +48,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         events,
         pgn_e2e,
+        profiles,
         relational,
         similarity,
         textops,

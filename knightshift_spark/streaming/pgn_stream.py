@@ -1,0 +1,153 @@
+"""Streaming PGN ingestion: file-spool source → micro-batch upsert-merge.
+
+Mirrors the reference's poll-loop micro-batching (SURVEY.md §2.5:
+``get_games_from_tv.py:122-147`` — fetch, upsert, sleep, repeat) with
+Structured Streaming semantics:
+
+- source: ``readStream.format("text")`` over a spool directory an HTTP
+  tailer drops PGN files into (the network fetch itself stays outside the
+  engine, as in the reference where Airflow owns scheduling);
+- rate limiting: ``maxFilesPerTrigger`` ≈ MAX_GAMES batching
+  (``get_games_from_tv.py:60-61``), trigger interval ≈ SLEEP_INTERVAL
+  (``:59``);
+- sink: ``foreachBatch`` running the *same batch transforms*
+  (sessionize → assemble → project → merge) — one code path for batch
+  and streaming;
+- exactly-once-ish: idempotent last-writer-wins merge absorbs replayed
+  batches exactly like the reference's upsert absorbs re-seen games
+  (``docs/assumptions.md:28-37`` behavior).
+
+At cluster scale the merge target would be a transactional table format
+(Delta/Iceberg ``MERGE INTO``); on plain parquet we stage-and-swap the
+table directory per micro-batch, which is single-writer safe — the
+documented deviation, same end state.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from knightshift_spark.pipelines.ingest import ingest_games
+from knightshift_spark.operators.merge import upsert
+from knightshift_spark.sources.pgn import assemble_games, sessionize
+
+
+def stream_pgn_lines(
+    spark: SparkSession, spool_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming line source over a PGN spool directory."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(spool_dir).select(
+        F.col("value").alias("line"), F.input_file_name().alias("src")
+    )
+
+
+def _merge_batch_into_parquet(
+    spark: SparkSession, updates: DataFrame, target_dir: str
+) -> None:
+    """Stage-and-swap merge of a micro-batch into a parquet table dir."""
+    if os.path.isdir(target_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(target_dir)
+    ):
+        current = spark.read.parquet(target_dir)
+        merged = upsert(current, updates, ["id_game"], ["tm_ingested"])
+    else:
+        merged = updates
+    staging = f"{target_dir}.staging-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
+    old = f"{target_dir}.old-{uuid.uuid4().hex[:8]}"
+    if os.path.isdir(target_dir):
+        os.rename(target_dir, old)
+    os.rename(staging, target_dir)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
+def ingest_pgn_batch(batch_lines: DataFrame) -> DataFrame:
+    """Batch transform shared by streaming and batch paths: lines → rows.
+
+    Line order within a micro-batch file is preserved by a per-src window
+    (same as the batch reader); the move-line boundary rule then yields
+    ``game_seq`` (reference ``get_games_from_tv.py:196-199``).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.monotonically_increasing_id())
+    lines = batch_lines.withColumn("line_no", F.row_number().over(w))
+    games = assemble_games(sessionize(lines))
+    return ingest_games(games)
+
+
+def run_pgn_stream(
+    spark: SparkSession,
+    spool_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    max_files_per_trigger: int | None = 1,
+) -> StreamingQuery:
+    """Start the streaming ingestion query.
+
+    ``trigger``: e.g. ``{"processingTime": "5 seconds"}`` (reference
+    SLEEP_INTERVAL) or ``{"availableNow": True}`` for drain-and-stop
+    (tests, backfills).
+    """
+    lines = stream_pgn_lines(spark, spool_dir, max_files_per_trigger)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = ingest_pgn_batch(batch_df)
+        _merge_batch_into_parquet(batch_df.sparkSession, rows, target_dir)
+
+    writer = lines.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming source over events parquet files (nanos ts → timestamp)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(events_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Event-time tumbling-window rollup with late-data watermark — the
+    streaming twin of q22 (same grouping semantics on the closed stream).
+
+    Works on both batch and streaming inputs: watermarking is a no-op in
+    batch mode, so one function serves both (tested for equality)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("h"), "event_type", "n")
+    )

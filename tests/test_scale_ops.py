@@ -1,0 +1,106 @@
+"""Multimodal plumbing, REST fetcher, partitioning/skew, and plan checks."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from knightshift_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    frame_sample_plan,
+    media_repartition,
+)
+from knightshift_spark.plans.partitioning import explain_str, salted_join, write_partitioned
+from knightshift_spark.sources.rest import fetch_bodies, profile_bodies_source
+
+
+def _media(spark):
+    rows = [
+        (1, "image", "image/png", b"\x89PNG-fake-1", (64, 64, None, 11)),
+        (2, "image", "image/png", b"\x89PNG-fake-2", (32, 32, None, 11)),
+        (3, "video", "video/mp4", b"mp4-fake", (640, 480, 3500, 8)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_deterministic(spark):
+    out1 = {r["media_id"]: r["feature"] for r in extract_features(_media(spark)).collect()}
+    out2 = {r["media_id"]: r["feature"] for r in extract_features(_media(spark)).collect()}
+    assert out1 == out2
+    assert len(out1[1]) == 8 and out1[1] != out1[2]
+    assert all(0.0 <= v <= 1.0 for v in out1[1])
+
+
+def test_frame_sample_plan(spark):
+    frames = frame_sample_plan(_media(spark), every_ms=1000).collect()
+    # video of 3500ms sampled at 1s → ts 0,1000,2000,3000
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_media_repartition_by_bytes(spark):
+    df = media_repartition(_media(spark), target_bytes=16)
+    assert df.rdd.getNumPartitions() >= 2  # 30 payload bytes / 16 → ≥2
+
+
+def test_rest_fetch_offline(spark):
+    keys = spark.createDataFrame([("u1",), ("u2",), ("boom",)], "id_user string")
+
+    def fake_fetch(k: str):
+        if k == "boom":
+            raise RuntimeError("http 500")
+        if k == "u2":
+            return None  # 404
+        return json.dumps({"id": k})
+
+    out = {r["key"]: r["body"] for r in fetch_bodies(keys, fake_fetch).collect()}
+    assert out["u1"] == '{"id": "u1"}'
+    assert out["u2"] is None and out["boom"] is None
+    # adapter drops misses
+    kept = profile_bodies_source(keys, fake_fetch).collect()
+    assert [r["id_user"] for r in kept] == ["u1"]
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("2025-05-01", 1), ("2025-05-01", 2), ("2025-05-02", 3)], "d string, v int"
+    )
+    path = str(tmp_path / "pt")
+    write_partitioned(df, path, ["d"])
+    back = spark.read.parquet(path).filter(F.col("d") == "2025-05-01")
+    assert back.count() == 2
+    plan = explain_str(back)
+    assert "PartitionFilters" in plan  # pruning reached the scan
+
+
+def test_salted_join_correctness(spark):
+    # hot key "h" dominates; salted join must return identical results
+    big = spark.createDataFrame(
+        [("h", i) for i in range(500)] + [("c", 1), ("d", 2)], "k string, v int"
+    )
+    small = spark.createDataFrame(
+        [("h", "hot"), ("c", "cold"), ("x", "unmatched")], "k string, name string"
+    )
+    plain = big.join(small, "k").groupBy("k").count()
+    salted = salted_join(big, small, "k").groupBy("k").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_broadcast_in_plan(spark):
+    from tests.conftest import SF_SMOKE
+    from knightshift_spark.queries import load_all
+
+    plan = explain_str(load_all()["q17_three_way_join"].spark_fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_in_plan(spark):
+    from tests.conftest import SF_SMOKE
+    from knightshift_spark.queries import load_all
+
+    plan = explain_str(load_all()["q01_filter_scan"].spark_fn(spark, SF_SMOKE))
+    assert "PushedFilters: [" in plan and "l_returnflag" in plan
+    # projection pruned to the 4 referenced columns at the scan
+    assert "ReadSchema" in plan

@@ -1,0 +1,128 @@
+"""Streaming tests: spool ingestion with cross-batch upsert, watermarked
+rollup equivalence with the batch query, stateful dedup."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from knightshift_spark.streaming.pgn_stream import (
+    hourly_event_counts,
+    run_pgn_stream,
+    stream_events,
+)
+
+GAME_V1 = """\
+[Event "V1"]
+[Site "https://lichess.org/streamG1"]
+[White "u1"]
+[Black "u2"]
+[Result "1-0"]
+1. e4 e5 1-0
+[Event "Only In Batch One"]
+[Site "https://lichess.org/streamG2"]
+[White "u3"]
+[Black "u4"]
+[Result "0-1"]
+1. d4 d5 0-1
+"""
+
+GAME_V2 = """\
+[Event "V2 updated"]
+[Site "https://lichess.org/streamG1"]
+[White "u1"]
+[Black "u2"]
+[Result "1/2-1/2"]
+1. e4 e5 2. Nf3 1/2-1/2
+"""
+
+
+def test_pgn_stream_merges_across_batches(spark, tmp_path):
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    target = str(tmp_path / "games")
+    ckpt = str(tmp_path / "ckpt")
+    # two files, maxFilesPerTrigger=1 → two micro-batches in one drain.
+    # The file source orders batches by modification time; a real spool
+    # has monotone mtimes (files arrive over time) — pin them here.
+    f1, f2 = spool / "a_batch1.pgn", spool / "b_batch2.pgn"
+    f1.write_text(GAME_V1)
+    f2.write_text(GAME_V2)
+    now = os.stat(f1).st_mtime
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now + 60, now + 60))
+
+    q = run_pgn_stream(
+        spark, str(spool), target, ckpt,
+        trigger={"availableNow": True}, max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    out = {r["id_game"]: r for r in spark.read.parquet(target).collect()}
+    assert sorted(out) == ["streamG1", "streamG2"]
+    # the later batch's version of streamG1 won the merge
+    assert out["streamG1"]["val_event_name"] == "V2 updated"
+    assert out["streamG1"]["val_result"] == "1/2-1/2"
+    assert out["streamG2"]["val_result"] == "0-1"
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    from tests.conftest import SF_SMOKE
+    from knightshift_spark.tables import load_table
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", events_dir / "events.parquet")
+
+    stream = stream_events(spark, str(events_dir))
+    assert stream.isStreaming
+    q = (
+        hourly_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("hourly_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["h"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM hourly_counts").collect()
+    }
+    want = {
+        (r["h"], r["event_type"]): r["n"]
+        for r in hourly_event_counts(load_table(spark, SF_SMOKE, "events")).collect()
+    }
+    assert got == want and len(want) > 100
+
+
+def test_stateful_dedup(spark, tmp_path):
+    from knightshift_spark.streaming.stateful import streaming_dedup_by_key
+
+    src = tmp_path / "dupsrc"
+    src.mkdir()
+    spark.createDataFrame([("k1", "first"), ("k2", "first")], "id_game string, v string") \
+        .coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    spark.createDataFrame([("k1", "dup"), ("k3", "first")], "id_game string, v string") \
+        .coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema("id_game string, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_dedup_by_key(stream, "id_game")
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["id_game"]: r["v"] for r in spark.sql("SELECT * FROM deduped").collect()}
+    assert sorted(rows) == ["k1", "k2", "k3"]
+    assert rows["k1"] == "first"  # duplicate in a later batch dropped
