@@ -103,25 +103,33 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(
+def minhash_wide(
     docs: DataFrame, num_hashes: int = 8, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Long-form MinHash signatures: (id, j, mh) for j in [0, num_hashes).
+    """Wide MinHash signatures: (id, mh_0 .. mh_{k-1}) in ONE shuffle.
 
-    One groupBy over the shingle table per plan (the j-explode multiplies
-    rows ×k before the shuffle, but partial MIN aggregation collapses them
-    map-side, so shuffle volume is O(docs × k)).
+    Each hash j is its own MIN aggregate over the shingle rows — partial
+    MIN combines map-side, so the shuffle carries one k-wide row per doc
+    regardless of document size. (A long-form explode×k + groupBy costs
+    k× the shuffle rows and an extra exchange.)
     """
     sh = shingle_table(docs, id_col, text_col)
     h = stable_hash32(F.col("shingle"))
-    exploded = sh.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[F.struct(F.lit(j).alias("j"), minhash_j(h, j).alias("v")) for j in range(num_hashes)])
-        ).alias("jh"),
+    return sh.groupBy(id_col).agg(
+        *[F.min(minhash_j(h, j)).alias(f"mh_{j}") for j in range(num_hashes)]
     )
-    return exploded.groupBy(id_col, F.col("jh.j").alias("j")).agg(
-        F.min("jh.v").alias("mh")
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Long-form MinHash signatures: (id, j, mh) — the wide form unpivoted
+    (stack is a pure projection; the single wide shuffle does the work)."""
+    wide = minhash_wide(docs, num_hashes, id_col, text_col)
+    stack = ", ".join(f"{j}, mh_{j}" for j in range(num_hashes))
+    return wide.select(
+        F.col(id_col),
+        F.expr(f"stack({num_hashes}, {stack}) AS (j, mh)"),
     )
 
 
@@ -163,11 +171,25 @@ def lsh_candidate_pairs(
     pairs across bands is one final distinct.
     """
     rows_per_band = num_hashes // bands
-    mh = minhash_signatures(docs, num_hashes, id_col, text_col)
-    banded = mh.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
-    buckets = banded.groupBy(id_col, "band").agg(
-        F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "j", "mh"))))).alias("bucket")
-    )
+    wide = minhash_wide(docs, num_hashes, id_col, text_col)
+    band_structs = [
+        F.struct(
+            F.lit(bd).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{j}").cast("string")
+                        for j in range(bd * rows_per_band, (bd + 1) * rows_per_band)
+                    ],
+                ).cast("binary")
+            ).alias("bucket"),
+        )
+        for bd in range(bands)
+    ]
+    buckets = wide.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = buckets.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     return (
@@ -193,22 +215,20 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         .agg(F.count(F.lit(1)).alias("c"))
     )
     h = stable_hash32(F.col("w"))
-    bits = wc.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
-        F.col("c"),
-        h.alias("h"),
-    ).withColumn(
-        "contrib",
-        F.when(F.expr("(h >> b) & 1") == 1, F.col("c")).otherwise(-F.col("c")),
-    )
-    return (
-        bits.groupBy(id_col, "b")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy(id_col)
-        .agg(
+    # one 16-column aggregation instead of a ×16 bit-explode + extra
+    # shuffle: each bit's signed sum partial-combines map-side
+    sums = wc.groupBy(id_col).agg(
+        *[
             F.sum(
-                F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << b")).otherwise(0)
-            ).alias("simhash")
-        )
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("c")).otherwise(
+                    -F.col("c")
+                )
+            ).alias(f"s_{b}")
+            for b in range(16)
+        ]
     )
+    simhash = None
+    for b in range(16):
+        bit = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return sums.select(F.col(id_col), simhash.cast("bigint").alias("simhash"))

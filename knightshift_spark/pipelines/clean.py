@@ -6,9 +6,13 @@ fields or with an invalid result are DELETEd; the rest are normalized
 (elo try-cast, title canonicalization, ECO ``"?"``→NULL, termination
 recode), flagged ``ind_validated=true``, stamped, and annotated.
 
-Here the whole stage is one declarative expression over the DataFrame:
-Catalyst fuses every rule into a single scan + project + filter — no
-per-row loop, no round trips, linear at 100 TB.
+Plan shape: the whole stage is ONE projection over one scan — every rule
+is a ``when(needs_fix, normalized).otherwise(original)`` column, so
+Catalyst fuses the entire stage into a single whole-stage-codegen pass.
+(An earlier union-of-branches formulation re-computed the upstream
+subtree once per branch — 4 windows in the plan instead of 1; never
+split-and-union what a conditional projection can express.) The
+valid/deleted outputs are two filters over the same single-pass plan.
 """
 
 from __future__ import annotations
@@ -68,32 +72,34 @@ def clean_games(
 ) -> CleanResult:
     """Run the full cleaning stage; returns (valid, deleted) DataFrames.
 
-    Both outputs derive from one scan; notes reproduce the reference's
-    per-rule messages joined with ``", "`` (default ``"Valid"``,
-    ``validate_tv_channel_games.py:103-155``).
+    Notes reproduce the reference's per-rule messages joined with ``", "``
+    (default ``"Valid"``, ``validate_tv_channel_games.py:103-155``).
     """
     if validated_ts is None:
         validated_ts = F.current_timestamp()
 
-    scoped = df.withColumn("__fix", needs_revalidation(df, force))
-    # Align dirty input schemas (string elos) with the canonical int type so
-    # the final union is type-stable.
-    untouched = (
-        scoped.filter(~F.col("__fix"))
-        .drop("__fix")
-        .withColumn("val_elo_white", safe_int(F.col("val_elo_white").cast("string")))
-        .withColumn("val_elo_black", safe_int(F.col("val_elo_black").cast("string")))
-    )
-    to_fix = scoped.filter(F.col("__fix")).drop("__fix")
+    fix = needs_revalidation(df, force)
+    delete = fix & _delete_predicate()
 
-    deleted = to_fix.filter(_delete_predicate())
-    kept = to_fix.filter(~_delete_predicate())
+    def conditional(normalized: Column, original: Column) -> Column:
+        return F.when(fix, normalized).otherwise(original)
 
     elo_w_raw, elo_b_raw = F.col("val_elo_white"), F.col("val_elo_black")
+    # elo columns cast unconditionally: keeps the output schema int even
+    # when a dirty input carries string elos (idempotent on clean rows)
     elo_w = safe_int(elo_w_raw.cast("string"))
     elo_b = safe_int(elo_b_raw.cast("string"))
 
-    normalized = kept.select(
+    notes = validation_notes(
+        F.when(elo_w_raw.isNotNull() & elo_w.isNull(), F.lit("white elo invalid")),
+        F.when(elo_b_raw.isNotNull() & elo_b.isNull(), F.lit("black elo invalid")),
+        F.when(
+            F.trim(F.coalesce(F.col("val_opening_eco_code"), F.lit(""))) == "?",
+            F.lit("eco unknown"),
+        ),
+    )
+
+    cleaned = df.select(
         "id_game",
         "val_event_name",
         "val_site_url",
@@ -105,26 +111,25 @@ def clean_games(
         "tm_game_utc",
         elo_w.alias("val_elo_white"),
         elo_b.alias("val_elo_black"),
-        normalize_title(F.col("val_title_white")).alias("val_title_white"),
-        normalize_title(F.col("val_title_black")).alias("val_title_black"),
+        conditional(normalize_title(F.col("val_title_white")), F.col("val_title_white")).alias("val_title_white"),
+        conditional(normalize_title(F.col("val_title_black")), F.col("val_title_black")).alias("val_title_black"),
         "val_variant",
         "val_time_control",
-        eco_nullif_unknown(F.col("val_opening_eco_code")).alias("val_opening_eco_code"),
+        conditional(
+            eco_nullif_unknown(F.col("val_opening_eco_code")), F.col("val_opening_eco_code")
+        ).alias("val_opening_eco_code"),
         "val_opening_name",
-        canonicalize_termination(F.col("val_termination")).alias("val_termination"),
+        conditional(
+            canonicalize_termination(F.col("val_termination")), F.col("val_termination")
+        ).alias("val_termination"),
         "val_moves_pgn",
         "tm_ingested",
-        validated_ts.alias("tm_validated"),
-        F.lit(True).alias("ind_validated"),
-        validation_notes(
-            F.when(elo_w_raw.isNotNull() & elo_w.isNull(), F.lit("white elo invalid")),
-            F.when(elo_b_raw.isNotNull() & elo_b.isNull(), F.lit("black elo invalid")),
-            F.when(
-                F.trim(F.coalesce(F.col("val_opening_eco_code"), F.lit(""))) == "?",
-                F.lit("eco unknown"),
-            ),
-        ).alias("val_validation_notes"),
+        conditional(validated_ts, F.col("tm_validated")).alias("tm_validated"),
+        conditional(F.lit(True), F.col("ind_validated")).alias("ind_validated"),
+        conditional(notes, F.col("val_validation_notes")).alias("val_validation_notes"),
         "ind_profile_updated",
+        delete.alias("__delete"),
     )
-    valid = untouched.unionByName(normalized)
+    valid = cleaned.filter(~F.col("__delete")).drop("__delete")
+    deleted = df.filter(delete)
     return CleanResult(valid=valid, deleted=deleted)

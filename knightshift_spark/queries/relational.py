@@ -173,18 +173,19 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""SELECT l_orderkey, l_shipdate AS last_shipdate FROM lineitem
               QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
                       ORDER BY l_linenumber DESC, l_shipdate DESC) = 1""",
-    doc="OP-31 last-writer-wins dedup: row_number desc == 1 with a total "
-        "order (linenumber ties broken by shipdate — max_by alone would be "
-        "non-deterministic on this data)",
+    doc="OP-31 last-writer-wins dedup. Spark plan: max(struct(ord, val)) — "
+        "lexicographic struct max == row_number desc form, but aggregates "
+        "with map-side partial combine: shuffle carries one row per key "
+        "instead of every row (the window form shuffles + sorts all rows). "
+        "Total order (linenumber, shipdate) keeps ties deterministic.",
 )
 def q12(spark: SparkSession, sf: str) -> DataFrame:
-    from knightshift_spark.operators.merge import last_writer_wins
-
-    return last_writer_wins(
-        t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate"),
-        ["l_orderkey"],
-        ["l_linenumber", "l_shipdate"],
-    ).select("l_orderkey", F.col("l_shipdate").alias("last_shipdate"))
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.struct("l_linenumber", "l_shipdate")).alias("__m"))
+        .select("l_orderkey", F.col("__m.l_shipdate").alias("last_shipdate"))
+    )
 
 
 @query(
