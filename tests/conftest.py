@@ -5,7 +5,14 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+# Spark's Python workers must import test modules too (functions passed to
+# mapInPandas pickle by reference); local-mode workers inherit this env.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in (os.path.join(_REPO, "tests"), _REPO, os.environ.get("PYTHONPATH")) if p
+)
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
 os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "4")  # tiny data → tiny shuffles
