@@ -50,6 +50,7 @@ def load_all() -> dict[str, QuerySpec]:
         pgn_e2e,
         profiles,
         relational,
+        relational2,
         similarity,
         textops,
     )

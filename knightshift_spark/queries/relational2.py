@@ -1,0 +1,212 @@
+"""Q43–Q52: second relational batch — multi-dim aggregation (rollup),
+pivot, exact percentiles, date/string function surface, correlated
+aggregates, set ops, moving window frames.
+
+These extend the engine's SQL surface beyond the reference's needs so a
+user of a general relational workload can stay on this engine; same
+determinism rules as ``relational.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from knightshift_spark.queries import query
+from knightshift_spark.tables import load_table as t
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "q43_rollup",
+    oracle="""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    doc="hierarchical rollup (multi-dim agg): partial-combine per grouping set",
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q44_pivot",
+    oracle="""SELECT user_id,
+              COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+              COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+              COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+              COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+              COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+              FROM events GROUP BY user_id""",
+    doc="pivot = conditional aggregation; explicit value list keeps the "
+        "plan single-pass (no distinct-values pre-scan)",
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    piv = (
+        t(spark, sf, "events")
+        .groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(e), F.lit(0)).alias(e) for e in EVENT_TYPES],
+    )
+
+
+@query(
+    "q45_percentile",
+    oracle="""SELECT l_returnflag,
+              ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+              ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90
+              FROM lineitem GROUP BY l_returnflag""",
+    doc="exact linear-interpolation percentiles (Spark percentile == "
+        "DuckDB quantile_cont); at scale prefer approx_percentile sketches",
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+@query(
+    "q46_date_funcs",
+    oracle="""SELECT o_orderkey,
+              EXTRACT(year FROM o_orderdate) AS y,
+              EXTRACT(month FROM o_orderdate) AS m,
+              CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due,
+              datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
+              FROM orders""",
+    doc="date arithmetic surface (OP-14 family)",
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.date_add(d, 30).cast("timestamp").alias("due"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d).cast("bigint").alias("days_to_98"),
+    )
+
+
+@query(
+    "q47_string_funcs",
+    oracle="""SELECT p_partkey,
+              lpad(p_brand, 12, '*') AS brand_pad,
+              substr(p_name, 1, 8) AS name8,
+              strpos(p_type, 'E') AS e_pos,
+              translate(p_brand, '#', '-') AS brand_tr,
+              repeat(p_brand, 2) AS brand2
+              FROM part""",
+    doc="string function surface (OP-12/OP-17 family)",
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    p = t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.instr(F.col("p_type"), "E").cast("bigint").alias("e_pos"),
+        F.translate("p_brand", "#", "-").alias("brand_tr"),
+        F.repeat(F.col("p_brand"), 2).alias("brand2"),
+    )
+
+
+@query(
+    "q48_conditional_agg",
+    oracle="""SELECT o_orderstatus,
+              COUNT(*) AS n,
+              COUNT(CASE WHEN o_totalprice > 150000 THEN 1 END) AS n_big,
+              ROUND(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS urgent_rev
+              FROM orders GROUP BY o_orderstatus""",
+    doc="conditional aggregation (filtered counts/sums in one pass)",
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("o_totalprice") > 150000, 1)).alias("n_big"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority") == "1-URGENT",
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                )
+            ).cast("double"),
+            2,
+        ).alias("urgent_rev"),
+    )
+
+
+@query(
+    "q49_correlated_avg",
+    oracle="""SELECT c_custkey FROM customer c
+              WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2
+                                 WHERE c2.c_nationkey = c.c_nationkey)""",
+    doc="correlated scalar subquery — engine plans it as a window average "
+        "over the nation partition (one shuffle, no per-row subquery)",
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("c_nationkey")
+    return (
+        t(spark, sf, "customer")
+        .withColumn("__avg", F.avg("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .select("c_custkey")
+    )
+
+
+@query(
+    "q50_except",
+    oracle="""SELECT n_nationkey AS k FROM nation
+              EXCEPT SELECT r_regionkey FROM region""",
+    doc="EXCEPT set op",
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    n, r = t(spark, sf, "nation"), t(spark, sf, "region")
+    return n.select(F.col("n_nationkey").alias("k")).exceptAll(
+        r.select(F.col("r_regionkey").alias("k"))
+    ).distinct()
+
+
+@query(
+    "q51_moving_window",
+    oracle="""SELECT user_id, event_id,
+              ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_sum
+              FROM events""",
+    doc="bounded window frame (moving sum over ≤3 rows — frame order is "
+        "total, so float addition is deterministic)",
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return t(spark, sf, "events").select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 4).alias("mov_sum")
+    )
+
+
+@query(
+    "q52_exists_having",
+    oracle="""SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+              GROUP BY o_custkey HAVING COUNT(*) >= 15""",
+    doc="grouped HAVING filter (post-aggregation predicate)",
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
