@@ -116,6 +116,106 @@ def srp_sketch(vec: Column, bits: int = 16, dim: int = 64) -> Column:
     return sketch
 
 
+def _sq_l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_ivf_cluster(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id for a vector against broadcast-as-literals
+    centroids (argmin squared L2). Centroid count is small by design, so
+    the whole assignment folds into one codegen'd expression — no join,
+    no Python."""
+    pairs = F.array(
+        *[
+            F.struct(
+                _sq_l2(vec, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(pairs)["cid"]
+
+
+def ivf_centroids(
+    vectors: DataFrame,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF codebook: seeds = the ``n_clusters`` lowest-id
+    vectors, refined by one Lloyd step (assign all vectors, average per
+    cluster). Both steps are DataFrame jobs; only the k×d codebook ever
+    reaches the driver."""
+    seeds = [
+        [float(x) for x in r[vec_col]]
+        for r in vectors.orderBy(id_col).limit(n_clusters).collect()
+    ]
+    dim = len(seeds[0])
+    assigned = vectors.select(
+        assign_ivf_cluster(F.col(vec_col), seeds).alias("cid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    means = (
+        assigned.groupBy("cid")
+        .agg(
+            *[F.avg(F.element_at("v", i + 1)).alias(f"m{i}") for i in range(dim)]
+        )
+        .collect()
+    )
+    refined = list(seeds)  # clusters that lost every vector keep their seed
+    for r in means:
+        refined[r["cid"]] = [r[f"m{i}"] for i in range(dim)]
+    return refined
+
+
+def knn_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: score only candidates in the query's nearest cluster.
+
+    The candidate side gains a ``cid`` column (one codegen'd projection —
+    persist it with the table in production so the index is built once);
+    the probe is then a broadcast equi-join on ``cid``: cost tracks
+    cluster occupancy (~N/n_clusters per query), never N.
+    """
+    cents = ivf_centroids(candidates, n_clusters, id_col, vec_col)
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        assign_ivf_cluster(F.col(vec_col), cents).alias("__cid"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        assign_ivf_cluster(F.col(vec_col), cents).alias("__cid"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "__cid")
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__sim")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("__sim", 4).alias("sim"), "rank")
+    )
+
+
 def knn_lsh(
     queries: DataFrame,
     candidates: DataFrame,

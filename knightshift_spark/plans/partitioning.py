@@ -61,6 +61,28 @@ def salted_join(
     return out.drop("__salt")
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    num_buckets: int = 32,
+    sort_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (and optionally sorted) managed table.
+
+    Bucketing pre-shuffles data on the join/agg key at write time: two
+    tables bucketed on the same key with the same bucket count join with
+    ZERO exchanges (asserted in tests), and per-key aggregation skips its
+    shuffle too. This is the 100 TB answer for repeatedly-joined fact
+    tables — pay the shuffle once at ingest, never again.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     """Capture ``df.explain(mode)`` as a string (it prints to stdout)."""
     buf = io.StringIO()

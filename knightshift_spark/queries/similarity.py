@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from knightshift_spark.operators.similarity import cosine, knn_bruteforce, knn_lsh
+from knightshift_spark.operators.similarity import (
+    cosine,
+    knn_bruteforce,
+    knn_ivf,
+    knn_lsh,
+)
 from knightshift_spark.queries import query
 from knightshift_spark.tables import load_table as t
 
@@ -71,6 +76,20 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= 0.3)
+    )
+
+
+@query(
+    "q53_knn_ivf",
+    oracle=None,  # codebook refinement is engine-internal → rows-only check
+    doc="IVF-bucketed ANN (deterministic Lloyd-refined codebook) — probes "
+        "one cluster per query instead of the full candidate set",
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    return knn_ivf(
+        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5),
+        k=3, n_clusters=4,
     )
 
 

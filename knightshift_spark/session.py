@@ -55,6 +55,15 @@ def get_spark(app_name: str = "knightshift-spark", master: str | None = None) ->
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # managed-table (bucketing) support without polluting the repo:
+        # warehouse + derby metastore live under /tmp
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/knightshift-warehouse"),
+        )
+        .config(
+            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/knightshift-derby"
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

