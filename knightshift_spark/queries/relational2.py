@@ -198,6 +198,21 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q54_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific → rows-only check;
+    # the relative-error bound vs exact is asserted in pytest instead
+    doc="approximate distinct counting (HLL++): the 100 TB cardinality "
+        "path — constant memory per group vs exact distinct's shuffle",
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "q52_exists_having",
     oracle="""SELECT o_custkey, COUNT(*) AS n_orders FROM orders
               GROUP BY o_custkey HAVING COUNT(*) >= 15""",

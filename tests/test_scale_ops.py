@@ -104,3 +104,24 @@ def test_filter_pushdown_in_plan(spark):
     assert "PushedFilters: [" in plan and "l_returnflag" in plan
     # projection pruned to the 4 referenced columns at the scan
     assert "ReadSchema" in plan
+
+
+def test_approx_distinct_error_bound(spark):
+    from tests.conftest import SF_SMOKE
+    from knightshift_spark.queries import load_all
+    from knightshift_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in load_all()["q54_approx_distinct"].spark_fn(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) / ex < 0.05, (k, approx[k], ex)
