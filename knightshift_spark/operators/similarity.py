@@ -116,6 +116,70 @@ def srp_sketch(vec: Column, bits: int = 16, dim: int = 64) -> Column:
     return sketch
 
 
+def knn_bruteforce_arrow(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Throughput variant of ``knn_bruteforce``: per-Arrow-batch numpy
+    matmul inside ``mapInPandas``.
+
+    The query matrix rides into every task as a broadcast variable; each
+    candidate batch becomes one ``(batch × d) @ (d × |Q|)`` GEMM — BLAS
+    throughput instead of per-element codegen. Output is each batch's
+    local top-k per query, so the shuffle to the final per-query top-k
+    carries ≤ k rows per (batch, query), never the full score matrix.
+    Use when d×|Q| is large enough that GEMM beats codegen (~d ≥ 128 or
+    |Q| ≥ 100); results are identical up to float-sum ordering.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sc = candidates.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids, q_mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        ids, qm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c @ qm.T  # (batch, |Q|)
+            top = min(k, len(pdf))
+            part = np.argpartition(-sims, top - 1, axis=0)[:top]  # per query col
+            rows = {
+                "query_id": np.repeat(ids, top),
+                "neighbor_id": pdf[id_col].to_numpy()[part.T.ravel()],
+                "sim": np.take_along_axis(sims, part, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    local_topk = candidates.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        local_topk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+    )
+
+
 def _sq_l2(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(_as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y)),

@@ -128,3 +128,16 @@ def test_knn_ivf_clusters_and_ranks(spark):
     out = knn_ivf(q, v, k=3, n_clusters=2).collect()
     assert sorted(r["neighbor_id"] for r in out) == [0, 1, 2]
     assert all(r["sim"] > 0.9 for r in out)
+
+
+def test_knn_arrow_matches_codegen(spark):
+    from tests.conftest import SF_SMOKE
+    from knightshift_spark.operators.similarity import knn_bruteforce, knn_bruteforce_arrow
+    from knightshift_spark.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    c = emb.filter(F.col("vec_id") >= 5)
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in knn_bruteforce(q, c, k=3).collect()}
+    arrow = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in knn_bruteforce_arrow(q, c, k=3).collect()}
+    assert exact == arrow

@@ -132,3 +132,24 @@ def test_date_roundtrip(spark, d):
     df = spark.createDataFrame([(s,)], "x string")
     got = df.select(C.parse_pgn_date(F.col("x")).alias("v")).collect()[0]["v"]
     assert got == d
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40
+        ),
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_pgn_parser_never_crashes(spark, lines):
+    """Arbitrary ASCII line soup: the PGN source must never throw, games
+    are bounded by move-line count + 1, and every game has a site."""
+    from knightshift_spark.sources import pgn
+
+    text = "\n".join(lines)
+    games = pgn.assemble_games(pgn.sessionize(pgn.lines_from_text(spark, text))).collect()
+    n_moves = sum(1 for ln in lines if ln.startswith("1. "))
+    assert len(games) <= n_moves + 1
+    assert all("site" in g["headers"] for g in games)

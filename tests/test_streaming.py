@@ -126,3 +126,28 @@ def test_stateful_dedup(spark, tmp_path):
     rows = {r["id_game"]: r["v"] for r in spark.sql("SELECT * FROM deduped").collect()}
     assert sorted(rows) == ["k1", "k2", "k3"]
     assert rows["k1"] == "first"  # duplicate in a later batch dropped
+
+
+def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
+    """Restarting with the same checkpoint must not re-ingest consumed
+    files, and new files must still merge (exactly-once effect via
+    checkpoint + idempotent merge)."""
+    spool = tmp_path / "spool2"
+    spool.mkdir()
+    target, ckpt = str(tmp_path / "t2"), str(tmp_path / "c2")
+    (spool / "f1.pgn").write_text(GAME_V1)
+
+    q = run_pgn_stream(spark, str(spool), target, ckpt, trigger={"availableNow": True})
+    q.awaitTermination(120)
+    first = spark.read.parquet(target).collect()
+    assert sorted(r["id_game"] for r in first) == ["streamG1", "streamG2"]
+    ts1 = {r["id_game"]: r["tm_ingested"] for r in first}
+
+    # restart: same checkpoint, one new file
+    (spool / "f2.pgn").write_text(GAME_V2)
+    q2 = run_pgn_stream(spark, str(spool), target, ckpt, trigger={"availableNow": True})
+    q2.awaitTermination(120)
+    rows = {r["id_game"]: r for r in spark.read.parquet(target).collect()}
+    assert rows["streamG1"]["val_event_name"] == "V2 updated"  # new file applied
+    # f1 was NOT reprocessed: streamG2's ingest timestamp is unchanged
+    assert rows["streamG2"]["tm_ingested"] == ts1["streamG2"]
