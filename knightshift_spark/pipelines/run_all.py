@@ -119,6 +119,31 @@ def run_pipeline(
     )
 
 
+def main(argv: list[str] | None = None) -> int:
+    """CLI twin of the reference's ``python main.py``:
+
+        python -m knightshift_spark.pipelines.run_all <pgn_dir> <warehouse_dir>
+
+    Runs ingest → clean (enrichment needs a REST transport, so the CLI
+    runs offline-mode) and prints the batch counters.
+    """
+    import argparse
+
+    from knightshift_spark.logging_utils import log_counts, stage
+    from knightshift_spark.session import get_spark
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("pgn_dir")
+    p.add_argument("warehouse_dir")
+    args = p.parse_args(argv)
+    spark = get_spark("knightshift-pipeline")
+    with stage("Full pipeline"):
+        report = run_pipeline(spark, args.pgn_dir, args.warehouse_dir)
+    log_counts(**report._asdict())
+    print(report)
+    return 0
+
+
 def _swap(table_dir: str) -> None:
     """Atomically replace ``table_dir`` with ``table_dir.next`` (the
     plain-parquet stand-in for a transactional table commit)."""
@@ -131,3 +156,5 @@ def _swap(table_dir: str) -> None:
     os.rename(f"{table_dir}.next", table_dir)
     if os.path.isdir(old):
         shutil.rmtree(old)
+if __name__ == "__main__":
+    raise SystemExit(main())
