@@ -1,0 +1,115 @@
+"""Corpus curation pipeline — the LLM-training-data flagship composition.
+
+Chains the scale operators end-to-end over a ``documents`` table:
+
+1. exact dedup on the normalized-text fingerprint (md5 groupBy);
+2. near-dup removal: MinHash+LSH candidates → exact Jaccard rescore →
+   drop the higher doc_id of each confirmed pair (keep-first policy);
+3. quality gate: stopword ratio + token count thresholds;
+4. language filter against an allowlist (engine lang-ID, not the stored
+   label — curation must not trust upstream metadata);
+5. per-survivor token stats for downstream mixture budgeting.
+
+Every stage is a DataFrame transform: the pipeline is ONE lazy plan until
+the caller materializes. At 100 TB: stage 1 is a single shuffle; stage 2
+is the banded-LSH path (candidate volume ∝ bucket occupancy); stages 3-5
+are projections. The Jaccard rescore only touches candidate pairs, never
+all pairs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from knightshift_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    stopword_ratio,
+    token_count,
+)
+from knightshift_spark.operators.dedup import jaccard_pairs, lsh_candidate_pairs
+
+
+class CurationResult(NamedTuple):
+    kept: DataFrame  # surviving docs + engine-computed columns
+    stats: DataFrame  # one row per removal reason
+
+
+def curate_corpus(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    min_tokens: int = 5,
+    min_stopword_ratio: float = 0.0,
+    langs: tuple[str, ...] = ("en",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist_intermediates: bool = False,
+) -> CurationResult:
+    annotated = docs.select(
+        "*",
+        doc_fingerprint(F.col(text_col)).alias("__fp"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        stopword_ratio(F.col(text_col)).alias("sw_ratio"),
+        lang_id(F.col(text_col)).alias("lang_pred"),
+    )
+
+    # 1. exact dedup: keep the lowest id per fingerprint
+    first = annotated.groupBy("__fp").agg(F.min(id_col).alias("__keep"))
+    exact_kept = annotated.join(
+        first, (annotated["__fp"] == first["__fp"]) & (annotated[id_col] == first["__keep"]),
+        "left_semi",
+    )
+    if persist_intermediates:
+        # the dedup subtree feeds both the kept output and three funnel
+        # counters; persisting stops 4x recomputation of the LSH/Jaccard
+        # stages (caller owns the session-level unpersist)
+        exact_kept = exact_kept.persist()
+
+    # 2. near-dup: LSH candidates → exact rescore → drop doc_b of each pair
+    cands = lsh_candidate_pairs(exact_kept, num_hashes=16, bands=4, id_col=id_col, text_col=text_col)
+    confirmed = (
+        jaccard_pairs(
+            exact_kept.join(
+                cands.select(F.explode(F.array("doc_a", "doc_b")).alias(id_col)).distinct(),
+                id_col,
+                "left_semi",
+            ),
+            threshold=jaccard_threshold,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        .join(cands, ["doc_a", "doc_b"], "left_semi")  # rescore candidates only
+    )
+    near_dup_ids = confirmed.select(F.col("doc_b").alias(id_col)).distinct()
+    deduped = exact_kept.join(near_dup_ids, id_col, "left_anti")
+
+    # 3-4. quality + language gates
+    quality_ok = (F.col("n_tokens") >= min_tokens) & (F.col("sw_ratio") >= min_stopword_ratio)
+    lang_ok = F.col("lang_pred").isin(*langs)
+    kept = deduped.filter(quality_ok & lang_ok).drop("__fp")
+
+    # stats stay LAZY: one action materializes the whole funnel. Eager
+    # .count() per stage would re-run the expensive dedup subtree once per
+    # counter before the caller even asks.
+    def _n(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(alias))
+
+    funnel = (
+        _n(docs, "n_input")
+        .crossJoin(_n(exact_kept, "n_exact"))
+        .crossJoin(_n(deduped, "n_near"))
+        .crossJoin(_n(kept, "n_final"))
+    )
+    stats = funnel.select(
+        F.expr(
+            "stack(5, 'input', n_input,"
+            " 'exact_dup_removed', n_input - n_exact,"
+            " 'near_dup_removed', n_exact - n_near,"
+            " 'quality_or_lang_removed', n_near - n_final,"
+            " 'kept', n_final) AS (reason, n)"
+        )
+    )
+    return CurationResult(kept=kept, stats=stats)

@@ -137,6 +137,26 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q57_curate_corpus",
+    oracle=None,  # multi-stage composition → rows-only check; components
+    # are individually oracle-checked (q29/q30/q31/q35/q36/q37/q38)
+    doc="full corpus-curation pipeline: exact dedup → LSH+Jaccard near-dup "
+        "→ quality/lang gates; returns the removal-funnel stats "
+        "(scoped to 1000 docs — the demo slice; the pipeline itself is "
+        "unbounded)",
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    from knightshift_spark.pipelines.corpus import curate_corpus
+
+    return curate_corpus(
+        t(spark, sf, "documents").filter(F.col("doc_id") < 1000),
+        jaccard_threshold=0.5, min_tokens=5,
+        min_stopword_ratio=0.0, langs=("en", "und"),
+        persist_intermediates=True,
+    ).stats
+
+
+@query(
     "q38_fingerprint",
     oracle=r"""SELECT doc_id,
               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp

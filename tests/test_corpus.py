@@ -1,0 +1,74 @@
+"""Corpus curation pipeline: crafted docs with known dedup/quality/lang
+outcomes, plus empty-input robustness for the scale operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from knightshift_spark.pipelines.corpus import curate_corpus
+
+GOOD_EN = (
+    "the quick brown fox jumps over the lazy dog and it is a good day "
+    "for the hounds to be out in the field with the pack"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, GOOD_EN),
+            (2, GOOD_EN),  # exact dup of 1 → removed
+            (3, GOOD_EN + " extra tail words here"),  # near-dup of 1 → removed
+            (4, "short"),  # fails min_tokens
+            (5, "le chat est sur la table et il est un des animaux de la maison qui dort"),  # non-en
+            (6, "a completely different document that is about the weather and the sea and it has the right amount of words in it"),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_curate_corpus_end_to_end(spark):
+    res = curate_corpus(_docs(spark), jaccard_threshold=0.5, min_tokens=5)
+    kept = sorted(r["doc_id"] for r in res.kept.collect())
+    assert kept == [1, 6]
+    stats = {r["reason"]: r["n"] for r in res.stats.collect()}
+    assert stats == {
+        "input": 6,
+        "exact_dup_removed": 1,
+        "near_dup_removed": 1,
+        "quality_or_lang_removed": 2,
+        "kept": 2,
+    }
+    row = {r["doc_id"]: r for r in res.kept.collect()}
+    assert row[1]["lang_pred"] == "en" and row[1]["n_tokens"] > 20
+
+
+def test_curate_corpus_empty_input(spark):
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    res = curate_corpus(empty)
+    assert res.kept.count() == 0
+    stats = {r["reason"]: r["n"] for r in res.stats.collect()}
+    assert stats["input"] == 0 and stats["kept"] == 0
+
+
+def test_dedup_ops_empty_input(spark):
+    from knightshift_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_wide,
+        simhash16,
+    )
+
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    assert jaccard_pairs(empty).count() == 0
+    assert lsh_candidate_pairs(empty).count() == 0
+    assert minhash_wide(empty).count() == 0
+    assert simhash16(empty).count() == 0
+
+
+def test_knn_empty_candidates(spark):
+    from knightshift_spark.operators.similarity import knn_bruteforce
+
+    q = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id int, embedding array<float>")
+    empty = spark.createDataFrame([], "vec_id int, embedding array<float>")
+    assert knn_bruteforce(q, empty, k=3).count() == 0

@@ -63,3 +63,10 @@ def test_two_run_pipeline(spark, tmp_path):
     assert "new999ZZ" in games
     users = {r["id_user"] for r in spark.read.parquet(f"{wh}/users").collect()}
     assert users == {"user1", "user2", "user5"}  # insert-if-absent: no dups
+
+
+def test_pipeline_empty_source_dir(spark, tmp_path):
+    src = tmp_path / "emptydump"
+    src.mkdir()
+    r = run_pipeline(spark, str(src), str(tmp_path / "wh0"))
+    assert r.ingested == 0 and r.valid == 0 and r.deleted == 0
