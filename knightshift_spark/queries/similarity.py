@@ -94,6 +94,33 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q59_ann_recall",
+    oracle=None,  # measures engine-internal ANN quality → rows-only
+    doc="recall@k harness: LSH and IVF top-k vs brute-force ground truth — "
+        "the accept/reject dial for ANN parameters at scale",
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    q, c = emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10)
+    truth = knn_bruteforce(q, c, k=3).select("query_id", "neighbor_id")
+    out = []
+    for label, approx in (
+        ("lsh_b4", knn_lsh(q, c, k=3, bits=4)),
+        ("ivf_c4", knn_ivf(q, c, k=3, n_clusters=4)),
+    ):
+        hit = truth.join(
+            approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+        out.append((label, hit, truth.count()))
+    return spark.createDataFrame(out, "method string, n_hits long, n_truth long").select(
+        "method",
+        "n_hits",
+        "n_truth",
+        F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall_at_3"),
+    )
+
+
+@query(
     "q33b_knn_lsh",
     oracle=None,  # SRP bucketing is engine-internal → rows-only check
     doc="LSH-bucketed ANN (signed random projections) — the scale path",

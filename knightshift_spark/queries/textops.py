@@ -157,6 +157,24 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q58_bpe_tokens",
+    oracle=r"""SELECT doc_id,
+              len(regexp_extract_all(text, '[0-9A-Za-z_]+|[^0-9A-Za-z_\s]')) AS n_subtokens
+              FROM documents""",
+    doc="BPE-ish subword counting: word-or-single-punct regex — the "
+        "pre-merge token stream a BPE tokenizer would start from "
+        "(explicit ASCII classes: identical in Java and RE2 regex engines)",
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[0-9A-Za-z_]+|[^0-9A-Za-z_\s]"), 0)
+        ).alias("n_subtokens"),
+    )
+
+
+@query(
     "q38_fingerprint",
     oracle=r"""SELECT doc_id,
               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
