@@ -15,6 +15,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def dedup_within_watermark(
+    df: DataFrame, keys: list[str], ts_col: str, delay: str = "1 hour"
+) -> DataFrame:
+    """Event-time dedup with bounded state: duplicates of a key arriving
+    within ``delay`` of the watermark are dropped; state for keys older
+    than the watermark is evicted automatically.
+
+    This is the production form of streaming dedup at 100 TB — unbounded
+    key state (``streaming_dedup_by_key``) eventually exhausts the state
+    store; watermarked dedup trades completeness outside the window for
+    O(active-window) state.
+    """
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
 def streaming_dedup_by_key(df: DataFrame, key_col: str = "id_game") -> DataFrame:
     """Cross-micro-batch first-writer-wins dedup on ``key_col``.
 

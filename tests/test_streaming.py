@@ -151,3 +151,50 @@ def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
     assert rows["streamG1"]["val_event_name"] == "V2 updated"  # new file applied
     # f1 was NOT reprocessed: streamG2's ingest timestamp is unchanged
     assert rows["streamG2"]["tm_ingested"] == ts1["streamG2"]
+
+
+def test_processing_time_trigger_live(spark, tmp_path):
+    """The reference's 5s poll cadence as a live processingTime trigger;
+    processAllAvailable() makes the assertions deterministic."""
+    spool = tmp_path / "spool3"
+    spool.mkdir()
+    target, ckpt = str(tmp_path / "t3"), str(tmp_path / "c3")
+    (spool / "f1.pgn").write_text(GAME_V1)
+    q = run_pgn_stream(
+        spark, str(spool), target, ckpt,
+        trigger={"processingTime": "1 second"}, max_files_per_trigger=None,
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(target).count() == 2
+        (spool / "f2.pgn").write_text(GAME_V2)
+        q.processAllAvailable()
+        rows = {r["id_game"]: r for r in spark.read.parquet(target).collect()}
+        assert rows["streamG1"]["val_event_name"] == "V2 updated"
+    finally:
+        q.stop()
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    from knightshift_spark.streaming.stateful import dedup_within_watermark
+
+    src = tmp_path / "wmsrc"
+    src.mkdir()
+    spark.createDataFrame(
+        [("k1", "2025-05-01 10:00:00", "a"), ("k1", "2025-05-01 10:10:00", "dup"),
+         ("k2", "2025-05-01 10:05:00", "b")],
+        "k string, ts_s string, v string",
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) ts", "v").coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "f1"))
+
+    stream = spark.readStream.schema("k string, ts timestamp, v string").parquet(
+        str(src / "*")
+    )
+    out = dedup_within_watermark(stream, ["k"], "ts", "1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("wmdedup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {r["k"]: r["v"] for r in spark.sql("SELECT * FROM wmdedup").collect()}
+    assert sorted(rows) == ["k1", "k2"]
