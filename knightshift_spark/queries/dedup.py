@@ -112,10 +112,44 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _mh_cols(num_hashes: int) -> str:
+    return ",\n               ".join(
+        f"MIN((CAST({2*j+1} AS BIGINT) * h + CAST({1000003*j} AS BIGINT)) % 2147483647) AS mh_{j}"
+        for j in range(num_hashes)
+    )
+
+
+def _band_rows(bands: int, rows_per_band: int) -> str:
+    pieces = []
+    for b in range(bands):
+        concat = " || ',' || ".join(
+            f"CAST(mh_{j} AS VARCHAR)"
+            for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        pieces.append(
+            f"SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM mh"
+        )
+    return "\n        UNION ALL ".join(pieces)
+
+
 @query(
     "q31b_minhash_lsh",
-    oracle=None,  # banding bucket-hash is engine-internal → rows-only check
-    doc="MinHash+LSH banded candidate pairs — the 100 TB near-dup path",
+    oracle=_SHINGLES_CTE.format(scope="WHERE doc_id < 200")
+    + f""",
+      hx AS (SELECT doc_id, shingle, {_HASH32} AS h FROM sh),
+      mh AS (
+        SELECT doc_id,
+               {_mh_cols(16)}
+        FROM hx GROUP BY doc_id),
+      buckets AS (
+        {_band_rows(4, 4)})
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a
+      JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id""",
+    doc="MinHash+LSH banded candidate pairs — the 100 TB near-dup path. "
+        "Even the band-bucket hashing is oracle-checked: the md5-anchored "
+        "hash family is engine-portable end-to-end",
 )
 def q31b(spark: SparkSession, sf: str) -> DataFrame:
     docs = t(spark, sf, "documents").filter(F.col("doc_id") < 200)

@@ -120,10 +120,47 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _srp_sketch_sql(vec: str, bits: int = 4, dim: int = 64) -> str:
+    """DuckDB expression computing the same SRP sketch as
+    ``operators.similarity.srp_sketch``: hyperplane signs come from the
+    identical md5 derivation, folded in as literals."""
+    import hashlib
+
+    def sign(b: int, i: int) -> str:
+        h = int(hashlib.md5(f"srp:{b}:{i}".encode()).hexdigest()[:8], 16)
+        return "1.0" if h % 2 == 0 else "-1.0"
+
+    terms = []
+    for b in range(bits):
+        signs = ", ".join(sign(b, i) for i in range(dim))
+        proj = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ([{signs}])[i]))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 @query(
     "q33b_knn_lsh",
-    oracle=None,  # SRP bucketing is engine-internal → rows-only check
-    doc="LSH-bucketed ANN (signed random projections) — the scale path",
+    oracle=f"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                        {_srp_sketch_sql('embedding')} AS sk
+                 FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                   {_srp_sketch_sql('embedding')} AS sk
+            FROM embeddings WHERE vec_id >= 5),
+      scored AS (
+        SELECT query_id, neighbor_id, {_cos('qv', 'cv')} AS sim
+        FROM q JOIN c ON q.sk = c.sk),
+      ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 3""",
+    doc="LSH-bucketed ANN (signed random projections) — the scale path; "
+        "bucketing fully oracle-checked (portable md5-derived hyperplanes)",
 )
 def q33b(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
