@@ -198,6 +198,41 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q60_array_agg",
+    oracle="""SELECT l_orderkey,
+              string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS linenos
+              FROM lineitem GROUP BY l_orderkey""",
+    doc="ordered array aggregation (collect_list + sort, rendered as a "
+        "string so the value-hash is type-stable across engines)",
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("l_linenumber")).cast("array<string>"),
+                ",",
+            ).alias("linenos")
+        )
+    )
+
+
+@query(
+    "q61_cube",
+    oracle="""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+              FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    doc="CUBE multi-dim aggregation (all grouping-set combinations)",
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "q54_approx_distinct",
     oracle=None,  # HLL sketches are engine-specific → rows-only check;
     # the relative-error bound vs exact is asserted in pytest instead
@@ -209,6 +244,38 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q62_profile_table",
+    oracle="""
+      SELECT 'o_custkey' AS column, COUNT(*) AS n_rows,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             COUNT(DISTINCT o_custkey) AS n_distinct,
+             CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+             CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*),
+             SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT o_orderstatus),
+             CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', COUNT(*),
+             SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT o_totalprice),
+             CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+      FROM orders""",
+    doc="single-pass per-column profiling (null rate / distinct / min-max) "
+        "— the batch data-quality report a 100 TB ingest logs per run",
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    from knightshift_spark.operators.profiling import profile_table
+
+    return profile_table(
+        t(spark, sf, "orders"), ["o_custkey", "o_orderstatus", "o_totalprice"]
     )
 
 

@@ -125,3 +125,22 @@ def test_approx_distinct_error_bound(spark):
     }
     for k, ex in exact.items():
         assert abs(approx[k] - ex) / ex < 0.05, (k, approx[k], ex)
+
+
+def test_profile_table_single_pass(spark):
+    from knightshift_spark.operators.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, 5.0), (2, "b", 7.5)], "k int, s string, v double"
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["k"]["n_distinct"] == 2 and prof["k"]["n_nulls"] == 0
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["min_val"] == "a"
+    assert prof["v"]["max_val"] == "7.5"
+    # one scan + bounded exchanges: exact multi-column distinct plans an
+    # Expand (4 exchanges); the approx variant is a true single shuffle
+    from knightshift_spark.plans.partitioning import explain_str
+    tree = explain_str(profile_table(df)).split("\n\n")[0]
+    assert tree.count("Scan ExistingRDD") == 1  # one pass over the input
+    assert tree.count("Exchange") <= 4
+    assert explain_str(profile_table(df, approx=True)).count("Exchange") <= 2
