@@ -98,7 +98,7 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY doc_id, j),
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS n_agree
+               CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
         FROM mh a JOIN mh b ON a.j = b.j AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT doc_a, doc_b, n_agree, ROUND(n_agree / 8.0, 4) AS est_jaccard
@@ -177,7 +177,7 @@ def q31b(spark: SparkSession, sf: str) -> DataFrame:
         FROM hx, unnest(range(0, 16)) AS u(b)
         GROUP BY doc_id, b)
       SELECT doc_id,
-             SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
       FROM bits GROUP BY doc_id""",
     doc="16-bit SimHash fingerprint over term frequencies",
 )

@@ -27,8 +27,8 @@ SESSION_GAP_S = 1800
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
       SELECT user_id, event_id,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM x""",
     doc="gap-based sessionization (30 min) — the batch twin of the "
         "reference's stream record-izer (OP-02): lag + running sum, one shuffle",

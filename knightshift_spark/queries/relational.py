@@ -316,7 +316,7 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
 def q21(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return t(spark, sf, "events").select(
-        "user_id", "event_id", F.row_number().over(w).alias("rn")
+        "user_id", "event_id", F.row_number().over(w).cast("bigint").alias("rn")
     )
 
 

@@ -251,20 +251,20 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
     "q62_profile_table",
     oracle="""
       SELECT 'o_custkey' AS column, COUNT(*) AS n_rows,
-             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
              COUNT(DISTINCT o_custkey) AS n_distinct,
              CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
              CAST(MAX(o_custkey) AS VARCHAR) AS max_val
       FROM orders
       UNION ALL
       SELECT 'o_orderstatus', COUNT(*),
-             SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              COUNT(DISTINCT o_orderstatus),
              CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
       FROM orders
       UNION ALL
       SELECT 'o_totalprice', COUNT(*),
-             SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              COUNT(DISTINCT o_totalprice),
              CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
       FROM orders""",

@@ -74,7 +74,7 @@ def q27(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q35(spark: SparkSession, sf: str) -> DataFrame:
     return t(spark, sf, "documents").select(
-        "doc_id", token_count(F.col("text")).alias("n_tokens")
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
     )
 
 
@@ -100,7 +100,7 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
     sw = F.size(F.filter(tk, lambda x: x.isin(*STOPWORDS_EN)))
     return t(spark, sf, "documents").select(
         "doc_id",
-        n.alias("n_tokens"),
+        n.cast("bigint").alias("n_tokens"),
         F.round(
             F.when(n == 0, F.lit(0.0)).otherwise(total_chars.cast("double") / n), 4
         ).alias("avg_token_len"),
@@ -170,7 +170,7 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.size(
             F.regexp_extract_all("text", F.lit(r"[0-9A-Za-z_]+|[^0-9A-Za-z_\s]"), 0)
-        ).alias("n_subtokens"),
+        ).cast("bigint").alias("n_subtokens"),
     )
 
 
