@@ -55,6 +55,45 @@ _GOLDEN = """
 """
 
 
+_GAMES_FIXTURE = [
+    ("g1", "?", None, None, 1500),
+    ("g2", "C20", "King's Pawn Game", 1700, 1600),
+    ("g3", None, "Sicilian Defense", None, None),
+]
+_BODIES_FIXTURE = [
+    ("g1", '[ECO "B01"]\n[Opening "Scandinavian Defense"]\n[WhiteElo "1850"]\n[BlackElo ""]'),
+    ("g3", '[ECO "?"]\n[Opening "Sicilian Defense"]\n[WhiteElo "2200"]\n[BlackElo "2250"]'),
+]
+
+_OPENINGS_GOLDEN = """
+  SELECT * FROM (VALUES
+    ('g1', 'B01', 'Scandinavian Defense', 1850, 1500),
+    ('g2', 'C20', 'King''s Pawn Game', 1700, 1600),
+    ('g3', CAST(NULL AS VARCHAR), 'Sicilian Defense', 2200, 2250)
+  ) AS t(id_game, val_opening_eco_code, val_opening_name,
+         val_elo_white, val_elo_black)
+"""
+
+
+@query(
+    "q63_opening_backfill",
+    oracle=_OPENINGS_GOLDEN,
+    doc="OP-05/OP-22/OP-27 opening backfill: predicate-scoped merge of "
+        "fetched PGN-export tags (fetched NULL keeps current; '?' stays "
+        "NULL) vs golden rows",
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:  # sf unused: fixture input
+    from knightshift_spark.pipelines.enrich import backfill_openings
+
+    games = spark.createDataFrame(
+        _GAMES_FIXTURE,
+        "id_game string, val_opening_eco_code string, val_opening_name string, "
+        "val_elo_white int, val_elo_black int",
+    )
+    bodies = spark.createDataFrame(_BODIES_FIXTURE, "id_game string, body string")
+    return backfill_openings(games, bodies)
+
+
 @query(
     "q42_profile_flatten",
     oracle=_GOLDEN,

@@ -49,3 +49,29 @@ def test_deleted_accounting(spark):
     assert deleted == ["ghi789AB", "jkl012CD"]
     # batch counters (OP-33): valid + deleted = ingested distinct games
     assert res.valid.count() + res.deleted.count() == rows.count()
+
+
+def test_force_revalidation(spark):
+    """force=True re-normalizes rows already flagged valid
+    (reference FORCE_REVALIDATE, validate_tv_channel_games.py:86-95)."""
+    from pyspark.sql import functions as F
+
+    lines = pgn.lines_from_text(spark, PGN_FIXTURE)
+    games = pgn.assemble_games(pgn.sessionize(lines))
+    rows = ingest_games(games)
+    first = clean_games(rows).valid
+    # NB: corrupting termination/eco would re-trigger the revalidation
+    # predicate by itself (that's its job); titles are NOT part of the
+    # predicate, so a dirty title on a validated row only normalizes
+    # under force=True.
+    dirty = first.withColumn(
+        "val_title_white",
+        F.when(F.col("id_game") == "mno345EF", " gm ").otherwise(
+            F.col("val_title_white")
+        ),
+    )
+    skipped = clean_games(dirty).valid
+    forced = clean_games(dirty, force=True).valid
+    get = lambda df: {r["id_game"]: r["val_title_white"] for r in df.collect()}
+    assert get(skipped)["mno345EF"] == " gm "  # untouched (predicate skips)
+    assert get(forced)["mno345EF"] == "GM"  # force renormalizes
