@@ -37,28 +37,39 @@ def fetch_bodies(
     key_col: str = "id_user",
     seconds_per_key: float = 0.0,
     num_partitions: int | None = None,
+    time_budget_s: float | None = None,
 ) -> DataFrame:
     """(key) DataFrame → (key, body) via per-partition paced fetching.
 
     ``fetch``: key → body-string or None (reference returns None on any
     HTTP error, ``backfill_user_profiles.py:144-153``). A None body is
     kept as a NULL row so callers can distinguish miss from never-asked.
+
+    ``time_budget_s``: per-partition wall-clock budget — the engine form
+    of the reference's SCRIPT_TIME_LIMIT (``backfill_user_profiles.py:116``).
+    Keys not reached before the deadline are *omitted* from the output, so
+    their flags stay unset and the next run retries them — exactly the
+    reference's unfinished-batch behavior.
     """
     src = keys.select(keys[key_col].cast("string").alias("key"))
     if num_partitions:
         src = src.repartition(num_partitions)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        deadline = time.monotonic() + time_budget_s if time_budget_s is not None else None
         for pdf in batches:
-            out = []
+            keys_out, bodies = [], []
             for k in pdf["key"]:
+                if deadline is not None and time.monotonic() >= deadline:
+                    break
                 if seconds_per_key:
                     time.sleep(seconds_per_key)
                 try:
-                    out.append(fetch(k))
+                    bodies.append(fetch(k))
                 except Exception:
-                    out.append(None)  # never fail the job on one key
-            yield pd.DataFrame({"key": pdf["key"], "body": out})
+                    bodies.append(None)  # never fail the job on one key
+                keys_out.append(k)
+            yield pd.DataFrame({"key": keys_out, "body": bodies})
 
     return src.mapInPandas(run, schema=FETCH_RESULT_SCHEMA)
 

@@ -144,3 +144,16 @@ def test_profile_table_single_pass(spark):
     assert tree.count("Scan ExistingRDD") == 1  # one pass over the input
     assert tree.count("Exchange") <= 4
     assert explain_str(profile_table(df, approx=True)).count("Exchange") <= 2
+
+
+def test_rest_fetch_time_budget(spark):
+    """Budget exhausted -> unfetched keys omitted (retried next run),
+    like the reference's SCRIPT_TIME_LIMIT unfinished-batch behavior."""
+    keys = spark.createDataFrame([(f"u{i}",) for i in range(20)], "id_user string")
+    got = fetch_bodies(
+        keys, lambda k: "{}", seconds_per_key=0.05,
+        num_partitions=1, time_budget_s=0.3,
+    ).count()
+    assert 0 < got < 20
+    # zero budget -> nothing fetched, job still succeeds
+    assert fetch_bodies(keys, lambda k: "{}", num_partitions=1, time_budget_s=0.0).count() == 0
