@@ -69,6 +69,31 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q64_range_frame",
+    oracle="""
+      SELECT user_id, event_id,
+             CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_last_hour
+      FROM events""",
+    doc="event-time RANGE frame: per-event count of same-user events in "
+        "the trailing hour (value-based frame, not row-based) — the batch "
+        "form of a sliding-window stream aggregate",
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
+    )
+
+
+@query(
     "q41_asof_join",
     oracle="""
       WITH tagged AS (
