@@ -72,13 +72,17 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
     "q64_range_frame",
     oracle="""
       SELECT user_id, event_id,
-             CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+             CAST(COUNT(*) OVER (PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
                AS n_last_hour
       FROM events""",
     doc="event-time RANGE frame: per-event count of same-user events in "
         "the trailing hour (value-based frame, not row-based) — the batch "
-        "form of a sliding-window stream aggregate",
+        "form of a sliding-window stream aggregate. Both engines order by "
+        "integer seconds: DuckDB's epoch() keeps sub-second fractions, "
+        "Spark's unix_timestamp truncates — unaligned, a pair exactly an "
+        "hour apart lands in different frames",
 )
 def q64(spark: SparkSession, sf: str) -> DataFrame:
     w = (
