@@ -38,7 +38,7 @@ def main() -> None:
     spark = get_spark("bench")
 
     # JVM/codegen warmup on an unmeasured query
-    _run(specs["q14_count"].spark_fn(spark, sf_dir))
+    _run(specs["q08_isin_count"].spark_fn(spark, sf_dir))
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     times: dict[str, float] = {}

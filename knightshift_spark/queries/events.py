@@ -21,17 +21,26 @@ SESSION_GAP_S = 1800
     "q39_sessionize",
     oracle="""
       WITH x AS (
-        SELECT user_id, event_id, ts,
+        SELECT user_id, event_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch(ts - lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+                         OR CAST(floor(epoch(ts)) AS BIGINT)
+                            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                    THEN 1 ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
       SELECT user_id, event_id,
              CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
+             ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_sum
       FROM x""",
     doc="gap-based sessionization (30 min) — the batch twin of the "
-        "reference's stream record-izer (OP-02): lag + running sum, one shuffle",
+        "reference's stream record-izer (OP-02): lag + running sum, one "
+        "shuffle. Gap arithmetic is integer seconds on BOTH engines "
+        "(floor(epoch) ↔ unix_timestamp's truncation) so a gap landing in "
+        "(1799,1801) classifies identically. Absorbs former "
+        "q51_moving_window: the bounded-frame moving sum shares the same "
+        "partition/order, so it rides the same single shuffle",
 )
 def q39(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -39,10 +48,12 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     new_s = F.when(F.lag("ts").over(w).isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
     wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    wmov = w.rowsBetween(-2, Window.currentRow)
     return ev.select(
         "user_id",
         "event_id",
         F.sum(new_s).over(wsum).cast("bigint").alias("session_id"),
+        F.round(F.sum("value").over(wmov), 4).alias("mov_sum"),
     )
 
 
@@ -56,7 +67,9 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
         FROM events)
       SELECT user_id, event_id, ROUND(value, 2) AS v, CAST(rn AS INT) AS rn
       FROM r WHERE rn <= 2""",
-    doc="per-group top-k via ranked window (deterministic tie-break)",
+    doc="per-group top-k via ranked window (deterministic tie-break); "
+        "carries former q21_row_number's ranking-window coverage — "
+        "row_number over a partitioned total order, one shuffle",
 )
 def q40(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")

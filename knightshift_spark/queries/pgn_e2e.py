@@ -154,30 +154,21 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:  # sf unused: fixture input
 
 @query(
     "q55_games_per_result",
-    oracle="""SELECT * FROM (VALUES ('0-1', 1, 0), ('1/2-1/2', 2, 1))
-              AS t(val_result, n_games, n_rated)""",
-    doc="domain analytics over the cleaned games table: result distribution "
-        "+ conditional count (hand-computed from the q28 golden rows)",
+    oracle="""SELECT * FROM (VALUES
+                ('0-1', 'GM', 'None', 1, 0),
+                ('1/2-1/2', 'None', 'IM', 1, 1),
+                ('1/2-1/2', 'None', 'None', 1, 0))
+              AS t(val_result, val_title_white, val_title_black,
+                   n_games, n_rated)""",
+    doc="domain analytics over the cleaned games table (absorbs former "
+        "q56_title_matchups): result × title-pair distribution with a "
+        "conditional rated-count, hand-computed from the q28 golden rows",
 )
 def q55(spark: SparkSession, sf: str) -> DataFrame:  # sf unused: fixture input
     games = run_pgn_pipeline(spark)
-    return games.groupBy("val_result").agg(
+    return games.groupBy("val_result", "val_title_white", "val_title_black").agg(
         F.count(F.lit(1)).cast("int").alias("n_games"),
         F.count(F.when(F.col("val_elo_white").isNotNull(), 1))
         .cast("int")
         .alias("n_rated"),
-    )
-
-
-@query(
-    "q56_title_matchups",
-    oracle="""SELECT * FROM (VALUES ('GM', 'None', 1), ('None', 'IM', 1),
-              ('None', 'None', 1))
-              AS t(val_title_white, val_title_black, n)""",
-    doc="domain analytics: title-pair matchup counts over cleaned games",
-)
-def q56(spark: SparkSession, sf: str) -> DataFrame:  # sf unused: fixture input
-    games = run_pgn_pipeline(spark)
-    return games.groupBy("val_title_white", "val_title_black").agg(
-        F.count(F.lit(1)).cast("int").alias("n")
     )

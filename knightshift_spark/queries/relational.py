@@ -1,14 +1,20 @@
-"""Q01–Q25: relational operator coverage (SURVEY.md §2.8).
+"""Q01–Q24: relational operator coverage (SURVEY.md §2.8).
 
 Each query exercises specific inventory operators (OP-xx refs in docs).
 Built with the DataFrame API so Catalyst gets full freedom: filters and
 projections reach the parquet scan (PushedFilters/ReadSchema), small dims
 broadcast, aggregates get map-side partials.
+
+Round 2: same-table micro-queries are fused so the whole declared set
+fits the driver's 50-query correctness budget with zero coverage loss —
+every absorbed operator is named in the surviving query's doc (q05←q18,
+q06←q07, q08←q14, q10←q11, q15←q45, q19←q20/q25, q24←q50; q03/q04 moved
+into q47/q46, q21's ranking window lives on in q40).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from knightshift_spark.queries import query
@@ -47,36 +53,17 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q03_split_last",
-    oracle="SELECT p_partkey, split_part(p_type, ' ', -1) AS type_last FROM part",
-    doc="OP-12 key-from-URL style string split, last element",
-)
-def q03(spark: SparkSession, sf: str) -> DataFrame:
-    return t(spark, sf, "part").select(
-        "p_partkey", F.element_at(F.split("p_type", " "), -1).alias("type_last")
-    )
-
-
-@query(
-    "q04_date_parse",
-    oracle="""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders
-              WHERE o_orderdate >= TIMESTAMP '1997-01-01'""",
-    doc="OP-14 date handling + pushdown-friendly range predicate",
-)
-def q04(spark: SparkSession, sf: str) -> DataFrame:
-    return (
-        t(spark, sf, "orders")
-        .filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        .select("o_orderkey", F.to_date("o_orderdate").alias("d"))
-    )
-
-
-@query(
     "q05_recode",
     oracle="""SELECT o_orderkey,
               CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'HOT'
-                   ELSE 'NORMAL' END AS priority_class FROM orders""",
-    doc="OP-17/OP-19 dictionary recode as chained when()",
+                   ELSE 'NORMAL' END AS priority_class,
+              CONCAT_WS(', ',
+                CASE WHEN o_totalprice > 200000 THEN 'big' END,
+                CASE WHEN o_orderstatus = 'F' THEN 'final' END) AS notes
+              FROM orders""",
+    doc="OP-17/OP-19 dictionary recode as chained when() + OP-23 notes "
+        "accumulator (concat_ws skips NULLs in both engines; absorbs former "
+        "q18_concat_ws — same-table projections fuse into one scan)",
 )
 def q05(spark: SparkSession, sf: str) -> DataFrame:
     return t(spark, sf, "orders").select(
@@ -84,41 +71,40 @@ def q05(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "HOT")
         .otherwise("NORMAL")
         .alias("priority_class"),
+        F.concat_ws(
+            ", ",
+            F.when(F.col("o_totalprice") > 200000, "big"),
+            F.when(F.col("o_orderstatus") == "F", "final"),
+        ).alias("notes"),
     )
 
 
 @query(
     "q06_nullif",
-    oracle="SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer",
-    doc="OP-18 sentinel→NULL",
+    oracle="""SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg,
+              UPPER(TRIM(c_name)) AS name_norm FROM customer""",
+    doc="OP-18 sentinel→NULL + OP-20 trim/case normalization (absorbs "
+        "former q07_upper_trim; one customer scan)",
 )
 def q06(spark: SparkSession, sf: str) -> DataFrame:
     return t(spark, sf, "customer").select(
-        "c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
-    )
-
-
-@query(
-    "q07_upper_trim",
-    oracle="SELECT n_nationkey, UPPER(TRIM(n_name)) AS n_name_norm FROM nation",
-    doc="OP-20 trim/case normalization",
-)
-def q07(spark: SparkSession, sf: str) -> DataFrame:
-    return t(spark, sf, "nation").select(
-        "n_nationkey", F.upper(F.trim("n_name")).alias("n_name_norm")
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        F.upper(F.trim("c_name")).alias("name_norm"),
     )
 
 
 @query(
     "q08_isin_count",
-    oracle="SELECT COUNT(*) AS n FROM lineitem WHERE l_linestatus IN ('O')",
-    doc="OP-25 set membership + OP-32 count",
+    oracle="""SELECT COUNT(CASE WHEN l_linestatus IN ('O') THEN 1 END) AS n_open,
+              COUNT(*) AS n_all FROM lineitem""",
+    doc="OP-25 set membership + OP-32 count: filtered and total counts in "
+        "one pass (absorbs former q14_count — one scan, map-side partials)",
 )
 def q08(spark: SparkSession, sf: str) -> DataFrame:
-    return (
-        t(spark, sf, "lineitem")
-        .filter(F.col("l_linestatus").isin("O"))
-        .agg(F.count(F.lit(1)).alias("n"))
+    return t(spark, sf, "lineitem").agg(
+        F.count(F.when(F.col("l_linestatus").isin("O"), 1)).alias("n_open"),
+        F.count(F.lit(1)).alias("n_all"),
     )
 
 
@@ -139,33 +125,29 @@ def q09(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q10_semi_join",
-    oracle="""SELECT c_custkey FROM customer
-              WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
-    doc="OP-30 existence semi-join",
+    oracle="""SELECT c_custkey, 'present' AS tag FROM customer
+              WHERE c_custkey IN (SELECT o_custkey FROM orders)
+              UNION ALL
+              SELECT c_custkey, 'absent' AS tag FROM customer
+              WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)""",
+    doc="OP-30 existence joins, both polarities: left_semi (present) ∪ "
+        "left_anti (absent, the OP-08 insert-if-absent predicate) — "
+        "absorbs former q11_anti_join; each branch is its own join so "
+        "both physical operators are exercised and oracle-checked",
 )
 def q10(spark: SparkSession, sf: str) -> DataFrame:
     c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
-    return c.join(
-        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
-    ).select("c_custkey")
-
-
-@query(
-    "q11_anti_join",
-    oracle="""SELECT c_custkey FROM customer
-              WHERE c_custkey NOT IN
-                (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)""",
-    doc="OP-30/OP-08 insert-if-absent anti-join",
-)
-def q11(spark: SparkSession, sf: str) -> DataFrame:
-    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
-    return c.join(
-        o.filter(F.col("o_custkey").isNotNull()).select(
-            F.col("o_custkey").alias("c_custkey")
-        ),
-        "c_custkey",
-        "left_anti",
-    ).select("c_custkey")
+    okeys = o.select(F.col("o_custkey").alias("c_custkey"))
+    semi = (
+        c.join(okeys, "c_custkey", "left_semi")
+        .select("c_custkey", F.lit("present").alias("tag"))
+    )
+    anti = (
+        c.join(okeys.filter(F.col("c_custkey").isNotNull()), "c_custkey", "left_anti")
+        .select("c_custkey", F.lit("absent").alias("tag"))
+    )
+    return semi.unionByName(anti)
 
 
 @query(
@@ -203,24 +185,27 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
     ).select("o_orderkey", F.coalesce("c_name", F.lit("missing")).alias("c_name_f"))
 
 
-@query("q14_count", oracle="SELECT COUNT(*) AS n FROM lineitem", doc="OP-32")
-def q14(spark: SparkSession, sf: str) -> DataFrame:
-    return t(spark, sf, "lineitem").agg(F.count(F.lit(1)).alias("n"))
-
-
 @query(
     "q15_pricing_summary",
     oracle="""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-              ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue
+              ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue,
+              ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+              ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
               FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     doc="OP-33 grouped counts, TPC-H Q1 shape; decimal accumulation for "
-        "cross-engine determinism",
+        "cross-engine determinism. Absorbs former q45_percentile: exact "
+        "linear-interpolation percentiles (Spark percentile == DuckDB "
+        "quantile_cont) ride the same single shuffle; at scale prefer "
+        "approx_percentile sketches",
 )
 def q15(spark: SparkSession, sf: str) -> DataFrame:
     li = t(spark, sf, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), _dec_sum_round(rev).alias("revenue")
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum_round(rev).alias("revenue"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
     )
 
 
@@ -264,59 +249,23 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q18_concat_ws",
-    oracle="""SELECT o_orderkey, CONCAT_WS(', ',
-                CASE WHEN o_totalprice > 200000 THEN 'big' END,
-                CASE WHEN o_orderstatus = 'F' THEN 'final' END) AS notes
-              FROM orders""",
-    doc="OP-23 notes accumulator: concat_ws skips NULLs in both engines",
-)
-def q18(spark: SparkSession, sf: str) -> DataFrame:
-    return t(spark, sf, "orders").select(
-        "o_orderkey",
-        F.concat_ws(
-            ", ",
-            F.when(F.col("o_totalprice") > 200000, "big"),
-            F.when(F.col("o_orderstatus") == "F", "final"),
-        ).alias("notes"),
-    )
-
-
-@query(
     "q19_regexp_extract",
-    oracle="""SELECT event_id, regexp_extract(props, '"k": (\\d+)', 1) AS k_str
+    oracle="""SELECT event_id, regexp_extract(props, '"k": (\\d+)', 1) AS k_str,
+              TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k_re,
+              CAST(json_extract(props, '$.k') AS INT) AS k_json
               FROM events""",
-    doc="OP-22 tag extraction; both engines return '' on no-match",
+    doc="OP-22 tag extraction + OP-13 try-cast NULL-on-garbage + OP-21 JSON "
+        "access (absorbs former q20_json_extract / q25_try_cast — all three "
+        "extraction paths fuse into one events scan; both engines return '' "
+        "on regex no-match)",
 )
 def q19(spark: SparkSession, sf: str) -> DataFrame:
+    k_str = F.regexp_extract("props", r'"k": (\d+)', 1)
     return t(spark, sf, "events").select(
-        "event_id", F.regexp_extract("props", r'"k": (\d+)', 1).alias("k_str")
-    )
-
-
-@query(
-    "q20_json_extract",
-    oracle="""SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
-              FROM events""",
-    doc="OP-21 JSON access via get_json_object",
-)
-def q20(spark: SparkSession, sf: str) -> DataFrame:
-    return t(spark, sf, "events").select(
-        "event_id", F.get_json_object("props", "$.k").try_cast("int").alias("k")
-    )
-
-
-@query(
-    "q21_row_number",
-    oracle="""SELECT user_id, event_id,
-              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-              FROM events""",
-    doc="window ranking (OP-31 mechanics); single shuffle on user_id",
-)
-def q21(spark: SparkSession, sf: str) -> DataFrame:
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return t(spark, sf, "events").select(
-        "user_id", "event_id", F.row_number().over(w).cast("bigint").alias("rn")
+        "event_id",
+        k_str.alias("k_str"),
+        k_str.try_cast("int").alias("k_re"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_json"),
     )
 
 
@@ -359,26 +308,29 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q24_intersect",
-    oracle="""SELECT n_regionkey FROM nation
-              INTERSECT SELECT r_regionkey FROM region""",
-    doc="set op",
+    oracle="""SELECT k, 'both' AS tag FROM (
+                SELECT n_regionkey AS k FROM nation
+                INTERSECT SELECT r_regionkey FROM region) a
+              UNION ALL
+              SELECT k, 'left_only' AS tag FROM (
+                SELECT n_nationkey AS k FROM nation
+                EXCEPT SELECT r_regionkey FROM region) b""",
+    doc="set ops, both polarities (absorbs former q50_except): INTERSECT "
+        "via .intersect, EXCEPT via .subtract — subtract keeps SQL EXCEPT "
+        "DISTINCT semantics even with duplicate left values (exceptAll()."
+        "distinct() would not: 3×A vs 1×B keeps A there, EXCEPT drops it)",
 )
 def q24(spark: SparkSession, sf: str) -> DataFrame:
     n, r = t(spark, sf, "nation"), t(spark, sf, "region")
-    return n.select("n_regionkey").intersect(
-        r.select(F.col("r_regionkey").alias("n_regionkey"))
+    rkeys = r.select(F.col("r_regionkey").alias("k"))
+    both = (
+        n.select(F.col("n_regionkey").alias("k"))
+        .intersect(rkeys)
+        .select("k", F.lit("both").alias("tag"))
     )
-
-
-@query(
-    "q25_try_cast",
-    oracle="""SELECT event_id,
-              TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k
-              FROM events""",
-    doc="OP-13 try-cast NULL-on-garbage semantics",
-)
-def q25(spark: SparkSession, sf: str) -> DataFrame:
-    return t(spark, sf, "events").select(
-        "event_id",
-        F.regexp_extract("props", r'"k": (\d+)', 1).try_cast("int").alias("k"),
+    left_only = (
+        n.select(F.col("n_nationkey").alias("k"))
+        .subtract(rkeys)
+        .select("k", F.lit("left_only").alias("tag"))
     )
+    return both.unionByName(left_only)

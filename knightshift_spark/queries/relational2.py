@@ -1,10 +1,13 @@
-"""Q43–Q52: second relational batch — multi-dim aggregation (rollup),
-pivot, exact percentiles, date/string function surface, correlated
-aggregates, set ops, moving window frames.
+"""Q44–Q62: second relational batch — multi-dim aggregation (cube),
+pivot, date/string function surface, correlated aggregates, grouped
+HAVING, approximate distinct, profiling.
 
 These extend the engine's SQL surface beyond the reference's needs so a
 user of a general relational workload can stay on this engine; same
-determinism rules as ``relational.py``.
+determinism rules as ``relational.py``. Round-2 fusions (driver's
+50-query correctness budget): q46←q04, q47←q03, q61←q43 (CUBE ⊇ ROLLUP
+grouping sets), percentiles moved into q15, moving window into q39,
+EXCEPT into q24.
 """
 
 from __future__ import annotations
@@ -16,20 +19,6 @@ from knightshift_spark.queries import query
 from knightshift_spark.tables import load_table as t
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
-
-
-@query(
-    "q43_rollup",
-    oracle="""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
-              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
-    doc="hierarchical rollup (multi-dim agg): partial-combine per grouping set",
-)
-def q43(spark: SparkSession, sf: str) -> DataFrame:
-    return (
-        t(spark, sf, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
 
 
 @query(
@@ -58,37 +47,25 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q45_percentile",
-    oracle="""SELECT l_returnflag,
-              ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
-              ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90
-              FROM lineitem GROUP BY l_returnflag""",
-    doc="exact linear-interpolation percentiles (Spark percentile == "
-        "DuckDB quantile_cont); at scale prefer approx_percentile sketches",
-)
-def q45(spark: SparkSession, sf: str) -> DataFrame:
-    li = t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90"),
-    )
-
-
-@query(
     "q46_date_funcs",
     oracle="""SELECT o_orderkey,
+              CAST(o_orderdate AS DATE) AS d,
               EXTRACT(year FROM o_orderdate) AS y,
               EXTRACT(month FROM o_orderdate) AS m,
               CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due,
               datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
-              FROM orders""",
-    doc="date arithmetic surface (OP-14 family)",
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01'""",
+    doc="date arithmetic surface (OP-14 family); absorbs former "
+        "q04_date_parse — the pushdown-friendly range predicate reaches "
+        "the parquet scan (PushedFilters) and to_date rides the projection",
 )
 def q46(spark: SparkSession, sf: str) -> DataFrame:
     o = t(spark, sf, "orders")
     d = F.to_date("o_orderdate")
-    return o.select(
+    return o.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")).select(
         "o_orderkey",
+        d.alias("d"),
         F.year("o_orderdate").cast("bigint").alias("y"),
         F.month("o_orderdate").cast("bigint").alias("m"),
         F.date_add(d, 30).cast("timestamp").alias("due"),
@@ -103,9 +80,12 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
               substr(p_name, 1, 8) AS name8,
               strpos(p_type, 'E') AS e_pos,
               translate(p_brand, '#', '-') AS brand_tr,
-              repeat(p_brand, 2) AS brand2
+              repeat(p_brand, 2) AS brand2,
+              split_part(p_type, ' ', -1) AS type_last
               FROM part""",
-    doc="string function surface (OP-12/OP-17 family)",
+    doc="string function surface (OP-12/OP-17 family); absorbs former "
+        "q03_split_last — key-from-URL style split-last (OP-12) on the "
+        "same part scan",
 )
 def q47(spark: SparkSession, sf: str) -> DataFrame:
     p = t(spark, sf, "part")
@@ -116,6 +96,7 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
         F.instr(F.col("p_type"), "E").cast("bigint").alias("e_pos"),
         F.translate("p_brand", "#", "-").alias("brand_tr"),
         F.repeat(F.col("p_brand"), 2).alias("brand2"),
+        F.element_at(F.split("p_type", " "), -1).alias("type_last"),
     )
 
 
@@ -165,39 +146,6 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q50_except",
-    oracle="""SELECT n_nationkey AS k FROM nation
-              EXCEPT SELECT r_regionkey FROM region""",
-    doc="EXCEPT set op",
-)
-def q50(spark: SparkSession, sf: str) -> DataFrame:
-    n, r = t(spark, sf, "nation"), t(spark, sf, "region")
-    return n.select(F.col("n_nationkey").alias("k")).exceptAll(
-        r.select(F.col("r_regionkey").alias("k"))
-    ).distinct()
-
-
-@query(
-    "q51_moving_window",
-    oracle="""SELECT user_id, event_id,
-              ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_sum
-              FROM events""",
-    doc="bounded window frame (moving sum over ≤3 rows — frame order is "
-        "total, so float addition is deterministic)",
-)
-def q51(spark: SparkSession, sf: str) -> DataFrame:
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-2, Window.currentRow)
-    )
-    return t(spark, sf, "events").select(
-        "user_id", "event_id", F.round(F.sum("value").over(w), 4).alias("mov_sum")
-    )
-
-
-@query(
     "q60_array_agg",
     oracle="""SELECT l_orderkey,
               string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS linenos
@@ -222,7 +170,9 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
     "q61_cube",
     oracle="""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
               FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
-    doc="CUBE multi-dim aggregation (all grouping-set combinations)",
+    doc="CUBE multi-dim aggregation (all grouping-set combinations; "
+        "supersedes former q43_rollup — ROLLUP's grouping sets are a "
+        "subset of CUBE's and `.rollup()` stays pytest-covered)",
 )
 def q61(spark: SparkSession, sf: str) -> DataFrame:
     return (
@@ -276,6 +226,24 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
 
     return profile_table(
         t(spark, sf, "orders"), ["o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+
+
+@query(
+    "q62b_profile_approx",
+    oracle=None,  # HLL distinct estimates are engine-specific → rows-only;
+    # the error bound vs the exact q62 profile is asserted in pytest
+    doc="approximate per-column profiling (approx_count_distinct): the "
+        "100 TB profiling path — one shuffle of constant-size HLL sketches "
+        "instead of q62's exact-distinct Expand",
+)
+def q62b(spark: SparkSession, sf: str) -> DataFrame:
+    from knightshift_spark.operators.profiling import profile_table
+
+    return profile_table(
+        t(spark, sf, "orders"),
+        ["o_custkey", "o_orderstatus", "o_totalprice"],
+        approx=True,
     )
 
 

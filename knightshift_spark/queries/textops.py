@@ -16,7 +16,6 @@ from knightshift_spark.functions.text import (
     STOPWORDS_EN,
     STOPWORDS_ES,
     STOPWORDS_FR,
-    doc_fingerprint,
     lang_id,
     sql_array,
     token_count,
@@ -43,55 +42,74 @@ _TOKS_CTE = r"""
 
 @query(
     "q26_lang_stats",
-    oracle="""SELECT lang, COUNT(*) AS n, ROUND(AVG(n_chars), 2) AS avg_chars
+    oracle="""SELECT lang, COUNT(*) AS n, ROUND(AVG(n_chars), 2) AS avg_chars,
+              COUNT(DISTINCT text) AS n_texts
               FROM documents GROUP BY lang""",
-    doc="text analysis rollup (SURVEY Q26)",
+    doc="text analysis rollup (SURVEY Q26); absorbs former "
+        "q27_distinct_text — exact dedup cardinality per language group",
 )
 def q26(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t(spark, sf, "documents")
         .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("n_chars"), 2).alias("avg_chars"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.count_distinct("text").alias("n_texts"),
+        )
     )
-
-
-@query(
-    "q27_distinct_text",
-    oracle="SELECT COUNT(DISTINCT text) AS n FROM documents",
-    doc="exact dedup cardinality (SURVEY Q27)",
-)
-def q27(spark: SparkSession, sf: str) -> DataFrame:
-    return t(spark, sf, "documents").agg(F.count_distinct("text").alias("n"))
 
 
 @query(
     "q35_token_count",
     oracle=r"""SELECT doc_id,
               CASE WHEN trim(text) = '' THEN 0
-                   ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+                   ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+              len(regexp_extract_all(text, '[0-9A-Za-z_]+|[^0-9A-Za-z_\s]')) AS n_subtokens
               FROM documents""",
-    doc="whitespace token counting — pure projection, no shuffle",
+    doc="token counting, both granularities in one projection (absorbs "
+        "former q58_bpe_tokens): whitespace tokens + the BPE-ish "
+        "word-or-single-punct subword stream (explicit ASCII classes: "
+        "identical in Java and RE2 regex engines) — no shuffle",
 )
 def q35(spark: SparkSession, sf: str) -> DataFrame:
     return t(spark, sf, "documents").select(
-        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[0-9A-Za-z_]+|[^0-9A-Za-z_\s]"), 0)
+        ).cast("bigint").alias("n_subtokens"),
     )
 
 
 @query(
     "q36_text_quality",
     oracle=_TOKS_CTE
-    + f"""
+    + f""",
+      sc AS (
+        SELECT doc_id, tk, len(tk) AS n,
+               len(list_filter(tk, x -> list_contains({_EN}, x))) AS en,
+               len(list_filter(tk, x -> list_contains({_FR}, x))) AS fr,
+               len(list_filter(tk, x -> list_contains({_DE}, x))) AS de,
+               len(list_filter(tk, x -> list_contains({_ES}, x))) AS es
+        FROM toks)
       SELECT doc_id,
-             len(tk) AS n_tokens,
-             ROUND(CASE WHEN len(tk) = 0 THEN 0.0
-                   ELSE CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) / len(tk) END, 4)
+             n AS n_tokens,
+             ROUND(CASE WHEN n = 0 THEN 0.0
+                   ELSE CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) / n END, 4)
                AS avg_token_len,
-             ROUND(CASE WHEN len(tk) = 0 THEN 0.0
-                   ELSE CAST(len(list_filter(tk, x -> list_contains({_EN}, x))) AS DOUBLE) / len(tk) END, 4)
-               AS stopword_ratio
-      FROM toks""",
-    doc="quality scoring: token count, mean token length, stopword ratio",
+             ROUND(CASE WHEN n = 0 THEN 0.0
+                   ELSE CAST(en AS DOUBLE) / n END, 4)
+               AS stopword_ratio,
+             CASE WHEN n = 0 OR greatest(en, fr, de, es) * 10 < n THEN 'und'
+                  WHEN en = greatest(en, fr, de, es) THEN 'en'
+                  WHEN fr = greatest(en, fr, de, es) THEN 'fr'
+                  WHEN de = greatest(en, fr, de, es) THEN 'de'
+                  ELSE 'es' END AS lang_pred
+      FROM sc""",
+    doc="text analysis in one projection (absorbs former q37_lang_id): "
+        "quality scoring (token count, mean token length, stopword ratio) "
+        "+ stopword-vote language ID (deterministic tie order en>fr>de>es)",
 )
 def q36(spark: SparkSession, sf: str) -> DataFrame:
     tk = tokens(F.lower(F.col("text")))
@@ -107,32 +125,7 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
         F.round(
             F.when(n == 0, F.lit(0.0)).otherwise(sw.cast("double") / n), 4
         ).alias("stopword_ratio"),
-    )
-
-
-@query(
-    "q37_lang_id",
-    oracle=_TOKS_CTE
-    + f""",
-      sc AS (
-        SELECT doc_id, len(tk) AS n,
-               len(list_filter(tk, x -> list_contains({_EN}, x))) AS en,
-               len(list_filter(tk, x -> list_contains({_FR}, x))) AS fr,
-               len(list_filter(tk, x -> list_contains({_DE}, x))) AS de,
-               len(list_filter(tk, x -> list_contains({_ES}, x))) AS es
-        FROM toks)
-      SELECT doc_id,
-             CASE WHEN n = 0 OR greatest(en, fr, de, es) * 10 < n THEN 'und'
-                  WHEN en = greatest(en, fr, de, es) THEN 'en'
-                  WHEN fr = greatest(en, fr, de, es) THEN 'fr'
-                  WHEN de = greatest(en, fr, de, es) THEN 'de'
-                  ELSE 'es' END AS lang_pred
-      FROM sc""",
-    doc="stopword-vote language ID (deterministic tie order en>fr>de>es)",
-)
-def q37(spark: SparkSession, sf: str) -> DataFrame:
-    return t(spark, sf, "documents").select(
-        "doc_id", lang_id(F.col("text")).alias("lang_pred")
+        lang_id(F.col("text")).alias("lang_pred"),
     )
 
 
@@ -156,32 +149,7 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
     ).stats
 
 
-@query(
-    "q58_bpe_tokens",
-    oracle=r"""SELECT doc_id,
-              len(regexp_extract_all(text, '[0-9A-Za-z_]+|[^0-9A-Za-z_\s]')) AS n_subtokens
-              FROM documents""",
-    doc="BPE-ish subword counting: word-or-single-punct regex — the "
-        "pre-merge token stream a BPE tokenizer would start from "
-        "(explicit ASCII classes: identical in Java and RE2 regex engines)",
-)
-def q58(spark: SparkSession, sf: str) -> DataFrame:
-    return t(spark, sf, "documents").select(
-        "doc_id",
-        F.size(
-            F.regexp_extract_all("text", F.lit(r"[0-9A-Za-z_]+|[^0-9A-Za-z_\s]"), 0)
-        ).cast("bigint").alias("n_subtokens"),
-    )
-
-
-@query(
-    "q38_fingerprint",
-    oracle=r"""SELECT doc_id,
-              md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
-              FROM documents""",
-    doc="document fingerprint: md5 over whitespace-normalized lowercase text",
-)
-def q38(spark: SparkSession, sf: str) -> DataFrame:
-    return t(spark, sf, "documents").select(
-        "doc_id", doc_fingerprint(F.col("text")).alias("fp")
-    )
+# Former q38_fingerprint (doc_id → md5 fingerprint projection) folded
+# into q29_dedup_exact: its group keys ARE doc_fingerprint values, so the
+# oracle checks the identical md5(regexp_replace(trim(lower(text)),...))
+# arithmetic there. Former q58_bpe_tokens lives in q35's n_subtokens.

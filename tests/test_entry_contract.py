@@ -26,7 +26,7 @@ PARITY_SAMPLE = [
 def test_entry_returns_rows(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
-    assert len(df.schema) == 4
+    assert len(df.schema) == 6  # q15: flags + n + revenue + p50/p90
 
 
 def test_query_and_oracle_keys_align(spark):

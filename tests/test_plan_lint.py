@@ -57,6 +57,6 @@ def test_small_dim_joins_broadcast(plans):
 
 
 def test_filter_queries_push_predicates(plans):
-    for name in ("q01_filter_scan", "q04_date_parse"):
+    for name in ("q01_filter_scan", "q46_date_funcs"):
         assert "PushedFilters: [" in plans[name]
         assert "PushedFilters: []" not in plans[name], f"{name} pushdown empty"

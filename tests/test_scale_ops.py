@@ -157,3 +157,23 @@ def test_rest_fetch_time_budget(spark):
     assert 0 < got < 20
     # zero budget -> nothing fetched, job still succeeds
     assert fetch_bodies(keys, lambda k: "{}", num_partitions=1, time_budget_s=0.0).count() == 0
+
+
+def test_rollup_matches_cube_subset(spark):
+    """ROLLUP (former q43's op) = CUBE minus the column-only grouping set:
+    `.rollup()` stays covered after q43 folded into q61_cube."""
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+    from knightshift_spark.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    roll = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cube = li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+    # rollup's grouping sets: (a,b), (a), () — cube adds (b)
+    cube_minus_b_only = cube.filter(
+        ~(F.col("l_returnflag").isNull() & F.col("l_linestatus").isNotNull())
+    )
+    assert roll.subtract(cube_minus_b_only).count() == 0
+    assert cube_minus_b_only.subtract(roll).count() == 0

@@ -18,7 +18,9 @@ def test_sql_equals_dataframe_q15(spark):
         spark,
         SF_SMOKE,
         """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue
+           ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue,
+           ROUND(percentile(l_quantity, 0.5), 4) AS p50_qty,
+           ROUND(percentile(l_quantity, 0.9), 4) AS p90_qty
            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     )
     assert _rows(df_api) == _rows(via_sql)
