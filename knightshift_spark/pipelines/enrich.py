@@ -55,19 +55,28 @@ def distinct_players(games: DataFrame, force: bool = False) -> DataFrame:
     )
 
 
-def flatten_profiles(profiles_json: DataFrame) -> DataFrame:
+def flatten_profiles(profiles_json: DataFrame, keep_fetch_key: bool = False) -> DataFrame:
     """``(id_user, body)`` JSON → ``lichess_users`` rows
     (OP-20/OP-21, ``backfill_user_profiles.py:156-214``).
 
     ``from_json`` + struct field access — the whole flatten is one
     projection. Sentinel strings → NULL; bools coerce from "1"/"true".
     Records without an ``id`` are skipped (``:240-241``).
+
+    ``keep_fetch_key=True`` carries the *requested* key through as
+    ``key_fetch`` — the output ``id_user`` is the payload's own ``id``
+    (lowercase Lichess id), which can differ in case from the header
+    username used to fetch; flagging processed games must use the fetch
+    key (reference ``_mark_profile_done`` flags by the fetched username).
     """
     p = profiles_json.select(
-        "id_user", F.from_json("body", USER_PROFILE_JSON).alias("j")
+        F.col("id_user").alias("key_fetch"),
+        F.from_json("body", USER_PROFILE_JSON).alias("j"),
     ).filter(F.col("j.id").isNotNull())
     clean = null_sentinel_to_null
+    fetch_key_cols = [F.col("key_fetch")] if keep_fetch_key else []
     return p.select(
+        *fetch_key_cols,
         F.col("j.id").alias("id_user"),
         clean(F.col("j.username")).alias("val_username"),
         clean(F.col("j.profile.title")).alias("val_title"),
@@ -75,19 +84,19 @@ def flatten_profiles(profiles_json: DataFrame) -> DataFrame:
         clean(F.col("j.profile.realName")).alias("val_real_name"),
         clean(F.col("j.profile.location")).alias("val_location"),
         clean(F.col("j.profile.bio")).alias("val_bio"),
-        safe_int(F.col("j.profile.fideRating")).alias("val_fide_rating"),
-        safe_int(F.col("j.profile.uscfRating")).alias("val_uscf_rating"),
-        clean(F.col("j.profile.flag")).alias("val_country_flag"),
+        safe_int(F.col("j.profile.fideRating")).alias("val_rating_fide"),
+        safe_int(F.col("j.profile.uscfRating")).alias("val_rating_uscf"),
         F.col("j.perfs.bullet.rating").alias("val_rating_bullet"),
         F.col("j.perfs.blitz.rating").alias("val_rating_blitz"),
         F.col("j.perfs.classical.rating").alias("val_rating_classical"),
         F.col("j.perfs.rapid.rating").alias("val_rating_rapid"),
         F.col("j.perfs.chess960.rating").alias("val_rating_chess960"),
         F.col("j.perfs.ultraBullet.rating").alias("val_rating_ultra_bullet"),
+        clean(F.col("j.profile.flag")).alias("val_country_code"),
         F.col("j.createdAt").alias("tm_created"),
         F.col("j.seenAt").alias("tm_seen"),
-        F.col("j.playTime.total").alias("val_play_time_total"),
-        F.col("j.playTime.tv").alias("val_play_time_tv"),
+        F.col("j.playTime.total").alias("n_playtime_total"),
+        F.col("j.playTime.tv").alias("n_playtime_tv"),
         F.col("j.count.all").alias("n_games_all"),
         F.col("j.count.rated").alias("n_games_rated"),
         F.col("j.count.win").alias("n_games_win"),
@@ -116,11 +125,16 @@ def enrich_users(
     """
     wanted = distinct_players(games, force)
     fetched = wanted.join(profile_bodies, "id_user", "inner")
-    rows = flatten_profiles(fetched)
+    rows_fk = flatten_profiles(fetched, keep_fetch_key=True)
+    rows = rows_fk.drop("key_fetch")
     new_users = insert_if_absent(existing_users, rows, ["id_user"])
     users = existing_users.unionByName(new_users)
 
-    processed = rows.select(F.col("id_user").alias("__done")).distinct()
+    # flag by the REQUESTED username, not the payload's lowercase id:
+    # games store the header username, and a case-differing id would
+    # never match → endless re-fetch (reference _mark_profile_done
+    # builds the processed set from the fetched username)
+    processed = rows_fk.select(F.col("key_fetch").alias("__done")).distinct()
     flagged = (
         games.join(
             processed.withColumnRenamed("__done", "id_user_white"),

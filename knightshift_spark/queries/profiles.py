@@ -50,7 +50,7 @@ _GOLDEN = """
     ('user1', 'User1', 2100, CAST(NULL AS VARCHAR), 2300, true, 5000, 1577836800000),
     ('user2', 'User2', CAST(NULL AS INT), 'Bob', CAST(NULL AS INT), false,
      CAST(NULL AS INT), CAST(NULL AS BIGINT))
-  ) AS t(id_user, val_username, val_fide_rating, val_real_name,
+  ) AS t(id_user, val_username, val_rating_fide, val_real_name,
          val_rating_bullet, ind_patron, n_games_all, tm_created)
 """
 
@@ -104,7 +104,7 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:  # sf unused: fixture input
     return flatten_profiles(bodies).select(
         "id_user",
         "val_username",
-        "val_fide_rating",
+        "val_rating_fide",
         "val_real_name",
         "val_rating_bullet",
         "ind_patron",

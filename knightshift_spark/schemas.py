@@ -54,19 +54,19 @@ LICHESS_USERS = T.StructType(
         T.StructField("val_real_name", T.StringType(), True),
         T.StructField("val_location", T.StringType(), True),
         T.StructField("val_bio", T.StringType(), True),
-        T.StructField("val_fide_rating", T.IntegerType(), True),
-        T.StructField("val_uscf_rating", T.IntegerType(), True),
-        T.StructField("val_country_flag", T.StringType(), True),
+        T.StructField("val_rating_fide", T.IntegerType(), True),
+        T.StructField("val_rating_uscf", T.IntegerType(), True),
         T.StructField("val_rating_bullet", T.IntegerType(), True),
         T.StructField("val_rating_blitz", T.IntegerType(), True),
         T.StructField("val_rating_classical", T.IntegerType(), True),
         T.StructField("val_rating_rapid", T.IntegerType(), True),
         T.StructField("val_rating_chess960", T.IntegerType(), True),
         T.StructField("val_rating_ultra_bullet", T.IntegerType(), True),
+        T.StructField("val_country_code", T.StringType(), True),
         T.StructField("tm_created", T.LongType(), True),  # epoch millis
         T.StructField("tm_seen", T.LongType(), True),  # epoch millis
-        T.StructField("val_play_time_total", T.IntegerType(), True),
-        T.StructField("val_play_time_tv", T.IntegerType(), True),
+        T.StructField("n_playtime_total", T.IntegerType(), True),
+        T.StructField("n_playtime_tv", T.IntegerType(), True),
         T.StructField("n_games_all", T.IntegerType(), True),
         T.StructField("n_games_rated", T.IntegerType(), True),
         T.StructField("n_games_win", T.IntegerType(), True),

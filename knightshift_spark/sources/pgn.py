@@ -28,18 +28,43 @@ HEADER_RE = r'^\[(\w+)\s+"(.*)"\]\s*$'
 MOVE_PREFIX = "1. "
 
 
+def lines_from_blobs(blobs: DataFrame) -> DataFrame:
+    """``(src, blob)`` whole-file text → ``(line, src, line_no)`` rows.
+
+    ``posexplode(split(...))`` derives the line number from the file
+    content itself, so ordering is exact by construction — no dependence
+    on task/partition enumeration order. Handles \\r\\n and lone \\r.
+    """
+    unified = F.regexp_replace(F.regexp_replace("blob", "\r\n", "\n"), "\r", "\n")
+    # drop the conventional trailing newline so line counting matches a
+    # line-mode reader (no phantom empty last line)
+    normalized = F.regexp_replace(unified, "\n$", "")
+    return blobs.select(
+        "src", F.posexplode(F.split(normalized, "\n")).alias("idx", "line")
+    ).select("line", (F.col("idx") + F.lit(1)).alias("line_no"), "src")
+
+
 def read_pgn_lines(spark: SparkSession, path: str) -> DataFrame:
     """Batch-read PGN dump files as ordered lines with provenance.
 
-    ``input_file_name`` + a per-file line number keeps ordering local to a
-    file — the only ordering PGN needs — so files parse in parallel.
+    Reads ``wholetext`` (one record per file) and splits lines with an
+    explicit ``posexplode`` index: line numbers come from the file bytes,
+    not from task ordering, so a file can never get scrambled headers —
+    the previous ``monotonically_increasing_id``-ordered form assumed
+    partition index follows file-split offset, which is undocumented
+    behavior and a silent-corruption risk for files larger than one split.
+
+    Writer-side contract (documented invariant): spool/dump files are
+    bounded (the reference's poll loop emits ~MAX_GAMES games per fetch,
+    ``get_games_from_tv.py:60-61``); at 100 TB the corpus is MANY bounded
+    files, so per-file atomicity costs nothing and files parse in
+    parallel. Archive dumps too big for one executor's memory should be
+    pre-split at game boundaries before landing in the spool.
     """
-    df = spark.read.text(path).select(
-        F.col("value").alias("line"),
-        F.input_file_name().alias("src"),
+    df = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("src"), F.col("value").alias("blob")
     )
-    w = Window.partitionBy("src").orderBy(F.monotonically_increasing_id())
-    return df.withColumn("line_no", F.row_number().over(w))
+    return lines_from_blobs(df)
 
 
 def lines_from_text(spark: SparkSession, text: str, src: str = "inline") -> DataFrame:
@@ -81,18 +106,29 @@ def assemble_games(lines_with_seq: DataFrame) -> DataFrame:
         "src",
         "game_seq",
         "line_no",
-        F.when(is_header, F.struct(F.lower(key).alias("key"), val.alias("value"))).alias("hdr"),
+        # headers carry line_no so last-wins is deterministic: collect_list
+        # order after a shuffle is NOT guaranteed, so sort by line number
+        # before building the map (struct sort is lexicographic → n first)
+        F.when(
+            is_header,
+            F.struct(
+                F.col("line_no").alias("n"),
+                F.lower(key).alias("key"),
+                val.alias("value"),
+            ),
+        ).alias("hdr"),
         F.when(~is_header & (F.trim("line") != ""), F.struct(F.col("line_no").alias("n"), F.col("line").alias("l"))).alias("mv"),
     )
     grouped = tagged.groupBy("src", "game_seq").agg(
-        F.map_from_entries(
-            F.coalesce(F.collect_list("hdr"), F.array())
-        ).alias("headers"),
+        F.array_sort(F.collect_list("hdr")).alias("_hdrs"),
         F.array_sort(F.collect_list("mv")).alias("_mvs"),
+    )
+    headers = F.map_from_entries(
+        F.transform("_hdrs", lambda s: F.struct(s["key"].alias("key"), s["value"].alias("value")))
     )
     return grouped.select(
         "src",
         "game_seq",
-        "headers",
+        headers.alias("headers"),
         F.concat_ws(" ", F.transform("_mvs", lambda s: s["l"])).alias("moves"),
     ).filter(F.map_contains_key("headers", F.lit("site")))

@@ -36,18 +36,25 @@ from pyspark.sql.streaming import StreamingQuery
 
 from knightshift_spark.pipelines.ingest import ingest_games
 from knightshift_spark.operators.merge import upsert
-from knightshift_spark.sources.pgn import assemble_games, sessionize
+from knightshift_spark.sources.pgn import assemble_games, lines_from_blobs, sessionize
 
 
 def stream_pgn_lines(
     spark: SparkSession, spool_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """Streaming line source over a PGN spool directory."""
-    reader = spark.readStream.format("text")
+    """Streaming whole-file source over a PGN spool directory.
+
+    ``wholetext`` keeps each spool file atomic — one record per file —
+    so line order inside a file is derived from the file bytes (see
+    ``sources.pgn.lines_from_blobs``), never from task ordering. Spool
+    files are bounded by the writer (one poll's worth of games), so the
+    per-file record is small by contract.
+    """
+    reader = spark.readStream.format("text").option("wholetext", "true")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(spool_dir).select(
-        F.col("value").alias("line"), F.input_file_name().alias("src")
+        F.input_file_name().alias("src"), F.col("value").alias("blob")
     )
 
 
@@ -72,17 +79,15 @@ def _merge_batch_into_parquet(
         shutil.rmtree(old)
 
 
-def ingest_pgn_batch(batch_lines: DataFrame) -> DataFrame:
-    """Batch transform shared by streaming and batch paths: lines → rows.
+def ingest_pgn_batch(batch_blobs: DataFrame) -> DataFrame:
+    """Batch transform shared by streaming and batch paths:
+    ``(src, blob)`` whole files → cleaned rows.
 
-    Line order within a micro-batch file is preserved by a per-src window
-    (same as the batch reader); the move-line boundary rule then yields
+    Line numbers come from the file content (``lines_from_blobs``), so
+    ordering is split-proof; the move-line boundary rule then yields
     ``game_seq`` (reference ``get_games_from_tv.py:196-199``).
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("src").orderBy(F.monotonically_increasing_id())
-    lines = batch_lines.withColumn("line_no", F.row_number().over(w))
+    lines = lines_from_blobs(batch_blobs)
     games = assemble_games(sessionize(lines))
     return ingest_games(games)
 

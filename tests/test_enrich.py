@@ -62,7 +62,7 @@ def test_flatten_profiles(spark):
     assert len(rows) == 1  # record without "id" skipped
     r = rows[0]
     assert r["id_user"] == "user1"
-    assert r["val_fide_rating"] == 2100
+    assert r["val_rating_fide"] == 2100
     assert r["val_real_name"] is None  # "<null>" sentinel
     assert r["val_bio"] is None  # "" sentinel
     assert r["val_rating_bullet"] == 2300
@@ -108,3 +108,25 @@ def test_backfill_openings(spark):
     assert out["g1"]["val_elo_white"] == 1850
     assert out["g1"]["val_elo_black"] == 1500  # fetched NULL keeps current
     assert out["g2"]["val_opening_name"] == "King's Pawn Game"  # untouched
+
+
+def test_enrich_users_flags_case_differing_username(spark):
+    """Games store the header username ("CamelCase"); the payload id is
+    lowercase. The processed set must come from the FETCH key or the game
+    never gets flagged and is re-fetched every run."""
+    from knightshift_spark.schemas import LICHESS_USERS
+
+    games = spark.createDataFrame(
+        [("g1", "CamelCase", "other", False)],
+        "id_game string, id_user_white string, id_user_black string, "
+        "ind_profile_updated boolean",
+    )
+    profile = dict(PROFILE, id="camelcase", username="CamelCase")
+    bodies = spark.createDataFrame(
+        [("CamelCase", json.dumps(profile))], "id_user string, body string"
+    )
+    existing = spark.createDataFrame([], LICHESS_USERS)
+    res = enrich_users(games, existing, bodies)
+    assert [r["id_user"] for r in res.users.collect()] == ["camelcase"]
+    flags = {r["id_game"]: r["ind_profile_updated"] for r in res.games.collect()}
+    assert flags == {"g1": True}

@@ -71,3 +71,39 @@ def test_read_pgn_lines_roundtrip(tmp_path, spark):
     games = pgn.assemble_games(pgn.sessionize(lines))
     assert games.count() == 2
     assert lines.agg(F.max("line_no")).collect()[0][0] == len(FIX.splitlines())
+
+
+def test_read_pgn_lines_split_proof(tmp_path, spark):
+    """A PGN file larger than one input split must parse identically:
+    line numbers come from file bytes (wholetext + posexplode), so even a
+    pathologically small maxPartitionBytes cannot scramble header order."""
+    from knightshift_spark.queries.pgn_e2e import PGN_FIXTURE, run_pgn_pipeline
+
+    p = tmp_path / "big.pgn"
+    p.write_text(PGN_FIXTURE)
+    expected = sorted(map(tuple, run_pgn_pipeline(spark).collect()))
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64")
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        from knightshift_spark.pipelines.clean import clean_games
+        from knightshift_spark.pipelines.ingest import ingest_games
+        from knightshift_spark.queries.pgn_e2e import _OUT_COLS
+
+        lines = pgn.read_pgn_lines(spark, str(p))
+        games = pgn.assemble_games(pgn.sessionize(lines))
+        got = sorted(
+            map(tuple, clean_games(ingest_games(games)).valid.select(*_OUT_COLS).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert got == expected
+
+
+def test_crlf_line_endings(tmp_path, spark):
+    p = tmp_path / "crlf.pgn"
+    p.write_text(FIX.replace("\n", "\r\n"))
+    lines = pgn.read_pgn_lines(spark, str(p))
+    games = pgn.assemble_games(pgn.sessionize(lines))
+    assert games.count() == 2
