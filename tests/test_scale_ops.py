@@ -54,11 +54,14 @@ def test_rest_fetch_offline(spark):
             return None  # 404
         return json.dumps({"id": k})
 
-    out = {r["key"]: r["body"] for r in fetch_bodies(keys, fake_fetch).collect()}
+    out = {
+        r["key"]: r["body"]
+        for r in fetch_bodies(keys, fake_fetch, retry_backoff_s=0.0).collect()
+    }
     assert out["u1"] == '{"id": "u1"}'
     assert out["u2"] is None and out["boom"] is None
     # adapter drops misses
-    kept = profile_bodies_source(keys, fake_fetch).collect()
+    kept = profile_bodies_source(keys, fake_fetch, retry_backoff_s=0.0).collect()
     assert [r["id_user"] for r in kept] == ["u1"]
 
 
