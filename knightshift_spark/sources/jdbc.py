@@ -1,11 +1,17 @@
 """JDBC source/sink helpers (OP-03 scan, OP-06 merge sink).
 
-The reference reads/writes Postgres through SQLAlchemy one row at a time;
+The reference reads/writes Postgres through SQLAlchemy one row at a time
+(select-then-update-or-insert per game, ``db/game_upsert.py:84-110``);
 the engine equivalent is Spark's JDBC relation with explicit partitioning
-so reads parallelize, plus a ``foreachBatch`` upsert writer for streaming
-merges. No database ships in this container — these helpers construct
-fully-formed readers/writers and are exercised by construction-level
-tests; the parquet path is the tested canonical storage (SURVEY.md §1.3).
+so reads parallelize, plus a ``foreachBatch`` upsert writer that stages
+each micro-batch into a temp table and executes ONE set-based merge
+statement through the JVM ``DriverManager`` — same end state as the
+reference's per-row upsert, n rows per round-trip instead of 1.
+
+Dialects: ANSI ``MERGE INTO`` (Derby/Oracle/MSSQL/DB2) or Postgres
+``INSERT … ON CONFLICT DO UPDATE`` — picked from the JDBC URL. The merge
+path is integration-tested against embedded Derby (ships with Spark);
+parquet remains the canonical tested storage (SURVEY.md §1.3).
 """
 
 from __future__ import annotations
@@ -41,13 +47,80 @@ def read_jdbc_table(
     return reader
 
 
+def merge_sql(
+    target_table: str, staged_table: str, columns: list[str], key_cols: list[str], url: str
+) -> str:
+    """Set-based upsert statement for the target's dialect.
+
+    Postgres URLs get ``INSERT … ON CONFLICT (keys) DO UPDATE``; everything
+    else gets ANSI ``MERGE INTO`` (Derby, Oracle, MSSQL, DB2). Matches the
+    reference's update-if-exists-else-insert per key
+    (``db/game_upsert.py:92-105``) in one statement.
+    """
+    # Spark's JDBC writer quotes identifiers when creating the staged
+    # table (case-sensitive, exactly as in the DataFrame); the target is
+    # assumed DDL-created with unquoted (case-insensitive) names — so
+    # staged-side references are quoted, target-side left bare.
+    def q(c: str) -> str:
+        return f'"{c}"'
+
+    non_keys = [c for c in columns if c not in key_cols]
+    if url.startswith("jdbc:postgresql"):
+        cols = ", ".join(columns)
+        sel = ", ".join(q(c) for c in columns)
+        keys = ", ".join(key_cols)
+        sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_keys)
+        action = f"DO UPDATE SET {sets}" if non_keys else "DO NOTHING"
+        return (
+            f"INSERT INTO {target_table} ({cols}) "
+            f"SELECT {sel} FROM {staged_table} "
+            f"ON CONFLICT ({keys}) {action}"
+        )
+    on = " AND ".join(f"t.{k} = s.{q(k)}" for k in key_cols)
+    ins_cols = ", ".join(columns)
+    ins_vals = ", ".join(f"s.{q(c)}" for c in columns)
+    matched = (
+        "WHEN MATCHED THEN UPDATE SET "
+        + ", ".join(f"t.{c} = s.{q(c)}" for c in non_keys)
+        + " "
+        if non_keys
+        else ""
+    )
+    return (
+        f"MERGE INTO {target_table} t USING {staged_table} s ON ({on}) "
+        f"{matched}"
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
+def execute_jdbc(spark: SparkSession, url: str, *statements: str) -> None:
+    """Run DDL/DML statements on the database through the driver JVM's
+    ``java.sql.DriverManager`` (the JDBC driver jar is already on Spark's
+    classpath — no extra client library)."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+    try:
+        stmt = conn.createStatement()
+        try:
+            for s in statements:
+                stmt.executeUpdate(s)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
 def upsert_writer(target_table: str, key_cols: list[str], url: str, **options: str):
     """foreachBatch sink factory: merge each micro-batch into a JDBC table.
 
-    Emits ``INSERT ... ON CONFLICT (keys) DO UPDATE`` semantics by staging
-    the batch then issuing the merge through the JDBC connection — the
-    set-based equivalent of the reference's per-row upsert
-    (``db/game_upsert.py:84-110``).
+    Stages the batch into ``{target}__stage_{batch_id}`` with Spark's JDBC
+    writer, executes ONE set-based merge (``merge_sql``) through the JVM
+    ``DriverManager``, then drops the stage — the set-based equivalent of
+    the reference's per-row upsert (``db/game_upsert.py:84-110``), one
+    DB round-trip per micro-batch instead of one per row.
+
+    ``options`` pass through to the JDBC writer; for Derby pass
+    ``createTableColumnTypes`` so string keys become comparable VARCHARs
+    (Derby's default CLOB mapping can't sit in a MERGE ON clause).
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -60,10 +133,14 @@ def upsert_writer(target_table: str, key_cols: list[str], url: str, **options: s
             .options(**options)
             .save()
         )
-        # The merge statement itself must run on the DB side; Spark's JDBC
-        # writer has no MERGE mode. Callers run:
-        #   INSERT INTO {target} SELECT * FROM {staged}
-        #   ON CONFLICT ({keys}) DO UPDATE SET ... ;
-        # via their DB driver after this stage lands.
+        spark = batch_df.sparkSession
+        try:
+            execute_jdbc(
+                spark,
+                url,
+                merge_sql(target_table, staged, batch_df.columns, key_cols, url),
+            )
+        finally:
+            execute_jdbc(spark, url, f"DROP TABLE {staged}")
 
     return write_batch
