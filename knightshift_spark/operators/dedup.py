@@ -74,15 +74,30 @@ def jaccard_pairs(
     threshold: float = 0.05,
     id_col: str = "doc_id",
     text_col: str = "text",
+    df_max: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
 
-    The equi-join on ``shingle`` only pairs docs that actually collide; at
-    scale, cap shingle document-frequency first (drop shingles appearing
-    in >df_max docs — they only create noise pairs). Output:
-    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    The equi-join on ``shingle`` only pairs docs that actually collide.
+    ``df_max`` caps shingle document-frequency: shingles appearing in
+    more than ``df_max`` docs are dropped from BOTH the intersection and
+    the size denominators (jaccard is then computed over the capped
+    shingle universe — consistent numerator/denominator). Without the
+    cap, one ubiquitous shingle (boilerplate headers, '- -') expands to
+    O(n²) join rows; with it, the worst-case per-shingle fan-out is
+    df_max². Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     sh = shingle_table(docs, id_col, text_col)
+    if df_max is not None:
+        # one extra groupBy on shingle; the semi-join prunes high-df
+        # shingles before the quadratic pair expansion
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= df_max)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")

@@ -47,6 +47,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     persist_intermediates: bool = False,
+    jaccard_df_max: int | None = 10_000,
 ) -> CurationResult:
     annotated = docs.select(
         "*",
@@ -68,7 +69,10 @@ def curate_corpus(
         # stages (caller owns the session-level unpersist)
         exact_kept = exact_kept.persist()
 
-    # 2. near-dup: LSH candidates → exact rescore → drop doc_b of each pair
+    # 2. near-dup: LSH candidates → exact rescore → drop doc_b of each pair.
+    # jaccard_df_max caps shingle doc-frequency in the rescore: even among
+    # LSH candidates, one degenerate common shingle could otherwise blow
+    # the equi-join up to O(candidates²) rows.
     cands = lsh_candidate_pairs(exact_kept, num_hashes=16, bands=4, id_col=id_col, text_col=text_col)
     confirmed = (
         jaccard_pairs(
@@ -80,11 +84,17 @@ def curate_corpus(
             threshold=jaccard_threshold,
             id_col=id_col,
             text_col=text_col,
+            df_max=jaccard_df_max,
         )
         .join(cands, ["doc_a", "doc_b"], "left_semi")  # rescore candidates only
     )
     near_dup_ids = confirmed.select(F.col("doc_b").alias(id_col)).distinct()
     deduped = exact_kept.join(near_dup_ids, id_col, "left_anti")
+    if persist_intermediates:
+        # deduped feeds `kept` AND two funnel counters: without this, the
+        # LSH+rescore subtree recomputes once per counter (measured ~2x on
+        # the bench's q57)
+        deduped = deduped.persist()
 
     # 3-4. quality + language gates
     quality_ok = (F.col("n_tokens") >= min_tokens) & (F.col("sw_ratio") >= min_stopword_ratio)

@@ -97,26 +97,47 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
     "q59_ann_recall",
     oracle=None,  # measures engine-internal ANN quality → rows-only
     doc="recall@k harness: LSH and IVF top-k vs brute-force ground truth — "
-        "the accept/reject dial for ANN parameters at scale",
+        "the accept/reject dial for ANN parameters at scale. ONE lazy "
+        "plan: method-tagged union of the approx results, one inner join "
+        "against persisted truth, one groupBy — no driver-side counts or "
+        "row assembly (the driver materializes exactly once)",
 )
 def q59(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
     q, c = emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10)
-    truth = knn_bruteforce(q, c, k=3).select("query_id", "neighbor_id")
-    out = []
-    for label, approx in (
-        ("lsh_b4", knn_lsh(q, c, k=3, bits=4)),
-        ("ivf_c4", knn_ivf(q, c, k=3, n_clusters=4)),
-    ):
-        hit = truth.join(
-            approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
-        ).count()
-        out.append((label, hit, truth.count()))
-    return spark.createDataFrame(out, "method string, n_hits long, n_truth long").select(
-        "method",
-        "n_hits",
-        "n_truth",
-        F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall_at_3"),
+    # persist: truth feeds both the hit join and the denominator; persist
+    # is lazy — populated on first use within the single materialization
+    truth = knn_bruteforce(q, c, k=3).select("query_id", "neighbor_id").persist()
+    approx = (
+        knn_lsh(q, c, k=3, bits=4)
+        .select("query_id", "neighbor_id")
+        .withColumn("method", F.lit("lsh_b4"))
+        .unionByName(
+            knn_ivf(q, c, k=3, n_clusters=4)
+            .select("query_id", "neighbor_id")
+            .withColumn("method", F.lit("ivf_c4"))
+        )
+    )
+    hits = (
+        approx.join(truth, ["query_id", "neighbor_id"], "inner")
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    # static 2-row method list (LocalTableScan) keeps zero-hit methods in
+    # the output instead of dropping them from the groupBy
+    methods = spark.createDataFrame([("lsh_b4",), ("ivf_c4",)], "method string")
+    totals = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        methods.join(hits, "method", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "method",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            "n_truth",
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.col("n_truth"), 4).alias(
+                "recall_at_3"
+            ),
+        )
     )
 
 

@@ -141,3 +141,24 @@ def test_knn_arrow_matches_codegen(spark):
     exact = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in knn_bruteforce(q, c, k=3).collect()}
     arrow = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in knn_bruteforce_arrow(q, c, k=3).collect()}
     assert exact == arrow
+
+
+def test_jaccard_df_max_caps_ubiquitous_shingle(spark):
+    """One shingle shared by EVERY doc would create O(n²) join rows; with
+    df_max it is pruned from numerator AND denominator consistently."""
+    from knightshift_spark.operators.dedup import jaccard_pairs
+
+    # every doc contains 'common token'; docs otherwise disjoint
+    docs = spark.createDataFrame(
+        [(i, f"common token unique{i}a unique{i}b unique{i}c") for i in range(30)],
+        "doc_id long, text string",
+    )
+    uncapped = jaccard_pairs(docs, threshold=0.0)
+    # the shared 'common token' bigram pairs all 30 docs: C(30,2) rows
+    assert uncapped.count() == 30 * 29 // 2
+    capped = jaccard_pairs(docs, threshold=0.0, df_max=5)
+    # shingles in >5 docs pruned -> disjoint docs -> zero pairs
+    assert capped.count() == 0
+    # df_max larger than any doc-frequency is a no-op
+    same = jaccard_pairs(docs, threshold=0.0, df_max=1000)
+    assert same.count() == uncapped.count()
