@@ -96,13 +96,40 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return src.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def media_repartition(media: DataFrame, target_bytes: int = 128 << 20) -> DataFrame:
+def media_repartition(
+    media: DataFrame,
+    target_bytes: int = 128 << 20,
+    sample_fraction: float | None = None,
+) -> DataFrame:
     """Repartition media rows so each partition holds ~``target_bytes`` of
-    payload — row-count partitioning is wrong when rows are megabytes."""
-    stats = media.agg(
-        F.sum(F.coalesce(F.col("meta.n_bytes"), F.length("payload"))).alias("b"),
+    payload — row-count partitioning is wrong when rows are megabytes.
+
+    Sizing reads ``meta.n_bytes`` ONLY (a metadata column parquet serves
+    without touching the blobs). Rows with NULL ``n_bytes`` are estimated
+    from the average of the sized rows — never via ``length(payload)``,
+    which would force a full blob scan just to count bytes. If estimates
+    are unacceptable, pass ``sample_fraction`` to measure payload length
+    on a sample of the unsized rows (bounded scan), or populate
+    ``n_bytes`` at ingest (the writer-side contract).
+    """
+    sized = media.agg(
+        F.sum("meta.n_bytes").alias("b"),
+        F.count("meta.n_bytes").alias("n_sized"),
+        F.count(F.lit(1)).alias("n_rows"),
     ).collect()[0]
-    total = stats["b"] or 0
+    total, n_sized, n_rows = sized["b"] or 0, sized["n_sized"], sized["n_rows"]
+    n_unsized = n_rows - n_sized
+    if n_unsized:
+        if sample_fraction:
+            est = (
+                media.filter(F.col("meta.n_bytes").isNull())
+                .sample(fraction=sample_fraction, seed=7)
+                .agg(F.avg(F.length("payload")).alias("avg_b"))
+                .collect()[0]["avg_b"]
+            )
+        else:
+            est = (total / n_sized) if n_sized else None
+        total += int((est or 0) * n_unsized)
     n = max(1, int(total // target_bytes) + 1)
     return media.repartition(n)
 

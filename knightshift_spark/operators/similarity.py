@@ -188,12 +188,8 @@ def _sq_l2(a: Column, b: Column) -> Column:
     )
 
 
-def assign_ivf_cluster(vec: Column, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid id for a vector against broadcast-as-literals
-    centroids (argmin squared L2). Centroid count is small by design, so
-    the whole assignment folds into one codegen'd expression — no join,
-    no Python."""
-    pairs = F.array(
+def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    return F.array(
         *[
             F.struct(
                 _sq_l2(vec, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
@@ -202,7 +198,26 @@ def assign_ivf_cluster(vec: Column, centroids: list[list[float]]) -> Column:
             for i, c in enumerate(centroids)
         ]
     )
-    return F.array_min(pairs)["cid"]
+
+
+def assign_ivf_cluster(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id for a vector against broadcast-as-literals
+    centroids (argmin squared L2). Centroid count is small by design, so
+    the whole assignment folds into one codegen'd expression — no join,
+    no Python."""
+    return F.array_min(_centroid_dists(vec, centroids))["cid"]
+
+
+def assign_ivf_clusters(
+    vec: Column, centroids: list[list[float]], n_probe: int = 1
+) -> Column:
+    """The ``n_probe`` nearest centroid ids, nearest first — the
+    multi-probe knob: probing p clusters scores ~p/k of the corpus and
+    recovers queries that fall near a cluster boundary (the dominant IVF
+    recall loss). Same codegen'd expression shape as the single-probe
+    assignment; ties break on cid (deterministic)."""
+    ordered = F.array_sort(_centroid_dists(vec, centroids))
+    return F.transform(F.slice(ordered, 1, n_probe), lambda s: s["cid"])
 
 
 def ivf_centroids(
@@ -242,15 +257,20 @@ def knn_ivf(
     candidates: DataFrame,
     k: int = 3,
     n_clusters: int = 8,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN: score only candidates in the query's nearest cluster.
+    """IVF ANN: score only candidates in the query's ``n_probe`` nearest
+    clusters.
 
     The candidate side gains a ``cid`` column (one codegen'd projection —
     persist it with the table in production so the index is built once);
     the probe is then a broadcast equi-join on ``cid``: cost tracks
-    cluster occupancy (~N/n_clusters per query), never N.
+    cluster occupancy (~n_probe·N/n_clusters per query), never N.
+    ``n_probe > 1`` recovers boundary queries (the main IVF recall loss)
+    by exploding the query side — clusters are disjoint so no pair dedup
+    is needed.
     """
     cents = ivf_centroids(candidates, n_clusters, id_col, vec_col)
     c = candidates.select(
@@ -261,7 +281,9 @@ def knn_ivf(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        assign_ivf_cluster(F.col(vec_col), cents).alias("__cid"),
+        F.explode(
+            assign_ivf_clusters(F.col(vec_col), cents, n_probe)
+        ).alias("__cid"),
     )
     scored = (
         F.broadcast(q)
@@ -286,17 +308,33 @@ def knn_lsh(
     k: int = 3,
     bits: int = 8,
     dim: int = 64,
+    hamming_probe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Bucketed ANN: score only candidates whose SRP sketch matches the
     query's. Recall < 1.0 by design; the scale win is that the candidate
     join is equi on the sketch (shuffle O(N) once, reusable across query
-    batches if the sketch column is persisted with the table)."""
+    batches if the sketch column is persisted with the table).
+
+    ``hamming_probe=1`` additionally probes every bucket at Hamming
+    distance 1 from the query's sketch (bits+1 probes per query): a
+    vector that flipped one hyperplane sign — the dominant SRP recall
+    loss for near-boundary queries — is recovered at (bits+1)× the probe
+    cost, still bucket-local. Probe sketches are distinct, so each
+    candidate pairs at most once (no dedup needed).
+    """
+    sk = srp_sketch(F.col(vec_col), bits, dim)
+    if hamming_probe == 0:
+        probes = F.array(sk)
+    elif hamming_probe == 1:
+        probes = F.array(sk, *[sk.bitwiseXOR(F.lit(1 << b)) for b in range(bits)])
+    else:
+        raise ValueError("hamming_probe supports 0 or 1 (cost grows as C(bits,r))")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        srp_sketch(F.col(vec_col), bits, dim).alias("__sk"),
+        F.explode(probes).alias("__sk"),
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),

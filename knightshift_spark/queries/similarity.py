@@ -108,24 +108,26 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
     # persist: truth feeds both the hit join and the denominator; persist
     # is lazy — populated on first use within the single materialization
     truth = knn_bruteforce(q, c, k=3).select("query_id", "neighbor_id").persist()
-    approx = (
-        knn_lsh(q, c, k=3, bits=4)
-        .select("query_id", "neighbor_id")
-        .withColumn("method", F.lit("lsh_b4"))
-        .unionByName(
-            knn_ivf(q, c, k=3, n_clusters=4)
-            .select("query_id", "neighbor_id")
-            .withColumn("method", F.lit("ivf_c4"))
+    variants = {
+        "lsh_b4": knn_lsh(q, c, k=3, bits=4),
+        "lsh_b4_h1": knn_lsh(q, c, k=3, bits=4, hamming_probe=1),
+        "ivf_c4": knn_ivf(q, c, k=3, n_clusters=4),
+        "ivf_c4_p2": knn_ivf(q, c, k=3, n_clusters=4, n_probe=2),
+    }
+    approx = None
+    for name, df in variants.items():
+        tagged = df.select("query_id", "neighbor_id").withColumn(
+            "method", F.lit(name)
         )
-    )
+        approx = tagged if approx is None else approx.unionByName(tagged)
     hits = (
         approx.join(truth, ["query_id", "neighbor_id"], "inner")
         .groupBy("method")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    # static 2-row method list (LocalTableScan) keeps zero-hit methods in
-    # the output instead of dropping them from the groupBy
-    methods = spark.createDataFrame([("lsh_b4",), ("ivf_c4",)], "method string")
+    # static method list (LocalTableScan) keeps zero-hit methods in the
+    # output instead of dropping them from the groupBy
+    methods = spark.createDataFrame([(m,) for m in variants], "method string")
     totals = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     return (
         methods.join(hits, "method", "left")

@@ -162,3 +162,41 @@ def test_jaccard_df_max_caps_ubiquitous_shingle(spark):
     # df_max larger than any doc-frequency is a no-op
     same = jaccard_pairs(docs, threshold=0.0, df_max=1000)
     assert same.count() == uncapped.count()
+
+
+def test_ivf_multiprobe_recovers_boundary_queries(spark):
+    """n_probe=2 scores the 2 nearest clusters: its hit set contains the
+    single-probe hits, and with enough probes IVF converges to exact."""
+    from knightshift_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    from knightshift_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q, c = emb.filter(F.col("vec_id") < 3), emb.filter(F.col("vec_id") >= 3)
+    p1 = {(r["query_id"], r["neighbor_id"])
+          for r in knn_ivf(q, c, k=2, n_clusters=3, n_probe=1).collect()}
+    p3 = {(r["query_id"], r["neighbor_id"])
+          for r in knn_ivf(q, c, k=2, n_clusters=3, n_probe=3).collect()}
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in knn_bruteforce(q, c, k=2).collect()}
+    assert p3 == exact  # probing every cluster == brute force
+    assert len(p1) <= len(p3)
+
+
+def test_lsh_hamming_probe_superset(spark):
+    """Hamming-1 probing can only ADD candidate pairs (probe sketches
+    are a superset); with k large enough to not truncate, the scored
+    pair set must contain every exact-bucket pair."""
+    from knightshift_spark.operators.similarity import knn_lsh
+
+    from knightshift_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q, c = emb.filter(F.col("vec_id") < 3), emb.filter(F.col("vec_id") >= 3)
+    h0 = {(r["query_id"], r["neighbor_id"])
+          for r in knn_lsh(q, c, k=10**6, bits=4, hamming_probe=0).collect()}
+    h1 = {(r["query_id"], r["neighbor_id"])
+          for r in knn_lsh(q, c, k=10**6, bits=4, hamming_probe=1).collect()}
+    assert h0 <= h1

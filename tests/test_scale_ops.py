@@ -180,3 +180,19 @@ def test_rollup_matches_cube_subset(spark):
     )
     assert roll.subtract(cube_minus_b_only).count() == 0
     assert cube_minus_b_only.subtract(roll).count() == 0
+
+
+def test_media_repartition_estimates_null_nbytes_without_blob_scan(spark):
+    """Rows missing meta.n_bytes are estimated from the sized rows'
+    average — sizing must never force length(payload) over every blob."""
+    rows = [
+        (1, "image", "image/png", b"x" * 16, (1, 1, None, 16)),
+        (2, "image", "image/png", b"y" * 16, (1, 1, None, None)),  # unsized
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # est total = 16 + 16 (avg of sized) = 32 -> 32//16 + 1 = 3 partitions
+    out = media_repartition(df, target_bytes=16)
+    assert out.rdd.getNumPartitions() == 3
+    # sampled fallback measures the unsized rows directly
+    out2 = media_repartition(df, target_bytes=16, sample_fraction=1.0)
+    assert out2.rdd.getNumPartitions() == 3
