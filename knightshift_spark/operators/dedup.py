@@ -33,15 +33,24 @@ def word_tokens(c: Column) -> Column:
     return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
 
 
-def word_bigrams(tk: Column) -> Column:
-    """Distinct word 2-gram shingles of a token array."""
+def word_ngrams(tk: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of a token array.
+
+    The ``size < n`` guard matters: Spark's ``sequence(1, size-n+1)``
+    would produce a *descending* sequence when size < n, not an empty one.
+    """
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(tk) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
+        F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(n)]),
     )
     return F.array_distinct(
-        F.when(F.size(tk) < 2, F.array().cast("array<string>")).otherwise(grams)
+        F.when(F.size(tk) < n, F.array().cast("array<string>")).otherwise(grams)
     )
+
+
+def word_bigrams(tk: Column) -> Column:
+    """Distinct word 2-gram shingles of a token array."""
+    return word_ngrams(tk, 2)
 
 
 def stable_hash32(c: Column) -> Column:
@@ -115,6 +124,47 @@ def jaccard_pairs(
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.round(jac, 4) >= threshold)
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ≥1 word n-gram
+    with an evaluation set (the GPT-3/PaLM-style n-gram collision check;
+    production uses n≈8–13, the principle is identical).
+
+    Scale shape: the eval side reduces to its DISTINCT n-gram universe —
+    benchmarks are KBs-to-MBs while the corpus is TBs — so that set
+    broadcasts. Corpus grams stream past the broadcast hash relation with
+    no corpus-side shuffle from the join itself; the per-doc hit count is
+    a map-side-combinable groupBy. Total cost: one corpus scan + one
+    doc-keyed shuffle, independent of eval-set pairing.
+
+    Output: (id, n_grams, n_hit, hit_frac) for corpus docs with n_hit ≥ 1,
+    where counts are over each doc's distinct n-grams.
+    """
+    grams_c = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(word_tokens(F.col(text_col)), n)).alias("gram")
+    )
+    eval_grams = eval_docs.select(
+        F.explode(word_ngrams(word_tokens(F.col(text_col)), n)).alias("gram")
+    ).distinct()
+    sizes = grams_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        grams_c.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return hits.join(sizes, id_col).select(
+        id_col,
+        "n_grams",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_grams"), 4).alias("hit_frac"),
     )
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from knightshift_spark.operators.dedup import (
+    contamination_report,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_pairs,
@@ -154,6 +155,41 @@ def _band_rows(bands: int, rows_per_band: int) -> str:
 def q31b(spark: SparkSession, sf: str) -> DataFrame:
     docs = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     return lsh_candidate_pairs(docs, num_hashes=16, bands=4)
+
+
+@query(
+    "q65_contamination",
+    oracle=r"""
+      WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
+        FROM documents),
+      grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                           || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS gram
+        FROM toks),
+      ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 7),
+      cg AS (SELECT doc_id, gram FROM grams WHERE doc_id % 25 <> 7),
+      sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM cg GROUP BY 1),
+      hit AS (SELECT cg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+              FROM cg JOIN ev USING (gram) GROUP BY 1)
+      SELECT hit.doc_id, n_grams, n_hit,
+             ROUND(CAST(n_hit AS DOUBLE) / n_grams, 4) AS hit_frac
+      FROM hit JOIN sz ON hit.doc_id = sz.doc_id""",
+    doc="benchmark decontamination: corpus docs sharing ≥1 word 5-gram "
+        "with the held-out eval slice (doc_id % 25 = 7) — GPT-3-style "
+        "n-gram collision check. Eval side reduces to its distinct-gram "
+        "universe and broadcasts; the corpus side never shuffles for the "
+        "join, only for the per-doc hit count",
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    ev = docs.filter(F.col("doc_id") % 25 == 7)
+    corpus = docs.filter(F.col("doc_id") % 25 != 7)
+    return contamination_report(corpus, ev, n=5)
 
 
 @query(

@@ -200,3 +200,31 @@ def test_lsh_hamming_probe_superset(spark):
     h1 = {(r["query_id"], r["neighbor_id"])
           for r in knn_lsh(q, c, k=10**6, bits=4, hamming_probe=1).collect()}
     assert h0 <= h1
+
+
+def test_contamination_report_flags_overlap(spark):
+    """Corpus doc sharing a 5-gram with the eval set is flagged with the
+    right counts; clean docs are absent; the eval-gram join broadcasts."""
+    from knightshift_spark.operators.dedup import contamination_report
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # 8 tokens -> 4 distinct 5-grams; 2 of them hit the eval doc
+            (1, "alpha beta gamma delta epsilon zeta other words"),
+            (2, "totally unrelated text with no overlap at all"),
+            (3, "four words only here"),  # < 5 tokens -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    rep = contamination_report(corpus, ev, n=5)
+    rows = {r["doc_id"]: r for r in rep.collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_grams"] == 4
+    assert rows[1]["n_hit"] == 2
+    assert rows[1]["hit_frac"] == 0.5
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
