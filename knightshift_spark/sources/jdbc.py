@@ -48,7 +48,12 @@ def read_jdbc_table(
 
 
 def merge_sql(
-    target_table: str, staged_table: str, columns: list[str], key_cols: list[str], url: str
+    target_table: str,
+    staged_table: str,
+    columns: list[str],
+    key_cols: list[str],
+    url: str,
+    casts: dict[str, str] | None = None,
 ) -> str:
     """Set-based upsert statement for the target's dialect.
 
@@ -56,18 +61,28 @@ def merge_sql(
     else gets ANSI ``MERGE INTO`` (Derby, Oracle, MSSQL, DB2). Matches the
     reference's update-if-exists-else-insert per key
     (``db/game_upsert.py:92-105``) in one statement.
+
+    ``casts`` maps staged column → SQL type; those staged references are
+    wrapped in ``CAST``. Needed when the dialect stages a type that can't
+    sit in a comparison/assignment (Derby stages Spark strings as CLOB).
     """
     # Spark's JDBC writer quotes identifiers when creating the staged
     # table (case-sensitive, exactly as in the DataFrame); the target is
     # assumed DDL-created with unquoted (case-insensitive) names — so
     # staged-side references are quoted, target-side left bare.
-    def q(c: str) -> str:
-        return f'"{c}"'
+    casts = casts or {}
+
+    def ref(c: str, prefix: str = "s.") -> str:
+        r = f'{prefix}"{c}"'
+        return f"CAST({r} AS {casts[c]})" if c in casts else r
+
+    def s(c: str) -> str:
+        return ref(c)
 
     non_keys = [c for c in columns if c not in key_cols]
     if url.startswith("jdbc:postgresql"):
         cols = ", ".join(columns)
-        sel = ", ".join(q(c) for c in columns)
+        sel = ", ".join(ref(c, prefix="") for c in columns)
         keys = ", ".join(key_cols)
         sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_keys)
         action = f"DO UPDATE SET {sets}" if non_keys else "DO NOTHING"
@@ -76,12 +91,12 @@ def merge_sql(
             f"SELECT {sel} FROM {staged_table} "
             f"ON CONFLICT ({keys}) {action}"
         )
-    on = " AND ".join(f"t.{k} = s.{q(k)}" for k in key_cols)
+    on = " AND ".join(f"t.{k} = {s(k)}" for k in key_cols)
     ins_cols = ", ".join(columns)
-    ins_vals = ", ".join(f"s.{q(c)}" for c in columns)
+    ins_vals = ", ".join(s(c) for c in columns)
     matched = (
         "WHEN MATCHED THEN UPDATE SET "
-        + ", ".join(f"t.{c} = s.{q(c)}" for c in non_keys)
+        + ", ".join(f"t.{c} = {s(c)}" for c in non_keys)
         + " "
         if non_keys
         else ""
@@ -118,9 +133,12 @@ def upsert_writer(target_table: str, key_cols: list[str], url: str, **options: s
     the reference's per-row upsert (``db/game_upsert.py:84-110``), one
     DB round-trip per micro-batch instead of one per row.
 
-    ``options`` pass through to the JDBC writer; for Derby pass
-    ``createTableColumnTypes`` so string keys become comparable VARCHARs
-    (Derby's default CLOB mapping can't sit in a MERGE ON clause).
+    ``options`` pass through to the JDBC writer. Derby stages Spark
+    strings as CLOB (its dialect's StringType mapping — and NULLs are
+    bound with the CLOB type code, so overriding the stage DDL via
+    ``createTableColumnTypes`` breaks on the first NULL); CLOBs can't sit
+    in a MERGE comparison or assignment, so staged string columns are
+    CAST to VARCHAR inside the merge statement instead.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -133,12 +151,19 @@ def upsert_writer(target_table: str, key_cols: list[str], url: str, **options: s
             .options(**options)
             .save()
         )
+        casts = None
+        if url.startswith("jdbc:derby"):
+            casts = {
+                f.name: "VARCHAR(32672)"  # Derby's max VARCHAR length
+                for f in batch_df.schema.fields
+                if f.dataType.simpleString() == "string"
+            }
         spark = batch_df.sparkSession
         try:
             execute_jdbc(
                 spark,
                 url,
-                merge_sql(target_table, staged, batch_df.columns, key_cols, url),
+                merge_sql(target_table, staged, batch_df.columns, key_cols, url, casts),
             )
         finally:
             execute_jdbc(spark, url, f"DROP TABLE {staged}")

@@ -95,22 +95,41 @@ def ingest_pgn_batch(batch_blobs: DataFrame) -> DataFrame:
 def run_pgn_stream(
     spark: SparkSession,
     spool_dir: str,
-    target_dir: str,
+    target_dir: str | None,
     checkpoint_dir: str,
     trigger: dict | None = None,
     max_files_per_trigger: int | None = 1,
+    jdbc_url: str | None = None,
+    jdbc_table: str = "tv_channel_games",
+    jdbc_options: dict[str, str] | None = None,
 ) -> StreamingQuery:
     """Start the streaming ingestion query.
 
     ``trigger``: e.g. ``{"processingTime": "5 seconds"}`` (reference
     SLEEP_INTERVAL) or ``{"availableNow": True}`` for drain-and-stop
     (tests, backfills).
+
+    Sink selection: with ``jdbc_url`` the micro-batch merges into the
+    database through ``sources.jdbc.upsert_writer`` (staged batch + one
+    set-based MERGE — the streaming twin of the reference's per-row
+    upsert loop, ``get_games_from_tv.py:122-147`` + ``game_upsert.py:
+    84-110``); otherwise it stage-and-swaps the parquet ``target_dir``.
     """
     lines = stream_pgn_lines(spark, spool_dir, max_files_per_trigger)
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        rows = ingest_pgn_batch(batch_df)
-        _merge_batch_into_parquet(batch_df.sparkSession, rows, target_dir)
+    if jdbc_url is not None:
+        from knightshift_spark.sources.jdbc import upsert_writer
+
+        merge = upsert_writer(jdbc_table, ["id_game"], jdbc_url, **(jdbc_options or {}))
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            merge(ingest_pgn_batch(batch_df), batch_id)
+
+    else:
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            rows = ingest_pgn_batch(batch_df)
+            _merge_batch_into_parquet(batch_df.sparkSession, rows, target_dir)
 
     writer = lines.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir

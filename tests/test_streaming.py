@@ -198,3 +198,48 @@ def test_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r["k"]: r["v"] for r in spark.sql("SELECT * FROM wmdedup").collect()}
     assert sorted(rows) == ["k1", "k2"]
+
+
+def test_pgn_stream_jdbc_sink_merges(spark, tmp_path):
+    """End-to-end streaming ingestion into a real database: spool files →
+    micro-batches → staged JDBC batch + one set-based MERGE per batch
+    (embedded Derby). The streaming twin of the reference's poll-loop
+    upsert (get_games_from_tv.py:122-147 feeding game_upsert.py:84-110)."""
+    from knightshift_spark.schemas import TV_CHANNEL_GAMES
+    from knightshift_spark.sources.jdbc import execute_jdbc, read_jdbc_table
+
+    url = f"jdbc:derby:{tmp_path / 'streamdb'};create=true"
+    derby = {"string": "VARCHAR(4000)", "date": "DATE", "int": "INT",
+             "timestamp": "TIMESTAMP", "boolean": "BOOLEAN"}
+    ddl_cols = ", ".join(
+        "id_game VARCHAR(100) PRIMARY KEY" if f.name == "id_game"
+        else f"{f.name} {derby[f.dataType.simpleString()]}"
+        for f in TV_CHANNEL_GAMES.fields
+    )
+    execute_jdbc(spark, url, f"CREATE TABLE tv_channel_games ({ddl_cols})")
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    f1, f2 = spool / "a_batch1.pgn", spool / "b_batch2.pgn"
+    f1.write_text(GAME_V1)
+    f2.write_text(GAME_V2)
+    now = os.stat(f1).st_mtime
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now + 60, now + 60))
+
+    q = run_pgn_stream(
+        spark, str(spool), None, str(tmp_path / "ckpt_jdbc"),
+        trigger={"availableNow": True}, max_files_per_trigger=1,
+        jdbc_url=url,
+    )
+    q.awaitTermination(120)
+
+    out = {
+        r["ID_GAME"]: r
+        for r in read_jdbc_table(spark, url, "tv_channel_games").load().collect()
+    }
+    assert sorted(out) == ["streamG1", "streamG2"]
+    # the later micro-batch's version of streamG1 won the merge
+    assert out["streamG1"]["VAL_EVENT_NAME"] == "V2 updated"
+    assert out["streamG1"]["VAL_RESULT"] == "1/2-1/2"
+    assert out["streamG2"]["VAL_RESULT"] == "0-1"
