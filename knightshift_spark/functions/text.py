@@ -41,6 +41,22 @@ def token_count(c: Column) -> Column:
     return F.size(tokens(c))
 
 
+def repetition_ratio(tk: Column) -> Column:
+    """Within-document repetition: 1 − distinct-bigrams ⁄ total-bigrams
+    over a BOUND token-array column (Gopher-style duplicate-n-gram quality
+    signal — boilerplate and degenerate generations score high). Pass a
+    materialized array column, not an inline ``tokens(...)`` expression:
+    the bigram lambda re-evaluates its operand per element when inlined.
+    Docs with fewer than 2 tokens score 0.0."""
+    from knightshift_spark.operators.dedup import word_bigrams
+
+    n_bigrams = F.size(tk) - 1
+    n_distinct = F.size(word_bigrams(tk))
+    return F.when(F.size(tk) < 2, F.lit(0.0)).otherwise(
+        F.lit(1.0) - n_distinct.cast("double") / n_bigrams
+    )
+
+
 def normalize_text(c: Column) -> Column:
     """Lowercase + collapse all whitespace runs to single spaces + trim."""
     return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")

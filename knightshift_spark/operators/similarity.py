@@ -302,6 +302,143 @@ def knn_ivf(
     )
 
 
+def _unit(df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str) -> DataFrame:
+    """id + L2-normalized double vector. The norm is bound as its own
+    column before the per-element division — inlining the aggregate into
+    the transform() lambda would re-run it per element (HOFs are
+    interpreted, no CSE)."""
+    return (
+        df.select(F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias("__v"))
+        .withColumn(
+            "__n", F.sqrt(F.aggregate(F.col("__v"), F.lit(0.0), lambda a, v: a + v * v))
+        )
+        .select(out_id, F.transform("__v", lambda x: x / F.col("__n")).alias(out_vec))
+    )
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: the d dims split into
+    ``m`` contiguous subspaces; each subspace gets a ``ksub``-centroid
+    codebook (lowest-id seeds + one Lloyd step, the IVF recipe per
+    subspace). TWO jobs total regardless of m: one seed collect, then one
+    exploded (subspace, cluster) groupBy computing every refined mean —
+    not 2m sequential jobs. Only m × ksub × (d/m) floats reach the
+    driver."""
+    first = vectors.orderBy(id_col).limit(ksub).collect()
+    dim = len(first[0][vec_col])
+    dsub = dim // m
+    seeds = [
+        [[float(x) for x in r[vec_col][j * dsub : (j + 1) * dsub]] for r in first]
+        for j in range(m)
+    ]
+    vec = _as_double(F.col(vec_col))
+    subs = vectors.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        assign_ivf_cluster(
+                            F.slice(vec, j * dsub + 1, dsub), seeds[j]
+                        ).alias("cid"),
+                        F.slice(vec, j * dsub + 1, dsub).alias("v"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s")
+    ).select("s.j", "s.cid", "s.v")
+    means = (
+        subs.groupBy("j", "cid")
+        .agg(*[F.avg(F.element_at("v", i + 1)).alias(f"m{i}") for i in range(dsub)])
+        .collect()
+    )
+    books = [list(s) for s in seeds]  # empty clusters keep their seed
+    for r in means:
+        books[r["j"]][r["cid"]] = [r[f"m{i}"] for i in range(dsub)]
+    return books
+
+
+def pq_encode(vec: Column, books: list[list[list[float]]]) -> Column:
+    """m-byte PQ code: per subspace, the nearest sub-centroid id — one
+    codegen'd expression, no join, no Python. The encoded table stores m
+    small ints instead of d floats (the compression that lets a 100 TB
+    embedding corpus fit hot storage)."""
+    dsub = len(books[0][0])
+    return F.array(
+        *[
+            assign_ivf_cluster(F.slice(vec, j * dsub + 1, dsub), books[j])
+            for j in range(len(books))
+        ]
+    )
+
+
+def knn_pq(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN with asymmetric distance (ADC): candidates are scored from
+    their m-code representation only — the raw vectors never leave the
+    codebook-build step.
+
+    Both sides are L2-normalized first, so ADC squared-L2 ranks like
+    cosine (monotone: ||q−c||² = 2−2·cos on unit vectors) and recall is
+    comparable against the cosine brute-force truth. Per candidate the
+    distance is Σ_j sqL2(q_sub_j, codebook_j[code_j]) — a literal-array
+    lookup plus a short fold, all codegen. PQ's win is compression, not
+    pruning: it scans every code but reads m ints instead of d floats;
+    compose with IVF bucketing (IVF-PQ) when pruning is also needed.
+    Output: (query_id, neighbor_id, adc_dist, rank), ascending distance.
+
+    Two honest costs: (1) the codebook folds into the plan as literals —
+    scan-only with zero shuffle at 100 TB, but each distinct (m, ksub)
+    pays a multi-second codegen compile, so at demo scale compile time
+    dominates; (2) uniform-random embeddings are PQ's worst case (no
+    cluster structure → quantization error dominates), so recall on such
+    data sits well below LSH/IVF at equal cost — q59's harness measures
+    exactly this, and recall climbs monotonically with m and ksub
+    (verified 4×8 → 16×16 in the recall sweep).
+    """
+    cu = _unit(candidates, id_col, vec_col, "neighbor_id", "__cv")
+    qu = _unit(queries, id_col, vec_col, "query_id", "__qv")
+    books = pq_codebooks(cu, m=m, ksub=ksub, id_col="neighbor_id", vec_col="__cv")
+    dsub = len(books[0][0])
+    # compressed candidate relation: id + m-code, nothing else
+    c = cu.select("neighbor_id", pq_encode(F.col("__cv"), books).alias("__code"))
+    dist = None
+    for j in range(len(books)):
+        bookj = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cent]) for cent in books[j]]
+        )
+        cent = F.element_at(bookj, F.element_at(F.col("__code"), j + 1) + 1)
+        term = _sq_l2(F.slice(F.col("__qv"), j * dsub + 1, dsub), cent)
+        dist = term if dist is None else dist + term
+    scored = (
+        F.broadcast(qu)
+        .crossJoin(c)
+        .select("query_id", "neighbor_id", dist.alias("__d"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("__d", 4).alias("adc_dist"), "rank")
+    )
+
+
 def knn_lsh(
     queries: DataFrame,
     candidates: DataFrame,

@@ -15,6 +15,7 @@ from knightshift_spark.operators.similarity import (
     knn_bruteforce,
     knn_ivf,
     knn_lsh,
+    knn_pq,
 )
 from knightshift_spark.queries import query
 from knightshift_spark.tables import load_table as t
@@ -96,7 +97,7 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q59_ann_recall",
     oracle=None,  # measures engine-internal ANN quality → rows-only
-    doc="recall@k harness: LSH and IVF top-k vs brute-force ground truth — "
+    doc="recall@k harness: LSH, IVF, and PQ top-k vs brute-force ground truth — "
         "the accept/reject dial for ANN parameters at scale. ONE lazy "
         "plan: method-tagged union of the approx results, one inner join "
         "against persisted truth, one groupBy — no driver-side counts or "
@@ -113,6 +114,7 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
         "lsh_b4_h1": knn_lsh(q, c, k=3, bits=4, hamming_probe=1),
         "ivf_c4": knn_ivf(q, c, k=3, n_clusters=4),
         "ivf_c4_p2": knn_ivf(q, c, k=3, n_clusters=4, n_probe=2),
+        "pq_m4_k8": knn_pq(q, c, k=3, m=4, ksub=8),
     }
     approx = None
     for name, df in variants.items():

@@ -17,6 +17,7 @@ from knightshift_spark.functions.text import (
     STOPWORDS_ES,
     STOPWORDS_FR,
     lang_id,
+    repetition_ratio,
     sql_array,
     token_count,
     tokens,
@@ -91,7 +92,9 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
                len(list_filter(tk, x -> list_contains({_EN}, x))) AS en,
                len(list_filter(tk, x -> list_contains({_FR}, x))) AS fr,
                len(list_filter(tk, x -> list_contains({_DE}, x))) AS de,
-               len(list_filter(tk, x -> list_contains({_ES}, x))) AS es
+               len(list_filter(tk, x -> list_contains({_ES}, x))) AS es,
+               len(list_distinct(list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1]))) AS nbd
         FROM toks)
       SELECT doc_id,
              n AS n_tokens,
@@ -105,27 +108,38 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
                   WHEN en = greatest(en, fr, de, es) THEN 'en'
                   WHEN fr = greatest(en, fr, de, es) THEN 'fr'
                   WHEN de = greatest(en, fr, de, es) THEN 'de'
-                  ELSE 'es' END AS lang_pred
+                  ELSE 'es' END AS lang_pred,
+             ROUND(CASE WHEN n < 2 THEN 0.0
+                   ELSE 1.0 - CAST(nbd AS DOUBLE) / (n - 1) END, 4)
+               AS dup_bigram_ratio
       FROM sc""",
     doc="text analysis in one projection (absorbs former q37_lang_id): "
-        "quality scoring (token count, mean token length, stopword ratio) "
-        "+ stopword-vote language ID (deterministic tie order en>fr>de>es)",
+        "quality scoring (token count, mean token length, stopword ratio, "
+        "Gopher-style duplicate-bigram repetition) + stopword-vote "
+        "language ID (deterministic tie order en>fr>de>es)",
 )
 def q36(spark: SparkSession, sf: str) -> DataFrame:
-    tk = tokens(F.lower(F.col("text")))
+    # bind the token array once: the repetition bigrams reference it
+    # inside a transform() lambda, which re-evaluates inlined operands
+    tk = F.col("__tk")
     n = F.size(tk)
     total_chars = F.aggregate(tk, F.lit(0), lambda acc, x: acc + F.length(x))
     sw = F.size(F.filter(tk, lambda x: x.isin(*STOPWORDS_EN)))
-    return t(spark, sf, "documents").select(
-        "doc_id",
-        n.cast("bigint").alias("n_tokens"),
-        F.round(
-            F.when(n == 0, F.lit(0.0)).otherwise(total_chars.cast("double") / n), 4
-        ).alias("avg_token_len"),
-        F.round(
-            F.when(n == 0, F.lit(0.0)).otherwise(sw.cast("double") / n), 4
-        ).alias("stopword_ratio"),
-        lang_id(F.col("text")).alias("lang_pred"),
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", "text", tokens(F.lower(F.col("text"))).alias("__tk"))
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_tokens"),
+            F.round(
+                F.when(n == 0, F.lit(0.0)).otherwise(total_chars.cast("double") / n), 4
+            ).alias("avg_token_len"),
+            F.round(
+                F.when(n == 0, F.lit(0.0)).otherwise(sw.cast("double") / n), 4
+            ).alias("stopword_ratio"),
+            lang_id(F.col("text")).alias("lang_pred"),
+            F.round(repetition_ratio(tk), 4).alias("dup_bigram_ratio"),
+        )
     )
 
 

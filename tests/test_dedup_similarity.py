@@ -228,3 +228,31 @@ def test_contamination_report_flags_overlap(spark):
     assert rows[1]["hit_frac"] == 0.5
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_knn_pq_exact_when_codebook_saturates(spark):
+    """With ksub >= distinct sub-vectors, every sub-vector is its own
+    centroid, so ADC distance is exact L2 on unit vectors — which ranks
+    identically to cosine. PQ top-k must then match brute force."""
+    from knightshift_spark.operators.similarity import knn_bruteforce, knn_pq
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 + 1) for j in range(8)]) for i in range(10)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 2)
+    c = emb.filter(F.col("vec_id") >= 2)
+    truth = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in knn_bruteforce(q, c, k=3).collect()
+    }
+    pq = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in knn_pq(q, c, k=3, m=2, ksub=8).collect()
+    }
+    assert pq == truth
+
+    # compressed relation really is code-only: lossy at small ksub, but
+    # still returns a full top-k per query
+    lossy = knn_pq(q, c, k=3, m=2, ksub=2)
+    assert lossy.groupBy("query_id").count().filter("count != 3").count() == 0

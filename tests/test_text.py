@@ -45,3 +45,27 @@ def test_quality_score_bounds(spark):
     assert all(v is not None and 0.0 <= v <= 1.0 for v in vals)
     assert vals[0] == 0.0
     assert vals[2] > vals[1]
+
+
+def test_repetition_ratio(spark):
+    from knightshift_spark.functions.text import repetition_ratio, tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # bigrams: ab,ba,ab,ba,ab -> 2 distinct of 5
+            (2, "all distinct words here"),  # 3 distinct of 3
+            (3, "one"),                  # <2 tokens
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r["r"]
+        for r in df.select(
+            "doc_id", tokens(F.lower("text")).alias("__tk")
+        ).select("doc_id", F.round(repetition_ratio(F.col("__tk")), 4).alias("r")).collect()
+    }
+    assert out[1] == 0.6
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+    assert out[4] == 0.0
