@@ -1,0 +1,69 @@
+"""Deterministic sampling / mixture weighting for corpus building.
+
+A training-data pipeline samples per-domain ("20% web, 40% code, ...")
+and must be REPRODUCIBLE: re-running the job, or running it on another
+engine, must select the same rows. ``rand()`` gives neither, so selection
+here is a pure function of the row key — the portable md5-derived 32-bit
+hash (``operators.dedup.stable_hash32``), the same family the dedup
+oracles use.
+
+Scale shape: selection is a filter over the scan (zero shuffles); the
+per-stratum fraction arrives by broadcast join against a tiny weights
+relation, so the corpus side never repartitions. Changing ``salt``
+re-draws an independent sample (e.g. per epoch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from knightshift_spark.operators.dedup import stable_hash32
+
+# hash buckets for the keep-threshold; 2^20 gives ~1e-6 fraction granularity
+_BUCKETS = 1 << 20
+
+
+def _bucket(key, salt: str):
+    return stable_hash32(F.concat(F.col(key).cast("string"), F.lit(f"|{salt}"))) % _BUCKETS
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose key-hash bucket
+    falls below ``fraction`` of the bucket space. Same rows every run,
+    every engine; disjoint salts give independent draws."""
+    return df.filter(_bucket(key_col, salt) < int(fraction * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the mixture-weighting step of
+    corpus assembly. ``fractions`` maps stratum value → keep fraction;
+    strata absent from the map keep ``default_fraction`` (0.0 = drop).
+
+    The fractions ride in as a broadcast relation, so the plan is
+    scan → broadcast-hash-join → filter: no shuffle of the corpus side,
+    which is what lets this run as a pass-through stage at 100 TB.
+    """
+    spark = df.sparkSession
+    weights = spark.createDataFrame(
+        [(k, int(v * _BUCKETS)) for k, v in fractions.items()],
+        f"{strata_col} string, __keep_below int",
+    )
+    return (
+        df.join(F.broadcast(weights), strata_col, "left")
+        .withColumn(
+            "__keep_below",
+            F.coalesce("__keep_below", F.lit(int(default_fraction * _BUCKETS))),
+        )
+        .filter(_bucket(key_col, salt) < F.col("__keep_below"))
+        .drop("__keep_below")
+    )

@@ -1,0 +1,72 @@
+"""Deterministic sampling: reproducibility, cross-engine agreement with a
+DuckDB oracle on identical md5 arithmetic, and plan shape (broadcast join,
+no corpus-side shuffle)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from knightshift_spark.operators.sampling import hash_sample, stratified_sample
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# same 32-bit md5-prefix hash as operators.dedup.stable_hash32
+_HASH = (
+    "list_sum(list_transform(range(1, 9), i -> "
+    "CAST((strpos('0123456789abcdef', substr(md5({x}), i, 1)) - 1) AS BIGINT)"
+    " * (CAST(1 AS BIGINT) << (4 * (8 - i)))))"
+)
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_hash_sample_deterministic_and_engine_portable(spark):
+    kept = sorted(
+        r["doc_id"] for r in hash_sample(_docs(spark), 0.3, salt="s1").collect()
+    )
+    again = sorted(
+        r["doc_id"] for r in hash_sample(_docs(spark), 0.3, salt="s1").collect()
+    )
+    assert kept == again  # reproducible
+
+    con = duckdb.connect()
+    h = _HASH.format(x="doc_id || '|s1'")
+    oracle = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM read_parquet('{SF_DIR}/documents.parquet') "
+            f"WHERE {h} % 1048576 < {int(0.3 * 1048576)}"
+        ).fetchall()
+    )
+    assert kept == oracle  # identical selection in another engine
+
+    n_total = _docs(spark).count()
+    assert 0.2 < len(kept) / n_total < 0.4  # close to the asked fraction
+
+    other = sorted(
+        r["doc_id"] for r in hash_sample(_docs(spark), 0.3, salt="s2").collect()
+    )
+    assert other != kept  # a new salt is a fresh draw
+
+
+def test_stratified_sample_mixture(spark):
+    docs = _docs(spark)
+    fractions = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    out = stratified_sample(docs, fractions, salt="mix")
+    by_src = {
+        r["source"]: r["count"] for r in out.groupBy("source").count().collect()
+    }
+    totals = {
+        r["source"]: r["count"] for r in docs.groupBy("source").count().collect()
+    }
+    assert by_src["src0"] == totals["src0"]          # keep-all stratum intact
+    assert 0.25 < by_src["src1"] / totals["src1"] < 0.75
+    assert "src2" not in by_src                      # dropped stratum
+    # strata not in the map default to 0.0
+    assert set(by_src) <= {"src0", "src1"}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan   # corpus side never shuffles
