@@ -344,7 +344,7 @@ def pq_codebooks(
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
-                        assign_ivf_cluster(
+                        _argmin_code(
                             F.slice(vec, j * dsub + 1, dsub), seeds[j]
                         ).alias("cid"),
                         F.slice(vec, j * dsub + 1, dsub).alias("v"),
@@ -365,6 +365,33 @@ def pq_codebooks(
     return books
 
 
+def _argmin_code(vec_sub: Column, book: list[list[float]]) -> Column:
+    """Nearest-centroid index of a sub-vector against one flattened
+    codebook literal. The codebook appears ONCE as a flat array and the
+    per-centroid distance is a transform() over centroid indices — ~10×
+    fewer expression nodes than unrolling ksub separate fold expressions,
+    which keeps plan compile time flat as ksub grows. Ties break on the
+    lower centroid id (struct comparison: distance first, then cid)."""
+    ksub, dsub = len(book), len(book[0])
+    flat = F.array(*[F.lit(float(x)) for cent in book for x in cent])
+    dists = F.transform(
+        F.sequence(F.lit(0), F.lit(ksub - 1)),
+        lambda cid: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec_sub,
+                    F.slice(flat, cid * dsub + 1, dsub),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            cid.alias("cid"),
+        ),
+    )
+    return F.array_min(dists)["cid"]
+
+
 def pq_encode(vec: Column, books: list[list[list[float]]]) -> Column:
     """m-byte PQ code: per subspace, the nearest sub-centroid id — one
     codegen'd expression, no join, no Python. The encoded table stores m
@@ -373,7 +400,7 @@ def pq_encode(vec: Column, books: list[list[list[float]]]) -> Column:
     dsub = len(books[0][0])
     return F.array(
         *[
-            assign_ivf_cluster(F.slice(vec, j * dsub + 1, dsub), books[j])
+            _argmin_code(F.slice(vec, j * dsub + 1, dsub), books[j])
             for j in range(len(books))
         ]
     )
@@ -427,6 +454,84 @@ def knn_pq(
     scored = (
         F.broadcast(qu)
         .crossJoin(c)
+        .select("query_id", "neighbor_id", dist.alias("__d"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("__d", 4).alias("adc_dist"), "rank")
+    )
+
+
+def knn_ivfpq(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    n_clusters: int = 4,
+    n_probe: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse-quantizer pruning + residual PQ scoring — the
+    canonical billion-scale ANN layout (IVF supplies the candidate
+    pruning PQ lacks; PQ supplies the compression IVF lacks).
+
+    Index side: each normalized vector gets its nearest coarse centroid
+    ``cid`` and an m-code PQ encoding of its RESIDUAL (v − centroid) —
+    residuals are what PQ textbooks quantize, because their spread is far
+    smaller than the vectors'. The stored relation is (id, cid, code):
+    a few bytes per vector. Query side: probe the ``n_probe`` nearest
+    coarse cells; within a cell, ADC distance on the query's residual
+    approximates ‖q − c‖² exactly because both sides subtract the SAME
+    centroid. Plan shape: broadcast query probes equi-joined on ``cid``,
+    distance folded in codegen, per-query top-k — cost tracks cell
+    occupancy × n_probe, I/O tracks the code width, never d floats.
+    """
+    cu = _unit(candidates, id_col, vec_col, "neighbor_id", "__cv")
+    qu = _unit(queries, id_col, vec_col, "query_id", "__qv")
+    coarse = ivf_centroids(cu, n_clusters, "neighbor_id", "__cv")
+    coarse_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in cent]) for cent in coarse]
+    )
+
+    def residual(vec: Column, cid: Column) -> Column:
+        return F.zip_with(vec, F.element_at(coarse_lit, cid + 1), lambda x, c: x - c)
+
+    c_res = cu.select(
+        "neighbor_id",
+        "__cv",
+        assign_ivf_cluster(F.col("__cv"), coarse).alias("__cid"),
+    ).select(
+        "neighbor_id", "__cid", residual(F.col("__cv"), F.col("__cid")).alias("__rv")
+    )
+    books = pq_codebooks(c_res, m=m, ksub=ksub, id_col="neighbor_id", vec_col="__rv")
+    dsub = len(books[0][0])
+    c = c_res.select(
+        "neighbor_id", "__cid", pq_encode(F.col("__rv"), books).alias("__code")
+    )
+    q = qu.select(
+        "query_id",
+        F.col("__qv"),
+        F.explode(assign_ivf_clusters(F.col("__qv"), coarse, n_probe)).alias("__cid"),
+    ).select(
+        "query_id", "__cid", residual(F.col("__qv"), F.col("__cid")).alias("__qr")
+    )
+    dist = None
+    for j in range(len(books)):
+        bookj = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cent]) for cent in books[j]]
+        )
+        cent = F.element_at(bookj, F.element_at(F.col("__code"), j + 1) + 1)
+        term = _sq_l2(F.slice(F.col("__qr"), j * dsub + 1, dsub), cent)
+        dist = term if dist is None else dist + term
+    scored = (
+        F.broadcast(q)
+        .join(c, "__cid")
         .select("query_id", "neighbor_id", dist.alias("__d"))
     )
     from pyspark.sql import Window

@@ -14,6 +14,7 @@ from knightshift_spark.operators.similarity import (
     cosine,
     knn_bruteforce,
     knn_ivf,
+    knn_ivfpq,
     knn_lsh,
     knn_pq,
 )
@@ -115,6 +116,7 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
         "ivf_c4": knn_ivf(q, c, k=3, n_clusters=4),
         "ivf_c4_p2": knn_ivf(q, c, k=3, n_clusters=4, n_probe=2),
         "pq_m4_k8": knn_pq(q, c, k=3, m=4, ksub=8),
+        "ivfpq_c4p2": knn_ivfpq(q, c, k=3, n_clusters=4, n_probe=2, m=4, ksub=8),
     }
     approx = None
     for name, df in variants.items():

@@ -256,3 +256,31 @@ def test_knn_pq_exact_when_codebook_saturates(spark):
     # still returns a full top-k per query
     lossy = knn_pq(q, c, k=3, m=2, ksub=2)
     assert lossy.groupBy("query_id").count().filter("count != 3").count() == 0
+
+
+def test_knn_ivfpq_exact_when_saturated(spark):
+    """Probing every cluster + a saturating residual codebook makes
+    IVF-PQ's ADC distance exact, so top-k must match brute force."""
+    from knightshift_spark.operators.similarity import knn_bruteforce, knn_ivfpq
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 + 1) for j in range(8)]) for i in range(10)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 2)
+    c = emb.filter(F.col("vec_id") >= 2)
+    truth = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in knn_bruteforce(q, c, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in knn_ivfpq(
+            q, c, k=3, n_clusters=2, n_probe=2, m=2, ksub=8
+        ).collect()
+    }
+    assert got == truth
+
+    # single-probe prunes: each query scores only its own cell's rows
+    pruned = knn_ivfpq(q, c, k=3, n_clusters=2, n_probe=1, m=2, ksub=8)
+    assert pruned.groupBy("query_id").count().count() == 2
