@@ -140,6 +140,48 @@ def jaccard_pairs(
     )
 
 
+def dedup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-level exact dedup (the C4/CCNet move): a paragraph
+    repeated ANYWHERE in the corpus survives only at its first occurrence
+    (lowest ``(doc_id, position)``); documents are reassembled from their
+    surviving paragraphs, preserving order. Docs whose every paragraph
+    was claimed elsewhere drop out entirely.
+
+    Shuffle budget: one fingerprint-keyed aggregation (``min(struct)``
+    partial-combines map-side → one row per distinct paragraph), one
+    first-occurrence join, one doc-keyed reassembly. Paragraph identity
+    is the normalized-text md5 (case/whitespace-insensitive), matching
+    ``doc_fingerprint`` semantics at paragraph grain.
+    """
+    from knightshift_spark.functions.text import doc_fingerprint
+
+    paras = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para")
+    ).withColumn("__fp", doc_fingerprint(F.col("para")))
+    firsts = paras.groupBy("__fp").agg(
+        F.min(F.struct(id_col, "pos")).alias("__first")
+    )
+    survivors = paras.join(firsts, "__fp").filter(
+        (F.col(id_col) == F.col(f"__first.{id_col}"))
+        & (F.col("pos") == F.col("__first.pos"))
+    )
+    return (
+        survivors.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "para"))).alias("__ps"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(sep, F.transform(F.col("__ps"), lambda s: s["para"])).alias(
+                text_col
+            ),
+        )
+    )
+
+
 def contamination_report(
     corpus: DataFrame,
     eval_docs: DataFrame,

@@ -284,3 +284,25 @@ def test_knn_ivfpq_exact_when_saturated(spark):
     # single-probe prunes: each query scores only its own cell's rows
     pruned = knn_ivfpq(q, c, k=3, n_clusters=2, n_probe=1, m=2, ksub=8)
     assert pruned.groupBy("query_id").count().count() == 2
+
+
+def test_dedup_paragraphs(spark):
+    """Repeated paragraph survives only at its first (doc_id, pos);
+    documents reassemble in order; fully-duplicate docs drop out."""
+    from knightshift_spark.operators.dedup import dedup_paragraphs
+
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one\n\n{boiler}\n\nbody one"),
+            (2, f"{boiler}\n\nbody two"),          # loses the boilerplate
+            (3, f"{boiler.upper()}"),              # normalized dup only -> drops out
+            (4, "unique text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_paragraphs(docs).collect()}
+    assert out[1] == f"intro one\n\n{boiler}\n\nbody one"  # first occurrence intact
+    assert out[2] == "body two"
+    assert 3 not in out
+    assert out[4] == "unique text"
