@@ -8,7 +8,13 @@ Chains the scale operators end-to-end over a ``documents`` table:
 3. quality gate: stopword ratio + token count thresholds;
 4. language filter against an allowlist (engine lang-ID, not the stored
    label — curation must not trust upstream metadata);
-5. per-survivor token stats for downstream mixture budgeting.
+5. optional benchmark decontamination (``eval_docs``): anti-join against
+   the broadcast n-gram hit list (``operators.dedup.contamination_report``);
+6. optional deterministic mixture sampling (``mixture``): per-stratum
+   md5-keyed fractions (``operators.sampling.stratified_sample``).
+
+The funnel's ``quality_or_lang_removed`` bucket absorbs stages 3–6 (it
+counts everything removed between near-dup output and the final keep).
 
 Every stage is a DataFrame transform: the pipeline is ONE lazy plan until
 the caller materializes. At 100 TB: stage 1 is a single shuffle; stage 2
@@ -48,6 +54,11 @@ def curate_corpus(
     text_col: str = "text",
     persist_intermediates: bool = False,
     jaccard_df_max: int | None = 10_000,
+    eval_docs: DataFrame | None = None,
+    contamination_ngram: int = 5,
+    mixture: dict[str, float] | None = None,
+    mixture_col: str = "source",
+    mixture_salt: str = "",
 ) -> CurationResult:
     annotated = docs.select(
         "*",
@@ -100,6 +111,24 @@ def curate_corpus(
     quality_ok = (F.col("n_tokens") >= min_tokens) & (F.col("sw_ratio") >= min_stopword_ratio)
     lang_ok = F.col("lang_pred").isin(*langs)
     kept = deduped.filter(quality_ok & lang_ok).drop("__fp")
+
+    # 5. (optional) benchmark decontamination: drop any doc sharing an
+    # n-gram with the eval set — anti-join against the broadcast hit list
+    if eval_docs is not None:
+        from knightshift_spark.operators.dedup import contamination_report
+
+        hits = contamination_report(
+            kept, eval_docs, n=contamination_ngram, id_col=id_col, text_col=text_col
+        ).select(id_col)
+        kept = kept.join(hits, id_col, "left_anti")
+
+    # 6. (optional) deterministic mixture sampling per stratum
+    if mixture is not None:
+        from knightshift_spark.operators.sampling import stratified_sample
+
+        kept = stratified_sample(
+            kept, mixture, strata_col=mixture_col, key_col=id_col, salt=mixture_salt
+        )
 
     # stats stay LAZY: one action materializes the whole funnel. Eager
     # .count() per stage would re-run the expensive dedup subtree once per

@@ -72,3 +72,49 @@ def test_knn_empty_candidates(spark):
     q = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id int, embedding array<float>")
     empty = spark.createDataFrame([], "vec_id int, embedding array<float>")
     assert knn_bruteforce(q, empty, k=3).count() == 0
+
+
+def test_curate_corpus_decontaminate_and_mixture(spark):
+    """Full composition: dedup -> gates -> decontamination anti-join ->
+    deterministic mixture sampling; stats funnel still sums to input."""
+    from knightshift_spark.pipelines.corpus import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today", "web"),
+            (2, "the quick brown fox jumps over the lazy dog today", "web"),  # exact dup
+            (3, "a completely original document with the plenty of words in it", "web"),
+            (4, "benchmark question one is about the speed of a fox", "books"),
+            (5, "this is that and it is on for as at by", "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "benchmark question one is about the speed of a fox", "eval")],
+        "doc_id long, text string, source string",
+    )
+    res = curate_corpus(
+        docs,
+        min_tokens=5,
+        langs=("en", "und"),
+        eval_docs=ev,
+        mixture={"web": 1.0, "books": 1.0},
+    )
+    kept_ids = {r["doc_id"] for r in res.kept.collect()}
+    assert 2 not in kept_ids          # exact dup gone
+    assert 4 not in kept_ids          # contaminated by the eval doc
+    assert {1, 3} <= kept_ids
+    stats = {r["reason"]: r["n"] for r in res.stats.collect()}
+    assert stats["input"] == 5
+    assert stats["kept"] == len(kept_ids)
+    assert (
+        stats["exact_dup_removed"] + stats["near_dup_removed"]
+        + stats["quality_or_lang_removed"] + stats["kept"]
+    ) == stats["input"]
+
+    # mixture dropping a stratum entirely is deterministic
+    res2 = curate_corpus(
+        docs, min_tokens=5, langs=("en", "und"),
+        mixture={"web": 1.0},  # books default 0.0
+    )
+    assert all(r["source"] == "web" for r in res2.kept.collect())
