@@ -494,44 +494,63 @@ def knn_ivfpq(
     """
     cu = _unit(candidates, id_col, vec_col, "neighbor_id", "__cv")
     qu = _unit(queries, id_col, vec_col, "query_id", "__qv")
+    c, coarse, books = _ivfpq_index(cu, n_clusters, m, ksub)
+    return _ivfpq_topk(qu, c, coarse, books, k, n_probe)
+
+
+def _residual(vec: Column, cid: Column, coarse: list[list[float]]) -> Column:
+    coarse_lit = F.array(*[F.array(*[F.lit(float(x)) for x in cent]) for cent in coarse])
+    return F.zip_with(vec, F.element_at(coarse_lit, cid + 1), lambda x, c: x - c)
+
+
+def _ivfpq_index(
+    cu: DataFrame, n_clusters: int, m: int, ksub: int
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    """Index side of IVF-PQ over a normalized (neighbor_id, __cv) relation:
+    returns the (neighbor_id, cid, code) relation plus the coarse/PQ
+    codebooks the query side needs."""
     coarse = ivf_centroids(cu, n_clusters, "neighbor_id", "__cv")
-    coarse_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in cent]) for cent in coarse]
-    )
-
-    def residual(vec: Column, cid: Column) -> Column:
-        return F.zip_with(vec, F.element_at(coarse_lit, cid + 1), lambda x, c: x - c)
-
     c_res = cu.select(
         "neighbor_id",
         "__cv",
-        assign_ivf_cluster(F.col("__cv"), coarse).alias("__cid"),
+        assign_ivf_cluster(F.col("__cv"), coarse).alias("cid"),
     ).select(
-        "neighbor_id", "__cid", residual(F.col("__cv"), F.col("__cid")).alias("__rv")
+        "neighbor_id", "cid", _residual(F.col("__cv"), F.col("cid"), coarse).alias("__rv")
     )
     books = pq_codebooks(c_res, m=m, ksub=ksub, id_col="neighbor_id", vec_col="__rv")
+    c = c_res.select("neighbor_id", "cid", pq_encode(F.col("__rv"), books).alias("code"))
+    return c, coarse, books
+
+
+def _ivfpq_topk(
+    qu: DataFrame,
+    c: DataFrame,
+    coarse: list[list[float]],
+    books: list[list[list[float]]],
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Query side of IVF-PQ: probe n_probe coarse cells, ADC-score the
+    probed codes, per-query top-k."""
     dsub = len(books[0][0])
-    c = c_res.select(
-        "neighbor_id", "__cid", pq_encode(F.col("__rv"), books).alias("__code")
-    )
     q = qu.select(
         "query_id",
         F.col("__qv"),
-        F.explode(assign_ivf_clusters(F.col("__qv"), coarse, n_probe)).alias("__cid"),
+        F.explode(assign_ivf_clusters(F.col("__qv"), coarse, n_probe)).alias("cid"),
     ).select(
-        "query_id", "__cid", residual(F.col("__qv"), F.col("__cid")).alias("__qr")
+        "query_id", "cid", _residual(F.col("__qv"), F.col("cid"), coarse).alias("__qr")
     )
     dist = None
     for j in range(len(books)):
         bookj = F.array(
             *[F.array(*[F.lit(float(x)) for x in cent]) for cent in books[j]]
         )
-        cent = F.element_at(bookj, F.element_at(F.col("__code"), j + 1) + 1)
+        cent = F.element_at(bookj, F.element_at(F.col("code"), j + 1) + 1)
         term = _sq_l2(F.slice(F.col("__qr"), j * dsub + 1, dsub), cent)
         dist = term if dist is None else dist + term
     scored = (
         F.broadcast(q)
-        .join(c, "__cid")
+        .join(c, "cid")
         .select("query_id", "neighbor_id", dist.alias("__d"))
     )
     from pyspark.sql import Window
@@ -541,6 +560,67 @@ def knn_ivfpq(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("__d", 4).alias("adc_dist"), "rank")
+    )
+
+
+def write_ann_index(
+    candidates: DataFrame,
+    path: str,
+    n_clusters: int = 4,
+    n_probe_default: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF-PQ index: the (id, cid, code) relation as parquet
+    PARTITIONED BY cid, plus a JSON sidecar with the codebooks and
+    parameters. Build once, query many — the raw embedding column is not
+    needed at query time, and the cid partitioning means a probe touches
+    only its cells' files (partition pruning on the index scan)."""
+    import json
+    import os
+
+    cu = _unit(candidates, id_col, vec_col, "neighbor_id", "__cv")
+    c, coarse, books = _ivfpq_index(cu, n_clusters, m, ksub)
+    c.write.mode("overwrite").partitionBy("cid").parquet(os.path.join(path, "codes"))
+    meta = {
+        "coarse": coarse,
+        "books": books,
+        "m": m,
+        "ksub": ksub,
+        "n_clusters": n_clusters,
+        "n_probe_default": n_probe_default,
+    }
+    with open(os.path.join(path, "codebooks.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def query_ann_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a persisted IVF-PQ index (``write_ann_index``).
+    Only the probed cid partitions of the code relation are read."""
+    import json
+    import os
+
+    with open(os.path.join(path, "codebooks.json")) as f:
+        meta = json.load(f)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    qu = _unit(queries, id_col, vec_col, "query_id", "__qv")
+    return _ivfpq_topk(
+        qu,
+        codes,
+        meta["coarse"],
+        meta["books"],
+        k,
+        n_probe if n_probe is not None else meta["n_probe_default"],
     )
 
 

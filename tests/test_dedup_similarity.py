@@ -306,3 +306,29 @@ def test_dedup_paragraphs(spark):
     assert out[2] == "body two"
     assert 3 not in out
     assert out[4] == "unique text"
+
+
+def test_persisted_ann_index_matches_inline(spark, tmp_path):
+    """write_ann_index -> query_ann_index returns exactly what the inline
+    knn_ivfpq computes with the same parameters (build once, query many)."""
+    from knightshift_spark.operators.similarity import (
+        knn_ivfpq,
+        query_ann_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    c = emb.filter(F.col("vec_id") >= 3)
+
+    inline = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["adc_dist"])
+        for r in knn_ivfpq(q, c, k=3, n_clusters=2, n_probe=1, m=2, ksub=4).collect()
+    )
+    idx = str(tmp_path / "ann_index")
+    write_ann_index(c, idx, n_clusters=2, n_probe_default=1, m=2, ksub=4)
+    persisted = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["adc_dist"])
+        for r in query_ann_index(spark, idx, q, k=3).collect()
+    )
+    assert persisted == inline
