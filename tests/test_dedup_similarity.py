@@ -327,8 +327,14 @@ def test_persisted_ann_index_matches_inline(spark, tmp_path):
     )
     idx = str(tmp_path / "ann_index")
     write_ann_index(c, idx, n_clusters=2, n_probe_default=1, m=2, ksub=4)
+    out = query_ann_index(spark, idx, q, k=3)
     persisted = sorted(
         (r["query_id"], r["rank"], r["neighbor_id"], r["adc_dist"])
-        for r in query_ann_index(spark, idx, q, k=3).collect()
+        for r in out.collect()
     )
     assert persisted == inline
+
+    # the probe dynamically prunes the cid-partitioned index scan:
+    # only probed cells' files are read
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
