@@ -153,3 +153,67 @@ def test_pgn_parser_never_crashes(spark, lines):
     n_moves = sum(1 for ln in lines if ln.startswith("1. "))
     assert len(games) <= n_moves + 1
     assert all("site" in g["headers"] for g in games)
+
+
+def _py_ngrams(text: str, n: int) -> set[str]:
+    tk = text.strip().lower().split()
+    return {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+
+
+_WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta", "zeta", "eta"])
+_TEXTS = st.lists(_WORDS, min_size=0, max_size=9).map(" ".join)
+
+
+@given(
+    corpus=st.lists(_TEXTS, min_size=1, max_size=6),
+    ev=st.lists(_TEXTS, min_size=1, max_size=3),
+)
+@settings(**_SETTINGS)
+def test_contamination_matches_python_sets(spark, corpus, ev):
+    """contamination_report == straight-Python set arithmetic on every
+    input: flagged docs, distinct-gram counts, and hit counts all match."""
+    from knightshift_spark.operators.dedup import contamination_report
+
+    n = 3
+    cdf = spark.createDataFrame(list(enumerate(corpus)), "doc_id long, text string")
+    edf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(ev)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"])
+        for r in contamination_report(cdf, edf, n=n).collect()
+    }
+    ev_grams = set().union(*(_py_ngrams(t, n) for t in ev))
+    want = {}
+    for i, t in enumerate(corpus):
+        grams = _py_ngrams(t, n)
+        hits = len(grams & ev_grams)
+        if hits:
+            want[i] = (len(grams), hits)
+    assert got == want
+
+
+@given(docs=st.lists(st.lists(_TEXTS, min_size=1, max_size=4), min_size=1, max_size=5))
+@settings(**_SETTINGS)
+def test_dedup_paragraphs_invariants(spark, docs):
+    """Every distinct normalized paragraph survives exactly once, at its
+    first (doc_id, pos); surviving docs keep their paragraph order."""
+    from knightshift_spark.operators.dedup import dedup_paragraphs
+
+    rows = [(i, "\n\n".join(ps)) for i, ps in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in dedup_paragraphs(df).collect()}
+
+    def norm(p: str) -> str:
+        return " ".join(p.strip().lower().split())
+
+    seen: dict[str, tuple[int, int]] = {}
+    for i, ps in enumerate(docs):
+        for pos, p in enumerate(ps):
+            seen.setdefault(norm(p), (i, pos))
+    want = {}
+    for i, ps in enumerate(docs):
+        kept = [p for pos, p in enumerate(ps) if seen[norm(p)] == (i, pos)]
+        if kept:
+            want[i] = "\n\n".join(kept)
+    assert out == want
