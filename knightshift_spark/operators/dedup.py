@@ -158,10 +158,15 @@ def dedup_paragraphs(
     is the normalized-text md5 (case/whitespace-insensitive), matching
     ``doc_fingerprint`` semantics at paragraph grain.
     """
+    import re
+
     from knightshift_spark.functions.text import doc_fingerprint
 
+    # F.split takes a regex; escape so `sep` is literal on both the split
+    # and the concat_ws reassembly side
     paras = docs.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para")
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("pos", "para"),
     ).withColumn("__fp", doc_fingerprint(F.col("para")))
     firsts = paras.groupBy("__fp").agg(
         F.min(F.struct(id_col, "pos")).alias("__first")
