@@ -1,0 +1,79 @@
+"""Example — end-to-end training-corpus curation with this engine.
+
+The full composition a pretraining-data pipeline runs, each stage a
+DataFrame transform designed for 100 TB (see SCALE.md):
+
+  paragraph dedup → doc-level curation (exact dedup → MinHash-LSH
+  near-dup → quality/lang gates → benchmark decontamination →
+  deterministic mixture sampling) → ANN index build for the survivors'
+  embeddings.
+
+Runnable against the driver testdata:
+
+    python examples/curate_training_corpus.py [sf_dir] [out_dir]
+
+NOT imported by the engine or its tests — a usage demonstration.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from knightshift_spark.operators.dedup import dedup_paragraphs  # noqa: E402
+from knightshift_spark.operators.similarity import write_ann_index  # noqa: E402
+from knightshift_spark.pipelines.corpus import curate_corpus  # noqa: E402
+from knightshift_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated_corpus"
+    spark = get_spark("curate-example")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # held-out eval slice to decontaminate against (in production: the
+    # benchmark suites' text)
+    eval_docs = docs.filter(F.col("doc_id") % 25 == 7)
+    corpus = docs.filter(F.col("doc_id") % 25 != 7)
+
+    # 1. paragraph-level dedup (C4-style boilerplate removal)
+    para_clean = dedup_paragraphs(corpus).join(
+        corpus.select("doc_id", "lang", "source"), "doc_id"
+    )
+
+    # 2. doc-level curation with decontamination + mixture in one plan
+    result = curate_corpus(
+        para_clean,
+        jaccard_threshold=0.5,
+        min_tokens=5,
+        langs=("en", "und"),
+        persist_intermediates=True,
+        eval_docs=eval_docs,
+        mixture={f"src{i}": 1.0 if i % 2 == 0 else 0.5 for i in range(20)},
+    )
+    result.kept.write.mode("overwrite").parquet(f"{out_dir}/documents")
+    result.stats.show(truncate=False)
+
+    # 3. ANN index over the survivors' embeddings (build once, query many)
+    kept_ids = spark.read.parquet(f"{out_dir}/documents").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    write_ann_index(
+        emb.join(kept_ids, "vec_id", "left_semi"),
+        f"{out_dir}/ann_index",
+        n_clusters=4,
+        m=4,
+        ksub=8,
+    )
+    print(f"curated corpus + ANN index written under {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
