@@ -35,10 +35,11 @@ def tokens(c: Column) -> Column:
     )
 
 
-def token_count(c: Column) -> Column:
+def token_count(c: Column, tk: Column | None = None) -> Column:
     """Whitespace token count (BPE-ish subword counting is a multiplier on
-    this at the pipeline level; whitespace is the deterministic contract)."""
-    return F.size(tokens(c))
+    this at the pipeline level; whitespace is the deterministic contract).
+    Pass a pre-bound token array ``tk`` to skip re-splitting."""
+    return F.size(tokens(c) if tk is None else tk)
 
 
 def repetition_ratio(tk: Column) -> Column:
@@ -72,8 +73,12 @@ def doc_fingerprint(c: Column) -> Column:
     return F.md5(normalize_text(c).cast("binary"))
 
 
-def stopword_ratio(c: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
-    tk = tokens(F.lower(c))
+def stopword_ratio(
+    c: Column, stopwords: tuple[str, ...] = STOPWORDS_EN, tk: Column | None = None
+) -> Column:
+    """``tk``, when given, must be LOWERCASED tokens (the stopword lists
+    are lowercase)."""
+    tk = tokens(F.lower(c)) if tk is None else tk
     n = F.size(tk)
     sw = F.size(F.filter(tk, lambda x: x.isin(*stopwords)))
     return F.when(n == 0, F.lit(0.0)).otherwise(sw.cast("double") / n)
@@ -90,11 +95,12 @@ def quality_score(c: Column) -> Column:
     return F.round((len_term + sw_term) / 2.0, 4)
 
 
-def lang_id(c: Column) -> Column:
+def lang_id(c: Column, tk: Column | None = None) -> Column:
     """Stopword-vote language ID: highest hit-count wins; ties and
     low-evidence (<10% of tokens) → ``und``. Deterministic by fixed
-    language order (en, fr, de, es)."""
-    tk = tokens(F.lower(c))
+    language order (en, fr, de, es). ``tk``, when given, must be
+    LOWERCASED tokens."""
+    tk = tokens(F.lower(c)) if tk is None else tk
     n = F.size(tk)
 
     def hits(words: tuple[str, ...]) -> Column:

@@ -60,12 +60,18 @@ def curate_corpus(
     mixture_col: str = "source",
     mixture_salt: str = "",
 ) -> CurationResult:
+    # bind the lowercased token array ONCE: each text function would
+    # otherwise re-split per use (SCALE.md "Expression-engine lesson")
+    from knightshift_spark.functions.text import tokens
+
     annotated = docs.select(
-        "*",
+        "*", tokens(F.lower(F.col(text_col))).alias("__tk")
+    ).select(
+        *docs.columns,
         doc_fingerprint(F.col(text_col)).alias("__fp"),
-        token_count(F.col(text_col)).alias("n_tokens"),
-        stopword_ratio(F.col(text_col)).alias("sw_ratio"),
-        lang_id(F.col(text_col)).alias("lang_pred"),
+        token_count(F.col(text_col), tk=F.col("__tk")).alias("n_tokens"),
+        stopword_ratio(F.col(text_col), tk=F.col("__tk")).alias("sw_ratio"),
+        lang_id(F.col(text_col), tk=F.col("__tk")).alias("lang_pred"),
     )
 
     # 1. exact dedup: keep the lowest id per fingerprint

@@ -137,7 +137,7 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
             F.round(
                 F.when(n == 0, F.lit(0.0)).otherwise(sw.cast("double") / n), 4
             ).alias("stopword_ratio"),
-            lang_id(F.col("text")).alias("lang_pred"),
+            lang_id(F.col("text"), tk=tk).alias("lang_pred"),
             F.round(repetition_ratio(tk), 4).alias("dup_bigram_ratio"),
         )
     )
