@@ -1,0 +1,192 @@
+"""Sequence packing: lay documents into fixed-token training windows.
+
+Two packing disciplines, both deterministic given a numeric ordering key:
+
+- **chunk_pack** — GPT-style "concatenate, then split": documents are
+  laid end-to-end in key order and the token stream is cut every
+  ``budget`` tokens.  Documents may straddle a cut; the output reports
+  each document's global token span and the chunk range it lands in.
+  This is the packing used when training consumes a flat token stream.
+- **greedy_pack** — first-fit whole-document packing: walk documents in
+  key order, start a new pack whenever adding the next document would
+  exceed ``budget``.  No document is split; packs may be underfull.
+  This is the packing used for document-boundary-respecting batches
+  (e.g. contrastive or instruction tuning).
+
+Scale shape: a single global ``SUM() OVER (ORDER BY ...)`` window would
+serialize 100 TB through one task, so the running total is computed as a
+textbook two-phase distributed prefix sum: rows are range-bucketed on
+the ordering key, each bucket takes a partition-local cumulative sum,
+and the per-bucket totals (``n_buckets`` rows — thousands, not billions)
+are aggregated once and rejoined as broadcast offsets.  ``greedy_pack``
+packs each bucket independently in one Arrow batch per bucket
+(``applyInPandas``): packs never cross buckets, so the only
+approximation versus a fully serial scan is one possibly-underfull pack
+per bucket boundary — the standard distributed-packing tradeoff.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _range_buckets(
+    docs: DataFrame, order_col: str, n_buckets: int
+) -> tuple[DataFrame, str]:
+    """Add a contiguous-range bucket id derived from the numeric ordering
+    key: bucket = floor((key - min) * n / (max - min + 1)).  One tiny
+    min/max aggregate (a single collected row) fixes the boundaries, so
+    bucketing is deterministic and order-preserving across buckets —
+    every row in bucket b sorts before every row in bucket b+1."""
+    lo, hi = docs.agg(
+        F.min(order_col).cast("bigint"), F.max(order_col).cast("bigint")
+    ).first()
+    if lo is None:  # empty input: single vacuous bucket
+        return docs.withColumn("__bkt", F.lit(0)), "__bkt"
+    span = hi - lo + 1
+    n = max(1, min(n_buckets, span))
+    bkt = F.floor((F.col(order_col).cast("bigint") - F.lit(lo)) * n / F.lit(span))
+    return docs.withColumn("__bkt", bkt.cast("int")), "__bkt"
+
+
+def _with_prefix(
+    docs: DataFrame, order_col: str, tokens_col: str, n_buckets: int
+) -> DataFrame:
+    """Exclusive global running sum of ``tokens_col`` in ``order_col``
+    order, as ``__start`` — two-phase prefix sum (see module docstring)."""
+    bucketed, bkt = _range_buckets(docs, order_col, n_buckets)
+    w = Window.partitionBy(bkt).orderBy(order_col)
+    local = bucketed.withColumn(
+        "__local_end", F.sum(F.col(tokens_col).cast("bigint")).over(w)
+    )
+    # per-bucket totals → exclusive bucket offsets; n_buckets rows, so the
+    # window-over-everything here is a LocalTableScan-sized sort, and the
+    # offsets rejoin the big side as a broadcast hash join (no shuffle).
+    totals = bucketed.groupBy(bkt).agg(
+        F.sum(F.col(tokens_col).cast("bigint")).alias("__bkt_total")
+    )
+    wo = Window.orderBy(bkt).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        bkt, F.coalesce(F.sum("__bkt_total").over(wo), F.lit(0)).alias("__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), bkt)
+        .withColumn(
+            "__start",
+            F.col("__offset") + F.col("__local_end") - F.col(tokens_col).cast("bigint"),
+        )
+        .drop(bkt, "__local_end", "__offset")
+    )
+
+
+def chunk_pack(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    order_col: str | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Concat-and-split packing: returns one row per document with its
+    global token span and chunk assignment under fixed-size cuts.
+
+    Output columns: ``id_col``, ``tokens_col``, ``tok_start`` (global
+    offset of the document's first token), ``chunk_first`` /
+    ``chunk_last`` (the cut windows its tokens land in; equal unless the
+    document straddles a cut), ``n_chunks_spanned``.
+
+    ``order_col`` (default: the id) must be numeric and unique — it IS
+    the reproducibility contract: same ordering key, same token stream,
+    any engine, any partitioning.  Zero-token documents occupy no span;
+    they are assigned the chunk at their offset and span 1.
+    """
+    order_col = order_col or id_col
+    out = _with_prefix(docs, order_col, tokens_col, n_buckets).withColumn(
+        "__end_incl",
+        F.col("__start") + F.greatest(F.col(tokens_col).cast("bigint") - 1, F.lit(0)),
+    )
+    # integer DIV, not floor(double /): exact at any global offset (a
+    # 100 TB corpus's token stream overflows double's 2^53 integer range)
+    first, last = F.expr(f"__start DIV {int(budget)}"), F.expr(
+        f"__end_incl DIV {int(budget)}"
+    )
+    return out.select(
+        id_col,
+        tokens_col,
+        F.col("__start").alias("tok_start"),
+        first.alias("chunk_first"),
+        last.alias("chunk_last"),
+        (last - first + 1).alias("n_chunks_spanned"),
+    )
+
+
+def greedy_pack(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    order_col: str | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """First-fit whole-document packing within range buckets.
+
+    Returns one row per document: ``id_col``, ``tokens_col``, ``pack_id``
+    (globally unique ``bucket * 2^32 + local_pack``), ``pack_pos``
+    (document's index within its pack).  Documents larger than ``budget``
+    get a singleton (overfull) pack — they are the caller's filtering
+    problem, not silently dropped.
+
+    Each bucket packs in one Arrow batch (``applyInPandas``); the
+    sequential first-fit walk is inherently serial, so bucket granularity
+    is the parallelism dial: packs never cross buckets, costing at most
+    one underfull pack per bucket versus a serial global walk.
+    """
+    order_col = order_col or id_col
+    bucketed, bkt = _range_buckets(docs, order_col, n_buckets)
+    cols = [id_col, tokens_col, order_col, bkt]
+    slim = bucketed.select(*dict.fromkeys(cols))  # dedup if order_col == id_col
+
+    out_schema = f"{id_col} bigint, {tokens_col} bigint, pack_id bigint, pack_pos int"
+
+    def pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        base = int(pdf["__bkt"].iloc[0]) << 32
+        pack, pos, used = 0, 0, 0
+        packs, positions = [], []
+        for n in pdf[tokens_col].astype("int64"):
+            if used > 0 and used + n > budget:
+                pack, pos, used = pack + 1, 0, 0
+            packs.append(base + pack)
+            positions.append(pos)
+            used += int(n)
+            pos += 1
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].astype("int64"),
+                tokens_col: pdf[tokens_col].astype("int64"),
+                "pack_id": packs,
+                "pack_pos": positions,
+            }
+        )
+
+    return slim.groupBy(bkt).applyInPandas(pack_bucket, schema=out_schema)
+
+
+def pack_stats(packed: DataFrame, budget: int, tokens_col: str = "n_tokens") -> DataFrame:
+    """Utilization report over ``greedy_pack`` output: one row with pack
+    count, mean fill fraction, and the underfull-pack share — the dial a
+    pipeline watches when tuning bucket count vs. budget."""
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum(tokens_col).alias("__fill"), F.count(F.lit(1)).alias("__docs")
+    )
+    return per_pack.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.round(F.avg(F.col("__fill") / budget), 4).alias("mean_fill"),
+        F.round(
+            F.avg((F.col("__fill") < budget * 0.5).cast("double")), 4
+        ).alias("underfull_share"),
+        F.round(F.avg("__docs"), 4).alias("mean_docs_per_pack"),
+    )

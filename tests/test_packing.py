@@ -1,0 +1,102 @@
+"""Sequence-packing operators vs straight-Python references.
+
+Both packers are deterministic functions of (ordering key, token counts,
+budget); the references replay the same walk serially.  Bucket-count
+invariance is the load-bearing assertion for ``chunk_pack`` — the
+two-phase prefix sum must give byte-identical spans no matter how the
+rows were bucketed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from knightshift_spark.operators.packing import chunk_pack, greedy_pack, pack_stats
+
+# (doc_id, n_tokens) — mixes tiny docs, a budget-straddler, a zero-token
+# doc, and one larger than the budget (217 > 128)
+DOCS = [
+    (1, 40), (2, 90), (3, 17), (4, 0), (5, 128), (6, 5),
+    (7, 217), (8, 64), (9, 64), (10, 1), (11, 33), (12, 100),
+]
+BUDGET = 128
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, n_tokens bigint")
+
+
+def _chunk_reference():
+    """Serial concat-and-split walk."""
+    out, start = {}, 0
+    for doc_id, n in sorted(DOCS):
+        end_incl = start + max(n - 1, 0)
+        first, last = start // BUDGET, end_incl // BUDGET
+        out[doc_id] = (start, first, last, last - first + 1)
+        start += n
+    return out
+
+
+def _greedy_reference(order, budget):
+    """Serial first-fit walk over one bucket."""
+    packs, pack, pos, used = {}, 0, 0, 0
+    for doc_id, n in order:
+        if used > 0 and used + n > budget:
+            pack, pos, used = pack + 1, 0, 0
+        packs[doc_id] = (pack, pos)
+        used += n
+        pos += 1
+    return packs
+
+
+@pytest.mark.parametrize("n_buckets", [1, 3, 256])
+def test_chunk_pack_matches_serial_reference(spark, n_buckets):
+    got = {
+        r.doc_id: (r.tok_start, r.chunk_first, r.chunk_last, r.n_chunks_spanned)
+        for r in chunk_pack(_docs_df(spark), BUDGET, n_buckets=n_buckets).collect()
+    }
+    assert got == _chunk_reference()
+
+
+def test_chunk_pack_straddler_spans_multiple(spark):
+    spans = {
+        r.doc_id: r.n_chunks_spanned
+        for r in chunk_pack(_docs_df(spark), BUDGET).collect()
+    }
+    assert spans[7] >= 2  # 217-token doc must cross at least one cut
+    assert spans[4] == 1  # zero-token doc occupies its offset's chunk
+
+
+def test_greedy_pack_single_bucket_matches_reference(spark):
+    got = {
+        r.doc_id: (r.pack_id, r.pack_pos)
+        for r in greedy_pack(_docs_df(spark), BUDGET, n_buckets=1).collect()
+    }
+    ref = _greedy_reference(sorted(DOCS), BUDGET)
+    assert {d: v for d, (v, _) in ref.items()} == {d: p for d, (p, _) in got.items()}
+    assert {d: v for d, (_, v) in ref.items()} == {d: p for d, (_, p) in got.items()}
+
+
+def test_greedy_pack_respects_budget_any_bucketing(spark):
+    for n_buckets in (1, 4, 256):
+        packed = greedy_pack(_docs_df(spark), BUDGET, n_buckets=n_buckets)
+        fills = (
+            packed.groupBy("pack_id").sum("n_tokens").toPandas()["sum(n_tokens)"]
+        )
+        # every pack fits the budget except the oversize doc's singleton
+        assert sorted(f for f in fills if f > BUDGET) == [217]
+        # every doc appears exactly once
+        assert packed.count() == len(DOCS)
+
+
+def test_pack_stats_shape(spark):
+    stats = pack_stats(greedy_pack(_docs_df(spark), BUDGET, n_buckets=1), BUDGET)
+    row = stats.collect()[0]
+    assert row.n_packs > 0 and 0.0 < row.mean_fill <= 1.7  # singleton 217/128 caps it
+    assert row.mean_docs_per_pack >= 1.0
+
+
+def test_chunk_pack_empty_input(spark):
+    empty = spark.createDataFrame([], "doc_id bigint, n_tokens bigint")
+    assert chunk_pack(empty, BUDGET).count() == 0
+    assert greedy_pack(empty, BUDGET).count() == 0
