@@ -1,0 +1,159 @@
+"""Lexical relevance scoring: TF-IDF keyword extraction and BM25 ranking.
+
+A curation pipeline uses these two ways: BM25 against a fixed query-term
+set ranks documents for targeted harvesting ("find the math-heavy
+docs"), and per-document TF-IDF top-k terms give cheap keyword tags for
+mixture bookkeeping — both with zero Python in the hot path.
+
+Scale shape:
+
+- ``bm25_scores`` filters the exploded token stream to the query terms
+  BEFORE any aggregation, so the per-term shuffle carries only matching
+  tokens — a handful of terms out of a 100 TB stream.  Corpus statistics
+  (N, avgdl) are one tiny aggregate broadcast back; per-term document
+  frequencies are a second tiny aggregate (|query| rows).
+- ``tfidf_topk`` is the heavy one: the full (doc, term) frequency table
+  shuffles once on (doc, term) and once more for document frequencies.
+  The df side stays bounded by vocabulary, not corpus, size; the final
+  per-doc top-k is a window over the tf table — no driver involvement.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from knightshift_spark.operators.dedup import word_tokens
+
+
+def term_frequencies(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, tf, doc_len) — one row per document×distinct-term.
+
+    ``doc_len`` (total tokens in the document) rides along so downstream
+    scorers don't re-tokenize."""
+    toks = docs.select(
+        id_col, word_tokens(F.col(text_col)).alias("__tk")
+    ).withColumn("doc_len", F.size("__tk").cast("bigint"))
+    return (
+        toks.select(id_col, "doc_len", F.explode("__tk").alias("term"))
+        .groupBy(id_col, "doc_len", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 score of every matching document against a bag of query
+    terms (Lucene's non-negative idf variant:
+    ``ln(1 + (N - df + .5)/(df + .5))``).
+
+    Returns (id, n_terms_matched, bm25) for documents matching ≥1 term,
+    descending by score with the id as the tie-break.  The token stream
+    is filtered to ``query_terms`` before the tf aggregation — the only
+    full-corpus work is the tokenize+explode projection."""
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(
+        id_col, word_tokens(F.col(text_col)).alias("__tk")
+    ).withColumn("doc_len", F.size("__tk").cast("bigint"))
+
+    # corpus stats: one row, broadcast back into the scorer
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg("doc_len").alias("__avgdl"),
+    )
+
+    tf = (
+        toks.select(id_col, "doc_len", F.explode("__tk").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "doc_len", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / F.col("__avgdl"))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.round(F.sum(contrib), 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), id_col)
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (``tf/doc_len × ln((1+N)/(1+df)) + 1``) — keyword tagging for corpus
+    bookkeeping.  ``min_df`` prunes hapax noise before the window.
+
+    Output: (id, term, tfidf, rank) with a total order (score desc, term
+    asc) so results are reproducible across engines and partitionings."""
+    tf = term_frequencies(docs, id_col, text_col)
+    n_docs = docs.select(F.count(F.lit(1)).alias("__n_docs"))
+    df_t = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    if min_df > 1:
+        df_t = df_t.filter(F.col("df") >= min_df)
+
+    idf = F.log((1.0 + F.col("__n_docs")) / (1.0 + F.col("df"))) + 1.0
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf", F.round((F.col("tf") / F.col("doc_len")) * idf, 6)
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
+def bm25_reference(
+    corpus: dict[int, str], query_terms: list[str], k1: float = 1.2, b: float = 0.75
+) -> dict[int, float]:
+    """Serial Python BM25 over a small in-memory corpus — the test oracle
+    for ``bm25_scores`` (same tokenization: lowercase whitespace split)."""
+    toks = {d: t.lower().split() for d, t in corpus.items()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n if n else 0.0
+    terms = [t.lower() for t in query_terms]
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out: dict[int, float] = {}
+    for d, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(v) / avgdl))
+        if s > 0.0:
+            out[d] = round(s, 6)
+    return out
