@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from knightshift_spark.operators.dedup import stable_hash32
 
@@ -35,6 +36,54 @@ def hash_sample(
     falls below ``fraction`` of the bucket space. Same rows every run,
     every engine; disjoint salts give independent draws."""
     return df.filter(_bucket(key_col, salt) < int(fraction * _BUCKETS))
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str = "doc_id", salt: str = "", n_partitions: int | None = None
+) -> DataFrame:
+    """Reproducible global shuffle for training order: rows sort by the
+    md5 bucket of (key, salt) — same permutation every run and every
+    engine; a new ``salt`` (e.g. the epoch number) gives an independent
+    permutation.
+
+    Scale shape: one range-exchange on the hash key then a partition-local
+    sort — Spark's normal distributed sort, nothing driver-side.  Written
+    out partition-by-partition the global order is the concatenation of
+    partition files in partition order (standard sorted-write contract).
+    The key itself tie-breaks hash collisions so the order is total."""
+    shuffled = df.withColumn("__shuffle_key", _bucket(key_col, salt))
+    if n_partitions:
+        shuffled = shuffled.repartitionByRange(
+            n_partitions, "__shuffle_key", key_col
+        ).sortWithinPartitions("__shuffle_key", key_col)
+    else:
+        shuffled = shuffled.orderBy("__shuffle_key", key_col)
+    return shuffled.drop("__shuffle_key")
+
+
+def cap_per_group(
+    df: DataFrame,
+    n_max: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``n_max`` rows per group, chosen deterministically —
+    the domain-quota step of corpus assembly (cap any one site/source
+    from dominating the mixture).  Selection order inside a group is the
+    same salted hash as ``hash_sample``, so re-runs keep identical rows
+    and a different salt redraws the quota.
+
+    One hash-shuffle on the group column (the window); skewed giant
+    groups are exactly the rows this operator discards, and the rank
+    window evaluates streaming per group — no group materializes in
+    memory."""
+    w = Window.partitionBy(group_col).orderBy(_bucket(key_col, salt), key_col)
+    return (
+        df.withColumn("__qrank", F.row_number().over(w))
+        .filter(F.col("__qrank") <= n_max)
+        .drop("__qrank")
+    )
 
 
 def stratified_sample(

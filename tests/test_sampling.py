@@ -70,3 +70,50 @@ def test_stratified_sample_mixture(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan   # corpus side never shuffles
+
+
+def test_deterministic_shuffle_is_a_stable_total_order(spark):
+    from knightshift_spark.operators.sampling import deterministic_shuffle
+
+    docs = _docs(spark).select("doc_id")
+    a = [r.doc_id for r in deterministic_shuffle(docs, salt="ep0").collect()]
+    b = [r.doc_id for r in deterministic_shuffle(docs, salt="ep0").collect()]
+    c = [r.doc_id for r in deterministic_shuffle(docs, salt="ep1").collect()]
+    assert a == b                      # same salt → same permutation
+    assert a != c                      # new salt → new permutation
+    assert sorted(a) == sorted(c)      # ... of the same rows
+    assert a != sorted(a)              # actually shuffled, not id order
+
+    # explicit-partition variant yields the same global order when files
+    # are concatenated in partition order
+    from pyspark.sql import functions as F
+
+    parts = deterministic_shuffle(docs, salt="ep0", n_partitions=4)
+    rows = parts.withColumn("pid", F.spark_partition_id()).collect()
+    by_part = sorted((r.pid, i) for i, r in enumerate(rows))
+    concat = [rows[i].doc_id for _, i in by_part]
+    assert concat == a
+
+
+def test_cap_per_group_quota_and_determinism(spark):
+    from knightshift_spark.operators.sampling import cap_per_group
+
+    docs = _docs(spark)
+    capped = cap_per_group(docs, 25, group_col="lang", salt="q")
+    counts = {r["lang"]: r["count"] for r in capped.groupBy("lang").count().collect()}
+    originals = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for lang, n in counts.items():
+        assert n == min(25, originals[lang])
+    # deterministic: same salt picks the same rows
+    ids1 = sorted(r.doc_id for r in capped.select("doc_id").collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in cap_per_group(docs, 25, group_col="lang", salt="q").select("doc_id").collect()
+    )
+    assert ids1 == ids2
+    # a different salt redraws (overwhelmingly likely to differ)
+    ids3 = sorted(
+        r.doc_id
+        for r in cap_per_group(docs, 25, group_col="lang", salt="r").select("doc_id").collect()
+    )
+    assert ids1 != ids3
