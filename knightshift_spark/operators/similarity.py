@@ -279,6 +279,7 @@ def knn_ivf(
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN: score only candidates in the query's ``n_probe`` nearest
     clusters.
@@ -290,8 +291,17 @@ def knn_ivf(
     ``n_probe > 1`` recovers boundary queries (the main IVF recall loss)
     by exploding the query side — clusters are disjoint so no pair dedup
     is needed.
+
+    Pass a prebuilt ``centroids`` codebook (``ivf_centroids`` over the
+    same candidate relation) to skip the build — the build-once /
+    query-many path, and how callers share one codebook across
+    ``n_probe`` settings.
     """
-    cents = ivf_centroids(candidates, n_clusters, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(candidates, n_clusters, id_col, vec_col)
+    )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
@@ -436,6 +446,7 @@ def knn_pq(
     ksub: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """PQ ANN with asymmetric distance (ADC): candidates are scored from
     their m-code representation only — the raw vectors never leave the
@@ -461,7 +472,8 @@ def knn_pq(
     """
     cu = _unit(candidates, id_col, vec_col, "neighbor_id", "__cv")
     qu = _unit(queries, id_col, vec_col, "query_id", "__qv")
-    books = pq_codebooks(cu, m=m, ksub=ksub, id_col="neighbor_id", vec_col="__cv")
+    if books is None:
+        books = pq_codebooks(cu, m=m, ksub=ksub, id_col="neighbor_id", vec_col="__cv")
     dsub = len(books[0][0])
     # compressed candidate relation: id + m-code, nothing else
     c = cu.select("neighbor_id", pq_encode(F.col("__cv"), books).alias("__code"))
@@ -498,6 +510,7 @@ def knn_ivfpq(
     ksub: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: tuple[DataFrame, list[list[float]], list[list[list[float]]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ: coarse-quantizer pruning + residual PQ scoring — the
     canonical billion-scale ANN layout (IVF supplies the candidate
@@ -513,11 +526,31 @@ def knn_ivfpq(
     centroid. Plan shape: broadcast query probes equi-joined on ``cid``,
     distance folded in codegen, per-query top-k — cost tracks cell
     occupancy × n_probe, I/O tracks the code width, never d floats.
+    Pass a prebuilt ``index`` (from ``build_ivfpq_index`` over the same
+    candidate relation) to skip the index build — the in-session
+    counterpart of ``write_ann_index``/``query_ann_index``.
     """
-    cu = _unit(candidates, id_col, vec_col, "neighbor_id", "__cv")
     qu = _unit(queries, id_col, vec_col, "query_id", "__qv")
-    c, coarse, books = _ivfpq_index(cu, n_clusters, m, ksub)
+    if index is None:
+        cu = _unit(candidates, id_col, vec_col, "neighbor_id", "__cv")
+        index = _ivfpq_index(cu, n_clusters, m, ksub)
+    c, coarse, books = index
     return _ivfpq_topk(qu, c, coarse, books, k, n_probe)
+
+
+def build_ivfpq_index(
+    candidates: DataFrame,
+    n_clusters: int = 4,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    """Build the IVF-PQ index in-session: the (neighbor_id, cid, code)
+    relation plus (coarse, PQ) codebooks, reusable across ``knn_ivfpq``
+    calls and ``n_probe``/``k`` settings without re-quantizing."""
+    cu = _unit(candidates, id_col, vec_col, "neighbor_id", "__cv")
+    return _ivfpq_index(cu, n_clusters, m, ksub)
 
 
 def _residual(vec: Column, cid: Column, coarse: list[list[float]]) -> Column:

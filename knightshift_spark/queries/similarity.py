@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from knightshift_spark.operators.similarity import (
     cosine,
+    ivf_centroids,
     knn_bruteforce,
     knn_ivf,
     knn_ivfpq,
@@ -110,11 +111,13 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
     # persist: truth feeds both the hit join and the denominator; persist
     # is lazy — populated on first use within the single materialization
     truth = knn_bruteforce(q, c, k=3, dim=64).select("query_id", "neighbor_id").persist()
+    # one codebook build serves both IVF probe settings (build-once path)
+    cents = ivf_centroids(c, n_clusters=4)
     variants = {
         "lsh_b4": knn_lsh(q, c, k=3, bits=4),
         "lsh_b4_h1": knn_lsh(q, c, k=3, bits=4, hamming_probe=1),
-        "ivf_c4": knn_ivf(q, c, k=3, n_clusters=4),
-        "ivf_c4_p2": knn_ivf(q, c, k=3, n_clusters=4, n_probe=2),
+        "ivf_c4": knn_ivf(q, c, k=3, n_clusters=4, centroids=cents),
+        "ivf_c4_p2": knn_ivf(q, c, k=3, n_clusters=4, n_probe=2, centroids=cents),
         "pq_m4_k8": knn_pq(q, c, k=3, m=4, ksub=8),
         "ivfpq_c4p2": knn_ivfpq(q, c, k=3, n_clusters=4, n_probe=2, m=4, ksub=8),
     }

@@ -338,3 +338,34 @@ def test_persisted_ann_index_matches_inline(spark, tmp_path):
     # only probed cells' files are read
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_prebuilt_artifacts_match_inline_build(spark):
+    """centroids=/index= prebuilt paths return byte-identical results to
+    the build-inline paths (the in-session build-once contract)."""
+    from knightshift_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivf_centroids,
+        knn_ivf,
+        knn_ivfpq,
+    )
+    from knightshift_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    c = emb.filter(F.col("vec_id") >= 5)
+
+    cents = ivf_centroids(c, n_clusters=4)
+    inline = sorted(map(tuple, knn_ivf(q, c, k=3, n_clusters=4).collect()))
+    prebuilt = sorted(
+        map(tuple, knn_ivf(q, c, k=3, n_clusters=4, centroids=cents).collect())
+    )
+    assert inline == prebuilt
+
+    idx = build_ivfpq_index(c, n_clusters=4, m=4, ksub=8)
+    inline2 = sorted(
+        map(tuple, knn_ivfpq(q, c, k=3, n_clusters=4, m=4, ksub=8).collect())
+    )
+    prebuilt2 = sorted(map(tuple, knn_ivfpq(q, c, k=3, index=idx).collect()))
+    assert inline2 == prebuilt2
