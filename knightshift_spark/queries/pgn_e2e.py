@@ -134,8 +134,11 @@ _GOLDEN = """
 
 
 def run_pgn_pipeline(spark: SparkSession, pgn_text: str = PGN_FIXTURE) -> DataFrame:
-    """The full ingest+clean pipeline over a PGN text blob."""
-    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    """The full ingest+clean pipeline over a PGN text blob.
+
+    Requires ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (pinned in
+    session.RUNTIME_CONFS via get_spark/tune_session — duplicate PGN tags
+    overwrite, reference ``utils/pgn_parser.py:33-36``)."""
     lines = pgn.lines_from_text(spark, pgn_text)
     games = pgn.assemble_games(pgn.sessionize(lines))
     rows = ingest_games(games)

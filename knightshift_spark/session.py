@@ -33,6 +33,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # PGN header maps dedup duplicate keys last-wins (reference parser
     # overwrites repeated tags: utils/pgn_parser.py:33-36).
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+    # TIMESTAMP(NANOS) parquet (which Spark otherwise rejects) reads as
+    # long; readers sniff the dtype and convert to canonical micros
+    # (tables.load_table / streaming.stream_events). Pinned here so no
+    # library read ever mutates a caller's session conf.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # local[32] default; real clusters override via spark-submit conf.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
 }

@@ -31,7 +31,6 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from knightshift_spark.pipelines.ingest import ingest_games
@@ -138,29 +137,29 @@ def run_pgn_stream(
     return writer.start()
 
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
-    """Streaming source over events parquet files (nanos ts → timestamp)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .format("parquet")
-        .load(events_dir)
-    )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    """Streaming source over events parquet files.
+
+    ``ts`` arrives either as TIMESTAMP(MICROS) (a native timestamp — the
+    driver's testdata layout) or as TIMESTAMP(NANOS), which the session-wide
+    ``nanosAsLong`` pin (session.RUNTIME_CONFS) surfaces as bigint.
+    Structured Streaming needs the schema up front, so probe the directory
+    with a batch read — footer-only, no data scan — and convert exactly the
+    way the batch loader does (``tables.load_table``), keeping the streaming
+    and batch views of the same files byte-identical.
+    """
+    probe = spark.read.parquet(events_dir)
+    raw = spark.readStream.schema(probe.schema).format("parquet").load(events_dir)
+    ts_type = dict(probe.dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    elif ts_type == "timestamp_ntz":
+        # watermarks require TIMESTAMP (LTZ); session tz is pinned UTC
+        # (session.RUNTIME_CONFS) so this cast is instant-preserving.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

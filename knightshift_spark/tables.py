@@ -33,10 +33,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
-        # parquet reader rejects; read nanos as long and convert to the
-        # engine-canonical micros timestamp (same truncation DuckDB does).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.parquet may store ts as TIMESTAMP(NANOS), which arrives as
+        # bigint under the session-wide nanosAsLong pin (session.RUNTIME_CONFS);
+        # sniff the read dtype and convert to the engine-canonical micros
+        # timestamp (same truncation DuckDB does). TIMESTAMP(MICROS) files
+        # arrive as timestamp directly and pass through untouched.
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
