@@ -15,9 +15,7 @@ from knightshift_spark.operators.similarity import (
     ivf_centroids,
     knn_bruteforce,
     knn_ivf,
-    knn_ivfpq,
     knn_lsh,
-    knn_pq,
 )
 from knightshift_spark.queries import query
 from knightshift_spark.tables import load_table as t
@@ -96,31 +94,27 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "q59_ann_recall",
-    oracle=None,  # measures engine-internal ANN quality → rows-only
-    doc="recall@k harness: LSH, IVF, and PQ top-k vs brute-force ground truth — "
-        "the accept/reject dial for ANN parameters at scale. ONE lazy "
-        "plan: method-tagged union of the approx results, one inner join "
-        "against persisted truth, one groupBy — no driver-side counts or "
-        "row assembly (the driver materializes exactly once)",
-)
-def q59(spark: SparkSession, sf: str) -> DataFrame:
-    emb = t(spark, sf, "embeddings")
-    q, c = emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10)
-    # persist: truth feeds both the hit join and the denominator; persist
-    # is lazy — populated on first use within the single materialization
-    truth = knn_bruteforce(q, c, k=3, dim=64).select("query_id", "neighbor_id").persist()
-    # one codebook build serves both IVF probe settings (build-once path)
-    cents = ivf_centroids(c, n_clusters=4)
-    variants = {
-        "lsh_b4": knn_lsh(q, c, k=3, bits=4),
-        "lsh_b4_h1": knn_lsh(q, c, k=3, bits=4, hamming_probe=1),
-        "ivf_c4": knn_ivf(q, c, k=3, n_clusters=4, centroids=cents),
-        "ivf_c4_p2": knn_ivf(q, c, k=3, n_clusters=4, n_probe=2, centroids=cents),
-        "pq_m4_k8": knn_pq(q, c, k=3, m=4, ksub=8),
-        "ivfpq_c4p2": knn_ivfpq(q, c, k=3, n_clusters=4, n_probe=2, m=4, ksub=8),
-    }
+def ann_recall_harness(
+    spark: SparkSession,
+    emb: DataFrame,
+    variants: dict[str, DataFrame],
+    truth: DataFrame,
+    widens: dict[str, str] | None = None,
+) -> DataFrame:
+    """recall@k over ``variants`` (name → approx top-k DataFrame) vs the
+    brute-force ``truth``. ONE lazy plan: method-tagged union of the approx
+    results, one inner join against persisted truth, one groupBy — no
+    driver-side counts or row assembly (the caller materializes exactly
+    once).
+
+    ``widens`` maps a variant name to the variant it strictly widens (e.g.
+    multiprobe → its single-probe base). The output carries a
+    self-verifying ``ok`` column: recall ∈ [0, 1] for every row, and a
+    widening variant's recall must be ≥ its base's (candidate supersets
+    can't lose hits) — so a rows-only driver check still pins the
+    *property*, not just the row count.
+    """
+    truth = truth.select("query_id", "neighbor_id").persist()
     approx = None
     for name, df in variants.items():
         tagged = df.select("query_id", "neighbor_id").withColumn(
@@ -134,20 +128,70 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
     )
     # static method list (LocalTableScan) keeps zero-hit methods in the
     # output instead of dropping them from the groupBy
-    methods = spark.createDataFrame([(m,) for m in variants], "method string")
+    methods = spark.createDataFrame(
+        [(m, (widens or {}).get(m)) for m in variants], "method string, widens string"
+    )
     totals = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    return (
+    recall = F.round(F.coalesce("n_hits", F.lit(0)) / F.col("n_truth"), 4)
+    # persist: one row per method; referenced twice below (scored + base
+    # lookup) — without the persist the whole variant union would be
+    # computed once per reference
+    scored = (
         methods.join(hits, "method", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             "method",
+            "widens",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
             "n_truth",
-            F.round(F.coalesce("n_hits", F.lit(0)) / F.col("n_truth"), 4).alias(
-                "recall_at_3"
-            ),
+            recall.alias("recall_at_k"),
         )
+        .persist()
     )
+    base = scored.select(
+        F.col("method").alias("widens"), F.col("recall_at_k").alias("base_recall")
+    )
+    return (
+        scored.join(F.broadcast(base), "widens", "left")
+        .select(
+            "method",
+            "n_hits",
+            "n_truth",
+            "recall_at_k",
+            (
+                F.col("recall_at_k").between(0.0, 1.0)
+                & F.coalesce(
+                    F.col("recall_at_k") >= F.col("base_recall"), F.lit(True)
+                )
+            ).alias("ok"),
+        )
+        .orderBy("method")
+    )
+
+
+@query(
+    "q59_ann_recall",
+    oracle=None,  # measures engine-internal ANN quality → rows-only
+    doc="recall@k harness: LSH and IVF top-k vs brute-force ground truth — "
+        "the accept/reject dial for ANN parameters at scale. Lean declared "
+        "set (4 variants, no per-config PQ codegen compile — the full "
+        "6-variant sweep incl. PQ/IVF-PQ runs in pytest); output rows carry "
+        "a self-verifying ok bit (recall bounds + multiprobe monotonicity)",
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    q, c = emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10)
+    truth = knn_bruteforce(q, c, k=3, dim=64)
+    # one codebook build serves both IVF probe settings (build-once path)
+    cents = ivf_centroids(c, n_clusters=4)
+    variants = {
+        "lsh_b4": knn_lsh(q, c, k=3, bits=4),
+        "lsh_b4_h1": knn_lsh(q, c, k=3, bits=4, hamming_probe=1),
+        "ivf_c4": knn_ivf(q, c, k=3, n_clusters=4, centroids=cents),
+        "ivf_c4_p2": knn_ivf(q, c, k=3, n_clusters=4, n_probe=2, centroids=cents),
+    }
+    widens = {"lsh_b4_h1": "lsh_b4", "ivf_c4_p2": "ivf_c4"}
+    return ann_recall_harness(spark, emb, variants, truth, widens)
 
 
 def _srp_sketch_sql(vec: str, bits: int = 4, dim: int = 64) -> str:
