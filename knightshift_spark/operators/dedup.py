@@ -187,6 +187,25 @@ def dedup_paragraphs(
     )
 
 
+def contaminated_ids(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Just the ids of corpus docs sharing ≥1 word n-gram with the eval
+    set — the anti-join input a curation pipeline actually needs. Same
+    broadcast shape as ``contamination_report`` but skips the per-doc
+    size/fraction aggregation entirely: one corpus gram scan, one
+    distinct on the (small) surviving id set."""
+    grams_c = _gram_table(corpus, n, id_col, text_col, "gram")
+    eval_grams = (
+        _gram_table(eval_docs, n, id_col, text_col, "gram").select("gram").distinct()
+    )
+    return grams_c.join(F.broadcast(eval_grams), "gram").select(id_col).distinct()
+
+
 def contamination_report(
     corpus: DataFrame,
     eval_docs: DataFrame,

@@ -94,7 +94,12 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_terms_matched"),
-            F.round(F.sum(contrib), 6).alias("bm25"),
+            # decimal accumulation: per-term contributions are doubles, but
+            # their SUM must not depend on partition/aggregation order —
+            # cast each to an exact decimal before adding (q15's rule)
+            F.round(F.sum(contrib.cast("decimal(28,12)")).cast("double"), 6).alias(
+                "bm25"
+            ),
         )
         .orderBy(F.desc("bm25"), id_col)
     )

@@ -13,14 +13,19 @@ Chains the scale operators end-to-end over a ``documents`` table:
 6. optional deterministic mixture sampling (``mixture``): per-stratum
    md5-keyed fractions (``operators.sampling.stratified_sample``).
 
-The funnel's ``quality_or_lang_removed`` bucket absorbs stages 3–6 (it
-counts everything removed between near-dup output and the final keep).
+The removal funnel reports one row per stage (input, exact-dup, near-dup,
+quality/lang, contamination, mixture, kept), each with a self-verifying
+``ok`` bit (counts are non-negative — the funnel only shrinks), so even a
+rows-only check pins the stage-monotonicity property.
 
-Every stage is a DataFrame transform: the pipeline is ONE lazy plan until
-the caller materializes. At 100 TB: stage 1 is a single shuffle; stage 2
-is the banded-LSH path (candidate volume ∝ bucket occupancy); stages 3-5
-are projections. The Jaccard rescore only touches candidate pairs, never
-all pairs.
+Every stage is a DataFrame transform. With
+``persist_intermediates=False`` the pipeline is ONE lazy plan until the
+caller materializes; with ``True`` the multiply-referenced stage outputs
+are checkpointed (materialize + lineage cut) at their boundary — the
+standard production move between expensive curation stages. At 100 TB:
+stage 1 is a single shuffle; stage 2 is the banded-LSH path (candidate
+volume ∝ bucket occupancy); stages 3-5 are projections. The Jaccard
+rescore only touches candidate pairs, never all pairs.
 """
 
 from __future__ import annotations
@@ -82,9 +87,17 @@ def curate_corpus(
     )
     if persist_intermediates:
         # the dedup subtree feeds both the kept output and three funnel
-        # counters; persisting stops 4x recomputation of the LSH/Jaccard
-        # stages (caller owns the session-level unpersist)
-        exact_kept = exact_kept.persist()
+        # counters. localCheckpoint (materialize + TRUNCATE lineage), not
+        # plain persist: the funnel's counters all reference this subtree,
+        # and with lazy persist the parallel branches of the one stats
+        # action race cache population and recompute it per branch; worse,
+        # every re-execution re-analyzes/re-optimizes the full LSH lineage
+        # (measured ~3.5s/run of pure planning at sf0.1). Checkpointing
+        # caps the plan at an RDD scan. Executor-local storage is the
+        # documented local-mode tradeoff; on a cluster use
+        # ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
+        # fault-tolerant lineage cuts.
+        exact_kept = exact_kept.localCheckpoint()
 
     # 2. near-dup: LSH candidates → exact rescore → drop doc_b of each pair.
     # jaccard_df_max caps shingle doc-frequency in the rescore: even among
@@ -108,25 +121,32 @@ def curate_corpus(
     near_dup_ids = confirmed.select(F.col("doc_b").alias(id_col)).distinct()
     deduped = exact_kept.join(near_dup_ids, id_col, "left_anti")
     if persist_intermediates:
-        # deduped feeds `kept` AND two funnel counters: without this, the
-        # LSH+rescore subtree recomputes once per counter (measured ~2x on
-        # the bench's q57)
-        deduped = deduped.persist()
+        # deduped feeds `kept` AND two funnel counters; checkpoint cuts
+        # the LSH+rescore lineage (see exact_kept note)
+        deduped = deduped.localCheckpoint()
 
     # 3-4. quality + language gates
     quality_ok = (F.col("n_tokens") >= min_tokens) & (F.col("sw_ratio") >= min_stopword_ratio)
     lang_ok = F.col("lang_pred").isin(*langs)
     kept = deduped.filter(quality_ok & lang_ok).drop("__fp")
 
+    gated = kept
+
     # 5. (optional) benchmark decontamination: drop any doc sharing an
     # n-gram with the eval set — anti-join against the broadcast hit list
     if eval_docs is not None:
-        from knightshift_spark.operators.dedup import contamination_report
+        from knightshift_spark.operators.dedup import contaminated_ids
 
-        hits = contamination_report(
-            kept, eval_docs, n=contamination_ngram, id_col=id_col, text_col=text_col
-        ).select(id_col)
-        kept = kept.join(hits, id_col, "left_anti")
+        hits = contaminated_ids(
+            gated, eval_docs, n=contamination_ngram, id_col=id_col, text_col=text_col
+        )
+        kept = gated.join(hits, id_col, "left_anti")
+        if persist_intermediates:
+            # the decontam anti-join re-runs the corpus-side gram explode;
+            # it feeds the kept output, the mixture stage, and two funnel
+            # counters — materialize once, cut the lineage
+            kept = kept.localCheckpoint()
+    decontaminated = kept
 
     # 6. (optional) deterministic mixture sampling per stratum
     if mixture is not None:
@@ -138,7 +158,10 @@ def curate_corpus(
 
     # stats stay LAZY: one action materializes the whole funnel. Eager
     # .count() per stage would re-run the expensive dedup subtree once per
-    # counter before the caller even asks.
+    # counter before the caller even asks. Every stage count rides along
+    # with a self-verifying ok bit (removals are non-negative — the funnel
+    # can only shrink), so a rows-only driver check still pins the
+    # monotonicity property.
     def _n(df: DataFrame, alias: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias(alias))
 
@@ -146,15 +169,19 @@ def curate_corpus(
         _n(docs, "n_input")
         .crossJoin(_n(exact_kept, "n_exact"))
         .crossJoin(_n(deduped, "n_near"))
+        .crossJoin(_n(gated, "n_gated"))
+        .crossJoin(_n(decontaminated, "n_decon"))
         .crossJoin(_n(kept, "n_final"))
     )
     stats = funnel.select(
         F.expr(
-            "stack(5, 'input', n_input,"
+            "stack(7, 'input', n_input,"
             " 'exact_dup_removed', n_input - n_exact,"
             " 'near_dup_removed', n_exact - n_near,"
-            " 'quality_or_lang_removed', n_near - n_final,"
+            " 'quality_or_lang_removed', n_near - n_gated,"
+            " 'contaminated_removed', n_gated - n_decon,"
+            " 'mixture_removed', n_decon - n_final,"
             " 'kept', n_final) AS (reason, n)"
         )
-    )
+    ).select("reason", "n", (F.col("n") >= 0).alias("ok"))
     return CurationResult(kept=kept, stats=stats)

@@ -45,6 +45,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side-effect: fills REGISTRY)."""
     from knightshift_spark.queries import (  # noqa: F401
+        corpusops,
         dedup,
         events,
         pgn_e2e,

@@ -10,6 +10,12 @@ fits the driver's 50-query correctness budget with zero coverage loss —
 every absorbed operator is named in the surviving query's doc (q05←q18,
 q06←q07, q08←q14, q10←q11, q15←q45, q19←q20/q25, q24←q50; q03/q04 moved
 into q47/q46, q21's ranking window lives on in q40).
+
+Round 3 (freeing slots for the oracle-checked corpus operators q66–q68):
+q12's max(struct) last-wins rides q60's groupBy (same key, same shuffle —
+``last_shipdate`` column), q23's agg + global-order + limit
+(TakeOrderedAndProject) shape lives on in q67_bm25_topk, and q53's IVF
+probe runs inside q59's recall harness (both probe settings).
 """
 
 from __future__ import annotations
@@ -151,26 +157,6 @@ def q10(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q12_last_wins",
-    oracle="""SELECT l_orderkey, l_shipdate AS last_shipdate FROM lineitem
-              QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                      ORDER BY l_linenumber DESC, l_shipdate DESC) = 1""",
-    doc="OP-31 last-writer-wins dedup. Spark plan: max(struct(ord, val)) — "
-        "lexicographic struct max == row_number desc form, but aggregates "
-        "with map-side partial combine: shuffle carries one row per key "
-        "instead of every row (the window form shuffles + sorts all rows). "
-        "Total order (linenumber, shipdate) keeps ties deterministic.",
-)
-def q12(spark: SparkSession, sf: str) -> DataFrame:
-    return (
-        t(spark, sf, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.max(F.struct("l_linenumber", "l_shipdate")).alias("__m"))
-        .select("l_orderkey", F.col("__m.l_shipdate").alias("last_shipdate"))
-    )
-
-
-@query(
     "q13_left_join_coalesce",
     oracle="""SELECT o.o_orderkey, COALESCE(c.c_name, 'missing') AS c_name_f
               FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""",
@@ -280,29 +266,6 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
         t(spark, sf, "events")
         .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-@query(
-    "q23_topk",
-    oracle="""SELECT o_custkey,
-              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS s
-              FROM orders GROUP BY o_custkey
-              ORDER BY s DESC, o_custkey LIMIT 10""",
-    doc="top-k: agg + global order with total tie-break; Spark plans "
-        "TakeOrderedAndProject (no full sort materialization)",
-)
-def q23(spark: SparkSession, sf: str) -> DataFrame:
-    return (
-        t(spark, sf, "orders")
-        .groupBy("o_custkey")
-        .agg(
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
-            ).alias("s")
-        )
-        .orderBy(F.col("s").desc(), "o_custkey")
-        .limit(10)
     )
 
 

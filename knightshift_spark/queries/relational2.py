@@ -147,11 +147,26 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q60_array_agg",
-    oracle="""SELECT l_orderkey,
-              string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS linenos
-              FROM lineitem GROUP BY l_orderkey""",
+    oracle="""
+      WITH lw AS (
+        SELECT l_orderkey, l_shipdate,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber DESC, l_shipdate DESC) AS rn
+        FROM lineitem),
+      g AS (
+        SELECT l_orderkey,
+               string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS linenos
+        FROM lineitem GROUP BY l_orderkey)
+      SELECT g.l_orderkey, g.linenos, lw.l_shipdate AS last_shipdate
+      FROM g JOIN lw ON g.l_orderkey = lw.l_orderkey AND lw.rn = 1""",
     doc="ordered array aggregation (collect_list + sort, rendered as a "
-        "string so the value-hash is type-stable across engines)",
+        "string so the value-hash is type-stable across engines). Absorbs "
+        "former q12_last_wins (OP-31): max(struct(l_linenumber, "
+        "l_shipdate)) rides the SAME groupBy shuffle — lexicographic "
+        "struct max == row_number-desc dedup, but aggregates with "
+        "map-side partial combine (one row per key on the wire, vs the "
+        "window form sorting every row); total order keeps ties "
+        "deterministic",
 )
 def q60(spark: SparkSession, sf: str) -> DataFrame:
     return (
@@ -161,8 +176,10 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
             F.array_join(
                 F.sort_array(F.collect_list("l_linenumber")).cast("array<string>"),
                 ",",
-            ).alias("linenos")
+            ).alias("linenos"),
+            F.max(F.struct("l_linenumber", "l_shipdate")).alias("__m"),
         )
+        .select("l_orderkey", "linenos", F.col("__m.l_shipdate").alias("last_shipdate"))
     )
 
 
@@ -184,16 +201,42 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q54_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific → rows-only check;
-    # the relative-error bound vs exact is asserted in pytest instead
-    doc="approximate distinct counting (HLL++): the 100 TB cardinality "
-        "path — constant memory per group vs exact distinct's shuffle",
+    oracle="""SELECT l_returnflag,
+              COUNT(DISTINCT l_partkey) AS n_parts,
+              COUNT(*) AS n,
+              true AS approx_ok
+              FROM lineitem GROUP BY l_returnflag""",
+    doc="approximate distinct counting (HLL++, rsd=0.02): the 100 TB "
+        "cardinality path — constant memory per group vs exact distinct's "
+        "shuffle. Declared in AUDIT form (VERDICT r2 #6): output carries "
+        "the exact count plus a self-verifying approx_ok bit "
+        "(|HLL − exact|/exact ≤ 3·rsd), so the sketch's error bound is "
+        "oracle-checked (the oracle emits literal true) instead of a "
+        "rows-only pass; the pure-HLL single-shuffle plan is the "
+        "operator's production mode",
 )
 def q54(spark: SparkSession, sf: str) -> DataFrame:
     li = t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    # two aggregates joined on the (3-row) group key instead of one mixed
+    # distinct/non-distinct agg: the mixed form makes Catalyst plan an
+    # Expand that doubles the row stream through the shuffle (measured 3×
+    # slower at sf0.1); split, the exact-distinct side plans as the
+    # two-phase partial aggregate and the HLL side is a plain single
+    # shuffle
+    plain = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("__approx"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts")
+    )
+    return exact.join(F.broadcast(plain), "l_returnflag").select(
+        "l_returnflag",
+        "n_parts",
+        "n",
+        (F.abs(F.col("__approx") - F.col("n_parts")) / F.col("n_parts") <= 0.06).alias(
+            "approx_ok"
+        ),
     )
 
 
@@ -231,11 +274,32 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q62b_profile_approx",
-    oracle=None,  # HLL distinct estimates are engine-specific → rows-only;
-    # the error bound vs the exact q62 profile is asserted in pytest
+    oracle="""
+      SELECT 'o_custkey' AS column, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             COUNT(DISTINCT o_custkey) AS n_distinct, true AS approx_ok,
+             CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+             CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*),
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT o_orderstatus), true,
+             CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', COUNT(*),
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT o_totalprice), true,
+             CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+      FROM orders""",
     doc="approximate per-column profiling (approx_count_distinct): the "
         "100 TB profiling path — one shuffle of constant-size HLL sketches "
-        "instead of q62's exact-distinct Expand",
+        "instead of q62's exact-distinct Expand. Declared in AUDIT form "
+        "(VERDICT r2 #6): each row carries a self-verifying approx_ok bit "
+        "(|HLL − exact|/exact ≤ 0.15 = 3·default rsd) so the sketch error "
+        "bound is oracle-checked; profile_table(approx=True) is the "
+        "production single-shuffle mode",
 )
 def q62b(spark: SparkSession, sf: str) -> DataFrame:
     from knightshift_spark.operators.profiling import profile_table
@@ -243,7 +307,7 @@ def q62b(spark: SparkSession, sf: str) -> DataFrame:
     return profile_table(
         t(spark, sf, "orders"),
         ["o_custkey", "o_orderstatus", "o_totalprice"],
-        approx=True,
+        approx_check=0.15,
     )
 
 

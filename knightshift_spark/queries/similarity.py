@@ -80,20 +80,6 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "q53_knn_ivf",
-    oracle=None,  # codebook refinement is engine-internal → rows-only check
-    doc="IVF-bucketed ANN (deterministic Lloyd-refined codebook) — probes "
-        "one cluster per query instead of the full candidate set",
-)
-def q53(spark: SparkSession, sf: str) -> DataFrame:
-    emb = t(spark, sf, "embeddings")
-    return knn_ivf(
-        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5),
-        k=3, n_clusters=4,
-    )
-
-
 def ann_recall_harness(
     spark: SparkSession,
     emb: DataFrame,
@@ -176,7 +162,9 @@ def ann_recall_harness(
         "the accept/reject dial for ANN parameters at scale. Lean declared "
         "set (4 variants, no per-config PQ codegen compile — the full "
         "6-variant sweep incl. PQ/IVF-PQ runs in pytest); output rows carry "
-        "a self-verifying ok bit (recall bounds + multiprobe monotonicity)",
+        "a self-verifying ok bit (recall bounds + multiprobe monotonicity). "
+        "Absorbs former q53_knn_ivf: both IVF probe settings run inside "
+        "the harness against the same Lloyd-refined codebook",
 )
 def q59(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")

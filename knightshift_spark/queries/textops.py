@@ -146,20 +146,29 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q57_curate_corpus",
     oracle=None,  # multi-stage composition → rows-only check; components
-    # are individually oracle-checked (q29/q30/q31/q35/q36/q37/q38)
-    doc="full corpus-curation pipeline: exact dedup → LSH+Jaccard near-dup "
-        "→ quality/lang gates; returns the removal-funnel stats "
-        "(scoped to 1000 docs — the demo slice; the pipeline itself is "
-        "unbounded)",
+    # are individually oracle-checked (q29/q30/q31b/q35/q36/q65/q66) and
+    # every output row carries a self-verifying ok bit (funnel monotonicity)
+    doc="full six-stage corpus-curation pipeline: exact dedup → "
+        "LSH+Jaccard near-dup → quality/lang gates → benchmark "
+        "decontamination (5-gram collision vs the held-out eval slice) → "
+        "deterministic mixture sampling (md5-keyed per-source fractions); "
+        "returns the per-stage removal funnel, each row with an ok bit "
+        "(n ≥ 0 — the funnel only shrinks). Scoped to 1000 docs — the "
+        "demo slice; the pipeline itself is unbounded",
 )
 def q57(spark: SparkSession, sf: str) -> DataFrame:
     from knightshift_spark.pipelines.corpus import curate_corpus
 
+    docs = t(spark, sf, "documents")
     return curate_corpus(
-        t(spark, sf, "documents").filter(F.col("doc_id") < 1000),
+        docs.filter((F.col("doc_id") < 1000) & (F.col("doc_id") % 25 != 7)),
         jaccard_threshold=0.5, min_tokens=5,
         min_stopword_ratio=0.0, langs=("en", "und"),
         persist_intermediates=True,
+        eval_docs=docs.filter(F.col("doc_id") % 25 == 7),
+        contamination_ngram=5,
+        mixture={f"src{i}": 0.5 + 0.05 * i for i in range(10)},
+        mixture_col="source",
     ).stats
 
 

@@ -31,14 +31,18 @@ def test_curate_corpus_end_to_end(spark):
     res = curate_corpus(_docs(spark), jaccard_threshold=0.5, min_tokens=5)
     kept = sorted(r["doc_id"] for r in res.kept.collect())
     assert kept == [1, 6]
-    stats = {r["reason"]: r["n"] for r in res.stats.collect()}
+    rows = res.stats.collect()
+    stats = {r["reason"]: r["n"] for r in rows}
     assert stats == {
         "input": 6,
         "exact_dup_removed": 1,
         "near_dup_removed": 1,
         "quality_or_lang_removed": 2,
+        "contaminated_removed": 0,
+        "mixture_removed": 0,
         "kept": 2,
     }
+    assert all(r["ok"] for r in rows)
     row = {r["doc_id"]: r for r in res.kept.collect()}
     assert row[1]["lang_pred"] == "en" and row[1]["n_tokens"] > 20
 
@@ -104,13 +108,17 @@ def test_curate_corpus_decontaminate_and_mixture(spark):
     assert 2 not in kept_ids          # exact dup gone
     assert 4 not in kept_ids          # contaminated by the eval doc
     assert {1, 3} <= kept_ids
-    stats = {r["reason"]: r["n"] for r in res.stats.collect()}
+    rows = res.stats.collect()
+    stats = {r["reason"]: r["n"] for r in rows}
     assert stats["input"] == 5
     assert stats["kept"] == len(kept_ids)
+    assert stats["contaminated_removed"] == 1  # doc 4 hit the eval 5-gram
     assert (
         stats["exact_dup_removed"] + stats["near_dup_removed"]
-        + stats["quality_or_lang_removed"] + stats["kept"]
+        + stats["quality_or_lang_removed"] + stats["contaminated_removed"]
+        + stats["mixture_removed"] + stats["kept"]
     ) == stats["input"]
+    assert all(r["ok"] for r in rows)
 
     # mixture dropping a stratum entirely is deterministic
     res2 = curate_corpus(

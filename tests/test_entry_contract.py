@@ -13,7 +13,7 @@ from tests.conftest import SF_SMOKE
 
 PARITY_SAMPLE = [
     "q01_filter_scan",
-    "q12_last_wins",
+    "q60_array_agg",
     "q15_pricing_summary",
     "q17_three_way_join",
     "q28_pgn_pipeline",
