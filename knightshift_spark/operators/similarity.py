@@ -239,36 +239,143 @@ def assign_ivf_clusters(
     return F.transform(F.slice(ordered, 1, n_probe), lambda s: s["cid"])
 
 
+def _cents_df(spark, cents: list[list[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cid int, cvec array<double>",
+    )
+
+
+def _nearest_center(
+    vectors: DataFrame, cents: list[list[float]], id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, cid, d): nearest center per vector via broadcast crossJoin +
+    1-row-per-key argmin. Centers travel as broadcast DATA, not codegen'd
+    literals, so the plan (and its compiled code) is IDENTICAL across
+    build iterations — recompiling per Lloyd step was the dominant build
+    cost, the same per-config-compile trap as the PQ sweep. The squared-L2
+    fold is a runtime loop over the zipped arrays (deterministic
+    left-to-right order)."""
+    spark = vectors.sparkSession
+    d = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("cvec"), lambda a, b: (a.cast("double") - b) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = vectors.crossJoin(F.broadcast(_cents_df(spark, cents))).select(
+        F.col(id_col), F.col("cid"), d.alias("__d")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.min(F.struct(F.col("__d").alias("d"), F.col("cid").alias("cid"))).alias("__m"))
+        .select(id_col, F.col("__m.cid").alias("cid"), F.col("__m.d").alias("__d"))
+    )
+
+
+def _lloyd_step(
+    vectors: DataFrame,
+    cents: list[list[float]],
+    vec_col: str,
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """One Lloyd iteration: assign every vector to its nearest centroid
+    (broadcast argmin, constant plan shape) and average per (cluster,
+    coordinate) — decimal accumulation so the mean is independent of
+    partition order. Only k×d mean rows reach the driver; clusters that
+    lost every vector keep their previous centroid."""
+    near = _nearest_center(vectors, cents, id_col, vec_col).select(id_col, "cid")
+    means = (
+        vectors.join(near, id_col)
+        .select("cid", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(30,15)")) / F.count(F.lit(1))
+            ).cast("double").alias("m")
+        )
+        .collect()
+    )
+    refined = [list(c) for c in cents]
+    for r in means:
+        refined[r["cid"]][r["pos"]] = r["m"]
+    return refined
+
+
+def _farthest_first(points: list[list[float]], k: int) -> list[list[float]]:
+    """Greedy farthest-first reduction of a small oversampled center set
+    to k centers (driver-side; the set is O(rounds·k), never the data)."""
+
+    def sq(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    centers = [points[0]]
+    while len(centers) < min(k, len(points)):
+        far = max(points, key=lambda p: min(sq(p, c) for c in centers))
+        if all(sq(far, c) == 0.0 for c in centers):
+            break  # all remaining points coincide with a center
+        centers.append(far)
+    return centers
+
+
 def ivf_centroids(
     vectors: DataFrame,
     n_clusters: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_rounds: int = 2,
+    lloyd_iters: int = 3,
+    tol: float = 1e-4,
 ) -> list[list[float]]:
-    """Deterministic IVF codebook: seeds = the ``n_clusters`` lowest-id
-    vectors, refined by one Lloyd step (assign all vectors, average per
-    cluster). Both steps are DataFrame jobs; only the k×d codebook ever
-    reaches the driver."""
-    seeds = [
-        [float(x) for x in r[vec_col]]
-        for r in vectors.orderBy(id_col).limit(n_clusters).collect()
-    ]
-    dim = len(seeds[0])
-    assigned = vectors.select(
-        assign_ivf_cluster(F.col(vec_col), seeds).alias("cid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
-    means = (
-        assigned.groupBy("cid")
-        .agg(
-            *[F.avg(F.element_at("v", i + 1)).alias(f"m{i}") for i in range(dim)]
+    """Deterministic scalable IVF codebook (k-means‖-shaped build):
+
+    1. **Oversampled seeding** — start from the lowest-id vector; each of
+       ``seed_rounds`` rounds scores every vector's distance to its
+       nearest current center (broadcast argmin — centers travel as data,
+       so the compiled plan is reused across rounds) and takes the
+       ``n_clusters`` farthest (TakeOrdered with id tie-break — the
+       deterministic twin of k-means‖'s cost-proportional sampling).
+    2. **Reduce** the O(rounds·k) oversampled set to k centers by greedy
+       farthest-first — driver-side over a tiny list, as k-means‖ reduces
+       with a local clustering.
+    3. **Lloyd to convergence** — up to ``lloyd_iters`` assign+average
+       jobs, stopping early when the max centroid shift (per-coordinate
+       L∞) drops below ``tol``.
+
+    Every driver transfer is centroid-sized (k·d floats); every data pass
+    is one scan. Total jobs: seed_rounds + (≤ lloyd_iters), each with one
+    k-row collect — the ≤2-collect-per-iteration budget at any scale.
+    Deterministic end-to-end: same data → same codebook, any
+    partitioning, any engine.
+    """
+    first = vectors.orderBy(id_col).limit(1).collect()
+    if not first:
+        return []
+    centers = [[float(x) for x in first[0][vec_col]]]
+    for _ in range(seed_rounds):
+        far_ids = (
+            _nearest_center(vectors, centers, id_col, vec_col)
+            .orderBy(F.col("__d").desc(), F.col(id_col))
+            .limit(n_clusters)
+            .select(id_col)
         )
-        .collect()
-    )
-    refined = list(seeds)  # clusters that lost every vector keep their seed
-    for r in means:
-        refined[r["cid"]] = [r[f"m{i}"] for i in range(dim)]
-    return refined
+        far = vectors.join(F.broadcast(far_ids), id_col).select(vec_col).collect()
+        centers += [[float(x) for x in r[vec_col]] for r in far]
+    cents = _farthest_first(centers, n_clusters)
+    # pad degenerate inputs (fewer distinct points than clusters): repeat
+    # the first center so downstream cid indexing stays dense
+    while len(cents) < n_clusters and cents:
+        cents.append(list(cents[0]))
+    for _ in range(lloyd_iters):
+        new = _lloyd_step(vectors, cents, vec_col, id_col)
+        shift = max(
+            abs(a - b) for c0, c1 in zip(cents, new) for a, b in zip(c0, c1)
+        )
+        cents = new
+        if shift < tol:
+            break
+    return cents
 
 
 def knn_ivf(

@@ -408,3 +408,52 @@ def test_ann_recall_full_sweep(spark):
     assert sorted(rows) == sorted(variants)
     assert all(r["ok"] for r in rows.values()), rows
     assert all(r["n_truth"] == 30 for r in rows.values())  # 10 queries x k=3
+
+
+def test_ivf_kmeanspar_beats_lowest_id_seeding_on_clustered_data(spark):
+    """VERDICT r2 #5: on clustered data, the k-means||-style build
+    (farthest-first oversampling + Lloyd-to-convergence) must measurably
+    beat the old lowest-id-seeds + single-Lloyd-step codebook. The
+    fixture is adversarial for naive seeding: all the lowest ids sit in
+    ONE blob, so lowest-id seeds collapse there while farthest-first
+    spreads across blobs. Uniform-random embeddings can't show this."""
+    import numpy as np
+
+    from knightshift_spark.operators.similarity import (
+        _lloyd_step,
+        ivf_centroids,
+        knn_bruteforce,
+        knn_ivf,
+    )
+
+    rng = np.random.RandomState(7)
+    blobs = [rng.normal(loc=mu, scale=0.05, size=(30, 8)) for mu in
+             ((3, 0, 0, 0, 0, 0, 0, 0), (0, 3, 0, 0, 0, 0, 0, 0),
+              (0, 0, 3, 0, 0, 0, 0, 0), (0, 0, 0, 3, 0, 0, 0, 0))]
+    # ids 0..29 all in blob 0 (adversarial), then blob 1, 2, 3
+    rows = [(int(30 * b + i), [float(x) for x in blobs[b][i]])
+            for b in range(4) for i in range(30)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = vecs.filter((F.col("vec_id") % 30) < 3)   # 3 queries per blob
+    c = vecs.filter((F.col("vec_id") % 30) >= 3)
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(q, c, k=3, dim=8).collect()
+    }
+
+    def recall(cents):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in knn_ivf(q, c, k=3, n_clusters=4, centroids=cents).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    old_seeds = [[float(x) for x in r["embedding"]]
+                 for r in c.orderBy("vec_id").limit(4).collect()]
+    old_cents = _lloyd_step(c, old_seeds, "embedding")  # old: 1 step only
+    new_cents = ivf_centroids(c, n_clusters=4)
+
+    r_old, r_new = recall(old_cents), recall(new_cents)
+    assert r_new > r_old, (r_old, r_new)
+    assert r_new == 1.0  # well-separated blobs: the new build nails them
