@@ -66,22 +66,27 @@ def decode_image(payload: bytes) -> object:
 
 
 def fake_feature(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in feature extractor: md5-seeded pseudo-embedding.
+    """Deterministic stand-in feature extractor: md5-seeded pseudo-embedding
+    (the ``seams.FakeHashCodec`` logic as a bare function, kept for direct
+    use in tests)."""
+    from knightshift_spark.seams import FakeHashCodec
 
-    Exercises the full Arrow batch path with reproducible outputs.
-    """
-    if payload is None:
-        return [0.0] * dim
-    h = hashlib.md5(payload).digest()
-    return [h[i % len(h)] / 255.0 for i in range(dim)]
+    return FakeHashCodec(dim).features(payload)
 
 
-def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+def extract_features(media: DataFrame, dim: int = 8, codec=None) -> DataFrame:
     """Binary payload → feature vector via Arrow-batched ``mapInPandas``.
 
-    Batches stream through pandas; only ``media_id``+``payload`` are
-    selected so parquet prunes every other column before the Python stage.
+    ``codec`` is the pluggable ``MediaCodec`` seam
+    (``knightshift_spark.seams``): default is the deterministic
+    ``FakeHashCodec``; a real decoder (PIL → model features) drops in here
+    without this function changing. Batches stream through pandas; only
+    ``media_id``+``payload`` are selected so parquet prunes every other
+    column — the blobs themselves — before the Python stage.
     """
+    from knightshift_spark.seams import FakeHashCodec
+
+    codec = codec if codec is not None else FakeHashCodec(dim)
     src = media.select("media_id", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -89,7 +94,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "feature": pdf["payload"].map(lambda p: fake_feature(p, dim)),
+                    "feature": pdf["payload"].map(codec.features),
                 }
             )
 

@@ -71,15 +71,18 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
     doc="token counting, both granularities in one projection (absorbs "
         "former q58_bpe_tokens): whitespace tokens + the BPE-ish "
         "word-or-single-punct subword stream (explicit ASCII classes: "
-        "identical in Java and RE2 regex engines) — no shuffle",
+        "identical in Java and RE2 regex engines) — no shuffle. The "
+        "subword count routes through the tokenizer seam "
+        "(seams.RegexSubwordTokenizer) — a real BPE model swaps in there "
+        "without this query changing",
 )
 def q35(spark: SparkSession, sf: str) -> DataFrame:
+    from knightshift_spark.seams import RegexSubwordTokenizer
+
     return t(spark, sf, "documents").select(
         "doc_id",
         token_count(F.col("text")).cast("bigint").alias("n_tokens"),
-        F.size(
-            F.regexp_extract_all("text", F.lit(r"[0-9A-Za-z_]+|[^0-9A-Za-z_\s]"), 0)
-        ).cast("bigint").alias("n_subtokens"),
+        RegexSubwordTokenizer().count_expr(F.col("text")).alias("n_subtokens"),
     )
 
 

@@ -1,0 +1,107 @@
+"""Tokenizer / media-codec seam contract: swapping the implementation —
+and ONLY the implementation — changes behavior without touching operator
+or pipeline code (VERDICT r2 #8 acceptance)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import functions as F
+
+from knightshift_spark.operators.multimodal import extract_features
+from knightshift_spark.operators.tokenize import subtoken_count
+from knightshift_spark.seams import (
+    FakeHashCodec,
+    RegexSubwordTokenizer,
+    WhitespaceTokenizer,
+)
+
+
+@dataclass(frozen=True)
+class _PythonOnlyRegexTokenizer:
+    """The default tokenizer's encode WITHOUT count_expr: forces the
+    Arrow path so the two paths can be compared on identical semantics."""
+
+    def encode(self, text):
+        return RegexSubwordTokenizer().encode(text)
+
+
+@dataclass(frozen=True)
+class _CharTokenizer:
+    """Second fake swapped in via the seam only (the acceptance check)."""
+
+    def encode(self, text):
+        return list(text) if text else []
+
+
+@dataclass(frozen=True)
+class _ConstantCodec:
+    dim: int = 4
+
+    def features(self, payload):
+        return [1.0] * self.dim
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello, world!"), (2, "a b c"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+
+
+def test_jvm_and_python_paths_agree(spark):
+    """The regex tokenizer's JVM expression and its Python encode are the
+    same function — counts must match exactly on every row."""
+    docs = _docs(spark)
+    jvm = {r["doc_id"]: r["n_subtokens"] for r in subtoken_count(docs).collect()}
+    py = {
+        r["doc_id"]: r["n_subtokens"]
+        for r in subtoken_count(docs, _PythonOnlyRegexTokenizer()).collect()
+    }
+    assert jvm == py
+    assert jvm[1] == 4  # hello , world !
+    assert jvm[3] == 0 and jvm[4] == 0
+
+
+def test_swapping_tokenizer_changes_only_the_counts(spark):
+    docs = _docs(spark)
+    chars = {r["doc_id"]: r["n_subtokens"] for r in subtoken_count(docs, _CharTokenizer()).collect()}
+    ws = {r["doc_id"]: r["n_subtokens"] for r in subtoken_count(docs, WhitespaceTokenizer()).collect()}
+    assert chars[1] == len("hello, world!")
+    assert ws[1] == 2 and ws[2] == 3
+    # same output contract either way
+    assert set(chars) == set(ws) == {1, 2, 3, 4}
+
+
+def test_swapping_codec_changes_only_the_features(spark):
+    media = spark.createDataFrame(
+        [(1, b"abc"), (2, None)], "media_id long, payload binary"
+    )
+    fake = {r["media_id"]: r["feature"] for r in extract_features(media, dim=4).collect()}
+    const = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(media, codec=_ConstantCodec()).collect()
+    }
+    assert len(fake[1]) == 4 and fake[1] != const[1]
+    assert const[1] == [1.0] * 4 and const[2] == [1.0] * 4
+    # default codec is deterministic: same payload, same feature
+    again = {r["media_id"]: r["feature"] for r in extract_features(media, dim=4).collect()}
+    assert again == fake
+
+
+def test_q35_routes_through_the_seam(spark):
+    """q35's subword column equals the seam default's output — the query
+    does not carry its own tokenizer logic."""
+    from knightshift_spark.queries import load_all
+    from tests.conftest import SF_SMOKE
+
+    q35 = load_all()["q35_token_count"].spark_fn(spark, SF_SMOKE)
+    from knightshift_spark.tables import load_table
+
+    seam = subtoken_count(load_table(spark, SF_SMOKE, "documents"))
+    mismatch = (
+        q35.select("doc_id", "n_subtokens")
+        .exceptAll(seam.select("doc_id", "n_subtokens"))
+        .count()
+    )
+    assert mismatch == 0
