@@ -86,6 +86,12 @@ def main() -> None:
     except Exception:
         pass  # baseline is informational; never fail the bench
 
+    scale10 = None
+    try:
+        scale10 = scale10x_section(spark, specs, sf_dir)
+    except Exception:
+        pass  # second scale point is informational; never fail the bench
+
     print(
         json.dumps(
             {
@@ -96,10 +102,106 @@ def main() -> None:
                 "sf": sf,
                 "duckdb_oracle_total_sec": duck_total,
                 "spark_vs_duckdb_ratio": ratio,
+                "scale10x_documents": scale10,
             }
         )
     )
     spark.stop()
+
+
+def _build_scale10x(spark, sf_dir: str, out_dir: str) -> None:
+    """Materialize a 10× documents table: ten id-remapped copies of the
+    base table (new_id = old_id*10 + copy) so dedup/LSH do real work —
+    every text gains nine exact twins across the id space."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    copies = docs.crossJoin(spark.range(10).select(F.col("id").alias("__copy")))
+    scaled = copies.select(
+        (F.col("doc_id") * 10 + F.col("__copy")).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    )
+    tmp = f"{out_dir}.tmp"
+    scaled.repartition(8).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp, out_dir)
+
+
+def scale10x_section(spark, specs, sf_dir: str) -> dict:
+    """Corpus operators at a 10× scale point (VERDICT r2 #9): the SCALE.md
+    claims for dedup/LSH/decontamination/packing measured at 50k docs
+    instead of extrapolated from 5k. Single-run timings (best-of-1), same
+    DuckDB-oracle ratio rule, oracle-backed entries only.
+
+    The declared-query functions run unchanged — the 10× directory stands
+    in for an sf_dir (these queries read only ``documents``); the LSH
+    entry drops q31b's demo scope to cover the full 50k corpus.
+    """
+    import duckdb
+
+    base = os.environ.get("SPARK_GRAFT_SCALE10_DIR", "/tmp/knightshift-scale10")
+    scale_dir = os.path.join(base, os.path.basename(sf_dir.rstrip("/")))
+    # layout mirrors a testdata sf dir ({dir}/documents.parquet) so the
+    # declared query functions read it through load_table unchanged
+    marker = os.path.join(scale_dir, "documents.parquet", "_SUCCESS")
+    if not os.path.exists(marker):
+        _build_scale10x(spark, sf_dir, os.path.join(scale_dir, "documents.parquet"))
+
+    from knightshift_spark.operators.dedup import lsh_candidate_pairs
+    from knightshift_spark.queries.dedup import _band_rows, _HASH32, _mh_cols, _SHINGLES_CTE
+    from knightshift_spark.tables import load_table
+
+    lsh_oracle = (
+        _SHINGLES_CTE.format(scope="")
+        + f""",
+      hx AS (SELECT doc_id, shingle, {_HASH32} AS h FROM sh),
+      mh AS (SELECT doc_id, {_mh_cols(16)} FROM hx GROUP BY doc_id),
+      buckets AS ({_band_rows(4, 4)})
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+    )
+
+    entries = {
+        "dedup_exact": (specs["q29_dedup_exact"].spark_fn, specs["q29_dedup_exact"].oracle),
+        "decontaminate": (specs["q65_contamination"].spark_fn, specs["q65_contamination"].oracle),
+        "simhash": (specs["q32_simhash"].spark_fn, specs["q32_simhash"].oracle),
+        "chunk_pack": (specs["q68_chunk_pack"].spark_fn, specs["q68_chunk_pack"].oracle),
+        "minhash_lsh_full": (
+            lambda s, d: lsh_candidate_pairs(
+                load_table(s, d, "documents"), num_hashes=16, bands=4
+            ),
+            lsh_oracle,
+        ),
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{scale_dir}/documents.parquet/*.parquet')"
+    )
+    out: dict[str, dict] = {}
+    spark_total = duck_total = 0.0
+    for name, (fn, oracle) in entries.items():
+        df = fn(spark, scale_dir)
+        t0 = time.perf_counter()
+        _run(df)
+        s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_oracle = len(con.execute(oracle).fetchall())
+        d = time.perf_counter() - t0
+        out[name] = {"spark_sec": round(s, 4), "duckdb_sec": round(d, 4)}
+        spark_total += s
+        duck_total += d
+    return {
+        "n_docs": spark.read.parquet(f"{scale_dir}/documents.parquet").count(),
+        "queries": out,
+        "spark_total_sec": round(spark_total, 4),
+        "duckdb_total_sec": round(duck_total, 4),
+        "ratio": round(spark_total / duck_total, 2) if duck_total else None,
+    }
 
 
 if __name__ == "__main__":
