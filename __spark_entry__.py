@@ -38,9 +38,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL for each SQL-expressible query; entries
-    without an oracle (engine-internal hashing/bucketing) are omitted →
-    the driver records a rows-only check for those."""
+    """DuckDB-runnable ANSI SQL for each SQL-expressible query. Entries
+    without an oracle are omitted — for those the driver records only the
+    Spark row count (no comparison), which is why every no-oracle query's
+    OUTPUT carries its own self-verifying ``ok`` boolean (recall bounds /
+    funnel monotonicity) computed inside the query."""
     return {
         name: spec.oracle
         for name, spec in sorted(load_all().items())

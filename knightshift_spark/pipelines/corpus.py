@@ -9,12 +9,14 @@ Chains the scale operators end-to-end over a ``documents`` table:
 4. language filter against an allowlist (engine lang-ID, not the stored
    label — curation must not trust upstream metadata);
 5. optional benchmark decontamination (``eval_docs``): anti-join against
-   the broadcast n-gram hit list (``operators.dedup.contamination_report``);
-6. optional deterministic mixture sampling (``mixture``): per-stratum
+   the broadcast n-gram hit list (``operators.dedup.contaminated_ids``);
+6. optional per-source quota (``quota``): deterministic cap on any one
+   stratum (``operators.sampling.cap_per_group``);
+7. optional deterministic mixture sampling (``mixture``): per-stratum
    md5-keyed fractions (``operators.sampling.stratified_sample``).
 
 The removal funnel reports one row per stage (input, exact-dup, near-dup,
-quality/lang, contamination, mixture, kept), each with a self-verifying
+quality/lang, contamination, quota, mixture, kept), each with a self-verifying
 ``ok`` bit (counts are non-negative — the funnel only shrinks), so even a
 rows-only check pins the stage-monotonicity property.
 
@@ -61,6 +63,7 @@ def curate_corpus(
     jaccard_df_max: int | None = 10_000,
     eval_docs: DataFrame | None = None,
     contamination_ngram: int = 5,
+    quota: int | None = None,
     mixture: dict[str, float] | None = None,
     mixture_col: str = "source",
     mixture_salt: str = "",
@@ -148,7 +151,17 @@ def curate_corpus(
             kept = kept.localCheckpoint()
     decontaminated = kept
 
-    # 6. (optional) deterministic mixture sampling per stratum
+    # 6. (optional) per-source quota: cap any one stratum from dominating
+    # (deterministic md5-ranked selection — operators.sampling.cap_per_group)
+    if quota is not None:
+        from knightshift_spark.operators.sampling import cap_per_group
+
+        kept = cap_per_group(
+            kept, quota, group_col=mixture_col, key_col=id_col, salt=mixture_salt
+        )
+    quota_capped = kept
+
+    # 7. (optional) deterministic mixture sampling per stratum
     if mixture is not None:
         from knightshift_spark.operators.sampling import stratified_sample
 
@@ -171,16 +184,18 @@ def curate_corpus(
         .crossJoin(_n(deduped, "n_near"))
         .crossJoin(_n(gated, "n_gated"))
         .crossJoin(_n(decontaminated, "n_decon"))
+        .crossJoin(_n(quota_capped, "n_quota"))
         .crossJoin(_n(kept, "n_final"))
     )
     stats = funnel.select(
         F.expr(
-            "stack(7, 'input', n_input,"
+            "stack(8, 'input', n_input,"
             " 'exact_dup_removed', n_input - n_exact,"
             " 'near_dup_removed', n_exact - n_near,"
             " 'quality_or_lang_removed', n_near - n_gated,"
             " 'contaminated_removed', n_gated - n_decon,"
-            " 'mixture_removed', n_decon - n_final,"
+            " 'quota_removed', n_decon - n_quota,"
+            " 'mixture_removed', n_quota - n_final,"
             " 'kept', n_final) AS (reason, n)"
         )
     ).select("reason", "n", (F.col("n") >= 0).alias("ok"))

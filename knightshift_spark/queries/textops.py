@@ -151,13 +151,14 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
     oracle=None,  # multi-stage composition → rows-only check; components
     # are individually oracle-checked (q29/q30/q31b/q35/q36/q65/q66) and
     # every output row carries a self-verifying ok bit (funnel monotonicity)
-    doc="full six-stage corpus-curation pipeline: exact dedup → "
+    doc="full seven-stage corpus-curation pipeline: exact dedup → "
         "LSH+Jaccard near-dup → quality/lang gates → benchmark "
         "decontamination (5-gram collision vs the held-out eval slice) → "
-        "deterministic mixture sampling (md5-keyed per-source fractions); "
-        "returns the per-stage removal funnel, each row with an ok bit "
-        "(n ≥ 0 — the funnel only shrinks). Scoped to 1000 docs — the "
-        "demo slice; the pipeline itself is unbounded",
+        "per-source quota (deterministic cap_per_group) → deterministic "
+        "mixture sampling (md5-keyed per-source fractions); returns the "
+        "per-stage removal funnel, each row with an ok bit (n ≥ 0 — the "
+        "funnel only shrinks). Scoped to 1000 docs — the demo slice; the "
+        "pipeline itself is unbounded",
 )
 def q57(spark: SparkSession, sf: str) -> DataFrame:
     from knightshift_spark.pipelines.corpus import curate_corpus
@@ -170,6 +171,7 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
         persist_intermediates=True,
         eval_docs=docs.filter(F.col("doc_id") % 25 == 7),
         contamination_ngram=5,
+        quota=40,
         mixture={f"src{i}": 0.5 + 0.05 * i for i in range(10)},
         mixture_col="source",
     ).stats

@@ -39,6 +39,7 @@ def test_curate_corpus_end_to_end(spark):
         "near_dup_removed": 1,
         "quality_or_lang_removed": 2,
         "contaminated_removed": 0,
+        "quota_removed": 0,
         "mixture_removed": 0,
         "kept": 2,
     }
@@ -116,7 +117,7 @@ def test_curate_corpus_decontaminate_and_mixture(spark):
     assert (
         stats["exact_dup_removed"] + stats["near_dup_removed"]
         + stats["quality_or_lang_removed"] + stats["contaminated_removed"]
-        + stats["mixture_removed"] + stats["kept"]
+        + stats["quota_removed"] + stats["mixture_removed"] + stats["kept"]
     ) == stats["input"]
     assert all(r["ok"] for r in rows)
 
@@ -126,3 +127,27 @@ def test_curate_corpus_decontaminate_and_mixture(spark):
         mixture={"web": 1.0},  # books default 0.0
     )
     assert all(r["source"] == "web" for r in res2.kept.collect())
+
+
+def test_curate_corpus_quota_caps_dominant_source(spark):
+    """The quota stage keeps at most n docs per source, deterministically:
+    two runs keep the identical id set; a different salt redraws it."""
+    # per-doc-unique vocabulary: zero shingle overlap, so the near-dup
+    # stage passes everything through and only the quota bites
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(8)),
+          "web" if i < 8 else "books") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    kw = dict(min_tokens=3, langs=("en", "und"), quota=3)
+    r1 = curate_corpus(docs, **kw)
+    r2 = curate_corpus(docs, **kw)
+    ids1 = sorted(r["doc_id"] for r in r1.kept.collect())
+    ids2 = sorted(r["doc_id"] for r in r2.kept.collect())
+    assert ids1 == ids2  # deterministic
+    by_src = {}
+    for r in r1.kept.collect():
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src["web"]) == 3 and len(by_src["books"]) == 2
+    stats = {r["reason"]: r["n"] for r in r1.stats.collect()}
+    assert stats["quota_removed"] == 5  # web had 8, capped at 3
