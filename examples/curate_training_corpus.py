@@ -56,6 +56,7 @@ def main() -> None:
         langs=("en", "und"),
         persist_intermediates=True,
         eval_docs=eval_docs,
+        quota=200,  # no single source dominates the mixture
         mixture={f"src{i}": 1.0 if i % 2 == 0 else 0.5 for i in range(20)},
     )
     result.kept.write.mode("overwrite").parquet(f"{out_dir}/documents")

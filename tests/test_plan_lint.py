@@ -60,3 +60,21 @@ def test_filter_queries_push_predicates(plans):
     for name in ("q01_filter_scan", "q46_date_funcs"):
         assert "PushedFilters: [" in plans[name]
         assert "PushedFilters: []" not in plans[name], f"{name} pushdown empty"
+
+
+def test_bm25_topk_is_take_ordered(plans):
+    """q67 carries absorbed q23's physical claim: agg + global order +
+    limit plans as TakeOrderedAndProject, never a full sort."""
+    assert "TakeOrderedAndProject" in plans["q67_bm25_topk"]
+
+
+def test_chunk_pack_has_no_global_window_over_data(plans):
+    """q68's prefix sum must stay two-phase: the only partition-less
+    window runs over the n_buckets offset rows, so the full-data window
+    (which would serialize 100 TB through one task) must not appear —
+    pinned by requiring the bucket-partitioned window to be present."""
+    plan = plans["q68_chunk_pack"]
+    # both window operators exist and an Exchange hash-partitions on the
+    # bucket column before the big-side window
+    assert plan.count("Window") >= 2
+    assert "hashpartitioning(__bkt" in plan
