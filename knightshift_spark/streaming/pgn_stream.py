@@ -101,6 +101,7 @@ def run_pgn_stream(
     jdbc_url: str | None = None,
     jdbc_table: str = "tv_channel_games",
     jdbc_options: dict[str, str] | None = None,
+    on_batch=None,
 ) -> StreamingQuery:
     """Start the streaming ingestion query.
 
@@ -113,8 +114,20 @@ def run_pgn_stream(
     set-based MERGE — the streaming twin of the reference's per-row
     upsert loop, ``get_games_from_tv.py:122-147`` + ``game_upsert.py:
     84-110``); otherwise it stage-and-swaps the parquet ``target_dir``.
+
+    ``on_batch(batch_id, n_rows)`` is the observability hook — the
+    per-poll processed-count the reference logs each cycle
+    (``get_games_from_tv.py`` logging). When set, the micro-batch rows
+    are checkpointed once so the count does not recompute the parse; the
+    callback runs on the driver after the batch's merge commits.
     """
     lines = stream_pgn_lines(spark, spool_dir, max_files_per_trigger)
+
+    def _ingest(batch_df: DataFrame) -> DataFrame:
+        rows = ingest_pgn_batch(batch_df)
+        if on_batch is not None:
+            rows = rows.localCheckpoint()
+        return rows
 
     if jdbc_url is not None:
         from knightshift_spark.sources.jdbc import upsert_writer
@@ -122,13 +135,18 @@ def run_pgn_stream(
         merge = upsert_writer(jdbc_table, ["id_game"], jdbc_url, **(jdbc_options or {}))
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
-            merge(ingest_pgn_batch(batch_df), batch_id)
+            rows = _ingest(batch_df)
+            merge(rows, batch_id)
+            if on_batch is not None:
+                on_batch(batch_id, rows.count())
 
     else:
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
-            rows = ingest_pgn_batch(batch_df)
+            rows = _ingest(batch_df)
             _merge_batch_into_parquet(batch_df.sparkSession, rows, target_dir)
+            if on_batch is not None:
+                on_batch(batch_id, rows.count())
 
     writer = lines.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir

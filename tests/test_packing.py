@@ -100,3 +100,48 @@ def test_chunk_pack_empty_input(spark):
     empty = spark.createDataFrame([], "doc_id bigint, n_tokens bigint")
     assert chunk_pack(empty, BUDGET).count() == 0
     assert greedy_pack(empty, BUDGET).count() == 0
+
+
+def test_greedy_pack_matches_duckdb_recursive_cte(spark):
+    """Cross-ENGINE oracle for the first-fit walk (not just a Python
+    replay): DuckDB reproduces the per-bucket sequential pack state with
+    a recursive CTE. greedy_pack's only scale concession — packs never
+    cross range buckets — is encoded identically on both sides."""
+    import duckdb
+
+    n_buckets = 3
+    df = _docs_df(spark)
+    got = {
+        r["doc_id"]: (r["pack_id"], r["pack_pos"])
+        for r in greedy_pack(df, BUDGET, n_buckets=n_buckets).collect()
+    }
+
+    lo, hi = 1, 12  # doc_id span of DOCS
+    span = hi - lo + 1
+    rows = ", ".join(f"({d}, {n})" for d, n in DOCS)
+    sql = f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor((doc_id - {lo}) * {n_buckets} / {span}) AS INT) AS bkt
+      FROM (VALUES {rows}) AS v(doc_id, n_tokens)),
+    ordered AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY doc_id) AS rn
+      FROM t),
+    walk AS (
+      SELECT bkt, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS pack, 0 AS pos, n_tokens AS used
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.bkt, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN w.used > 0 AND w.used + o.n_tokens > {BUDGET}
+                  THEN w.pack + 1 ELSE w.pack END,
+             CASE WHEN w.used > 0 AND w.used + o.n_tokens > {BUDGET}
+                  THEN 0 ELSE w.pos + 1 END,
+             CASE WHEN w.used > 0 AND w.used + o.n_tokens > {BUDGET}
+                  THEN o.n_tokens ELSE w.used + o.n_tokens END
+      FROM walk w JOIN ordered o ON o.bkt = w.bkt AND o.rn = w.rn + 1)
+    SELECT doc_id, (CAST(bkt AS BIGINT) << 32) + pack AS pack_id, pos
+    FROM walk
+    """
+    want = {d: (p, q) for d, p, q in duckdb.connect().execute(sql).fetchall()}
+    assert got == want

@@ -243,3 +243,25 @@ def test_pgn_stream_jdbc_sink_merges(spark, tmp_path):
     assert out["streamG1"]["VAL_EVENT_NAME"] == "V2 updated"
     assert out["streamG1"]["VAL_RESULT"] == "1/2-1/2"
     assert out["streamG2"]["VAL_RESULT"] == "0-1"
+
+
+def test_on_batch_observability_hook(spark, tmp_path):
+    """run_pgn_stream reports per-micro-batch merged-row counts through
+    on_batch — the reference's per-poll processed-count logging."""
+    spool = tmp_path / "spool_obs"
+    spool.mkdir()
+    f1, f2 = spool / "a.pgn", spool / "b.pgn"
+    f1.write_text(GAME_V1)   # two games
+    f2.write_text(GAME_V2)   # one game
+    now = os.stat(f1).st_mtime
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now + 60, now + 60))
+
+    seen: list[tuple[int, int]] = []
+    q = run_pgn_stream(
+        spark, str(spool), str(tmp_path / "t_obs"), str(tmp_path / "c_obs"),
+        trigger={"availableNow": True}, max_files_per_trigger=1,
+        on_batch=lambda bid, n: seen.append((bid, n)),
+    )
+    q.awaitTermination(120)
+    assert [n for _, n in sorted(seen)] == [2, 1]
