@@ -842,3 +842,46 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("__sim", 4).alias("sim"), "rank")
     )
+
+
+def neardup_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate PAIRS at scale: SRP-bucket equi-join →
+    exact cosine rescore → keep pairs ≥ ``threshold``.
+
+    The all-pairs broadcast form (q34's oracle baseline) is quadratic in
+    the corpus; this materializes only same-bucket pairs — candidate
+    volume ∝ bucket occupancy (N²/2^bits expected under uniform spread),
+    the same shape as the banded-MinHash text path. Recall < 1.0 by
+    design: a near-dup pair straddling one hyperplane lands in different
+    buckets; raise recall with fewer ``bits`` (bigger buckets) exactly
+    like LSH band-width tuning. High thresholds are the sweet spot —
+    vectors at cosine ≥ t collide on one hyperplane with probability
+    arccos(t)/π per bit (≈ 0.14 per bit at t = 0.9), so duplicates
+    nearly always share all ``bits`` signs.
+
+    Output: (id_a, id_b, sim) with id_a < id_b, sim rounded to 4.
+    """
+    sk = srp_sketch(F.col(vec_col), bits=bits, dim=dim)
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), sk.alias("__sk")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), sk.alias("__sk")
+    )
+    return (
+        a.join(b, "__sk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb"), dim), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

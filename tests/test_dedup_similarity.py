@@ -457,3 +457,41 @@ def test_ivf_kmeanspar_beats_lowest_id_seeding_on_clustered_data(spark):
     r_old, r_new = recall(old_cents), recall(new_cents)
     assert r_new > r_old, (r_old, r_new)
     assert r_new == 1.0  # well-separated blobs: the new build nails them
+
+
+def test_neardup_pairs_lsh_scale_path(spark):
+    """The bucketed embedding near-dup twin of the all-pairs baseline:
+    exact duplicates and tight near-dups share all SRP signs, so the
+    bucket join finds them; the rescore keeps only true pairs (no false
+    positives vs the brute-force baseline at the same threshold)."""
+    import numpy as np
+
+    from knightshift_spark.operators.similarity import cosine, neardup_pairs_lsh
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(20, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + rng.normal(scale=1e-3, size=16)]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in neardup_pairs_lsh(vecs, threshold=0.999, bits=6, dim=16).collect()
+    }
+    # every planted twin pair (2i, 2i+1) found with sim ~ 1
+    for i in range(20):
+        assert (2 * i, 2 * i + 1) in got, f"missing twin pair {i}"
+    # no false positives vs brute force at the same threshold
+    a = vecs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__a"))
+    b = vecs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__b"))
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in F.broadcast(a).crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("__a"), F.col("__b"), 16), 4).alias("sim"))
+        .filter(F.col("sim") >= 0.999)
+        .collect()
+    }
+    assert set(got) <= brute
