@@ -372,3 +372,80 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         bit = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         simhash = bit if simhash is None else simhash + bit
     return sums.select(F.col(id_col), simhash.cast("bigint").alias("simhash"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MOSS-style winnowing document fingerprints: rolling character
+    k-gram hashes, window-min selected.
+
+    1. normalize text (lower/trim/collapse whitespace — ``doc_fingerprint``
+       semantics);
+    2. hash every character k-gram with the portable md5-derived 32-bit
+       hash (the "rolling" hash — position-shifted substrings, same
+       family as every other oracle-checked hash here);
+    3. keep the minimum hash of each window of ``w`` consecutive k-grams,
+       dedup per document.
+
+    Winnowing guarantee: two documents sharing any substring of length
+    ≥ w + k − 1 share at least one fingerprint — so a fingerprint
+    equi-join is a plagiarism/near-dup candidate generator with bounded
+    density (expected 2/(w+1) of positions selected).
+
+    Pure native expressions, one explode shuffle. Every intermediate
+    array is bound as its own projection — the HOF-CSE rule (SCALE.md):
+    an inlined operand would re-normalize the text once per k-gram.
+
+    Output: (id, fp) one row per distinct fingerprint per document.
+    """
+    from knightshift_spark.functions.text import normalize_text
+
+    n = F.length(F.col("__t"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda p: F.col("__t").substr(p, F.lit(k)),
+    )
+    hashes = F.transform(F.col("__grams"), stable_hash32)
+    nh = F.size(F.col("__hs"))
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(nh - (w - 1), F.lit(1))),
+            lambda i: F.array_min(F.slice(F.col("__hs"), i, w)),
+        )
+    )
+    return (
+        docs.select(id_col, normalize_text(F.col(text_col)).alias("__t"))
+        .select(id_col, grams.alias("__grams"))
+        .select(id_col, hashes.alias("__hs"))
+        .select(id_col, F.explode(mins).alias("fp"))
+    )
+
+
+def winnow_candidate_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup/plagiarism candidates by shared winnowing fingerprints:
+    (doc_a, doc_b, n_shared) for pairs sharing ≥ ``min_shared`` selected
+    fingerprints. The join is equi on the fingerprint — candidate volume
+    tracks fingerprint-bucket occupancy, the same scale shape as the
+    banded-MinHash path."""
+    fps = winnow_fingerprints(docs, k, w, id_col, text_col)
+    a = fps.select(F.col(id_col).alias("doc_a"), "fp")
+    b = fps.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -495,3 +495,79 @@ def test_neardup_pairs_lsh_scale_path(spark):
         .collect()
     }
     assert set(got) <= brute
+
+
+def test_winnow_fingerprints_match_duckdb_oracle(spark):
+    """Winnowing (rolling k-gram hash + window min) reproduced exactly in
+    DuckDB with the same md5-derived hash — the cross-engine oracle for
+    the document-fingerprinting operator."""
+    import duckdb
+
+    from knightshift_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 5, 4
+    rows = [
+        (1, "The quick  brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox JUMPS over the lazy dog"),  # normalizes equal to 1
+        (3, "completely different text with its own content"),
+        (4, "tiny"),   # shorter than k
+        (5, ""),       # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["doc_id"], r["fp"]) for r in winnow_fingerprints(docs, k=k, w=w).collect()
+    }
+
+    hash32 = (
+        "list_sum(list_transform(range(1, 9), i -> "
+        "CAST((strpos('0123456789abcdef', substr(md5(g), i, 1)) - 1) AS BIGINT)"
+        " * (CAST(1 AS BIGINT) << (4 * (8 - i)))))"
+    ).replace("md5(g)", f"md5(substr(t, CAST(p AS INT), {k}))")
+    vals = ", ".join(f"({d}, '{t}')" for d, t in rows)
+    sql = rf"""
+    WITH n AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+      FROM (VALUES {vals}) AS v(doc_id, text)),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(t) - {k - 1}, 1) + 1),
+                            p -> {hash32}) AS hs
+      FROM n),
+    f AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(hs) - {w - 1}, 1) + 1),
+                           i -> list_min(hs[CAST(i AS INT):CAST(i + {w - 1} AS INT)]))) AS fps
+      FROM h)
+    SELECT doc_id, unnest(fps) AS fp FROM f
+    """
+    want = set(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want
+    # normalization-equal docs share ALL fingerprints
+    f1 = {fp for d, fp in got if d == 1}
+    f2 = {fp for d, fp in got if d == 2}
+    assert f1 == f2 and f1
+    # unrelated doc shares none
+    f3 = {fp for d, fp in got if d == 3}
+    assert not (f1 & f3)
+
+
+def test_winnow_candidates_find_shared_substring(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= w+k-1
+    produce at least one shared fingerprint -> a candidate pair."""
+    from knightshift_spark.operators.dedup import winnow_candidate_pairs
+
+    shared = "the identical plagiarized passage lives here"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words before {shared} and then a different tail"),
+            (2, f"completely other opening {shared} closing remarks differ"),
+            (3, "no overlap with anything else in this corpus at all"),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_candidate_pairs(docs, k=5, w=4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
