@@ -151,3 +151,18 @@ def test_curate_corpus_quota_caps_dominant_source(spark):
     assert len(by_src["web"]) == 3 and len(by_src["books"]) == 2
     stats = {r["reason"]: r["n"] for r in r1.stats.collect()}
     assert stats["quota_removed"] == 5  # web had 8, capped at 3
+
+
+def test_q57_funnel_deterministic_across_runs(spark):
+    """VERDICT r2 #4 acceptance: the declared seven-stage funnel produces
+    identical per-stage counts on two independent runs (every selection
+    is md5-keyed, never rand()), and every ok bit holds."""
+    from knightshift_spark.queries import load_all
+    from tests.conftest import SF_SMOKE
+
+    fn = load_all()["q57_curate_corpus"].spark_fn
+    r1 = sorted(map(tuple, fn(spark, SF_SMOKE).collect()))
+    r2 = sorted(map(tuple, fn(spark, SF_SMOKE).collect()))
+    assert r1 == r2
+    assert len(r1) == 8
+    assert all(ok for _, _, ok in r1)
