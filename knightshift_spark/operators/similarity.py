@@ -571,11 +571,13 @@ def knn_pq(
     Two honest costs: (1) the codebook folds into the plan as literals —
     scan-only with zero shuffle at 100 TB, but each distinct (m, ksub)
     pays a multi-second codegen compile, so at demo scale compile time
-    dominates; (2) uniform-random embeddings are PQ's worst case (no
-    cluster structure → quantization error dominates), so recall on such
-    data sits well below LSH/IVF at equal cost — q59's harness measures
-    exactly this, and recall climbs monotonically with m and ksub
-    (verified 4×8 → 16×16 in the recall sweep).
+    dominates (which is why the declared q59 harness runs LSH/IVF only
+    and the PQ variants live in pytest's full sweep,
+    ``test_ann_recall_full_sweep``); (2) uniform-random embeddings are
+    PQ's worst case (no cluster structure → quantization error
+    dominates), so recall on such data sits well below LSH/IVF at equal
+    cost; saturation behavior (codebook ≥ distinct sub-vectors → exact)
+    is pinned by ``test_knn_pq_exact_when_codebook_saturates``.
     """
     cu = _unit(candidates, id_col, vec_col, "neighbor_id", "__cv")
     qu = _unit(queries, id_col, vec_col, "query_id", "__qv")
