@@ -75,7 +75,10 @@ class WhitespaceTokenizer:
     def count_expr(self, col: Column) -> Column:
         from knightshift_spark.functions.text import token_count
 
-        return token_count(col).cast("bigint")
+        # NULL text counts 0 like encode(None) — size(split(NULL)) is -1
+        return (
+            F.when(col.isNull(), F.lit(0)).otherwise(token_count(col)).cast("bigint")
+        )
 
 
 @dataclass(frozen=True)

@@ -69,8 +69,9 @@ def test_swapping_tokenizer_changes_only_the_counts(spark):
     ws = {r["doc_id"]: r["n_subtokens"] for r in subtoken_count(docs, WhitespaceTokenizer()).collect()}
     assert chars[1] == len("hello, world!")
     assert ws[1] == 2 and ws[2] == 3
-    # same output contract either way
+    # same output contract either way, including NULL/empty → 0
     assert set(chars) == set(ws) == {1, 2, 3, 4}
+    assert ws[3] == 0 and ws[4] == 0 and chars[4] == 0
 
 
 def test_swapping_codec_changes_only_the_features(spark):
