@@ -159,3 +159,76 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+class FakeResizeCodec:
+    """Deterministic stand-in resizer: emits a payload of exactly
+    width×height bytes by tiling/truncating the source bytes — wrong
+    pixels, right SHAPES, so the Spark-side contract (schema, metadata
+    update, batch iteration) is fully exercised. A real codec decodes
+    with PIL and re-encodes; it drops in via the ``codec`` seam without
+    ``resize_media`` changing."""
+
+    def resize(self, payload: bytes | None, width: int, height: int) -> bytes | None:
+        if payload is None:
+            return None
+        need = width * height
+        if not payload:
+            return b"\x00" * need
+        reps = -(-need // len(payload))  # ceil-div tiling
+        return (payload * reps)[:need]
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, codec=None
+) -> DataFrame:
+    """Resize image payloads to ``width``×``height`` via Arrow-batched
+    ``mapInPandas`` — the third leg of the decode/feature/resize trio.
+
+    ``codec`` is the pluggable seam (default: the deterministic fake;
+    a PIL-backed implementation supplies real pixels). Only
+    ``media_id``+``payload`` reach Python — parquet prunes the rest —
+    and the output carries refreshed (width, height, n_bytes) metadata
+    so downstream byte-based partitioning (``media_repartition``) sizes
+    correctly without touching the new blobs.
+    """
+    codec = codec if codec is not None else FakeResizeCodec()
+    src = media.select("media_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf["payload"].map(lambda p: codec.resize(p, width, height))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "meta": out.map(
+                        lambda p: {
+                            "width": width,
+                            "height": height,
+                            "n_bytes": len(p) if p is not None else None,
+                        }
+                    ),
+                }
+            )
+
+    return src.mapInPandas(run, schema=RESIZED_SCHEMA)

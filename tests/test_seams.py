@@ -106,3 +106,25 @@ def test_q35_routes_through_the_seam(spark):
         .count()
     )
     assert mismatch == 0
+
+
+def test_resize_media_contract(spark):
+    """resize_media: shapes and metadata are real even though the fake
+    codec's pixels are not; a second codec drops in via the seam only."""
+    from knightshift_spark.operators.multimodal import resize_media
+
+    media = spark.createDataFrame(
+        [(1, b"abcdef"), (2, b""), (3, None)], "media_id long, payload binary"
+    )
+    out = {r["media_id"]: r for r in resize_media(media, 4, 3).collect()}
+    assert len(out[1]["payload"]) == 12 and out[1]["meta"]["n_bytes"] == 12
+    assert out[1]["meta"]["width"] == 4 and out[1]["meta"]["height"] == 3
+    assert len(out[2]["payload"]) == 12  # empty payload still shapes up
+    assert out[3]["payload"] is None and out[3]["meta"]["n_bytes"] is None
+
+    class DoubleCodec:
+        def resize(self, payload, width, height):
+            return None if payload is None else (b"xy" * (width * height))[: width * height]
+
+    swapped = {r["media_id"]: r for r in resize_media(media, 2, 2, DoubleCodec()).collect()}
+    assert swapped[1]["payload"] == b"xyxy"
