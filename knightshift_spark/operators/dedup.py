@@ -301,6 +301,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH banding: the 100 TB near-dup path.
 
@@ -309,8 +310,21 @@ def lsh_candidate_pairs(
     become candidates. Shuffle cost: O(docs × bands) for bucketing plus
     bucket-local pair expansion — never all-pairs. Dedup of candidate
     pairs across bands is one final distinct.
+
+    ``max_bucket`` bounds bucket-local expansion (the ``df_max`` analog
+    of ``jaccard_pairs``): a web-scale corpus is duplicate-HEAVY — a
+    cluster of 1M identical docs lands in one band bucket and all-pairs
+    expansion is quadratic in the cluster. Buckets with more than
+    ``max_bucket`` members switch to STAR pairing: every member pairs
+    with the bucket representative (its min id) only — linear per bucket,
+    and the cluster stays connected (every member reaches every other
+    through the representative under the transitive closure any dedup
+    consumer applies). Buckets at/below the cap keep exact all-pairs, so
+    a cap above the largest bucket is a no-op (oracle-identical output).
     """
     rows_per_band = num_hashes // bands
+    if max_bucket is not None and max_bucket < 1:
+        raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
     wide = minhash_wide(docs, num_hashes, id_col, text_col)
     band_structs = [
         F.struct(
@@ -332,12 +346,32 @@ def lsh_candidate_pairs(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = buckets.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"])
+    if max_bucket is None:
+        return (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+    # occupancy + representative in one (band, bucket)-keyed aggregation;
+    # the annotate join reuses the same key, so no extra exchange shape
+    stats = buckets.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__rep")
+    )
+    bs = b.join(stats, ["band", "bucket"])
+    dense = (
+        a.join(
+            bs.filter(F.col("__n") <= max_bucket).select("doc_b", "band", "bucket"),
+            ["band", "bucket"],
+        )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    star = (
+        bs.filter((F.col("__n") > max_bucket) & (F.col("doc_b") != F.col("__rep")))
+        .select(F.col("__rep").alias("doc_a"), "doc_b")  # rep = min ⇒ doc_a < doc_b
+    )
+    return dense.unionByName(star).distinct()
 
 
 def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -46,6 +46,10 @@ def range_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if bin_width <= 0:
+        # floor(v/0) is NULL and sequence(hi, lo) reverses — either would
+        # silently yield empty/all-null output instead of an error
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
     p_bin = F.floor(F.col(point_col) / F.lit(bin_width))
     p = points.withColumn("__bin", p_bin.cast("bigint"))
     spread = F.sequence(
@@ -65,9 +69,18 @@ def range_join(
     )
     if how == "inner":
         return matched
-    unmatched = p.drop("__bin").join(
-        matched.select(*points.columns), points.columns, "left_anti"
+    # null-safe anti-join: plain column equality would fail to anti-match
+    # a matched point row carrying a NULL in any non-join column, emitting
+    # it twice (matched + null-extended) — not LEFT JOIN semantics
+    import functools
+
+    pa = p.drop("__bin").alias("__p")
+    ma = matched.select(*points.columns).alias("__m")
+    cond = functools.reduce(
+        lambda x, y: x & y,
+        [F.col(f"__p.{c}").eqNullSafe(F.col(f"__m.{c}")) for c in points.columns],
     )
+    unmatched = pa.join(ma, cond, "left_anti")
     for c in intervals.columns:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
     return matched.unionByName(unmatched)

@@ -14,6 +14,12 @@ to exactly one column, so total bytes read equal the single-scan form
 without the row multiplication, and the branches run as parallel stages
 of one job.
 
+Assumption: byte parity with a single scan holds for COLUMN-PRUNED
+COLUMNAR sources (parquet/ORC). Over a cached DataFrame or a
+row-oriented source (JDBC, in-memory rows) each branch re-reads every
+column, multiplying IO by the column count — profile such inputs
+through a parquet staging write, or accept the multiplier.
+
 ``approx=True`` (HLL) drops the exact-distinct shuffle for a true
 constant-memory profile on very-high-cardinality columns at scale.
 """

@@ -853,6 +853,7 @@ def neardup_pairs_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate PAIRS at scale: SRP-bucket equi-join →
     exact cosine rescore → keep pairs ≥ ``threshold``.
@@ -868,8 +869,19 @@ def neardup_pairs_lsh(
     arccos(t)/π per bit (≈ 0.14 per bit at t = 0.9), so duplicates
     nearly always share all ``bits`` signs.
 
+    ``max_bucket`` bounds bucket expansion the same way as
+    ``dedup.lsh_candidate_pairs``: the corpus this operator targets is
+    duplicate-heavy, so one bucket can hold a 1M-copy cluster and
+    all-pairs-within-bucket is quadratic in it. Buckets above the cap
+    switch to STAR pairing against the bucket representative (min id) —
+    linear per bucket, cluster stays connected through the rep under
+    transitive closure; buckets at/below the cap keep exact all-pairs,
+    so a cap above every bucket's occupancy is output-identical.
+
     Output: (id_a, id_b, sim) with id_a < id_b, sim rounded to 4.
     """
+    if max_bucket is not None and max_bucket < 1:
+        raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
     sk = srp_sketch(F.col(vec_col), bits=bits, dim=dim)
     a = vectors.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), sk.alias("__sk")
@@ -877,10 +889,30 @@ def neardup_pairs_lsh(
     b = vectors.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), sk.alias("__sk")
     )
+    if max_bucket is None:
+        cand = a.join(b, "__sk").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        stats = b.groupBy("__sk").agg(
+            F.count(F.lit(1)).alias("__n"), F.min("id_b").alias("__rep")
+        )
+        bs = b.join(stats, "__sk")
+        dense = a.join(
+            bs.filter(F.col("__n") <= max_bucket).select("__sk", "id_b", "__vb"),
+            "__sk",
+        ).filter(F.col("id_a") < F.col("id_b"))
+        # rep vectors: one row per over-cap bucket (id_a = rep < every id_b)
+        reps = a.join(
+            stats.filter(F.col("__n") > max_bucket).select(
+                "__sk", F.col("__rep").alias("id_a")
+            ),
+            ["__sk", "id_a"],
+        )
+        star = bs.filter(
+            (F.col("__n") > max_bucket) & (F.col("id_b") != F.col("__rep"))
+        ).select("__sk", "id_b", "__vb").join(reps, "__sk")
+        cand = dense.unionByName(star.select(*dense.columns))
     return (
-        a.join(b, "__sk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+        cand.select(
             "id_a",
             "id_b",
             F.round(cosine(F.col("__va"), F.col("__vb"), dim), 4).alias("sim"),

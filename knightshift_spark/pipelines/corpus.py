@@ -61,6 +61,7 @@ def curate_corpus(
     text_col: str = "text",
     persist_intermediates: bool = False,
     jaccard_df_max: int | None = 10_000,
+    lsh_max_bucket: int | None = 10_000,
     eval_docs: DataFrame | None = None,
     contamination_ngram: int = 5,
     quota: int | None = None,
@@ -106,7 +107,17 @@ def curate_corpus(
     # jaccard_df_max caps shingle doc-frequency in the rescore: even among
     # LSH candidates, one degenerate common shingle could otherwise blow
     # the equi-join up to O(candidates²) rows.
-    cands = lsh_candidate_pairs(exact_kept, num_hashes=16, bands=4, id_col=id_col, text_col=text_col)
+    # lsh_max_bucket caps band-bucket occupancy (star pairing above it) —
+    # a duplicate-heavy corpus otherwise pays quadratic pair expansion
+    # inside its dominant cluster's bucket
+    cands = lsh_candidate_pairs(
+        exact_kept,
+        num_hashes=16,
+        bands=4,
+        id_col=id_col,
+        text_col=text_col,
+        max_bucket=lsh_max_bucket,
+    )
     confirmed = (
         jaccard_pairs(
             exact_kept.join(

@@ -154,7 +154,10 @@ def _band_rows(bands: int, rows_per_band: int) -> str:
 )
 def q31b(spark: SparkSession, sf: str) -> DataFrame:
     docs = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    return lsh_candidate_pairs(docs, num_hashes=16, bands=4)
+    # max_bucket=500 > the 200-doc scope ⇒ provably above every bucket's
+    # occupancy: the capped operator runs its exact all-pairs branch and
+    # stays oracle-identical while exercising the production signature
+    return lsh_candidate_pairs(docs, num_hashes=16, bands=4, max_bucket=500)
 
 
 @query(

@@ -82,16 +82,17 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
 
 def ann_recall_harness(
     spark: SparkSession,
-    emb: DataFrame,
     variants: dict[str, DataFrame],
     truth: DataFrame,
     widens: dict[str, str] | None = None,
 ) -> DataFrame:
     """recall@k over ``variants`` (name → approx top-k DataFrame) vs the
-    brute-force ``truth``. ONE lazy plan: method-tagged union of the approx
-    results, one inner join against persisted truth, one groupBy — no
-    driver-side counts or row assembly (the caller materializes exactly
-    once).
+    brute-force ``truth``. ONE plan: method-tagged union of the approx
+    results, one inner join against persisted truth, one groupBy. The
+    method-count-sized result is materialized inside the harness (so the
+    persisted intermediates can be unpersisted before returning — repeated
+    invocations don't leak cached blocks) and handed back as a small
+    local-relation DataFrame.
 
     ``widens`` maps a variant name to the variant it strictly widens (e.g.
     multiprobe → its single-probe base). The output carries a
@@ -137,7 +138,7 @@ def ann_recall_harness(
     base = scored.select(
         F.col("method").alias("widens"), F.col("recall_at_k").alias("base_recall")
     )
-    return (
+    out = (
         scored.join(F.broadcast(base), "widens", "left")
         .select(
             "method",
@@ -153,6 +154,10 @@ def ann_recall_harness(
         )
         .orderBy("method")
     )
+    rows = out.collect()  # one row per method — driver-safe by construction
+    truth.unpersist()
+    scored.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @query(
@@ -179,7 +184,7 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
         "ivf_c4_p2": knn_ivf(q, c, k=3, n_clusters=4, n_probe=2, centroids=cents),
     }
     widens = {"lsh_b4_h1": "lsh_b4", "ivf_c4_p2": "ivf_c4"}
-    return ann_recall_harness(spark, emb, variants, truth, widens)
+    return ann_recall_harness(spark, variants, truth, widens)
 
 
 def _srp_sketch_sql(vec: str, bits: int = 4, dim: int = 64) -> str:

@@ -151,3 +151,17 @@ PGN_LINES = T.StructType(
         T.StructField("src", T.StringType(), True),  # file / channel provenance
     ]
 )
+
+# Events stream table (driver testdata layout, TESTDATA.md): the static
+# fallback schema when a streaming source is defined over a spool dir
+# that has no files yet.
+EVENTS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)

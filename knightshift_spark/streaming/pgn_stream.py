@@ -164,11 +164,20 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     Structured Streaming needs the schema up front, so probe the directory
     with a batch read — footer-only, no data scan — and convert exactly the
     way the batch loader does (``tables.load_table``), keeping the streaming
-    and batch views of the same files byte-identical.
+    and batch views of the same files byte-identical. An empty (or absent)
+    directory falls back to the canonical events schema so the stream can
+    be DEFINED before the first file arrives — the spool-dir contract.
     """
-    probe = spark.read.parquet(events_dir)
-    raw = spark.readStream.schema(probe.schema).format("parquet").load(events_dir)
-    ts_type = dict(probe.dtypes).get("ts")
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        probe_schema = spark.read.parquet(events_dir).schema
+    except AnalysisException:
+        from knightshift_spark.schemas import EVENTS
+
+        probe_schema = EVENTS
+    raw = spark.readStream.schema(probe_schema).format("parquet").load(events_dir)
+    ts_type = {f.name: f.dataType.simpleString() for f in probe_schema.fields}.get("ts")
     if ts_type == "bigint":
         raw = raw.withColumn(
             "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))

@@ -62,6 +62,81 @@ def test_lsh_finds_exact_dups(spark):
     assert (1, 4) in cand
 
 
+def test_lsh_cap_is_noop_above_occupancy(spark):
+    """max_bucket above every bucket's occupancy ⇒ output identical to the
+    uncapped operator (the exact all-pairs branch runs for every bucket)."""
+    docs = _docs(spark)
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(docs, num_hashes=16, bands=4).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(
+            docs, num_hashes=16, bands=4, max_bucket=100
+        ).collect()
+    }
+    assert capped == uncapped
+
+
+def test_lsh_cap_linear_on_duplicate_cluster(spark):
+    """The 100 TB duplicate-cluster scenario: a 10k-copy cluster lands in
+    ONE bucket per band. Uncapped all-pairs would emit C(10k,2) ≈ 5·10⁷
+    candidates; the cap's star pairing emits exactly n−1 — linear in the
+    cluster, and every member stays reachable from the representative."""
+    n = 10_000
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(n)],
+        "doc_id long, text string",
+    ).repartition(8)
+    pairs = lsh_candidate_pairs(
+        docs, num_hashes=16, bands=4, max_bucket=32
+    ).collect()
+    assert len(pairs) == n - 1
+    assert all(r["doc_a"] == 0 for r in pairs)  # rep = min id
+    assert {r["doc_b"] for r in pairs} == set(range(1, n))
+
+
+def test_lsh_cap_linearity_scales(spark):
+    """Candidate count grows ~linearly (not quadratically) with cluster
+    size under the cap: doubling the cluster doubles the candidates."""
+    def count_at(n):
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon zeta") for i in range(n)],
+            "doc_id long, text string",
+        )
+        return lsh_candidate_pairs(docs, num_hashes=16, bands=4, max_bucket=8).count()
+
+    c1, c2 = count_at(500), count_at(1000)
+    assert c1 == 499 and c2 == 999  # n−1 exactly: pure star pairs
+
+
+def test_lsh_cap_mixed_buckets(spark):
+    """Small buckets keep exact all-pairs while an over-cap cluster in the
+    same run is star-paired — both behaviors from one plan."""
+    small = [
+        (10_000, "the quick brown fox jumps over the lazy dog"),
+        (10_001, "the quick brown fox jumps over the lazy dog"),  # exact dup
+    ]
+    cluster = [(i, "completely different words entirely unrelated text here") for i in range(50)]
+    docs = spark.createDataFrame(small + cluster, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(docs, num_hashes=16, bands=4, max_bucket=10).collect()
+    }
+    assert {(0, i) for i in range(1, 50)} <= got  # star pairs from the big cluster
+    assert not any(a != 0 and a < 10_000 for a, _ in got)  # no intra-cluster all-pairs
+    # the under-cap bucket still all-pairs exactly
+    assert (10_000, 10_001) in got
+
+
+def test_lsh_cap_validation(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="max_bucket"):
+        lsh_candidate_pairs(_docs(spark), max_bucket=0)
+
+
 def test_simhash_identical_for_dups(spark):
     sh = {r["doc_id"]: r["simhash"] for r in simhash16(_docs(spark)).collect()}
     assert sh[1] == sh[4]
@@ -403,7 +478,7 @@ def test_ann_recall_full_sweep(spark):
     widens = {"lsh_b4_h1": "lsh_b4", "ivf_c4_p2": "ivf_c4"}
     rows = {
         r["method"]: r
-        for r in ann_recall_harness(spark, emb, variants, truth, widens).collect()
+        for r in ann_recall_harness(spark, variants, truth, widens).collect()
     }
     assert sorted(rows) == sorted(variants)
     assert all(r["ok"] for r in rows.values()), rows
@@ -495,6 +570,43 @@ def test_neardup_pairs_lsh_scale_path(spark):
         .collect()
     }
     assert set(got) <= brute
+
+
+def test_neardup_lsh_cap_star_pairs(spark):
+    """Over-cap SRP buckets star-pair against the min-id representative:
+    a 200-copy vector cluster yields exactly n−1 pairs (all sim 1.0), not
+    C(n,2); a cap above occupancy reproduces the uncapped output."""
+    import numpy as np
+
+    from knightshift_spark.operators.similarity import neardup_pairs_lsh
+
+    rng = np.random.RandomState(7)
+    v = [float(x) for x in rng.normal(size=16)]
+    n = 200
+    cluster = [(i, v) for i in range(n)]
+    # a handful of unrelated vectors that land in other buckets
+    others = [(1000 + j, [float(x) for x in rng.normal(size=16)]) for j in range(5)]
+    vecs = spark.createDataFrame(cluster + others, "vec_id long, embedding array<float>")
+
+    capped = neardup_pairs_lsh(
+        vecs, threshold=0.999, bits=6, dim=16, max_bucket=16
+    ).collect()
+    star = [(r["id_a"], r["id_b"], r["sim"]) for r in capped if r["id_b"] < 1000]
+    assert len(star) == n - 1
+    assert all(a == 0 and s == 1.0 for a, _, s in star)
+    assert {b for _, b, _ in star} == set(range(1, n))
+
+    # cap above every bucket ⇒ identical to uncapped
+    small = vecs.filter(F.col("vec_id").isin([0, 1, 1000, 1001, 1002]))
+    got_uncapped = {
+        (r["id_a"], r["id_b"]) for r in
+        neardup_pairs_lsh(small, threshold=0.5, bits=4, dim=16).collect()
+    }
+    got_capped = {
+        (r["id_a"], r["id_b"]) for r in
+        neardup_pairs_lsh(small, threshold=0.5, bits=4, dim=16, max_bucket=50).collect()
+    }
+    assert got_capped == got_uncapped
 
 
 def test_winnow_fingerprints_match_duckdb_oracle(spark):

@@ -58,6 +58,33 @@ def test_range_join_left_keeps_unmatched_points(spark):
     assert got == _oracle("left")
 
 
+def test_range_join_left_null_payload_not_duplicated(spark):
+    """A matched point carrying a NULL in a non-join column must appear
+    exactly once (null-safe anti-join): plain equality would fail to
+    anti-match it and emit a second, null-extended copy."""
+    p = spark.createDataFrame(
+        [(1, 10, None), (2, 10, "x"), (3, 999, None)],
+        "pid long, v long, tag string",
+    )
+    i = spark.createDataFrame([(1, 0, 50)], "iid long, s long, e long")
+    rows = range_join(p, i, "v", "s", "e", 16, how="left").collect()
+    by_pid = {}
+    for r in rows:
+        by_pid.setdefault(r["pid"], []).append(r)
+    assert len(by_pid[1]) == 1 and by_pid[1][0]["iid"] == 1  # matched, once
+    assert len(by_pid[2]) == 1 and by_pid[2][0]["iid"] == 1
+    assert len(by_pid[3]) == 1 and by_pid[3][0]["iid"] is None  # unmatched
+
+
+def test_range_join_rejects_bad_bin_width(spark):
+    import pytest
+
+    p, i = _dfs(spark)
+    for bw in (0, -5):
+        with pytest.raises(ValueError, match="bin_width"):
+            range_join(p, i, "v", "s", "e", bw)
+
+
 def test_range_join_plan_is_equi_not_nested_loop(spark):
     from knightshift_spark.plans.partitioning import explain_str
 
