@@ -3,10 +3,12 @@
 Design (SURVEY north-star extension): media travels as a ``binary`` column
 with a typed metadata struct; decode / feature-extract / resize /
 frame-sample run as Arrow-batched ``mapInPandas`` stages so bytes never
-round-trip through Python row-at-a-time. The actual codec calls are
-STUBBED behind ``MediaCodecUnavailable`` (image/audio libs are not in this
-container) with a deterministic fake used by tests — the Spark-side
-contract (schemas, batch iteration, partition sizing) is real.
+round-trip through Python row-at-a-time. Codecs are pluggable through the
+seam: real decode/resize ships in ``operators.media_codecs`` (numpy codec
+for uncompressed PPM/BMP always; Pillow codec for JPEG/PNG when
+installed); ``MediaCodecUnavailable`` now gates only the formats that
+genuinely need a missing library. The deterministic fakes remain for
+contract tests that must not depend on pixel math.
 
 Scale notes: media rows are large → size partitions by *bytes* not rows
 (``media_repartition``), keep metadata in separate small columns so
@@ -54,15 +56,22 @@ FEATURE_SCHEMA = T.StructType(
 
 
 class MediaCodecUnavailable(NotImplementedError):
-    """Raised when a real codec (PIL/ffmpeg/torchaudio) would be needed."""
+    """Raised when a codec for the payload's format is not available
+    (e.g. JPEG/PNG without Pillow installed)."""
 
 
 def decode_image(payload: bytes) -> object:
-    """STUB: real implementation would be ``PIL.Image.open(BytesIO(payload))``.
+    """Decode an image payload to an (H, W, 3) uint8 numpy array.
 
-    The container ships no image libs; tests use ``fake_feature`` below.
+    Real decode paths (``operators.media_codecs``): Pillow when installed
+    (every PIL format), else the numpy codec for uncompressed formats
+    (binary PPM, 24-bit BMP). Compressed formats without Pillow raise
+    ``MediaCodecUnavailable`` naming the sniffed format — the gate is now
+    scoped to exactly the formats that need an external library.
     """
-    raise MediaCodecUnavailable("image decode requires PIL/opencv, not in container")
+    from knightshift_spark.operators.media_codecs import best_image_codec
+
+    return best_image_codec().decode(payload)
 
 
 def fake_feature(payload: bytes, dim: int = 8) -> list[float]:

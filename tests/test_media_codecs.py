@@ -1,0 +1,189 @@
+"""Real image codec tests: exact PPM/BMP decode, bilinear resize math,
+feature pooling — standalone and through the Spark multimodal stages.
+Pillow-specific coverage skip-marks when Pillow is absent (this container)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from knightshift_spark.operators.media_codecs import (
+    NumpyImageCodec,
+    decode_bmp,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+    pillow_available,
+    resize_bilinear,
+    sniff_format,
+    strip_features,
+)
+from knightshift_spark.operators.multimodal import MediaCodecUnavailable, decode_image
+
+
+def gradient(h: int, w: int) -> np.ndarray:
+    """Deterministic RGB test image: channel-distinct gradients over
+    RELATIVE position (scale-invariant, so feature pooling at different
+    resolutions of 'the same image' agrees)."""
+    y, x = np.mgrid[0:h, 0:w]
+    gx = x * 255 // max(w - 1, 1)
+    gy = y * 255 // max(h - 1, 1)
+    return np.stack([gx, gy, (gx + gy) // 2], axis=2).astype(np.uint8)
+
+
+def test_ppm_roundtrip_exact():
+    img = gradient(7, 5)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    assert sniff_format(encode_ppm(img)) == "ppm"
+
+
+def test_ppm_with_comments_and_truncation():
+    img = gradient(2, 2)
+    payload = b"P6\n# a comment\n2 2\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(payload), img)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n4 4\n255\n\x00\x01")
+
+
+def test_bmp_roundtrip_exact():
+    # non-multiple-of-4 width exercises row padding; bottom-up layout
+    img = gradient(5, 3)
+    payload = encode_bmp(img)
+    assert sniff_format(payload) == "bmp"
+    assert np.array_equal(decode_bmp(payload), img)
+
+
+def test_bmp_handcrafted_pixels():
+    """2×2 BMP built by hand: decoded pixels land at the right positions
+    (bottom-up + BGR both undone)."""
+    import struct
+
+    # rows bottom-up, BGR, stride 8 (2*3 padded to 8)
+    bottom_row = bytes([255, 0, 0]) + bytes([0, 255, 0]) + b"\x00\x00"  # blue, green
+    top_row = bytes([0, 0, 255]) + bytes([255, 255, 255]) + b"\x00\x00"  # red, white
+    raw = bottom_row + top_row
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raw), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(raw), 0, 0, 0, 0
+    )
+    img = decode_bmp(header + raw)
+    assert img[0, 0].tolist() == [255, 0, 0]  # top-left red (RGB)
+    assert img[0, 1].tolist() == [255, 255, 255]
+    assert img[1, 0].tolist() == [0, 0, 255]  # bottom-left blue
+    assert img[1, 1].tolist() == [0, 255, 0]
+
+
+def test_bilinear_resize_known_values():
+    # 2×2 grayscale-ish ramp → 3×3: centers interpolate exactly
+    img = np.array([[[0], [100]], [[200], [255]]], dtype=np.uint8).repeat(3, axis=2)
+    out = resize_bilinear(img, 3, 3)
+    assert out.shape == (3, 3, 3)
+    assert out[0, 0, 0] == 0 and out[0, 2, 0] == 100
+    assert out[2, 0, 0] == 200 and out[2, 2, 0] == 255
+    assert out[0, 1, 0] == 50  # midpoint of 0,100
+    assert out[1, 1, 0] == round((0 + 100 + 200 + 255) / 4)
+    # identity resize is exact
+    assert np.array_equal(resize_bilinear(img, 2, 2), img)
+
+
+def test_codec_resize_preserves_container():
+    codec = NumpyImageCodec()
+    img = gradient(8, 8)
+    ppm_out = codec.resize(encode_ppm(img), 4, 4)
+    bmp_out = codec.resize(encode_bmp(img), 4, 4)
+    assert sniff_format(ppm_out) == "ppm" and decode_ppm(ppm_out).shape == (4, 4, 3)
+    assert sniff_format(bmp_out) == "bmp" and decode_bmp(bmp_out).shape == (4, 4, 3)
+    # same source pixels → same resized pixels regardless of container
+    assert np.array_equal(decode_ppm(ppm_out), decode_bmp(bmp_out))
+    assert codec.resize(None, 4, 4) is None
+
+
+def test_features_deterministic_and_bounded():
+    codec = NumpyImageCodec(dim=8)
+    f = codec.features(encode_ppm(gradient(16, 32)))
+    assert len(f) == 8 and all(0.0 <= v <= 1.0 for v in f)
+    assert f == codec.features(encode_ppm(gradient(16, 32)))
+    # gradient brightens left→right (R channel ramps): strips increase
+    assert f[-1] > f[0]
+    assert codec.features(None) == [0.0] * 8
+    # strip pooling is resolution-robust: same image at 2× size ≈ same vec
+    f2 = codec.features(encode_ppm(gradient(32, 64)))
+    assert max(abs(a - b) for a, b in zip(f, f2)) < 0.02
+
+
+def test_decode_image_real_formats_and_gate():
+    img = gradient(3, 3)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+    if not pillow_available():
+        with pytest.raises(MediaCodecUnavailable, match="jpeg"):
+            decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+
+
+def test_resize_media_spark_stage_real_codec(spark):
+    """The Arrow-batched resize stage with REAL pixels end-to-end: decode
+    the resized payloads and verify dimensions + refreshed metadata."""
+    from knightshift_spark.operators.multimodal import resize_media
+
+    rows = [
+        (1, "image", "image/x-portable-pixmap", bytearray(encode_ppm(gradient(8, 6))),
+         {"width": 6, "height": 8, "duration_ms": None, "n_bytes": None}),
+        (2, "image", "image/bmp", bytearray(encode_bmp(gradient(10, 10))),
+         {"width": 10, "height": 10, "duration_ms": None, "n_bytes": None}),
+        (3, "image", None, None, None),
+    ]
+    from knightshift_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r
+        for r in resize_media(media, 4, 4, codec=NumpyImageCodec()).collect()
+    }
+    for mid in (1, 2):
+        decoded = NumpyImageCodec().decode(bytes(out[mid]["payload"]))
+        assert decoded.shape == (4, 4, 3)
+        assert out[mid]["meta"]["width"] == 4 and out[mid]["meta"]["height"] == 4
+        assert out[mid]["meta"]["n_bytes"] == len(out[mid]["payload"])
+    assert out[3]["payload"] is None and out[3]["meta"]["n_bytes"] is None
+
+
+def test_extract_features_spark_stage_real_codec(spark):
+    from knightshift_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    rows = [
+        (1, "image", None, bytearray(encode_ppm(gradient(8, 8))),
+         {"width": 8, "height": 8, "duration_ms": None, "n_bytes": None}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = extract_features(media, dim=4, codec=NumpyImageCodec(dim=4)).collect()
+    expect = NumpyImageCodec(dim=4).features(encode_ppm(gradient(8, 8)))
+    assert got[0]["media_id"] == 1
+    assert got[0]["feature"] == pytest.approx(expect, abs=1e-6)
+
+
+@pytest.mark.skipif(not pillow_available(), reason="Pillow not installed")
+def test_pillow_codec_against_numpy_codec():
+    """When Pillow IS present: both codecs decode the same PPM to the same
+    pixels, and the Pillow codec handles a PNG round-trip."""
+    import io
+
+    from PIL import Image
+
+    from knightshift_spark.operators.media_codecs import PillowImageCodec
+
+    img = gradient(6, 6)
+    ppm = encode_ppm(img)
+    pc = PillowImageCodec()
+    assert np.array_equal(pc.decode(ppm), NumpyImageCodec().decode(ppm))
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    assert np.array_equal(pc.decode(buf.getvalue()), img)
+    resized = pc.resize(buf.getvalue(), 3, 3)
+    assert sniff_format(resized) == "png"
+
+
+@pytest.mark.skipif(pillow_available(), reason="Pillow installed")
+def test_pillow_codec_unavailable_gate():
+    from knightshift_spark.operators.media_codecs import PillowImageCodec
+
+    with pytest.raises(MediaCodecUnavailable, match="Pillow"):
+        PillowImageCodec()
