@@ -54,17 +54,44 @@ def profile_table(
     branches = []
     for c in cols:
         v = F.col("v")
-        distinct = (
-            F.approx_count_distinct("v") if (approx and not check) else F.count_distinct("v")
+        if approx and not check:
+            # pure approx mode: no exact distinct anywhere, so a single
+            # global agg (one constant-size exchange) covers everything
+            branches.append(
+                df.select(F.col(c).alias("v")).agg(
+                    F.lit(c).alias("column"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(v.isNull().cast("long")).alias("n_nulls"),
+                    F.approx_count_distinct("v").alias("n_distinct"),
+                    F.min("v").cast("string").alias("min_val"),
+                    F.max("v").cast("string").alias("max_val"),
+                )
+            )
+            continue
+        # Exact-distinct modes: explicit two-phase agg instead of
+        # count_distinct-in-agg. Phase 1 reduces to one slim (v, cnt) row
+        # per distinct value (map-side combined), so the shuffle carries
+        # two columns — Catalyst's automatic rewrite would instead carry
+        # every other aggregate's partial state per group, which in audit
+        # mode includes a 52-word HLL buffer per DISTINCT VALUE. Phase 2
+        # aggregates the deduped values; the HLL sketch (duplicate-
+        # insensitive, so identical over deduped input) exists only in
+        # this constant-size stage.
+        grouped = (
+            df.select(F.col(c).alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
         )
         aggs = [
             F.lit(c).alias("column"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(v.isNull().cast("long")).alias("n_nulls"),
-            distinct.alias("n_distinct"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(v.isNull(), F.col("cnt"))), F.lit(0)
+            ).alias("n_nulls"),
+            F.count("v").alias("n_distinct"),
         ]
         if check:
-            exact = F.count_distinct("v")
+            exact = F.count("v")
             ok = F.when(exact == 0, F.lit(True)).otherwise(
                 F.abs(F.approx_count_distinct("v") - exact) / exact
                 <= float(approx_check)
@@ -74,7 +101,7 @@ def profile_table(
             F.min("v").cast("string").alias("min_val"),
             F.max("v").cast("string").alias("max_val"),
         ]
-        branches.append(df.select(F.col(c).alias("v")).agg(*aggs))
+        branches.append(grouped.agg(*aggs))
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)

@@ -25,16 +25,32 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    """The unrolled dot as ONE SQL string. ``expr()`` parses it in a
+    single Py4J call into exactly the tree the Column-by-Column form
+    builds (left-assoc ``+`` fold over ``CAST(element_at(...))`` terms) —
+    same nodes, same add order, bit-identical values — but plan
+    construction is one driver round-trip instead of ~6·dim."""
+    return " + ".join(
+        f"(CAST(element_at({a}, {i}) AS DOUBLE) * "
+        f"CAST(element_at({b}, {i}) AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+
+
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Left-to-right sum of the element-wise product (deterministic).
 
     With ``dim`` the sum unrolls to ``dim`` explicit terms that run inside
     whole-stage codegen; without it, a generic higher-order fold (HOFs are
     interpreted — measured ~40% slower at d=64). Both add in the same
     left-to-right order, so results are bit-identical to each other and
-    to the DuckDB oracle's ``list_sum(list_transform(...))``.
+    to the DuckDB oracle's ``list_sum(list_transform(...))``. Pass plain
+    column NAMES (with ``dim``) for the single-round-trip ``expr`` path.
     """
     if dim is not None:
+        if isinstance(a, str) and isinstance(b, str):
+            return F.expr(_dot_sql(a, b, dim))
         terms = (
             F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
             for i in range(1, dim)
@@ -43,6 +59,8 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
             terms,
             F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double"),
         )
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
         F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -50,15 +68,23 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-def norm(a: Column, dim: int | None = None) -> Column:
+def norm(a: Column | str, dim: int | None = None) -> Column:
     if dim is not None:
+        if isinstance(a, str):
+            return F.expr(f"sqrt({_dot_sql(a, a, dim)})")
         return F.sqrt(dot(a, a, dim))
+    a = F.col(a) if isinstance(a, str) else a
     return F.sqrt(
         F.aggregate(_as_double(a), F.lit(0.0), lambda acc, v: acc + v * v)
     )
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    if dim is not None and isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"({_dot_sql(a, b, dim)}) / "
+            f"(sqrt({_dot_sql(a, a, dim)}) * sqrt({_dot_sql(b, b, dim)}))"
+        )
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
@@ -78,19 +104,27 @@ def knn_bruteforce(
     side. The per-query top-k is a window over query_id (k small → the
     rank filter prunes before any further stage).
     """
+    # norms are bound per relation (one unrolled tree per SIDE instead of
+    # re-inlining them into every pair's expression): the same doubles in
+    # the same order, so sims stay bit-identical to the inline form —
+    # while the pair expression (and the plan the driver must analyze)
+    # shrinks 3×
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
+    ).withColumn("__qn", norm("__qv", dim))
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
+    ).withColumn("__cn", norm("__cv", dim))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv"), dim).alias("__sim"),
+            (
+                dot("__qv", "__cv", dim)
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("__sim"),
         )
     )
     from pyspark.sql import Window
@@ -125,7 +159,7 @@ def srp_sketch(vec: Column, bits: int = 16, dim: int = 64) -> Column:
         proj = F.aggregate(
             F.zip_with(
                 _as_double(vec),
-                F.array(*[F.lit(sign(b, i)) for i in range(dim)]),
+                F.lit([sign(b, i) for i in range(dim)]),  # one array literal
                 lambda x, s: x * s,
             ),
             F.lit(0.0),
@@ -182,10 +216,16 @@ def knn_bruteforce_arrow(
             c /= np.linalg.norm(c, axis=1, keepdims=True)
             sims = c @ qm.T  # (batch, |Q|)
             top = min(k, len(pdf))
-            part = np.argpartition(-sims, top - 1, axis=0)[:top]  # per query col
+            nid = pdf[id_col].to_numpy()
+            # Deterministic batch-local top-k: ties at the k-th similarity
+            # keep the smallest neighbor_id, so the final global window sees
+            # the same candidates under any partitioning of the candidates.
+            part = np.empty((top, sims.shape[1]), dtype=np.int64)
+            for j in range(sims.shape[1]):
+                part[:, j] = np.lexsort((nid, -sims[:, j]))[:top]
             rows = {
                 "query_id": np.repeat(ids, top),
-                "neighbor_id": pdf[id_col].to_numpy()[part.T.ravel()],
+                "neighbor_id": nid[part.T.ravel()],
                 "sim": np.take_along_axis(sims, part, axis=0).T.ravel(),
             }
             yield pd.DataFrame(rows)
@@ -211,7 +251,7 @@ def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array(
         *[
             F.struct(
-                _sq_l2(vec, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
+                _sq_l2(vec, F.lit([float(x) for x in c])).alias("d"),
                 F.lit(i).alias("cid"),
             )
             for i, c in enumerate(centroids)
@@ -247,15 +287,22 @@ def _cents_df(spark, cents: list[list[float]]) -> DataFrame:
 
 
 def _nearest_center(
-    vectors: DataFrame, cents: list[list[float]], id_col: str, vec_col: str
+    vectors: DataFrame,
+    cents: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    carry_vec: bool = False,
 ) -> DataFrame:
-    """(id, cid, d): nearest center per vector via broadcast crossJoin +
-    1-row-per-key argmin. Centers travel as broadcast DATA, not codegen'd
-    literals, so the plan (and its compiled code) is IDENTICAL across
-    build iterations — recompiling per Lloyd step was the dominant build
-    cost, the same per-config-compile trap as the PQ sweep. The squared-L2
-    fold is a runtime loop over the zipped arrays (deterministic
-    left-to-right order)."""
+    """(id, cid, d[, v]): nearest center per vector via broadcast
+    crossJoin + 1-row-per-key argmin. Centers travel as broadcast DATA,
+    not codegen'd literals, so the plan (and its compiled code) is
+    IDENTICAL across build iterations — recompiling per Lloyd step was
+    the dominant build cost, the same per-config-compile trap as the PQ
+    sweep. The squared-L2 fold is a runtime loop over the zipped arrays
+    (deterministic left-to-right order). ``carry_vec`` rides the vector
+    through the argmin struct (cid is unique per center, so it never
+    participates in the comparison) — consumers that need the vector
+    then skip a join-back shuffle against ``vectors``."""
     spark = vectors.sparkSession
     d = F.aggregate(
         F.zip_with(
@@ -264,14 +311,17 @@ def _nearest_center(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    fields = [d.alias("d"), F.col("cid").alias("cid")]
+    if carry_vec:
+        fields.append(F.col(vec_col).alias("v"))
     scored = vectors.crossJoin(F.broadcast(_cents_df(spark, cents))).select(
-        F.col(id_col), F.col("cid"), d.alias("__d")
+        F.col(id_col), F.struct(*fields).alias("__s")
     )
-    return (
-        scored.groupBy(id_col)
-        .agg(F.min(F.struct(F.col("__d").alias("d"), F.col("cid").alias("cid"))).alias("__m"))
-        .select(id_col, F.col("__m.cid").alias("cid"), F.col("__m.d").alias("__d"))
-    )
+    out = scored.groupBy(id_col).agg(F.min("__s").alias("__m"))
+    cols = [id_col, F.col("__m.cid").alias("cid"), F.col("__m.d").alias("__d")]
+    if carry_vec:
+        cols.append(F.col("__m.v").alias("__v"))
+    return out.select(*cols)
 
 
 def _lloyd_step(
@@ -283,12 +333,13 @@ def _lloyd_step(
     """One Lloyd iteration: assign every vector to its nearest centroid
     (broadcast argmin, constant plan shape) and average per (cluster,
     coordinate) — decimal accumulation so the mean is independent of
-    partition order. Only k×d mean rows reach the driver; clusters that
-    lost every vector keep their previous centroid."""
-    near = _nearest_center(vectors, cents, id_col, vec_col).select(id_col, "cid")
+    partition order. One job, two shuffles: the vector rides the argmin
+    struct (``carry_vec``), so no join back to ``vectors``. Only k×d mean
+    rows reach the driver; clusters that lost every vector keep their
+    previous centroid."""
     means = (
-        vectors.join(near, id_col)
-        .select("cid", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        _nearest_center(vectors, cents, id_col, vec_col, carry_vec=True)
+        .select("cid", F.posexplode(F.col("__v")).alias("pos", "x"))
         .groupBy("cid", "pos")
         .agg(
             (
@@ -354,14 +405,14 @@ def ivf_centroids(
         return []
     centers = [[float(x) for x in first[0][vec_col]]]
     for _ in range(seed_rounds):
-        far_ids = (
-            _nearest_center(vectors, centers, id_col, vec_col)
+        far = (
+            _nearest_center(vectors, centers, id_col, vec_col, carry_vec=True)
             .orderBy(F.col("__d").desc(), F.col(id_col))
             .limit(n_clusters)
-            .select(id_col)
+            .select("__v")
+            .collect()  # k vectors — one TakeOrdered job, no join-back
         )
-        far = vectors.join(F.broadcast(far_ids), id_col).select(vec_col).collect()
-        centers += [[float(x) for x in r[vec_col]] for r in far]
+        centers += [[float(x) for x in r["__v"]] for r in far]
     cents = _farthest_first(centers, n_clusters)
     # pad degenerate inputs (fewer distinct points than clusters): repeat
     # the first center so downstream cid indexing stays dense
@@ -409,14 +460,22 @@ def knn_ivf(
         if centroids is not None
         else ivf_centroids(candidates, n_clusters, id_col, vec_col)
     )
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        assign_ivf_cluster(F.col(vec_col), cents).alias("__cid"),
-    )
+    dim = len(cents[0]) if cents else None
+    if {"neighbor_id", "__cv", "__cn", "__cid"}.issubset(candidates.columns):
+        # prebuilt assignment table (prepare_ivf_candidates with the SAME
+        # codebook — the caller owns that contract)
+        c = candidates.select("neighbor_id", "__cv", "__cn", "__cid")
+    else:
+        c = candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            norm(vec_col, dim).alias("__cn"),
+            assign_ivf_cluster(F.col(vec_col), cents).alias("__cid"),
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        norm(vec_col, dim).alias("__qn"),
         F.explode(
             assign_ivf_clusters(F.col(vec_col), cents, n_probe)
         ).alias("__cid"),
@@ -427,8 +486,12 @@ def knn_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            # dim is known from the codebook → unrolled codegen dot product
-            cosine(F.col("__qv"), F.col("__cv"), len(cents[0])).alias("__sim"),
+            # dim is known from the codebook → unrolled codegen dot; the
+            # per-side norms keep the pair expression at one dot
+            (
+                dot("__qv", "__cv", dim)
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("__sim"),
         )
     )
     from pyspark.sql import Window
@@ -788,6 +851,47 @@ def query_ann_index(
     )
 
 
+def prepare_lsh_candidates(
+    candidates: DataFrame,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The candidate side of ``knn_lsh`` as a standalone relation:
+    (neighbor_id, __cv, __sk). Build it once, persist (or write) it, and
+    pass it to any number of ``knn_lsh`` calls with the same bits/dim —
+    the sketch projection (bits×dim codegen terms) then runs once instead
+    of once per probe setting. This is the in-memory twin of persisting
+    the sketch column with the table at 100 TB. Carries the vector norm
+    too, so pair scoring evaluates one unrolled dot, not three."""
+    return candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(vec_col, dim).alias("__cn"),
+        srp_sketch(F.col(vec_col), bits, dim).alias("__sk"),
+    )
+
+
+def prepare_ivf_candidates(
+    candidates: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The candidate side of ``knn_ivf`` as a standalone relation:
+    (neighbor_id, __cv, __cn, __cid). Shareable across ``n_probe``
+    settings the same way ``prepare_lsh_candidates`` shares the sketch
+    table."""
+    dim = len(centroids[0]) if centroids else None
+    return candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(vec_col, dim).alias("__cn"),
+        assign_ivf_cluster(F.col(vec_col), centroids).alias("__cid"),
+    )
+
+
 def knn_lsh(
     queries: DataFrame,
     candidates: DataFrame,
@@ -820,20 +924,32 @@ def knn_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        norm(vec_col, dim).alias("__qn"),
         F.explode(probes).alias("__sk"),
     )
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        srp_sketch(F.col(vec_col), bits, dim).alias("__sk"),
-    )
+    if {"neighbor_id", "__cv", "__cn", "__sk"}.issubset(candidates.columns):
+        # prebuilt sketch table (prepare_lsh_candidates with the SAME
+        # bits/dim — the caller owns that contract)
+        c = candidates.select("neighbor_id", "__cv", "__cn", "__sk")
+    else:
+        c = candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            norm(vec_col, dim).alias("__cn"),
+            srp_sketch(F.col(vec_col), bits, dim).alias("__sk"),
+        )
     scored = (
         F.broadcast(q)
         .join(c, "__sk")
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv"), dim).alias("__sim"),
+            # per-side norms (same doubles, same order → bit-identical to
+            # the inline cosine) keep the pair expression at one dot
+            (
+                dot("__qv", "__cv", dim)
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("__sim"),
         )
     )
     from pyspark.sql import Window
@@ -915,7 +1031,7 @@ def neardup_pairs_lsh(
         cand.select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb"), dim), 4).alias("sim"),
+            F.round(cosine("__va", "__vb", dim), 4).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

@@ -70,7 +70,7 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
     v = t(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
     a = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__ea"))
     b = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__eb"))
-    sim = F.round(cosine(F.col("__ea"), F.col("__eb"), dim=64), 4)
+    sim = F.round(cosine("__ea", "__eb", dim=64), 4)
     return (
         F.broadcast(a)
         .crossJoin(b)
@@ -172,19 +172,35 @@ def ann_recall_harness(
         "the harness against the same Lloyd-refined codebook",
 )
 def q59(spark: SparkSession, sf: str) -> DataFrame:
+    from knightshift_spark.operators.similarity import (
+        prepare_ivf_candidates,
+        prepare_lsh_candidates,
+    )
+
     emb = t(spark, sf, "embeddings")
     q, c = emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10)
+    # the candidate relation feeds truth + codebook + 2 prepared index
+    # tables — pin it in memory for the duration of the harness build
+    c = c.persist()
     truth = knn_bruteforce(q, c, k=3, dim=64)
     # one codebook build serves both IVF probe settings (build-once path)
     cents = ivf_centroids(c, n_clusters=4)
+    # shared index tables: the sketch / cluster-assignment projections
+    # (the per-candidate codegen cost) run once per index, not once per
+    # probe setting — the in-memory form of the persisted-index path
+    c_lsh = prepare_lsh_candidates(c, bits=4).persist()
+    c_ivf = prepare_ivf_candidates(c, cents).persist()
     variants = {
-        "lsh_b4": knn_lsh(q, c, k=3, bits=4),
-        "lsh_b4_h1": knn_lsh(q, c, k=3, bits=4, hamming_probe=1),
-        "ivf_c4": knn_ivf(q, c, k=3, n_clusters=4, centroids=cents),
-        "ivf_c4_p2": knn_ivf(q, c, k=3, n_clusters=4, n_probe=2, centroids=cents),
+        "lsh_b4": knn_lsh(q, c_lsh, k=3, bits=4),
+        "lsh_b4_h1": knn_lsh(q, c_lsh, k=3, bits=4, hamming_probe=1),
+        "ivf_c4": knn_ivf(q, c_ivf, k=3, n_clusters=4, centroids=cents),
+        "ivf_c4_p2": knn_ivf(q, c_ivf, k=3, n_clusters=4, n_probe=2, centroids=cents),
     }
     widens = {"lsh_b4_h1": "lsh_b4", "ivf_c4_p2": "ivf_c4"}
-    return ann_recall_harness(spark, variants, truth, widens)
+    out = ann_recall_harness(spark, variants, truth, widens)
+    for cached in (c, c_lsh, c_ivf):  # harness materialized → safe to drop
+        cached.unpersist()
+    return out
 
 
 def _srp_sketch_sql(vec: str, bits: int = 4, dim: int = 64) -> str:

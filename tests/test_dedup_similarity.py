@@ -218,6 +218,27 @@ def test_knn_arrow_matches_codegen(spark):
     assert exact == arrow
 
 
+def test_knn_arrow_tie_break_partition_invariant(spark):
+    """Candidates tied at the k-th similarity must truncate deterministically
+    (smallest neighbor_id wins), so the result is identical whether the batch
+    sees all tied rows together or split across partitions."""
+    from knightshift_spark.operators.similarity import knn_bruteforce_arrow
+
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    # 40 candidates all identical to the query (sim == 1.0), ids shuffled
+    ids = [((i * 17) % 40) + 1 for i in range(40)]
+    c = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in ids], "vec_id long, embedding array<float>"
+    )
+    runs = []
+    for nparts in (1, 8):
+        out = knn_bruteforce_arrow(q, c.repartition(nparts), k=5).collect()
+        runs.append(sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in out))
+    assert runs[0] == runs[1]
+    # deterministic rule: ties keep the smallest neighbor_id
+    assert [r[2] for r in runs[0]] == [1, 2, 3, 4, 5]
+
+
 def test_jaccard_df_max_caps_ubiquitous_shingle(spark):
     """One shingle shared by EVERY doc would create O(n²) join rows; with
     df_max it is pruned from numerator AND denominator consistently."""
