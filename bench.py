@@ -92,6 +92,18 @@ def main() -> None:
     except Exception:
         pass  # second scale point is informational; never fail the bench
 
+    skewed = None
+    try:
+        skewed = skewed_section(spark, specs, sf_dir)
+    except Exception:
+        pass  # skew point is informational; never fail the bench
+
+    sf1 = None
+    try:
+        sf1 = sf1_section(spark, specs, sf_dir)
+    except Exception:
+        pass  # sf1 point is informational; never fail the bench
+
     print(
         json.dumps(
             {
@@ -103,6 +115,8 @@ def main() -> None:
                 "duckdb_oracle_total_sec": duck_total,
                 "spark_vs_duckdb_ratio": ratio,
                 "scale10x_documents": scale10,
+                "skewed_documents": skewed,
+                "sf1_relational": sf1,
             }
         )
     )
@@ -200,6 +214,231 @@ def scale10x_section(spark, specs, sf_dir: str) -> dict:
         duck_total += d
     return {
         "n_docs": spark.read.parquet(f"{scale_dir}/documents.parquet").count(),
+        "queries": out,
+        "spark_total_sec": round(spark_total, 4),
+        "duckdb_total_sec": round(duck_total, 4),
+        "ratio": round(spark_total / duck_total, 2) if duck_total else None,
+    }
+
+
+def _duck_view(con, name: str, path: str) -> None:
+    """CREATE VIEW over a parquet file OR a Spark-written directory."""
+    src = path if os.path.isfile(path) else f"{path}/*.parquet"
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
+
+
+def _best_of(fn, runs: int) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _build_skewed(spark, sf_dir: str, out_dir: str) -> None:
+    """Duplicate-HEAVY corpus: every base doc once, plus the 100 lowest-id
+    docs repeated 200× each — hot clusters of ~201 exact copies, the
+    shape web-corpus dedup actually sees and the reason the LSH bucket
+    cap exists. Ids are remapped (base → id*1000, copy c of hot doc h →
+    h*1000+c) so doc_id stays a unique key."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rest = [c for c in docs.columns if c != "doc_id"]
+    base = docs.select((F.col("doc_id") * 1000).alias("doc_id"), *rest)
+    hot = (
+        docs.filter(F.col("doc_id") < 100)
+        .crossJoin(spark.range(1, 201).select(F.col("id").alias("__c")))
+        .select((F.col("doc_id") * 1000 + F.col("__c")).alias("doc_id"), *rest)
+    )
+    tmp = f"{out_dir}.tmp"
+    base.unionByName(hot).repartition(8).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp, out_dir)
+
+
+def skewed_section(spark, specs, sf_dir: str) -> dict:
+    """Duplicate-cluster skew point (VERDICT r3 #5): capped LSH and the
+    salted fingerprint join on a corpus where 100 docs each have ~200
+    exact copies.
+
+    ``lsh_capped`` is the headline: Spark runs ``lsh_candidate_pairs``
+    with ``max_bucket=32`` (hot buckets emit linear star pairs), DuckDB
+    runs the UNCAPPED banding SQL (all-pairs inside each bucket — the
+    quadratic cliff the cap removes), so the pair counts differ BY
+    DESIGN and both are reported. ``exact_dedup`` and ``salted_fp_join``
+    are like-for-like comparisons on the same corpus.
+    """
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from knightshift_spark.functions.text import doc_fingerprint
+    from knightshift_spark.operators.dedup import lsh_candidate_pairs
+    from knightshift_spark.plans.partitioning import salted_join
+    from knightshift_spark.queries.dedup import _band_rows, _HASH32, _mh_cols, _SHINGLES_CTE
+    from knightshift_spark.tables import load_table
+
+    base = os.environ.get("SPARK_GRAFT_SKEW_DIR", "/tmp/knightshift-skewed")
+    skew_dir = os.path.join(base, os.path.basename(sf_dir.rstrip("/")))
+    marker = os.path.join(skew_dir, "documents.parquet", "_SUCCESS")
+    if not os.path.exists(marker):
+        _build_skewed(spark, sf_dir, os.path.join(skew_dir, "documents.parquet"))
+
+    lsh_uncapped_oracle = (
+        _SHINGLES_CTE.format(scope="")
+        + f""",
+      hx AS (SELECT doc_id, shingle, {_HASH32} AS h FROM sh),
+      mh AS (SELECT doc_id, {_mh_cols(16)} FROM hx GROUP BY doc_id),
+      buckets AS ({_band_rows(4, 4)})
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+    )
+    fp_join_oracle = r"""
+      WITH f AS (SELECT doc_id,
+                        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+                 FROM documents),
+      r AS (SELECT fp, MIN(doc_id) AS keep_id FROM f GROUP BY 1)
+      SELECT f.doc_id, f.fp, r.keep_id FROM f JOIN r USING (fp)"""
+
+    def spark_fp_join(s, d):
+        docs = load_table(s, d, "documents").select(
+            "doc_id", doc_fingerprint(F.col("text")).alias("fp")
+        )
+        reps = docs.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+        return salted_join(docs, reps, on="fp")
+
+    con = duckdb.connect()
+    _duck_view(con, "documents", os.path.join(skew_dir, "documents.parquet"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+    entries = {
+        "lsh_capped": (
+            lambda s, d: lsh_candidate_pairs(
+                load_table(s, d, "documents"), num_hashes=16, bands=4, max_bucket=32
+            ),
+            lsh_uncapped_oracle,
+        ),
+        "exact_dedup": (specs["q29_dedup_exact"].spark_fn, specs["q29_dedup_exact"].oracle),
+        "salted_fp_join": (spark_fp_join, fp_join_oracle),
+    }
+    out: dict[str, dict] = {}
+    spark_total = duck_total = 0.0
+    for name, (fn, oracle) in entries.items():
+        df = fn(spark, skew_dir)
+        s = _best_of(lambda: _run(df), runs)
+        d = _best_of(lambda: con.execute(oracle).fetchall(), runs)
+        out[name] = {
+            "spark_sec": round(s, 4),
+            "duckdb_sec": round(d, 4),
+            "spark_rows": df.count(),
+            "duckdb_rows": len(con.execute(oracle).fetchall()),
+        }
+        spark_total += s
+        duck_total += d
+    return {
+        "n_docs": spark.read.parquet(f"{skew_dir}/documents.parquet").count(),
+        "hot_clusters": 100,
+        "copies_per_hot_doc": 200,
+        "note": "lsh_capped: Spark caps bucket expansion (star pairs), "
+                "DuckDB runs uncapped all-pairs banding — row counts "
+                "differ by design; other entries are like-for-like",
+        "queries": out,
+        "spark_total_sec": round(spark_total, 4),
+        "duckdb_total_sec": round(duck_total, 4),
+        "ratio": round(spark_total / duck_total, 2) if duck_total else None,
+    }
+
+
+def _build_sf1(spark, sf_dir: str, out_dir: str) -> None:
+    """Materialize an sf≈1 relational layout: orders+lineitem scaled 10×
+    (order keys remapped to new_key = old*10 + copy so the orders ↔
+    lineitem join stays consistent and PKs stay unique); every other
+    table symlinked unchanged — a '10× the orders, same dimensions'
+    year-over-year growth shape."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    tmp = f"{out_dir}.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        rest = [c for c in df.columns if c != key]
+        scaled = df.crossJoin(
+            spark.range(10).select(F.col("id").alias("__copy"))
+        ).select((F.col(key) * 10 + F.col("__copy")).alias(key), *rest)
+        scaled.repartition(16).write.mode("overwrite").parquet(
+            os.path.join(tmp, f"{name}.parquet")
+        )
+    from knightshift_spark.tables import TABLE_NAMES
+
+    for name in TABLE_NAMES:
+        dst = os.path.join(tmp, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(f"{sf_dir}/{name}.parquet", dst)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp, out_dir)
+
+
+def sf1_section(spark, specs, sf_dir: str) -> dict:
+    """One-order-up relational scale point (VERDICT r3 #9): the declared
+    relational queries on 10× orders/lineitem (sf≈1, ~6M lineitem rows),
+    Spark vs the same oracle SQL in DuckDB, best-of-N both sides. This
+    documents where the sf0.1 per-query job floor stops dominating and
+    the Spark/DuckDB ratio crosses below the suite-level number."""
+    import duckdb
+
+    from knightshift_spark.tables import TABLE_NAMES
+
+    base = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/knightshift-sf1")
+    sf1_dir = os.path.join(base, os.path.basename(sf_dir.rstrip("/")))
+    marker = os.path.join(sf1_dir, "lineitem.parquet", "_SUCCESS")
+    if not os.path.exists(marker):
+        _build_sf1(spark, sf_dir, sf1_dir)
+
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        _duck_view(con, name, os.path.join(sf1_dir, f"{name}.parquet"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+    # queries whose input grows with the scaled tables (orders/lineitem)
+    # — dimension-only queries would just re-measure the job floor here
+    names = [
+        "q01_filter_scan",
+        "q10_semi_join",
+        "q13_left_join_coalesce",
+        "q15_pricing_summary",
+        "q52_exists_having",
+        "q60_array_agg",
+    ]
+    out: dict[str, dict] = {}
+    spark_total = duck_total = 0.0
+    for name in names:
+        spec = specs[name]
+        df = spec.spark_fn(spark, sf1_dir)
+        s = _best_of(lambda: _run(df), runs)
+        d = _best_of(lambda: con.execute(spec.oracle).fetchall(), runs)
+        out[name] = {
+            "spark_sec": round(s, 4),
+            "duckdb_sec": round(d, 4),
+            "ratio": round(s / d, 2) if d else None,
+        }
+        spark_total += s
+        duck_total += d
+    return {
+        "lineitem_rows": spark.read.parquet(f"{sf1_dir}/lineitem.parquet").count(),
+        "note": "crossover point: scan/join-heavy queries (q01/q13/q60) "
+                "already run under DuckDB; small-output shuffle aggs "
+                "(q10/q52) stay Spark-floor-bound (~0.3-0.5s flat "
+                "regardless of input) while DuckDB finishes in ms — "
+                "their ratio shrinks with every further scale-up; q15 "
+                "carries the exact-decimal determinism tax",
         "queries": out,
         "spark_total_sec": round(spark_total, 4),
         "duckdb_total_sec": round(duck_total, 4),
