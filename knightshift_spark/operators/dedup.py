@@ -353,12 +353,17 @@ def lsh_candidate_pairs(
             .select("doc_a", "doc_b")
             .distinct()
         )
-    # occupancy + representative in one (band, bucket)-keyed aggregation;
-    # the annotate join reuses the same key, so no extra exchange shape
-    stats = buckets.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__rep")
+    # occupancy + representative via ONE window over the bucket key —
+    # no separate stats aggregation and no annotate join (VERDICT r4 #4:
+    # that pair cost q31b 0.49→0.90s at a no-op cap setting); the
+    # window's exchange is the same (band, bucket) partitioning the pair
+    # join needs, so Catalyst adds no extra shuffle on the b side
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    bs = b.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn(
+        "__rep", F.min("doc_b").over(w)
     )
-    bs = b.join(stats, ["band", "bucket"])
     dense = (
         a.join(
             bs.filter(F.col("__n") <= max_bucket).select("doc_b", "band", "bucket"),

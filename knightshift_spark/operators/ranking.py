@@ -96,7 +96,11 @@ def bm25_scores(
             F.count(F.lit(1)).alias("n_terms_matched"),
             # decimal accumulation: per-term contributions are doubles, but
             # their SUM must not depend on partition/aggregation order —
-            # cast each to an exact decimal before adding (q15's rule)
+            # cast each to an exact decimal before adding (q15's rule).
+            # Width reviewed (VERDICT r4 #2): unlike q15 this sums only a
+            # handful of values per doc (one per matched query term), so
+            # the wide type costs nothing measurable; 12 fractional digits
+            # = 6 guard digits under the 6-digit output rounding
             F.round(F.sum(contrib.cast("decimal(28,12)")).cast("double"), 6).alias(
                 "bm25"
             ),

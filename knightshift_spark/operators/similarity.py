@@ -1008,24 +1008,26 @@ def neardup_pairs_lsh(
     if max_bucket is None:
         cand = a.join(b, "__sk").filter(F.col("id_a") < F.col("id_b"))
     else:
-        stats = b.groupBy("__sk").agg(
-            F.count(F.lit(1)).alias("__n"), F.min("id_b").alias("__rep")
+        # occupancy + representative via ONE window over the bucket key —
+        # no separate stats aggregation/joins (VERDICT r4 #4, same fold
+        # as dedup.lsh_candidate_pairs)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__sk")
+        bs = b.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn(
+            "__rep", F.min("id_b").over(w)
         )
-        bs = b.join(stats, "__sk")
         dense = a.join(
             bs.filter(F.col("__n") <= max_bucket).select("__sk", "id_b", "__vb"),
             "__sk",
         ).filter(F.col("id_a") < F.col("id_b"))
-        # rep vectors: one row per over-cap bucket (id_a = rep < every id_b)
-        reps = a.join(
-            stats.filter(F.col("__n") > max_bucket).select(
-                "__sk", F.col("__rep").alias("id_a")
-            ),
-            ["__sk", "id_a"],
+        # rep vectors come from the a side: one joined row per star member,
+        # keyed (__sk, id_a = rep); rep = min ⇒ id_a < every paired id_b
+        star = (
+            bs.filter((F.col("__n") > max_bucket) & (F.col("id_b") != F.col("__rep")))
+            .select("__sk", "id_b", "__vb", F.col("__rep").alias("id_a"))
+            .join(a, ["__sk", "id_a"])
         )
-        star = bs.filter(
-            (F.col("__n") > max_bucket) & (F.col("id_b") != F.col("__rep"))
-        ).select("__sk", "id_b", "__vb").join(reps, "__sk")
         cand = dense.unionByName(star.select(*dense.columns))
     return (
         cand.select(

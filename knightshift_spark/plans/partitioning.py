@@ -48,12 +48,22 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with explicit salting for pathological key skew.
 
-    big gets a uniform random salt in [0, salt); small is exploded into
-    all ``salt`` copies; the join key becomes (key, salt) so one hot key
-    spreads over ``salt`` partitions. Random salt does not affect
+    big gets a deterministic per-row salt in [0, salt); small is exploded
+    into all ``salt`` copies; the join key becomes (key, salt) so one hot
+    key spreads over ``salt`` partitions. The salt does not affect
     correctness (each big row joins exactly its one replicated partner).
+
+    The salt is ``xxhash64(whole row) mod salt`` rather than ``rand()``
+    (VERDICT r4 #4/minor): it depends only on row VALUES, so reruns and
+    repartitionings assign identical salts — byte-identical output, the
+    repo-wide determinism rule. Rows of a hot key spread as long as they
+    differ in any column; fully identical rows share a salt by
+    construction (they are the same row — no spread exists that any
+    deterministic function of the row could give).
     """
-    b = big.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    b = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int")
+    )
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

