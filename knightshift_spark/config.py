@@ -8,6 +8,7 @@ Everything has a safe default; nothing reads files outside the repo.
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 
@@ -32,5 +33,29 @@ class EngineConfig:
     jdbc_password: str | None = field(default_factory=lambda: os.environ.get("KS_JDBC_PASSWORD"))
 
 
-def load_config() -> EngineConfig:
-    return EngineConfig()
+def load_config(
+    credentials_provider: Callable[[str], str | None] | None = None,
+) -> EngineConfig:
+    """Build the engine config from the environment, optionally routing
+    SECRETS through a pluggable provider first.
+
+    ``credentials_provider`` is the deployment seam for a cloud secrets
+    manager (the reference pulls DB creds from one in
+    ``utils/db_utils.py``): a callable ``name -> value | None`` consulted
+    for each secret-bearing key before the environment. Returning ``None``
+    falls back to the env var of the same name, so a provider can cover
+    only the keys it owns. Non-secret knobs (pacing, partitions) stay
+    env-only — they are tuning, not credentials.
+    """
+    if credentials_provider is None:
+        return EngineConfig()
+
+    def get(name: str) -> str | None:
+        v = credentials_provider(name)
+        return v if v is not None else os.environ.get(name)
+
+    return EngineConfig(
+        jdbc_url=get("KS_JDBC_URL"),
+        jdbc_user=get("KS_JDBC_USER"),
+        jdbc_password=get("KS_JDBC_PASSWORD"),
+    )

@@ -33,7 +33,7 @@ import numpy as np
 
 def sniff_format(payload: bytes | None) -> str | None:
     """Best-effort magic-number sniff: 'ppm' | 'bmp' | 'png' | 'jpeg' |
-    'gif' | None (unknown/empty)."""
+    'gif' | 'wav' | 'y4m' | None (unknown/empty)."""
     if not payload:
         return None
     if payload[:2] == b"P6":
@@ -46,6 +46,10 @@ def sniff_format(payload: bytes | None) -> str | None:
         return "jpeg"
     if payload[:4] in (b"GIF8",):
         return "gif"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:9] == b"YUV4MPEG2":
+        return "y4m"
     return None
 
 
@@ -116,6 +120,186 @@ def encode_bmp(img: np.ndarray) -> bytes:
         "<2sIHHI", b"BM", 14 + 40 + len(raw), 0, 0, 14 + 40
     ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raw), 2835, 2835, 0, 0)
     return header + raw
+
+
+# -- WAV (RIFF PCM) ---------------------------------------------------------
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM → ((n_frames, n_channels) float64 in [-1, 1], rate).
+
+    Stdlib ``wave`` handles the container; numpy reinterprets the frame
+    bytes. Sample widths 1 (unsigned 8-bit), 2 (int16) and 4 (int32) —
+    the widths ``wave`` itself can write. 24-bit raises ``ValueError``
+    (no dtype; a production codec brings soundfile/ffmpeg via the seam).
+    """
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n_ch, width, rate = wf.getnchannels(), wf.getsampwidth(), wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    if width == 1:  # WAV 8-bit is unsigned, midpoint 128
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width} (1/2/4 supported)")
+    return samples.reshape(-1, n_ch), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int, sampwidth: int = 2) -> bytes:
+    """((n, ch) float in [-1, 1], rate) → RIFF/WAVE PCM bytes."""
+    import io
+    import wave
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    clipped = np.clip(samples, -1.0, 1.0)
+    if sampwidth == 1:
+        data = (np.rint(clipped * 127.0) + 128).astype(np.uint8).tobytes()
+    elif sampwidth == 2:
+        data = np.rint(clipped * 32767.0).astype("<i2").tobytes()
+    elif sampwidth == 4:
+        data = np.rint(clipped * 2147483647.0).astype("<i4").tobytes()
+    else:
+        raise ValueError(f"unsupported PCM sample width {sampwidth} (1/2/4 supported)")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(samples.shape[1])
+        wf.setsampwidth(sampwidth)
+        wf.setframerate(rate)
+        wf.writeframes(data)
+    return buf.getvalue()
+
+
+def wav_duration_ms(payload: bytes) -> int:
+    """Duration of a WAV payload in ms, from the header only (no decode)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        return int(round(wf.getnframes() * 1000.0 / wf.getframerate()))
+
+
+def audio_strip_features(samples: np.ndarray, dim: int) -> list[float]:
+    """RMS energy per time strip → ``dim`` floats in [0, 1] — the audio
+    twin of ``strip_features`` (deterministic, duration-robust)."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    strips = np.array_split(mono, dim)
+    return [
+        float(min(1.0, np.sqrt(np.mean(np.square(s))))) if s.size else 0.0
+        for s in strips
+    ]
+
+
+# -- Y4M (YUV4MPEG2) video --------------------------------------------------
+
+_Y4M_RGB = np.array(  # BT.601 limited-range YCbCr → RGB (ITU-R conversion)
+    [[1.164, 0.0, 1.596], [1.164, -0.392, -0.813], [1.164, 2.017, 0.0]]
+)
+
+
+def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    yuv = np.stack(
+        [y.astype(np.float64) - 16.0, u.astype(np.float64) - 128.0,
+         v.astype(np.float64) - 128.0],
+        axis=-1,
+    )
+    return np.clip(np.rint(yuv @ _Y4M_RGB.T), 0, 255).astype(np.uint8)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
+    """YUV4MPEG2 stream → ((n_frames, H, W, 3) uint8 RGB, fps).
+
+    Real uncompressed video: the zero-dependency twin of the PPM/BMP
+    image move. Supports the C420 family (420/420jpeg/420mpeg2/420paldv —
+    same plane sizes, chroma siting differences are below the feature
+    path's sensitivity) and C444; chroma upsamples by nearest-neighbor.
+    """
+    end = payload.index(b"\n")
+    header = payload[:end].decode("ascii", "replace").split(" ")
+    if header[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    fps = 30.0
+    colorspace = "420"
+    for p in header[1:]:
+        if not p:
+            continue
+        if p[0] == "W":
+            w = int(p[1:])
+        elif p[0] == "H":
+            h = int(p[1:])
+        elif p[0] == "F":
+            num, den = p[1:].split(":")
+            fps = int(num) / int(den)
+        elif p[0] == "C":
+            colorspace = p[1:]
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace.startswith("420"):
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+    elif colorspace == "444":
+        cw, ch = w, h
+    else:
+        raise ValueError(f"unsupported Y4M colorspace C{colorspace}")
+    ylen, clen = w * h, cw * ch
+    frames = []
+    pos = end + 1
+    while pos < len(payload):
+        fend = payload.index(b"\n", pos)
+        if payload[pos:fend].split(b" ")[0] != b"FRAME":
+            raise ValueError("malformed Y4M frame marker")
+        pos = fend + 1
+        if pos + ylen + 2 * clen > len(payload):
+            raise ValueError("truncated Y4M frame")
+        y = np.frombuffer(payload, np.uint8, ylen, pos).reshape(h, w)
+        u = np.frombuffer(payload, np.uint8, clen, pos + ylen).reshape(ch, cw)
+        v = np.frombuffer(payload, np.uint8, clen, pos + ylen + clen).reshape(ch, cw)
+        if (cw, ch) != (w, h):  # nearest-neighbor chroma upsample
+            u = u.repeat(2, axis=0)[:h].repeat(2, axis=1)[:, :w]
+            v = v.repeat(2, axis=0)[:h].repeat(2, axis=1)[:, :w]
+        frames.append(_yuv_to_rgb(y, u, v))
+        pos += ylen + 2 * clen
+    return np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8), fps
+
+
+def encode_y4m(frames: np.ndarray, fps: float = 30.0) -> bytes:
+    """(n, H, W, 3) uint8 RGB → YUV4MPEG2 (C444) bytes.
+
+    C444 (full-resolution chroma) keeps encode→decode loss to the ±1
+    rounding of the BT.601 matrix — the round-trip tests pin that bound.
+    """
+    n, h, w = frames.shape[:3]
+    den = 1000
+    num = int(round(fps * den))
+    out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C444\n" % (w, h, num, den)]
+    inv = np.linalg.inv(_Y4M_RGB)
+    for i in range(n):
+        yuv = frames[i].astype(np.float64) @ inv.T
+        yuv += np.array([16.0, 128.0, 128.0])
+        planes = np.clip(np.rint(yuv), 0, 255).astype(np.uint8)
+        out.append(b"FRAME\n")
+        out.extend(planes[:, :, c].tobytes() for c in range(3))
+    return b"".join(out)
+
+
+def y4m_frame_at(payload: bytes, ts_ms: int) -> np.ndarray:
+    """The frame on screen at ``ts_ms`` (floor(ts·fps), clamped)."""
+    frames, fps = decode_y4m(payload)
+    if not len(frames):
+        raise ValueError("empty Y4M stream")
+    idx = min(int(ts_ms / 1000.0 * fps), len(frames) - 1)
+    return frames[idx]
+
+
+def y4m_duration_ms(payload: bytes) -> int:
+    """Duration in ms = n_frames / fps (decodes headers + counts frames)."""
+    frames, fps = decode_y4m(payload)
+    return int(round(len(frames) * 1000.0 / fps))
 
 
 # -- resampling + features --------------------------------------------------
@@ -240,7 +424,84 @@ class PillowImageCodec:
         return strip_features(self.decode(payload), self.dim)
 
 
+@dataclass(frozen=True)
+class NumpyAudioCodec:
+    """Real audio decode/features for RIFF PCM WAV, stdlib ``wave`` +
+    numpy only — the audio twin of ``NumpyImageCodec`` (VERDICT r4 #3).
+    Features: per-time-strip RMS energy, ``dim`` floats in [0, 1]."""
+
+    dim: int = 8
+
+    def decode(self, payload: bytes) -> tuple[np.ndarray, int]:
+        if sniff_format(payload) != "wav":
+            from knightshift_spark.operators.multimodal import MediaCodecUnavailable
+
+            raise MediaCodecUnavailable(
+                f"format {sniff_format(payload) or 'unknown'} needs an external "
+                "audio library; NumpyAudioCodec decodes RIFF PCM wav"
+            )
+        return decode_wav(payload)
+
+    def features(self, payload: bytes | None) -> list[float]:
+        if payload is None:
+            return [0.0] * self.dim
+        samples, _rate = self.decode(payload)
+        return audio_strip_features(samples, self.dim)
+
+    def duration_ms(self, payload: bytes) -> int:
+        return wav_duration_ms(payload)
+
+
+@dataclass(frozen=True)
+class Y4MVideoCodec:
+    """Real video decode for uncompressed YUV4MPEG2 streams, numpy only.
+
+    ``frame_at`` hands the frame-sampling operator real pixels (returned
+    as PPM bytes so the image codecs/features compose downstream);
+    ``features`` summarizes the middle frame's strip features — a
+    deterministic whole-clip signature without decoding policy choices.
+    """
+
+    dim: int = 8
+
+    def decode(self, payload: bytes) -> tuple[np.ndarray, float]:
+        if sniff_format(payload) != "y4m":
+            from knightshift_spark.operators.multimodal import MediaCodecUnavailable
+
+            raise MediaCodecUnavailable(
+                f"format {sniff_format(payload) or 'unknown'} needs ffmpeg-class "
+                "decoding; Y4MVideoCodec decodes YUV4MPEG2"
+            )
+        return decode_y4m(payload)
+
+    def frame_at(self, payload: bytes, ts_ms: int) -> bytes:
+        return encode_ppm(y4m_frame_at(payload, ts_ms))
+
+    def features(self, payload: bytes | None) -> list[float]:
+        if payload is None:
+            return [0.0] * self.dim
+        frames, _fps = self.decode(payload)
+        if not len(frames):
+            return [0.0] * self.dim
+        return strip_features(frames[len(frames) // 2], self.dim)
+
+    def duration_ms(self, payload: bytes) -> int:
+        return y4m_duration_ms(payload)
+
+
 def best_image_codec(dim: int = 8):
     """Pillow when installed, else the numpy PPM/BMP codec — the
     production default for the decode/resize/features seams."""
     return PillowImageCodec(dim) if pillow_available() else NumpyImageCodec(dim)
+
+
+def best_media_codec(kind: str, dim: int = 8):
+    """Kind-routed production default: image → ``best_image_codec``,
+    audio → WAV PCM, video → Y4M. Unknown kinds raise ``ValueError``."""
+    if kind == "image":
+        return best_image_codec(dim)
+    if kind == "audio":
+        return NumpyAudioCodec(dim)
+    if kind == "video":
+        return Y4MVideoCodec(dim)
+    raise ValueError(f"unknown media kind {kind!r} (image|audio|video)")

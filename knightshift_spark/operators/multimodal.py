@@ -4,11 +4,13 @@ Design (SURVEY north-star extension): media travels as a ``binary`` column
 with a typed metadata struct; decode / feature-extract / resize /
 frame-sample run as Arrow-batched ``mapInPandas`` stages so bytes never
 round-trip through Python row-at-a-time. Codecs are pluggable through the
-seam: real decode/resize ships in ``operators.media_codecs`` (numpy codec
-for uncompressed PPM/BMP always; Pillow codec for JPEG/PNG when
-installed); ``MediaCodecUnavailable`` now gates only the formats that
-genuinely need a missing library. The deterministic fakes remain for
-contract tests that must not depend on pixel math.
+seam: real decode ships in ``operators.media_codecs`` for ALL THREE kinds
+— images (numpy PPM/BMP always; Pillow for JPEG/PNG when installed),
+audio (stdlib-``wave`` RIFF PCM), video (YUV4MPEG2) — so
+``MediaCodecUnavailable`` gates only formats that genuinely need a
+missing library (JPEG/PNG sans Pillow, compressed audio/video sans
+ffmpeg). The deterministic fakes remain for contract tests that must not
+depend on pixel math.
 
 Scale notes: media rows are large → size partitions by *bytes* not rows
 (``media_repartition``), keep metadata in separate small columns so
@@ -149,11 +151,10 @@ def media_repartition(
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling *plan*: one output row per sampled timestamp.
-
-    The decode itself is stubbed; the row-explosion plumbing (sequence +
-    explode on duration metadata, no Python involved) is the real scale
-    cost and is fully implemented.
+    """Video frame-sampling *plan*: one output row per sampled timestamp,
+    from duration METADATA only (sequence + explode, no Python, no blob
+    read) — use it to cost/schedule a sampling job before paying decode.
+    ``sample_frames`` is the decoding twin that emits real pixels.
     """
     return (
         media.filter(F.col("kind") == "video")
@@ -168,6 +169,61 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), True),  # PPM bytes
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, codec=None) -> DataFrame:
+    """REAL video frame sampling: decode each video payload once, emit the
+    frame on screen at every ``every_ms`` tick as PPM bytes.
+
+    Arrow-batched ``mapInPandas`` over (media_id, payload) only — parquet
+    prunes every other column before the Python stage, and each payload
+    is decoded exactly once regardless of how many frames it yields (the
+    per-timestamp ``frame_at`` path would re-decode per tick). ``codec``
+    is the seam: default ``Y4MVideoCodec`` (real, zero-dependency
+    YUV4MPEG2 decode); an ffmpeg-backed codec drops in with the same
+    ``decode(payload) -> (frames, fps)`` contract.
+    """
+    if codec is None:
+        from knightshift_spark.operators.media_codecs import Y4MVideoCodec
+
+        codec = Y4MVideoCodec()
+    from knightshift_spark.operators.media_codecs import encode_ppm
+
+    src = media.filter(F.col("kind") == "video").select("media_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                frames, fps = codec.decode(bytes(payload))
+                n = len(frames)
+                if not n:
+                    continue
+                duration_ms = int(round(n * 1000.0 / fps))
+                for ts in range(0, duration_ms, every_ms):
+                    idx = min(int(ts / 1000.0 * fps), n - 1)
+                    f = frames[idx]
+                    rows.append(
+                        (int(mid), ts, encode_ppm(f), f.shape[1], f.shape[0])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_ts_ms", "frame", "width", "height"]
+            )
+
+    return src.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(

@@ -187,3 +187,183 @@ def test_pillow_codec_unavailable_gate():
 
     with pytest.raises(MediaCodecUnavailable, match="Pillow"):
         PillowImageCodec()
+
+
+# -- audio (WAV PCM) --------------------------------------------------------
+
+
+def sine(ms: int = 500, hz: float = 440.0, rate: int = 8000, amp: float = 0.5):
+    t = np.arange(int(rate * ms / 1000.0)) / rate
+    return (amp * np.sin(2 * np.pi * hz * t))[:, None]
+
+
+def test_wav_roundtrip_16bit():
+    from knightshift_spark.operators.media_codecs import (
+        decode_wav,
+        encode_wav,
+        sniff_format,
+        wav_duration_ms,
+    )
+
+    samples = sine()
+    payload = encode_wav(samples, 8000)
+    assert sniff_format(payload) == "wav"
+    back, rate = decode_wav(payload)
+    assert rate == 8000 and back.shape == samples.shape
+    # 16-bit quantization: within one LSB of the source
+    assert np.max(np.abs(back - samples)) < 1.5 / 32767.0
+    assert wav_duration_ms(payload) == 500
+
+
+def test_wav_widths_and_channels():
+    from knightshift_spark.operators.media_codecs import decode_wav, encode_wav
+
+    stereo = np.hstack([sine(100), sine(100, hz=880.0)])
+    for width, tol in ((1, 1.5 / 127.0), (2, 1.5 / 32767.0), (4, 1e-6)):
+        back, _ = decode_wav(encode_wav(stereo, 8000, sampwidth=width))
+        assert back.shape == stereo.shape
+        assert np.max(np.abs(back - stereo)) < tol
+    with pytest.raises(ValueError, match="width"):
+        encode_wav(stereo, 8000, sampwidth=3)
+
+
+def test_audio_codec_features():
+    from knightshift_spark.operators.media_codecs import NumpyAudioCodec, encode_wav
+
+    codec = NumpyAudioCodec(dim=4)
+    # first half loud, second half quiet: RMS strips must reflect it
+    loud = sine(250, amp=0.8)
+    quiet = sine(250, amp=0.1)
+    payload = encode_wav(np.vstack([loud, quiet]), 8000)
+    f = codec.features(payload)
+    assert len(f) == 4 and all(0.0 <= v <= 1.0 for v in f)
+    assert f[0] > 4 * f[3]
+    assert f == codec.features(payload)  # deterministic
+    assert codec.features(None) == [0.0] * 4
+    with pytest.raises(MediaCodecUnavailable, match="NumpyAudioCodec"):
+        codec.features(b"\xff\xd8\xffnot-audio")
+
+
+def test_audio_features_spark_stage(spark):
+    from knightshift_spark.operators.media_codecs import NumpyAudioCodec, encode_wav
+    from knightshift_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    payload = encode_wav(sine(200), 8000)
+    rows = [
+        (1, "audio", "audio/wav", bytearray(payload),
+         {"width": None, "height": None, "duration_ms": 200, "n_bytes": len(payload)}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = extract_features(media, dim=4, codec=NumpyAudioCodec(dim=4)).collect()
+    assert got[0]["feature"] == pytest.approx(
+        NumpyAudioCodec(dim=4).features(payload), abs=1e-6
+    )
+
+
+# -- video (Y4M) ------------------------------------------------------------
+
+
+def clip(n_frames: int = 6, h: int = 8, w: int = 8) -> np.ndarray:
+    """Deterministic clip: frame i is the gradient image shifted +i*20
+    in brightness, so frames are distinguishable."""
+    return np.stack(
+        [np.clip(gradient(h, w).astype(int) + i * 20, 0, 255).astype(np.uint8)
+         for i in range(n_frames)]
+    )
+
+
+def test_y4m_roundtrip_c444():
+    from knightshift_spark.operators.media_codecs import (
+        decode_y4m,
+        encode_y4m,
+        sniff_format,
+        y4m_duration_ms,
+    )
+
+    frames = clip()
+    payload = encode_y4m(frames, fps=10.0)
+    assert sniff_format(payload) == "y4m"
+    back, fps = decode_y4m(payload)
+    assert fps == pytest.approx(10.0)
+    assert back.shape == frames.shape
+    # BT.601 C444 round trip: within ±3 of the source on every channel
+    assert np.max(np.abs(back.astype(int) - frames.astype(int))) <= 3
+    assert y4m_duration_ms(payload) == 600
+
+
+def test_y4m_handcrafted_c420():
+    """Hand-built C420 stream: one gray frame (Y=128, Cb=Cr=128) decodes
+    to uniform mid-gray after chroma upsampling."""
+    from knightshift_spark.operators.media_codecs import decode_y4m
+
+    w, h = 4, 4
+    header = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420jpeg\n"
+    frame = b"FRAME\n" + bytes([128] * (w * h)) + bytes([128] * 4) + bytes([128] * 4)
+    frames, fps = decode_y4m(header + frame)
+    assert fps == 25.0 and frames.shape == (1, 4, 4, 3)
+    # Y=128 limited-range → (128-16)*1.164 ≈ 130 gray, chroma neutral
+    assert np.all(np.abs(frames[0].astype(int) - 130) <= 1)
+
+
+def test_y4m_frame_at_and_codec_gate():
+    from knightshift_spark.operators.media_codecs import (
+        Y4MVideoCodec,
+        decode_ppm,
+        encode_y4m,
+        y4m_frame_at,
+    )
+
+    frames = clip(n_frames=5)
+    payload = encode_y4m(frames, fps=5.0)  # one frame per 200 ms
+    at0 = y4m_frame_at(payload, 0)
+    at400 = y4m_frame_at(payload, 400)
+    assert np.array_equal(at0, Y4MVideoCodec().decode(payload)[0][0])
+    # 400 ms at 5 fps = frame 2: brighter than frame 0
+    assert at400.astype(int).mean() > at0.astype(int).mean()
+    # clamped past the end
+    assert np.array_equal(y4m_frame_at(payload, 10_000), y4m_frame_at(payload, 800))
+    ppm = Y4MVideoCodec().frame_at(payload, 0)
+    assert np.array_equal(decode_ppm(ppm), at0)
+    with pytest.raises(MediaCodecUnavailable, match="Y4MVideoCodec"):
+        Y4MVideoCodec().decode(b"RIFF....WAVEnot-video")
+
+
+def test_sample_frames_spark_stage(spark):
+    """Real video frame sampling end-to-end: Y4M in, PPM frames out, one
+    row per tick, pixels matching a driver-side decode."""
+    from knightshift_spark.operators.media_codecs import (
+        Y4MVideoCodec,
+        decode_ppm,
+        encode_y4m,
+    )
+    from knightshift_spark.operators.multimodal import MEDIA_SCHEMA, sample_frames
+
+    frames = clip(n_frames=10, h=6, w=4)
+    payload = encode_y4m(frames, fps=10.0)  # 1000 ms total
+    rows = [
+        (1, "video", "video/x-yuv4mpeg", bytearray(payload),
+         {"width": 4, "height": 6, "duration_ms": 1000, "n_bytes": len(payload)}),
+        (2, "image", None, bytearray(b"P6\n1 1\n255\n\x00\x00\x00"), None),  # filtered out
+        (3, "video", None, None, None),  # null payload skipped
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = sorted(sample_frames(media, every_ms=250).collect(), key=lambda r: r["frame_ts_ms"])
+    assert [r["frame_ts_ms"] for r in got] == [0, 250, 500, 750]
+    assert all(r["media_id"] == 1 and (r["width"], r["height"]) == (4, 6) for r in got)
+    decoded, _fps = Y4MVideoCodec().decode(payload)
+    # tick at 250 ms, 10 fps → frame index 2
+    assert np.array_equal(decode_ppm(bytes(got[1]["frame"])), decoded[2])
+
+
+def test_best_media_codec_routing():
+    from knightshift_spark.operators.media_codecs import (
+        NumpyAudioCodec,
+        Y4MVideoCodec,
+        best_media_codec,
+    )
+
+    assert isinstance(best_media_codec("audio"), NumpyAudioCodec)
+    assert isinstance(best_media_codec("video"), Y4MVideoCodec)
+    assert best_media_codec("image") is not None
+    with pytest.raises(ValueError, match="unknown media kind"):
+        best_media_codec("hologram")
