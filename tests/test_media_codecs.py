@@ -367,3 +367,81 @@ def test_best_media_codec_routing():
     assert best_media_codec("image") is not None
     with pytest.raises(ValueError, match="unknown media kind"):
         best_media_codec("hologram")
+
+
+def test_y4m_odd_dimensions_c420():
+    """C420 with odd W/H: chroma planes are ceil(w/2)×ceil(h/2); the
+    nearest-neighbor upsample must crop back to exactly (h, w)."""
+    from knightshift_spark.operators.media_codecs import decode_y4m
+
+    w, h = 5, 3
+    cw, ch = 3, 2
+    header = b"YUV4MPEG2 W5 H3 F30:1 C420\n"
+    frame = (
+        b"FRAME\n"
+        + bytes(range(100, 100 + w * h))  # distinct luma values
+        + bytes([128] * (cw * ch)) * 2
+    )
+    frames, _ = decode_y4m(header + frame)
+    assert frames.shape == (1, 3, 5, 3)
+
+
+def test_y4m_malformed_streams():
+    from knightshift_spark.operators.media_codecs import decode_y4m
+
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"MPEG4???\nFRAME\n")
+    with pytest.raises(ValueError, match="missing W/H"):
+        decode_y4m(b"YUV4MPEG2 F30:1\n")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F30:1 C444\nFRAME\n\x00\x01")
+    with pytest.raises(ValueError, match="colorspace"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F30:1 C422\nFRAME\n")
+
+
+def test_wav_roundtrip_property():
+    """Property: ANY float waveform in [-1, 1] round-trips through 16-bit
+    WAV within one quantization step, at any rate/channel count."""
+    from hypothesis import given, settings, strategies as st
+
+    from knightshift_spark.operators.media_codecs import decode_wav, encode_wav
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 400),
+        ch=st.integers(1, 3),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(n, ch, rate, seed):
+        rng = np.random.default_rng(seed)
+        samples = rng.uniform(-1.0, 1.0, (n, ch))
+        back, r = decode_wav(encode_wav(samples, rate))
+        assert r == rate and back.shape == (n, ch)
+        assert np.max(np.abs(back - samples)) < 1.5 / 32767.0
+
+    check()
+
+
+def test_sample_frames_partition_invariant(spark):
+    """The frame sampler is pure per-row: any input partitioning yields
+    the identical (media_id, ts, frame bytes) set."""
+    from knightshift_spark.operators.media_codecs import encode_y4m
+    from knightshift_spark.operators.multimodal import MEDIA_SCHEMA, sample_frames
+
+    rows = []
+    for mid in range(6):
+        payload = encode_y4m(clip(n_frames=4 + mid, h=4, w=4), fps=4.0)
+        rows.append((mid, "video", None, bytearray(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def collect(df):
+        return sorted(
+            (r["media_id"], r["frame_ts_ms"], bytes(r["frame"]))
+            for r in sample_frames(df, every_ms=500).collect()
+        )
+
+    base = collect(media)
+    assert len(base) > 6
+    assert base == collect(media.repartition(7))
+    assert base == collect(media.coalesce(1))

@@ -68,6 +68,37 @@ def test_bm25_topk_is_take_ordered(plans):
     assert "TakeOrderedAndProject" in plans["q67_bm25_topk"]
 
 
+def test_capped_lsh_occupancy_is_a_window_not_a_join(spark):
+    """The max_bucket paths must take bucket occupancy from a window over
+    the bucket key, not a separate stats aggregate + annotate join (the
+    regression would re-add a shuffle pair): capped text-LSH keeps the
+    SAME join count as uncapped, capped embedding-LSH adds exactly one
+    (the star branch's rep-vector join), and both show the window."""
+    from knightshift_spark.operators.dedup import lsh_candidate_pairs
+    from knightshift_spark.operators.similarity import neardup_pairs_lsh
+    from knightshift_spark.tables import load_table
+
+    def joins(p):
+        return sum(
+            p.count(j)
+            for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    text_un = explain_str(lsh_candidate_pairs(docs, 16, 4))
+    text_cap = explain_str(lsh_candidate_pairs(docs, 16, 4, max_bucket=32))
+    assert text_cap.count("Window (") >= 1
+    assert joins(text_cap) == joins(text_un)
+    emb_un = explain_str(neardup_pairs_lsh(emb, id_col="vec_id", vec_col="embedding"))
+    emb_cap = explain_str(
+        neardup_pairs_lsh(emb, id_col="vec_id", vec_col="embedding", max_bucket=32)
+    )
+    assert emb_cap.count("Window (") >= 1
+    # printed plans list each join twice (tree + detail): +1 real join
+    assert joins(emb_cap) == joins(emb_un) + 2
+
+
 def test_chunk_pack_has_no_global_window_over_data(plans):
     """q68's prefix sum must stay two-phase: the only partition-less
     window runs over the n_buckets offset rows, so the full-data window
