@@ -553,8 +553,8 @@ def _build_media(spark, out_dir: str) -> None:
 def media_section(spark) -> dict:
     """Multimodal decode throughput: the REAL codecs (PPM images, WAV PCM
     audio, Y4M video) through the Arrow-batched operator stages on a
-    synthesized ~60 MB corpus. No DuckDB column — an analytics engine has
-    no media decode to compare against — so entries report MB/s of
+    synthesized ~220 MB corpus. No DuckDB column — an analytics engine
+    has no media decode to compare against — so entries report MB/s of
     payload decoded, the number that predicts 100 TB wall-clock.
     """
     from pyspark.sql import functions as F

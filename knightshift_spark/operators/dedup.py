@@ -64,6 +64,23 @@ def minhash_j(h: Column, j: int) -> Column:
     return (F.lit(2 * j + 1) * h + F.lit(1000003 * j)) % F.lit(MERSENNE_P)
 
 
+def annotate_bucket_occupancy(
+    df: DataFrame, key_cols: list[str], id_col: str
+) -> DataFrame:
+    """Occupancy + representative for every bucket row via ONE window
+    over the bucket key: adds ``__n`` (bucket size) and ``__rep`` (min
+    id — the star-pairing representative). Shared by the capped LSH
+    paths here and in ``operators.similarity`` (VERDICT r4 #4: a window
+    replaces the former stats aggregate + annotate join, and its
+    exchange is the same partitioning the pair join needs)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols)
+    return df.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn(
+        "__rep", F.min(id_col).over(w)
+    )
+
+
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
     """Exact dedup: one row per distinct value of ``cols`` (hash-groupBy;
     map-side partial aggregation keeps the shuffle small)."""
@@ -353,17 +370,9 @@ def lsh_candidate_pairs(
             .select("doc_a", "doc_b")
             .distinct()
         )
-    # occupancy + representative via ONE window over the bucket key —
-    # no separate stats aggregation and no annotate join (VERDICT r4 #4:
-    # that pair cost q31b 0.49→0.90s at a no-op cap setting); the
-    # window's exchange is the same (band, bucket) partitioning the pair
-    # join needs, so Catalyst adds no extra shuffle on the b side
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band", "bucket")
-    bs = b.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn(
-        "__rep", F.min("doc_b").over(w)
-    )
+    # the former stats aggregate + annotate join cost q31b 0.49→0.90s
+    # at a no-op cap setting; the window fold removes both
+    bs = annotate_bucket_occupancy(b, ["band", "bucket"], "doc_b")
     dense = (
         a.join(
             bs.filter(F.col("__n") <= max_bucket).select("doc_b", "band", "bucket"),

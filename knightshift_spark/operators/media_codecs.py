@@ -288,11 +288,13 @@ def encode_y4m(frames: np.ndarray, fps: float = 30.0) -> bytes:
 
 
 def y4m_frame_at(payload: bytes, ts_ms: int) -> np.ndarray:
-    """The frame on screen at ``ts_ms`` (floor(ts·fps), clamped)."""
+    """The frame on screen at ``ts_ms`` (floor(ts·fps), clamped to the
+    clip on BOTH ends — a negative ts must not wrap into Python's
+    end-of-array indexing)."""
     frames, fps = decode_y4m(payload)
     if not len(frames):
         raise ValueError("empty Y4M stream")
-    idx = min(int(ts_ms / 1000.0 * fps), len(frames) - 1)
+    idx = min(max(int(ts_ms / 1000.0 * fps), 0), len(frames) - 1)
     return frames[idx]
 
 

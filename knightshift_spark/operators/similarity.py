@@ -1008,15 +1008,9 @@ def neardup_pairs_lsh(
     if max_bucket is None:
         cand = a.join(b, "__sk").filter(F.col("id_a") < F.col("id_b"))
     else:
-        # occupancy + representative via ONE window over the bucket key —
-        # no separate stats aggregation/joins (VERDICT r4 #4, same fold
-        # as dedup.lsh_candidate_pairs)
-        from pyspark.sql import Window
+        from knightshift_spark.operators.dedup import annotate_bucket_occupancy
 
-        w = Window.partitionBy("__sk")
-        bs = b.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn(
-            "__rep", F.min("id_b").over(w)
-        )
+        bs = annotate_bucket_occupancy(b, ["__sk"], "id_b")
         dense = a.join(
             bs.filter(F.col("__n") <= max_bucket).select("__sk", "id_b", "__vb"),
             "__sk",

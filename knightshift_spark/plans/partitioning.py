@@ -45,25 +45,37 @@ def salted_join(
     on: str,
     salt: int = 8,
     how: str = "inner",
+    deterministic: bool = True,
 ) -> DataFrame:
     """Equi-join with explicit salting for pathological key skew.
 
-    big gets a deterministic per-row salt in [0, salt); small is exploded
-    into all ``salt`` copies; the join key becomes (key, salt) so one hot
-    key spreads over ``salt`` partitions. The salt does not affect
-    correctness (each big row joins exactly its one replicated partner).
+    big gets a per-row salt in [0, salt); small is exploded into all
+    ``salt`` copies; the join key becomes (key, salt) so one hot key
+    spreads over ``salt`` partitions. The salt never affects join OUTPUT
+    content (each big row joins exactly its one replicated partner) —
+    it only moves rows between reducers.
 
-    The salt is ``xxhash64(whole row) mod salt`` rather than ``rand()``
-    (VERDICT r4 #4/minor): it depends only on row VALUES, so reruns and
-    repartitionings assign identical salts — byte-identical output, the
-    repo-wide determinism rule. Rows of a hot key spread as long as they
-    differ in any column; fully identical rows share a salt by
-    construction (they are the same row — no spread exists that any
-    deterministic function of the row could give).
+    ``deterministic=True`` (default) salts by ``xxhash64`` of the row's
+    hashable columns, so reruns and repartitionings place every row
+    identically — byte-identical written output, the repo-wide
+    determinism rule. Map-typed columns are excluded (Spark disallows
+    hashing maps); megabyte binary columns do add per-row hash cost.
+    The inherent limit: fully IDENTICAL rows share a salt (no
+    deterministic function of values can separate them), so for inputs
+    whose hot keys are exact-duplicate rows — the duplicate-heavy
+    corpus shape — pass ``deterministic=False`` to spread them with
+    ``rand(seed)`` at the cost of run-to-run placement stability.
     """
-    b = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int")
-    )
+    if deterministic:
+        hashable = [
+            F.col(f.name)
+            for f in big.schema.fields
+            if not f.dataType.typeName().startswith("map")
+        ]
+        salt_col = F.pmod(F.xxhash64(*hashable), F.lit(salt)).cast("int")
+    else:
+        salt_col = (F.rand(seed=42) * salt).cast("int")
+    b = big.withColumn("__salt", salt_col)
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

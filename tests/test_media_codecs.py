@@ -320,8 +320,10 @@ def test_y4m_frame_at_and_codec_gate():
     assert np.array_equal(at0, Y4MVideoCodec().decode(payload)[0][0])
     # 400 ms at 5 fps = frame 2: brighter than frame 0
     assert at400.astype(int).mean() > at0.astype(int).mean()
-    # clamped past the end
+    # clamped past the end AND before the start (negative ts must not
+    # wrap into end-of-array indexing)
     assert np.array_equal(y4m_frame_at(payload, 10_000), y4m_frame_at(payload, 800))
+    assert np.array_equal(y4m_frame_at(payload, -500), at0)
     ppm = Y4MVideoCodec().frame_at(payload, 0)
     assert np.array_equal(decode_ppm(ppm), at0)
     with pytest.raises(MediaCodecUnavailable, match="Y4MVideoCodec"):

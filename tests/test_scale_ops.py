@@ -114,6 +114,21 @@ def test_salted_join_deterministic_across_partitionings(spark):
     assert n_salts > 1
 
 
+def test_salted_join_map_columns_and_rand_mode(spark):
+    # map-typed columns can't be hashed — the deterministic salt must
+    # skip them rather than fail analysis; rand mode still exists for
+    # inputs whose hot keys are fully identical duplicate rows
+    big = spark.createDataFrame(
+        [("h", {"a": 1}), ("h", {"b": 2}), ("c", {"c": 3})],
+        "k string, m map<string,int>",
+    )
+    small = spark.createDataFrame([("h", "hot"), ("c", "cold")], "k string, name string")
+    out = salted_join(big, small, "k").collect()
+    assert sorted(r["name"] for r in out) == ["cold", "hot", "hot"]
+    out_rand = salted_join(big, small, "k", deterministic=False).collect()
+    assert sorted(r["name"] for r in out_rand) == ["cold", "hot", "hot"]
+
+
 def test_broadcast_in_plan(spark):
     from tests.conftest import SF_SMOKE
     from knightshift_spark.queries import load_all
