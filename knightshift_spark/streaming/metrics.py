@@ -1,0 +1,144 @@
+"""Streaming observability: per-batch metrics without extra actions.
+
+Observability parity with the reference's per-poll logging
+(``get_games_from_tv.py`` logs processed/updated counts each cycle) —
+but through Spark's own channels instead of driver-side recounts:
+
+- ``observe_rows(df, name)`` attaches an OBSERVED METRIC to the
+  streaming DataFrame: the row count is accumulated JVM-side while the
+  batch runs (zero extra jobs, unlike a ``.count()`` re-execution) and
+  surfaces in each progress event's ``observedMetrics``.
+- ``StreamMetrics`` + ``MergeMetricsListener`` collect those progress
+  events (batch id, input rows, duration, rates, observed metrics)
+  driver-side with a bounded history, merged with whatever the sink's
+  ``on_batch`` hook reports (e.g. upserted-row counts).
+
+Listener callbacks are delivered asynchronously after each batch; use
+``StreamMetrics.wait_for_batches`` in tests/drains rather than assuming
+delivery at ``awaitTermination`` return.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.listener import StreamingQueryListener
+
+
+def observe_rows(df: DataFrame, name: str = "ingest") -> DataFrame:
+    """Attach a JVM-side row counter to a (streaming) DataFrame: the
+    count rides the existing batch execution and lands in
+    ``progress.observedMetrics[name]`` — no second action, no
+    localCheckpoint, no recompute."""
+    return df.observe(name, F.count(F.lit(1)).alias("n_rows"))
+
+
+@dataclass
+class BatchRecord:
+    batch_id: int
+    num_input_rows: int
+    duration_ms: int | None
+    rows_per_sec: float | None
+    observed: dict[str, dict]
+    sink_rows: int | None = None  # filled by the sink's on_batch hook
+
+
+@dataclass
+class StreamMetrics:
+    """Bounded per-batch history shared by the listener (engine progress)
+    and the sink hook (merge counts). Thread-safe: listener callbacks
+    arrive on a listener-bus thread while the sink hook runs on the
+    micro-batch thread."""
+
+    max_batches: int = 256
+    _records: dict[int, BatchRecord] = field(default_factory=dict)
+    _order: deque = field(default_factory=deque)
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def _get(self, batch_id: int) -> BatchRecord:
+        rec = self._records.get(batch_id)
+        if rec is None:
+            rec = BatchRecord(batch_id, 0, None, None, {})
+            self._records[batch_id] = rec
+            self._order.append(batch_id)
+            while len(self._order) > self.max_batches:
+                self._records.pop(self._order.popleft(), None)
+        return rec
+
+    def record_progress(self, progress) -> None:
+        with self._lock:
+            rec = self._get(progress.batchId)
+            rec.num_input_rows = progress.numInputRows
+            rec.duration_ms = (progress.durationMs or {}).get("triggerExecution")
+            rec.rows_per_sec = progress.processedRowsPerSecond
+            rec.observed = {
+                k: dict(v.asDict()) if hasattr(v, "asDict") else dict(v)
+                for k, v in (progress.observedMetrics or {}).items()
+            }
+
+    def record_sink(self, batch_id: int, n_rows: int) -> None:
+        with self._lock:
+            self._get(batch_id).sink_rows = n_rows
+
+    def on_batch(self):
+        """An ``on_batch(batch_id, n_rows)`` callable for
+        ``run_pgn_stream`` that routes the sink's merged-row count here."""
+        return self.record_sink
+
+    def batches(self) -> list[BatchRecord]:
+        with self._lock:
+            return [self._records[b] for b in self._order]
+
+    def totals(self) -> dict:
+        with self._lock:
+            recs = [self._records[b] for b in self._order]
+            return {
+                "n_batches": len(recs),
+                "input_rows": sum(r.num_input_rows for r in recs),
+                "sink_rows": sum(r.sink_rows or 0 for r in recs),
+                "wall_ms": sum(r.duration_ms or 0 for r in recs),
+            }
+
+    def wait_for_batches(self, n: int, timeout_s: float = 10.0) -> bool:
+        """Block until ≥ ``n`` batches carry engine progress (listener
+        delivery is async) or the timeout elapses."""
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            with self._lock:
+                done = sum(
+                    1 for b in self._order if self._records[b].duration_ms is not None
+                )
+            if done >= n:
+                return True
+            time.sleep(0.05)
+        return False
+
+
+class MergeMetricsListener(StreamingQueryListener):
+    """Feeds a ``StreamMetrics`` from the streaming listener bus,
+    optionally filtered to one query id (several streams can share a
+    session). Register with ``spark.streams.addListener``; remove with
+    ``spark.streams.removeListener`` when done."""
+
+    def __init__(self, metrics: StreamMetrics, query_id: str | None = None):
+        self.metrics = metrics
+        self.query_id = query_id
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        if self.query_id is None or str(p.id) == str(self.query_id):
+            self.metrics.record_progress(p)
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass

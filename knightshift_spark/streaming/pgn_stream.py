@@ -119,9 +119,17 @@ def run_pgn_stream(
     per-poll processed-count the reference logs each cycle
     (``get_games_from_tv.py`` logging). When set, the micro-batch rows
     are checkpointed once so the count does not recompute the parse; the
-    callback runs on the driver after the batch's merge commits.
+    callback runs on the driver after the batch's merge commits. For
+    engine-side metrics with NO extra jobs, the spool-file count (the
+    source is one record per wholetext file) rides the batch as an
+    observed metric (``ingest_files`` in each progress event — collect
+    with ``streaming.metrics.MergeMetricsListener``).
     """
-    lines = stream_pgn_lines(spark, spool_dir, max_files_per_trigger)
+    from knightshift_spark.streaming.metrics import observe_rows
+
+    lines = observe_rows(
+        stream_pgn_lines(spark, spool_dir, max_files_per_trigger), "ingest_files"
+    )
 
     def _ingest(batch_df: DataFrame) -> DataFrame:
         rows = ingest_pgn_batch(batch_df)

@@ -265,3 +265,44 @@ def test_on_batch_observability_hook(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert [n for _, n in sorted(seen)] == [2, 1]
+
+
+def test_streaming_metrics_listener(spark, tmp_path):
+    """Engine-side observability: the observed ingest_raw metric and
+    per-batch progress arrive through MergeMetricsListener, and the sink
+    hook's merged counts land in the same StreamMetrics record."""
+    from knightshift_spark.streaming.metrics import MergeMetricsListener, StreamMetrics
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    f1, f2 = spool / "a.pgn", spool / "b.pgn"
+    f1.write_text(GAME_V1)
+    f2.write_text(GAME_V2)
+    now = os.stat(f1).st_mtime
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now + 60, now + 60))
+
+    metrics = StreamMetrics()
+    listener = MergeMetricsListener(metrics)
+    spark.streams.addListener(listener)
+    try:
+        q = run_pgn_stream(
+            spark, str(spool), str(tmp_path / "games"), str(tmp_path / "ckpt"),
+            trigger={"availableNow": True}, max_files_per_trigger=1,
+            on_batch=metrics.on_batch(),
+        )
+        q.awaitTermination(120)
+        assert metrics.wait_for_batches(2, timeout_s=30.0)
+    finally:
+        spark.streams.removeListener(listener)
+
+    recs = [r for r in metrics.batches() if r.duration_ms is not None]
+    assert len(recs) == 2
+    # observed metric counted the spool files JVM-side (wholetext source:
+    # one record per file), one per micro-batch here
+    assert [r.observed["ingest_files"]["n_rows"] for r in recs] == [1, 1]
+    assert [r.num_input_rows for r in recs] == [1, 1]
+    # the sink hook's merged-game counts joined the same records
+    assert [r.sink_rows for r in recs] == [2, 1]
+    t = metrics.totals()
+    assert t["n_batches"] == 2 and t["sink_rows"] == 3 and t["wall_ms"] > 0
