@@ -672,6 +672,145 @@ def knn_pq(
     )
 
 
+def _np_subspace_kmeans(Y, m: int, ksub: int, iters: int = 3):
+    """Deterministic per-subspace k-means on a driver-side sample (numpy):
+    lowest-row seeds + ``iters`` Lloyd steps, ties to the lower centroid
+    id (np.argmin picks the first minimum), empty clusters keep their
+    center — the numpy twin of the ``pq_codebooks`` recipe. Returns
+    (books, codes): books[j] is (ksub, dsub), codes is (n, m) ints."""
+    import numpy as np
+
+    n, d = Y.shape
+    dsub = d // m
+    books, codes = [], np.zeros((n, m), dtype=np.int64)
+    for j in range(m):
+        S = Y[:, j * dsub : (j + 1) * dsub]
+        cent = S[:ksub].copy()
+        if len(cent) < ksub:  # tiny sample: pad by repeating the first row
+            cent = np.vstack([cent, np.repeat(cent[:1], ksub - len(cent), axis=0)])
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            asg = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                if (asg == c).any():
+                    cent[c] = S[asg == c].mean(axis=0)
+        d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1)
+        books.append(cent)
+    return books, codes
+
+
+def opq_train(
+    vectors: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 5,
+    sample: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """OPQ: learn an orthogonal rotation R that aligns the data with PQ's
+    axis-aligned subspace split before quantizing (Ge et al., CVPR 2013 —
+    public method, as in FAISS's OPQMatrix). Plain PQ quantizes fixed
+    contiguous dims; when variance/correlation straddles subspace
+    boundaries its error is needlessly high. OPQ alternates:
+
+      1. quantize the rotated sample (per-subspace k-means),
+      2. solve the orthogonal Procrustes problem R = argmin ‖XR − X̂‖
+         via SVD of Xᵀ X̂,
+
+    which monotonically reduces reconstruction error.
+
+    Scale shape: training runs DRIVER-SIDE on a bounded deterministic
+    sample (the ``sample`` lowest-id normalized vectors — d×d rotation
+    and m codebooks need only thousands of rows; FAISS trains on samples
+    too), so cost is independent of corpus size; applying R to the
+    corpus is the distributed part (``rotate_vectors``). Returns
+    (R  — d×d, row-major —, books in the ROTATED space), pluggable into
+    ``knn_pq(books=...)`` after rotating both sides.
+    """
+    import numpy as np
+
+    rows = (
+        _unit(vectors, id_col, vec_col, "__id", "__v")
+        .orderBy("__id")
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r["__v"] for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    R = np.eye(d)
+    books = None
+    for _ in range(iters):
+        Y = X @ R
+        books, codes = _np_subspace_kmeans(Y, m, ksub)
+        Yhat = np.hstack([books[j][codes[:, j]] for j in range(m)])
+        U, _s, Vt = np.linalg.svd(X.T @ Yhat)
+        R = U @ Vt
+    return [[float(x) for x in row] for row in R], [
+        [[float(x) for x in cent] for cent in book] for book in books
+    ]
+
+
+def rotate_vectors(
+    df: DataFrame,
+    rotation: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply a learned d×d rotation to a vector column: (id, rotated).
+
+    Arrow-batched ``mapInPandas`` — a 64×64 matmul per row is exactly the
+    dense float math that belongs in numpy (a 4096-term SQL expression
+    would be interpreted); the whole batch multiplies as ONE (n, d)@(d, d)
+    GEMM. Rotation is orthogonal, so unit vectors stay unit and ADC
+    distances in the rotated space equal distances in the original.
+    """
+    import numpy as np
+    import pandas as pd
+
+    R = np.array(rotation, dtype=np.float64)
+    src = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["__v"]), dtype=np.float64)
+            out = X @ R
+            yield pd.DataFrame({id_col: pdf[id_col], vec_col: list(out)})
+
+    return src.mapInPandas(
+        run, schema=f"{id_col} long, {vec_col} array<double>"
+    )
+
+
+def knn_opq(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trained: tuple[list[list[float]], list[list[list[float]]]] | None = None,
+) -> DataFrame:
+    """OPQ ANN: rotate both sides with the learned R, then PQ/ADC in the
+    rotated space using the codebooks trained there. Same output contract
+    as ``knn_pq``; pass ``trained`` (from ``opq_train`` on the same
+    candidate relation) to reuse a rotation across query batches."""
+    if trained is None:
+        trained = opq_train(candidates, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    R, books = trained
+    cu = _unit(candidates, id_col, vec_col, id_col, vec_col)
+    qu = _unit(queries, id_col, vec_col, id_col, vec_col)
+    cr = rotate_vectors(cu, R, id_col, vec_col)
+    qr = rotate_vectors(qu, R, id_col, vec_col)
+    return knn_pq(qr, cr, k=k, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col, books=books)
+
+
 def knn_ivfpq(
     queries: DataFrame,
     candidates: DataFrame,
