@@ -388,6 +388,90 @@ def lsh_candidate_pairs(
     return dense.unionByName(star).distinct()
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Connected components over candidate pairs: (id, component) with
+    component = the MINIMUM id reachable through any chain of pairs —
+    the transitive closure every dedup consumer needs to turn pair lists
+    (``lsh_candidate_pairs``, ``neardup_pairs_lsh``, ``jaccard_pairs``)
+    into cluster decisions.
+
+    Algorithm: min-label propagation with POINTER JUMPING — each round
+    every node takes the min label across its neighbors, then labels
+    chase their own label's label (path halving). Neighbor-min alone
+    moves a min one hop per round (a length-L chain costs L rounds);
+    the jump step doubles resolved-path length, so convergence is
+    O(log diameter) — and the star-shaped output of the capped LSH paths
+    converges in 2 rounds. Each round is two key-partitioned shuffles;
+    ``localCheckpoint`` truncates the growing lineage (iterative plans
+    re-analyze their whole history otherwise — the q57 lesson), and the
+    driver-side convergence check is one count per round (inherent to
+    any iterate-to-fixpoint computation).
+
+    Raises if ``max_iters`` rounds don't converge (silent partial labels
+    would corrupt downstream dedup decisions).
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("comp").alias("__nbr_min"))
+            .withColumnRenamed("src", "id")
+        )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id", F.least("comp", F.coalesce("__nbr_min", F.col("comp"))).alias("comp")
+        )
+        # pointer jump: comp := label(comp) — path halving
+        jump = labels.select(F.col("id").alias("comp"), F.col("comp").alias("__cc"))
+        new = stepped.join(jump, "comp", "left").select(
+            "id", F.least("comp", F.coalesce("__cc", F.col("comp"))).alias("comp")
+        ).localCheckpoint()
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "__old"), "id")
+            .filter(F.col("comp") != F.col("__old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(component diameter exceeds 2^rounds); raise max_iters"
+    )
+
+
+def dedup_keep_list(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """The dedup DECISION: one surviving row per near-dup cluster (the
+    minimum id — deterministic), all unpaired docs kept. This is the
+    consumer-side closure of the candidate-pair operators: pairs →
+    components → anti-join of the non-representative members."""
+    comps = connected_components(pairs, a_col=a_col, b_col=b_col)
+    losers = comps.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """16-bit SimHash over term frequencies: (id, simhash).
 

@@ -802,3 +802,84 @@ def test_knn_opq_end_to_end(spark):
     ]
     assert [(a, b, d) for a, b, _s, d in base] == [(a, b, d) for a, b, _s, d in rot]
     assert all(abs(s1 - s2) < 1e-6 for (_, _, s1, _), (_, _, s2, _) in zip(base, rot))
+
+
+def _union_find(pairs, ids):
+    """Driver-side oracle: min-id component labels via union-find."""
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in ids}
+
+
+def test_connected_components_vs_union_find(spark):
+    import random
+
+    from knightshift_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    ids = list(range(100))
+    pairs = [
+        tuple(sorted(rng.sample(ids, 2)))
+        for _ in range(120)
+    ]
+    expect = _union_find(pairs, {i for p in pairs for i in p})
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_connected_components_topologies(spark):
+    from knightshift_spark.operators.dedup import connected_components
+
+    # long chain (diameter 40 → needs pointer jumping, not 40 rounds),
+    # a star, a cycle, and an isolated pair — all in one edge list
+    chain = [(i, i + 1) for i in range(100, 140)]
+    star = [(200, x) for x in range(201, 210)]
+    cycle = [(300, 301), (301, 302), (302, 300)]
+    extra = [(400, 401)]
+    pairs = spark.createDataFrame(
+        chain + star + cycle + extra, "doc_a long, doc_b long"
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(pairs, max_iters=10).collect()}
+    assert all(got[i] == 100 for i in range(100, 141))
+    assert all(got[i] == 200 for i in range(200, 210))
+    assert all(got[i] == 300 for i in (300, 301, 302))
+    assert got[400] == 400 and got[401] == 400
+
+
+def test_dedup_keep_list_end_to_end(spark):
+    """pairs → components → keep-list over a duplicate-heavy corpus: the
+    capped LSH's star pairs must still collapse each duplicate cluster
+    to ONE surviving doc (the whole point of star-connectivity)."""
+    from knightshift_spark.operators.dedup import dedup_keep_list, lsh_candidate_pairs
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog today",
+        1: "pack my box with five dozen liquor jugs right now",
+        2: "completely unrelated document about spark physical plans",
+    }
+    rows = []
+    for base_id, text in texts.items():
+        for c in range(12):  # 12 exact copies of each
+            rows.append((base_id * 100 + c, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = lsh_candidate_pairs(docs, num_hashes=16, bands=4, max_bucket=4)
+    kept = dedup_keep_list(docs, pairs)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 100, 200]
+    # empty pair set keeps everything
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup_keep_list(docs, empty).count() == 36
