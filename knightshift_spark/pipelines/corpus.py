@@ -4,8 +4,11 @@ Chains the scale operators end-to-end over a ``documents`` table:
 
 1. exact dedup on the normalized-text fingerprint (md5 groupBy);
 2. near-dup removal: MinHash+LSH candidates → exact Jaccard rescore →
-   drop the higher doc_id of each confirmed pair (keep-first policy);
-3. quality gate: stopword ratio + token count thresholds;
+   drop the higher doc_id of each confirmed pair (keep-first policy), or
+   with ``transitive_closure=True`` the C4-style cluster form: connected
+   components over confirmed pairs, one survivor (min id) per cluster;
+3. quality gate: stopword ratio + token count thresholds, optionally
+   plus the Gopher repetition screen (``repetition_thresholds``);
 4. language filter against an allowlist (engine lang-ID, not the stored
    label — curation must not trust upstream metadata);
 5. optional benchmark decontamination (``eval_docs``): anti-join against
@@ -68,6 +71,8 @@ def curate_corpus(
     mixture: dict[str, float] | None = None,
     mixture_col: str = "source",
     mixture_salt: str = "",
+    transitive_closure: bool = False,
+    repetition_thresholds: dict[str, float] | None = None,
 ) -> CurationResult:
     # bind the lowercased token array ONCE: each text function would
     # otherwise re-split per use (SCALE.md "Expression-engine lesson")
@@ -132,17 +137,38 @@ def curate_corpus(
         )
         .join(cands, ["doc_a", "doc_b"], "left_semi")  # rescore candidates only
     )
-    near_dup_ids = confirmed.select(F.col("doc_b").alias(id_col)).distinct()
+    if transitive_closure:
+        # C4/RefinedWeb-style CLUSTER dedup: confirmed pairs → connected
+        # components → keep the min id per cluster. Strictly stronger than
+        # pair-local removal: with pairs (A,B) and (C,B), dropping only
+        # doc_b keeps C although it chains to A through B. Costs an
+        # iterative fixpoint (driver-looped actions), so it is opt-in —
+        # the default stays one lazy plan.
+        from knightshift_spark.operators.dedup import connected_components
+
+        comps = connected_components(confirmed)
+        near_dup_ids = comps.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        near_dup_ids = confirmed.select(F.col("doc_b").alias(id_col)).distinct()
     deduped = exact_kept.join(near_dup_ids, id_col, "left_anti")
     if persist_intermediates:
         # deduped feeds `kept` AND two funnel counters; checkpoint cuts
         # the LSH+rescore lineage (see exact_kept note)
         deduped = deduped.localCheckpoint()
 
-    # 3-4. quality + language gates
+    # 3-4. quality + language gates (optionally + the Gopher repetition
+    # screen — published character-mass thresholds, operators.quality)
     quality_ok = (F.col("n_tokens") >= min_tokens) & (F.col("sw_ratio") >= min_stopword_ratio)
     lang_ok = F.col("lang_pred").isin(*langs)
     kept = deduped.filter(quality_ok & lang_ok).drop("__fp")
+    if repetition_thresholds is not None:
+        from knightshift_spark.operators.quality import gopher_repetition_filter
+
+        kept = gopher_repetition_filter(
+            kept, thresholds=repetition_thresholds, id_col=id_col, text_col=text_col
+        )
 
     gated = kept
 

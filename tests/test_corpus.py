@@ -166,3 +166,46 @@ def test_q57_funnel_deterministic_across_runs(spark):
     assert r1 == r2
     assert len(r1) == 8
     assert all(ok for _, _, ok in r1)
+
+
+def test_curate_corpus_transitive_closure_catches_chains(spark):
+    """Pair-local removal keeps C when the confirmed pairs are (A,B),(C,B)
+    — C never appears as doc_b. Cluster dedup (connected components)
+    drops everything but the component minimum."""
+    base = GOOD_EN
+    docs = spark.createDataFrame(
+        [
+            (1, base + " alpha beta gamma delta"),
+            (2, base),                      # near-dup of both neighbors
+            (3, base + " alpha beta gamma delta epsilon zeta eta theta"),
+            (6, "a completely different document that is about the weather and the sea and it has the right amount of words in it"),
+        ],
+        "doc_id int, text string",
+    )
+    pairwise = curate_corpus(docs, jaccard_threshold=0.5, min_tokens=5)
+    clustered = curate_corpus(
+        docs, jaccard_threshold=0.5, min_tokens=5, transitive_closure=True
+    )
+    kept_pair = sorted(r["doc_id"] for r in pairwise.kept.collect())
+    kept_clust = sorted(r["doc_id"] for r in clustered.kept.collect())
+    assert kept_clust == [1, 6]  # one survivor per cluster, always
+    assert set(kept_clust) <= set(kept_pair)  # closure is strictly stronger
+    stats = {r["reason"]: r["n"] for r in clustered.stats.collect()}
+    assert stats["near_dup_removed"] == 2 and stats["kept"] == 2
+
+
+def test_curate_corpus_repetition_screen(spark):
+    spam = ("buy cheap pills now and again " * 12).strip()
+    docs = spark.createDataFrame(
+        [(1, GOOD_EN), (2, spam)], "doc_id int, text string"
+    )
+    # without the screen the spam doc passes token/stopword gates
+    base = curate_corpus(docs, min_tokens=5, langs=("en", "und"))
+    assert sorted(r["doc_id"] for r in base.kept.collect()) == [1, 2]
+    screened = curate_corpus(
+        docs, min_tokens=5, langs=("en", "und"),
+        repetition_thresholds={"dup_5gram_char_frac": 0.15},
+    )
+    assert sorted(r["doc_id"] for r in screened.kept.collect()) == [1]
+    stats = {r["reason"]: r["n"] for r in screened.stats.collect()}
+    assert stats["quality_or_lang_removed"] == 1
