@@ -306,3 +306,68 @@ def test_streaming_metrics_listener(spark, tmp_path):
     assert [r.sink_rows for r in recs] == [2, 1]
     t = metrics.totals()
     assert t["n_batches"] == 2 and t["sink_rows"] == 3 and t["wall_ms"] > 0
+
+
+def test_document_stream_incremental_dedup(spark, tmp_path):
+    """Incremental corpus ingestion: quality/lang/repetition screens per
+    batch, exact dedup ACROSS micro-batches via the state store, append
+    sink. Batch 2 re-sends batch 1's doc (different doc_id, same text) —
+    it must not survive."""
+    import json
+
+    from knightshift_spark.streaming.corpus_stream import run_document_stream
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and it is a good day "
+        "for the hounds to be out in the field"
+    )
+    other = (
+        "a completely different document about the weather and the sea "
+        "with the right amount of words in it"
+    )
+    spam = ("buy cheap pills now " * 10).strip()
+    spool = tmp_path / "docs"
+    spool.mkdir()
+    f1, f2 = spool / "a.jsonl", spool / "b.jsonl"
+    f1.write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 1, "text": good, "source": "web"},
+                {"doc_id": 2, "text": "short", "source": "web"},       # quality gate
+                {"doc_id": 3, "text": spam, "source": "web"},          # repetition cap
+            ]
+        )
+    )
+    f2.write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 10, "text": "  " + good + "  ", "source": "crawl"},  # dup of 1 (normalized)
+                {"doc_id": 11, "text": other, "source": "crawl"},
+            ]
+        )
+    )
+    now = os.stat(f1).st_mtime
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now + 60, now + 60))
+
+    q = run_document_stream(
+        spark, str(spool), str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
+        trigger={"availableNow": True}, max_files_per_trigger=1,
+        min_tokens=5, langs=("en",), max_bigram_repetition=0.5,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "corpus"))
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 11]
+    assert set(out.columns) == {"doc_id", "text", "source", "n_tokens", "lang_pred"}
+    # restart with a replayed spool: no new rows (checkpoint + state store)
+    q2 = run_document_stream(
+        spark, str(spool), str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+        min_tokens=5, langs=("en",), max_bigram_repetition=0.5,
+    )
+    q2.awaitTermination(120)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(str(tmp_path / "corpus")).collect()) == [1, 11]
