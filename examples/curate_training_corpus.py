@@ -48,7 +48,9 @@ def main() -> None:
         corpus.select("doc_id", "lang", "source"), "doc_id"
     )
 
-    # 2. doc-level curation with decontamination + mixture in one plan
+    # 2. doc-level curation with decontamination + mixture; cluster dedup
+    # (connected components over confirmed pairs) and the Gopher
+    # repetition screen are the production-strength settings
     result = curate_corpus(
         para_clean,
         jaccard_threshold=0.5,
@@ -58,6 +60,8 @@ def main() -> None:
         eval_docs=eval_docs,
         quota=200,  # no single source dominates the mixture
         mixture={f"src{i}": 1.0 if i % 2 == 0 else 0.5 for i in range(20)},
+        transitive_closure=True,
+        repetition_thresholds={"dup_line_frac": 0.30, "dup_5gram_char_frac": 0.15},
     )
     result.kept.write.mode("overwrite").parquet(f"{out_dir}/documents")
     result.stats.show(truncate=False)
