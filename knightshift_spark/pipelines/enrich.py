@@ -197,8 +197,15 @@ def extract_opening_tags(bodies: DataFrame) -> DataFrame:
 def backfill_openings(games: DataFrame, export_bodies: DataFrame) -> DataFrame:
     """Update games matching the predicate with fetched tag values
     (merge semantics of ``backfill_opening_names.py:137-156``): fetched
-    non-NULL values overwrite, others keep the current value."""
-    tags = extract_opening_tags(export_bodies)
+    non-NULL values overwrite, others keep the current value.
+
+    The tags side BROADCASTS by contract: export bodies arrive one paced
+    fetch-batch at a time (the OP-34 governor bounds the batch), so the
+    parsed-tag relation is always small next to the games table — and
+    its RDD/fetch lineage has no stats, so Catalyst would otherwise pick
+    a sort-merge join and shuffle the games side for nothing.
+    """
+    tags = F.broadcast(extract_opening_tags(export_bodies))
     need = games.filter(needs_opening_backfill())
     keep = games.filter(~needs_opening_backfill())
     updated = (
