@@ -128,3 +128,69 @@ def test_resize_media_contract(spark):
 
     swapped = {r["media_id"]: r for r in resize_media(media, 2, 2, DoubleCodec()).collect()}
     assert swapped[1]["payload"] == b"xyxy"
+
+
+# -- real BPE through the seam ----------------------------------------------
+
+
+def test_bpe_learns_frequent_merges():
+    from knightshift_spark.operators.bpe import BPETokenizer, train_bpe
+
+    corpus = ["low low low low low", "lower lower", "newest newest newest"]
+    merges = train_bpe(corpus, num_merges=50)
+    tok = BPETokenizer(merges=tuple(merges))
+    # the dominant word collapses to a single token
+    assert tok.encode("low") == ["low"]
+    # frequent subparts reused: 'lower' starts with the learned 'low'
+    assert tok.encode("lower")[0].startswith("low")
+    # unseen word degrades to smaller units, never crashes
+    pieces = tok.encode("lowest")
+    assert "".join(pieces) == "lowest"
+    assert tok.encode("") == [] and tok.encode(None) == []
+
+
+def test_bpe_deterministic_and_lossless():
+    from hypothesis import given, settings, strategies as st
+
+    from knightshift_spark.operators.bpe import BPETokenizer, train_bpe
+
+    corpus = ["the cat sat on the mat", "the cats sat", "a cat can nap"]
+    m1, m2 = train_bpe(corpus, 30), train_bpe(corpus, 30)
+    assert m1 == m2
+    tok = BPETokenizer(merges=tuple(m1))
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.text(alphabet="abcdehmnopst ", max_size=40))
+    def lossless(s):
+        # concatenated tokens reproduce the pre-tokenized words exactly
+        import re
+
+        from knightshift_spark.seams import SUBWORD_PATTERN
+
+        assert "".join(tok.encode(s)) == "".join(re.findall(SUBWORD_PATTERN, s))
+
+    lossless()
+
+
+def test_bpe_through_spark_seam(spark):
+    from knightshift_spark.operators.bpe import train_bpe_on_corpus
+    from knightshift_spark.operators.tokenize import subtoken_count
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cats sat on the mats"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    tok = train_bpe_on_corpus(docs, num_merges=40, sample=10)
+    assert len(tok.merges) > 0
+    got = {r["doc_id"]: r["n_subtokens"] for r in subtoken_count(docs, tok).collect()}
+    # Arrow path agrees with a driver-side encode, including NULL → 0
+    assert got[1] == len(tok.encode("the cat sat on the mat"))
+    assert got[2] == len(tok.encode("the cats sat on the mats"))
+    assert got[3] == 0
+    # the learned tokenizer is coarser than characters and finer than or
+    # equal to whole words
+    assert 6 <= got[1] <= len("the cat sat on the mat".replace(" ", ""))
