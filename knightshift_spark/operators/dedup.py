@@ -33,8 +33,9 @@ def word_tokens(c: Column) -> Column:
     return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
 
 
-def word_ngrams(tk: Column, n: int) -> Column:
-    """Distinct word n-gram shingles of a token array.
+def word_ngrams_all(tk: Column, n: int) -> Column:
+    """ALL word n-gram occurrences of a token array (with multiplicity —
+    repetition statistics need the counts; shingling distincts on top).
 
     The ``size < n`` guard matters: Spark's ``sequence(1, size-n+1)``
     would produce a *descending* sequence when size < n, not an empty one.
@@ -43,9 +44,12 @@ def word_ngrams(tk: Column, n: int) -> Column:
         F.sequence(F.lit(1), F.size(tk) - (n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(n)]),
     )
-    return F.array_distinct(
-        F.when(F.size(tk) < n, F.array().cast("array<string>")).otherwise(grams)
-    )
+    return F.when(F.size(tk) < n, F.array().cast("array<string>")).otherwise(grams)
+
+
+def word_ngrams(tk: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of a token array."""
+    return F.array_distinct(word_ngrams_all(tk, n))
 
 
 def word_bigrams(tk: Column) -> Column:
@@ -445,6 +449,12 @@ def connected_components(
             .filter(F.col("comp") != F.col("__old"))
             .count()
         )
+        # the superseded round's checkpoint blocks are dead once
+        # `changed` is counted; DataFrame.unpersist() cannot reach a
+        # localCheckpoint's storage, so release works by dropping the
+        # reference — `labels = new` makes the old RDD garbage and the
+        # ContextCleaner unpersists its blocks asynchronously. Peak
+        # storage is therefore ~2 rounds of (id, comp), not O(rounds).
         labels = new
         if changed == 0:
             return labels

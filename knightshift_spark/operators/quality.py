@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from knightshift_spark.operators.dedup import word_tokens
+from knightshift_spark.operators.dedup import word_ngrams_all, word_tokens
 
 # thresholds from Rae et al. 2021 (Gopher), appendix A1: a doc FAILS the
 # repetition screen when any fraction exceeds its bound
@@ -40,16 +40,6 @@ GOPHER_THRESHOLDS = {
     "dup_9gram_char_frac": 0.11,
     "dup_10gram_char_frac": 0.10,
 }
-
-
-def _ngrams_all(tk, n: int):
-    """ALL word n-gram occurrences (unlike ``dedup.word_ngrams``, which
-    distincts for shingling — repetition stats need the multiplicities)."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(n)]),
-    )
-    return F.when(F.size(tk) < n, F.array().cast("array<string>")).otherwise(grams)
 
 
 def line_repetition_stats(
@@ -99,7 +89,7 @@ def ngram_repetition_stats(
     """
     tk = docs.select(id_col, word_tokens(F.col(text_col)).alias("__tk"))
     grams = tk.select(
-        F.col(id_col), F.explode(_ngrams_all(F.col("__tk"), n)).alias("__g")
+        F.col(id_col), F.explode(word_ngrams_all(F.col("__tk"), n)).alias("__g")
     )
     per_gram = grams.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
     mass = F.col("__c") * (F.length("__g") - (n - 1))
@@ -157,23 +147,32 @@ def gopher_repetition_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Documents PASSING the repetition screen (every computed fraction at
-    or under its threshold — the Gopher rule is reject-if-any-exceeds).
-    ``thresholds`` defaults to the published bounds, filtered to the
-    columns actually computed; pass a subset dict to screen on fewer
-    families cheaply."""
+    """Documents PASSING the repetition screen (every fraction at or
+    under its threshold — the Gopher rule is reject-if-any-exceeds).
+    ``thresholds`` defaults to the published bounds; pass a subset dict
+    to screen on fewer families cheaply — only the families a threshold
+    names are computed. Unknown keys raise (a typo'd key would otherwise
+    silently weaken the screen to a no-op)."""
+    import re
+
     th = dict(GOPHER_THRESHOLDS if thresholds is None else thresholds)
-    top_ns = tuple(
-        int(k.split("_")[1][0:-4]) for k in th if k.startswith("top_")
+    line_keys = {"dup_line_frac", "dup_line_char_frac"}
+    gram_rx = re.compile(r"^(top|dup)_(\d+)gram_char_frac$")
+    top_ns, dup_ns = [], []
+    for k in th:
+        m = gram_rx.match(k)
+        if m:
+            (top_ns if m.group(1) == "top" else dup_ns).append(int(m.group(2)))
+        elif k not in line_keys:
+            raise ValueError(
+                f"unknown repetition threshold {k!r}; expected one of "
+                f"{sorted(line_keys)} or (top|dup)_<n>gram_char_frac"
+            )
+    stats = gopher_repetition_stats(
+        docs, tuple(top_ns), tuple(dup_ns), id_col, text_col
     )
-    dup_ns = tuple(
-        int(k.split("_")[1][0:-4]) for k in th if k.startswith("dup_") and "gram" in k
-    )
-    stats = gopher_repetition_stats(docs, top_ns or (2,), dup_ns or (5,), id_col, text_col)
     cond = None
     for name, bound in th.items():
-        if name not in stats.columns:
-            continue
         c = F.col(name) <= F.lit(bound)
         cond = c if cond is None else cond & c
     keep = stats.filter(cond if cond is not None else F.lit(True)).select(id_col)

@@ -737,6 +737,8 @@ def opq_train(
         .limit(sample)
         .collect()
     )
+    if not rows:
+        raise ValueError("opq_train: vectors relation is empty — nothing to train on")
     X = np.array([r["__v"] for r in rows], dtype=np.float64)
     d = X.shape[1]
     if d % m:
@@ -770,21 +772,35 @@ def rotate_vectors(
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
 
     R = np.array(rotation, dtype=np.float64)
+    d = len(R)
     src = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    # id type follows the input (string/int/... ids all work, like every
+    # other similarity operator); only the vector column is retyped
+    out_schema = T.StructType(
+        [
+            src.schema[id_col],
+            T.StructField(vec_col, T.ArrayType(T.DoubleType()), True),
+        ]
+    )
 
     def run(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.array(list(pdf["__v"]), dtype=np.float64)
-            out = X @ R
-            yield pd.DataFrame({id_col: pdf[id_col], vec_col: list(out)})
+            vals = pdf["__v"]
+            ok = vals.map(lambda v: v is not None and len(v) == d)
+            rotated = pd.Series([None] * len(pdf), dtype=object)
+            if ok.any():
+                X = np.stack(list(vals[ok]))
+                rotated[np.flatnonzero(ok.to_numpy())] = list(X @ R)
+            # NULL / wrong-length vectors pass through as NULL — the same
+            # tolerance the pure-SQL knn paths have
+            yield pd.DataFrame({id_col: pdf[id_col], vec_col: rotated})
 
-    return src.mapInPandas(
-        run, schema=f"{id_col} long, {vec_col} array<double>"
-    )
+    return src.mapInPandas(run, schema=out_schema)
 
 
 def knn_opq(

@@ -166,6 +166,11 @@ def curate_corpus(
     if repetition_thresholds is not None:
         from knightshift_spark.operators.quality import gopher_repetition_filter
 
+        if persist_intermediates:
+            # the screen references `kept` once per stats family plus the
+            # final semi-join — checkpoint so each reference is an RDD
+            # scan, not a copy of the whole dedup funnel lineage
+            kept = kept.localCheckpoint()
         kept = gopher_repetition_filter(
             kept, thresholds=repetition_thresholds, id_col=id_col, text_col=text_col
         )

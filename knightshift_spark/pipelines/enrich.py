@@ -194,18 +194,25 @@ def extract_opening_tags(bodies: DataFrame) -> DataFrame:
     )
 
 
-def backfill_openings(games: DataFrame, export_bodies: DataFrame) -> DataFrame:
+def backfill_openings(
+    games: DataFrame, export_bodies: DataFrame, broadcast_tags: bool = True
+) -> DataFrame:
     """Update games matching the predicate with fetched tag values
     (merge semantics of ``backfill_opening_names.py:137-156``): fetched
     non-NULL values overwrite, others keep the current value.
 
-    The tags side BROADCASTS by contract: export bodies arrive one paced
+    The tags side BROADCASTS by default: export bodies arrive one paced
     fetch-batch at a time (the OP-34 governor bounds the batch), so the
-    parsed-tag relation is always small next to the games table — and
-    its RDD/fetch lineage has no stats, so Catalyst would otherwise pick
-    a sort-merge join and shuffle the games side for nothing.
+    parsed-tag relation is small next to the games table — and its
+    RDD/fetch lineage has no stats, so Catalyst would otherwise pick a
+    sort-merge join and shuffle the games side for nothing. For a bulk
+    historical backfill where the export dump is NOT batch-bounded, pass
+    ``broadcast_tags=False`` to restore Catalyst's size-based choice
+    (a forced broadcast of a multi-GB relation kills the driver).
     """
-    tags = F.broadcast(extract_opening_tags(export_bodies))
+    tags = extract_opening_tags(export_bodies)
+    if broadcast_tags:
+        tags = F.broadcast(tags)
     need = games.filter(needs_opening_backfill())
     keep = games.filter(~needs_opening_backfill())
     updated = (

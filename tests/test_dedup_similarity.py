@@ -883,3 +883,29 @@ def test_dedup_keep_list_end_to_end(spark):
     # empty pair set keeps everything
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert dedup_keep_list(docs, empty).count() == 36
+
+
+def test_rotate_vectors_id_types_and_nulls(spark):
+    import numpy as np
+
+    from knightshift_spark.operators.similarity import rotate_vectors
+
+    R = np.eye(4).tolist()
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0, 3.0, 4.0]), ("b", None), ("c", [1.0, 2.0])],
+        "vec_id string, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["embedding"] for r in rotate_vectors(df, R).collect()}
+    assert got["a"] == [1.0, 2.0, 3.0, 4.0]  # identity rotation, string ids
+    assert got["b"] is None  # NULL passes through
+    assert got["c"] is None  # wrong-length vector → NULL, not a crash
+
+
+def test_opq_train_empty_raises(spark):
+    import pytest
+
+    from knightshift_spark.operators.similarity import opq_train
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        opq_train(empty)

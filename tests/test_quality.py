@@ -96,3 +96,9 @@ def test_thresholds_are_the_published_set():
     assert GOPHER_THRESHOLDS["top_2gram_char_frac"] == 0.20
     assert GOPHER_THRESHOLDS["dup_10gram_char_frac"] == 0.10
     assert len(GOPHER_THRESHOLDS) == 11
+
+
+def test_unknown_threshold_key_raises(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unknown repetition threshold"):
+        gopher_repetition_filter(docs, thresholds={"dup_5gram_frac": 0.15})
