@@ -482,6 +482,48 @@ def dedup_keep_list(
     return docs.join(losers, id_col, "left_anti")
 
 
+def dedup_report(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """What a dedup run would do, before doing it: ONE summary row with
+    ``n_docs``, ``n_clusters`` (components with ≥2 members),
+    ``n_clustered`` (docs inside those), ``n_removed`` (non-representative
+    members — what ``dedup_keep_list`` drops), ``max_cluster`` and, when
+    ``text_col`` is given, ``chars_reclaimed`` (text mass of the removed
+    docs). The sizing/reporting pass operators teams run on candidate
+    pairs before committing to a destructive keep-list write."""
+    comps = connected_components(pairs, a_col=a_col, b_col=b_col)
+    sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
+    cluster_stats = sizes.filter(F.col("n_members") >= 2).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.coalesce(F.sum("n_members"), F.lit(0)).alias("n_clustered"),
+        F.coalesce(F.max("n_members"), F.lit(0)).alias("max_cluster"),
+    )
+    removed = comps.filter(F.col("id") != F.col("comp"))
+    if text_col is not None:
+        reclaimed = (
+            docs.join(removed.select(F.col("id").alias(id_col)), id_col, "left_semi")
+            .agg(
+                F.count(F.lit(1)).alias("n_removed"),
+                F.coalesce(F.sum(F.length(text_col)), F.lit(0)).alias(
+                    "chars_reclaimed"
+                ),
+            )
+        )
+    else:
+        reclaimed = removed.agg(F.count(F.lit(1)).alias("n_removed"))
+    return (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(cluster_stats)
+        .crossJoin(reclaimed)
+    )
+
+
 def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """16-bit SimHash over term frequencies: (id, simhash).
 

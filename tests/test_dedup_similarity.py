@@ -909,3 +909,24 @@ def test_opq_train_empty_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         opq_train(empty)
+
+
+def test_dedup_report(spark):
+    from knightshift_spark.operators.dedup import dedup_report
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (10 * (i + 1))) for i in range(6)], "doc_id long, text string"
+    )
+    # clusters: {0,1,2} (chain) and {4,5}; doc 3 unpaired
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "doc_a long, doc_b long"
+    )
+    r = dedup_report(docs, pairs).collect()[0]
+    assert r["n_docs"] == 6
+    assert r["n_clusters"] == 2 and r["n_clustered"] == 5
+    assert r["max_cluster"] == 3
+    assert r["n_removed"] == 3  # docs 1, 2, 5
+    assert r["chars_reclaimed"] == 20 + 30 + 60
+    # without a text column: counts only
+    r2 = dedup_report(docs, pairs, text_col=None).collect()[0]
+    assert r2["n_removed"] == 3 and "chars_reclaimed" not in r2.asDict()
