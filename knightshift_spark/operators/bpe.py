@@ -105,6 +105,26 @@ def train_bpe_on_corpus(
     return BPETokenizer(merges=tuple(merges))
 
 
+def save_bpe(tokenizer: "BPETokenizer", spark, path: str) -> None:
+    """Persist the merge table as a parquet artifact (rank, left, right) —
+    the tokenizer twin of the ANN index's codebook sidecar, so a trained
+    vocabulary outlives the session and every job tokenizes identically."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(tokenizer.merges)]
+    spark.createDataFrame(
+        rows, "rank int, left string, right string"
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_bpe(spark, path: str, pattern: str = SUBWORD_PATTERN) -> "BPETokenizer":
+    """Load a persisted merge table back into a seam-ready tokenizer.
+    Rank order — the semantics of the vocabulary — is restored by
+    explicit sort, never by file order."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return BPETokenizer(
+        merges=tuple((r["left"], r["right"]) for r in rows), pattern=pattern
+    )
+
+
 @dataclass(frozen=True)
 class BPETokenizer:
     """Seam-contract tokenizer applying a learned merge table.

@@ -827,6 +827,38 @@ def knn_opq(
     return knn_pq(qr, cr, k=k, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col, books=books)
 
 
+def knn_ivfpq_opq(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    n_clusters: int = 4,
+    n_probe: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rotation: list[list[float]] | None = None,
+) -> DataFrame:
+    """OPQ-rotated IVF-PQ: learn R on the candidates, rotate BOTH sides,
+    then run the standard IVF-PQ path in the rotated space. An orthogonal
+    rotation preserves every L2 distance, so coarse assignment, residuals
+    and ADC are the same geometry — only PQ's subspace SPLIT sees a
+    different (better-aligned) basis, which is where OPQ's accuracy gain
+    lives. With ``rotation`` = identity this is exactly ``knn_ivfpq``
+    (pinned by test). Pass a pre-trained ``rotation`` to amortize
+    training across query batches."""
+    if rotation is None:
+        rotation, _books = opq_train(
+            candidates, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+        )
+    qr = rotate_vectors(queries, rotation, id_col, vec_col)
+    cr = rotate_vectors(candidates, rotation, id_col, vec_col)
+    return knn_ivfpq(
+        qr, cr, k=k, n_clusters=n_clusters, n_probe=n_probe, m=m, ksub=ksub,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
 def knn_ivfpq(
     queries: DataFrame,
     candidates: DataFrame,

@@ -930,3 +930,44 @@ def test_dedup_report(spark):
     # without a text column: counts only
     r2 = dedup_report(docs, pairs, text_col=None).collect()[0]
     assert r2["n_removed"] == 3 and "chars_reclaimed" not in r2.asDict()
+
+
+def test_knn_ivfpq_opq_identity_matches_plain(spark):
+    """With the identity rotation, OPQ-IVF-PQ must equal plain IVF-PQ
+    bit for bit (same coarse cells, same residual codes, same ADC)."""
+    import numpy as np
+
+    from knightshift_spark.operators.similarity import knn_ivfpq, knn_ivfpq_opq
+    from pyspark.sql import functions as F
+
+    vecs = _aniso_vectors(spark, n=40)
+    q = vecs.filter(F.col("vec_id") < 3)
+    c = vecs.filter(F.col("vec_id") >= 3)
+    plain = sorted(
+        map(tuple, knn_ivfpq(q, c, k=3, n_clusters=2, m=4, ksub=4).collect())
+    )
+    viaopq = sorted(
+        map(
+            tuple,
+            knn_ivfpq_opq(
+                q, c, k=3, n_clusters=2, m=4, ksub=4,
+                rotation=np.eye(16).tolist(),
+            ).collect(),
+        )
+    )
+    assert plain == viaopq
+
+
+def test_knn_ivfpq_opq_trained_contract(spark):
+    from knightshift_spark.operators.similarity import knn_ivfpq_opq, opq_train
+    from pyspark.sql import functions as F
+
+    vecs = _aniso_vectors(spark, n=40)
+    q = vecs.filter(F.col("vec_id") < 3)
+    c = vecs.filter(F.col("vec_id") >= 3)
+    R, _books = opq_train(c, m=4, ksub=4, iters=3, sample=64)
+    out = knn_ivfpq_opq(q, c, k=3, n_clusters=2, m=4, ksub=4, rotation=R)
+    rows = out.collect()
+    assert len(rows) == 3 * 3
+    assert all(r["rank"] in (1, 2, 3) and r["adc_dist"] >= 0 for r in rows)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, out.collect()))

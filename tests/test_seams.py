@@ -194,3 +194,15 @@ def test_bpe_through_spark_seam(spark):
     # the learned tokenizer is coarser than characters and finer than or
     # equal to whole words
     assert 6 <= got[1] <= len("the cat sat on the mat".replace(" ", ""))
+
+
+def test_bpe_save_load_roundtrip(spark, tmp_path):
+    from knightshift_spark.operators.bpe import load_bpe, save_bpe, train_bpe, BPETokenizer
+
+    merges = train_bpe(["the cat sat on the mat the cat sat"], 25)
+    tok = BPETokenizer(merges=tuple(merges))
+    path = str(tmp_path / "bpe_vocab")
+    save_bpe(tok, spark, path)
+    back = load_bpe(spark, path)
+    assert back.merges == tok.merges
+    assert back.encode("the cats sat") == tok.encode("the cats sat")
