@@ -175,6 +175,32 @@ def encode_wav(samples: np.ndarray, rate: int, sampwidth: int = 2) -> bytes:
     return buf.getvalue()
 
 
+def resample_audio(samples: np.ndarray, rate: int, new_rate: int) -> np.ndarray:
+    """Linear-interpolation resampling of an (n, ch) float waveform —
+    the audio twin of ``resize_bilinear`` (deterministic, numpy only; a
+    production pipeline swaps in a windowed-sinc resampler through the
+    same codec seam)."""
+    if rate == new_rate:
+        return samples.copy()
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n = samples.shape[0]
+    new_n = max(1, int(round(n * new_rate / rate)))
+    t_old = np.arange(n) / rate
+    t_new = np.arange(new_n) / new_rate
+    return np.stack(
+        [np.interp(t_new, t_old, samples[:, c]) for c in range(samples.shape[1])],
+        axis=1,
+    )
+
+
+def resample_wav(payload: bytes, new_rate: int, sampwidth: int = 2) -> bytes:
+    """WAV in → WAV at ``new_rate`` out (decode, linearly resample,
+    re-encode), preserving channel count."""
+    samples, rate = decode_wav(payload)
+    return encode_wav(resample_audio(samples, rate, new_rate), new_rate, sampwidth)
+
+
 def wav_duration_ms(payload: bytes) -> int:
     """Duration of a WAV payload in ms, from the header only (no decode)."""
     import io
@@ -449,6 +475,12 @@ class NumpyAudioCodec:
             return [0.0] * self.dim
         samples, _rate = self.decode(payload)
         return audio_strip_features(samples, self.dim)
+
+    def resample(self, payload: bytes | None, new_rate: int) -> bytes | None:
+        if payload is None:
+            return None
+        self.decode(payload)  # format gate (clear error on non-WAV)
+        return resample_wav(payload, new_rate)
 
     def duration_ms(self, payload: bytes) -> int:
         return wav_duration_ms(payload)

@@ -971,3 +971,37 @@ def test_knn_ivfpq_opq_trained_contract(spark):
     assert len(rows) == 3 * 3
     assert all(r["rank"] in (1, 2, 3) and r["adc_dist"] >= 0 for r in rows)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, out.collect()))
+
+
+def test_connected_components_property_random_graphs(spark):
+    """Hypothesis: on ANY random pair set, distributed components equal
+    driver-side union-find (min-id labels)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from knightshift_spark.operators.dedup import connected_components
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+                lambda p: p[0] != p[1]
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def check(pairs):
+        norm = [(min(a, b), max(a, b)) for a, b in pairs]
+        expect = _union_find(norm, {i for p in norm for i in p})
+        got = {
+            r["id"]: r["comp"]
+            for r in connected_components(
+                spark.createDataFrame(norm, "doc_a long, doc_b long")
+            ).collect()
+        }
+        assert got == expect
+
+    check()
