@@ -106,3 +106,58 @@ def profile_table(
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+def numeric_histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: one row per non-empty
+    bin — (bin, lo, hi, n) with ``bin`` in [0, bins) and the top edge
+    INCLUSIVE in the last bin (max values don't spawn a phantom bin).
+
+    Bounds default to the column's min/max (one cheap extra aggregate —
+    parquet statistics usually answer it without a scan); pass them
+    explicitly to skip that job or to pin cross-dataset bin edges.
+    NULLs are excluded; a degenerate range (min == max) puts everything
+    in bin 0. One shuffle on the bin id, map-side combinable — the
+    profile pass that sizes skew, spots outliers, and picks range-join
+    bin widths at any scale.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    v = F.col(col).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
+        lo = row["lo"] if lo is None else lo
+        hi = row["hi"] if hi is None else hi
+    if lo is None:  # all-NULL / empty column
+        return df.sparkSession.createDataFrame(
+            [], "bin int, lo double, hi double, n long"
+        )
+    width = (float(hi) - float(lo)) / bins
+    bin_id = (
+        F.when(F.lit(width) <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int"),
+                F.lit(bins - 1),
+            )
+        )
+        .alias("bin")
+    )
+    return (
+        df.filter(v.isNotNull() & (v >= F.lit(float(lo))) & (v <= F.lit(float(hi))))
+        .groupBy(bin_id)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(float(lo)) + F.col("bin") * F.lit(width)).alias("lo"),
+            (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width)).alias("hi"),
+            "n",
+        )
+        .orderBy("bin")
+    )

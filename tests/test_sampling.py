@@ -117,3 +117,59 @@ def test_cap_per_group_quota_and_determinism(spark):
         for r in cap_per_group(docs, 25, group_col="lang", salt="r").select("doc_id").collect()
     )
     assert ids1 != ids3
+
+
+def test_numeric_histogram_matches_duckdb(spark):
+    """Equi-width histogram vs a DuckDB oracle over the same parquet —
+    same bins, same counts, top edge inclusive."""
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+    from knightshift_spark.operators.profiling import numeric_histogram
+    from knightshift_spark.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    got = {
+        r["bin"]: r["n"]
+        for r in numeric_histogram(li, "l_quantity", bins=7).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    )
+    lo, hi = con.execute(
+        "SELECT MIN(l_quantity), MAX(l_quantity) FROM lineitem"
+    ).fetchone()
+    width = (hi - lo) / 7
+    want = dict(
+        con.execute(
+            f"""SELECT LEAST(CAST(FLOOR((l_quantity - {lo}) / {width}) AS INT), 6) AS bin,
+                       COUNT(*) FROM lineitem WHERE l_quantity IS NOT NULL
+                GROUP BY 1"""
+        ).fetchall()
+    )
+    assert got == want and sum(got.values()) > 0
+
+
+def test_numeric_histogram_edges(spark):
+    from knightshift_spark.operators.profiling import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (5.0,), (10.0,), (None,)], "x double"
+    )
+    rows = {r["bin"]: r for r in numeric_histogram(df, "x", bins=2).collect()}
+    # bins are [0,5) and [5,10] — the boundary value 5 opens bin 1 and
+    # the max value 10 lands in the LAST bin, not a phantom bin 2
+    assert rows[0]["n"] == 1 and rows[1]["n"] == 2
+    assert rows[0]["lo"] == 0.0 and rows[1]["hi"] == 10.0
+    # degenerate range: everything in bin 0
+    flat = spark.createDataFrame([(3.0,), (3.0,)], "x double")
+    frows = numeric_histogram(flat, "x", bins=4).collect()
+    assert len(frows) == 1 and frows[0]["bin"] == 0 and frows[0]["n"] == 2
+    # pinned bounds exclude out-of-range rows
+    pinned = numeric_histogram(df, "x", bins=2, lo=0.0, hi=5.0).collect()
+    assert sum(r["n"] for r in pinned) == 2
+    import pytest
+
+    with pytest.raises(ValueError, match="bins"):
+        numeric_histogram(df, "x", bins=0)
