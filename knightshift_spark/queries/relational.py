@@ -38,28 +38,30 @@ def money_units(col, frac_digits: int = 4):
     return F.round(col * F.lit(10**frac_digits)).cast("bigint")
 
 
-def _money_sum_round(e4_col, frac_digits: int = 4, digits: int = 2):
-    """Deterministic money aggregation via two BIGINT sums over a
-    pre-projected ``money_units`` column — the fast exact path for
-    fixed-point values (VERDICT r4 #2: the decimal(38,10) accumulation
-    made q15 the suite's one >2×-of-DuckDB query; decimal WIDTH barely
-    matters — measured 0.66s at widths 15–25 vs 0.26s for integer sums
-    on 6M rows — the per-row decimal cast/add machinery is the tax, so
-    step out of decimals entirely).
+def money_whole_frac(e4_col, frac_digits: int = 4):
+    """Deterministic money aggregation: the whole/fraction BIGINT split of
+    a pre-projected ``money_units`` column — SUM both parts (any number of
+    aggregation levels; bigint addition is associative so every order
+    gives the one answer), then ``round(whole + frac/1e4, 2)``. The fast
+    exact path for fixed-point values (VERDICT r4 #2: decimal(38,10)
+    accumulation made q15 the suite's one >2×-of-DuckDB query; decimal
+    WIDTH barely matters — measured 0.66s at widths 15–25 vs 0.26s for
+    integer sums on 6M rows — the per-row decimal cast/add machinery is
+    the tax, so step out of decimals entirely).
 
     Overflow (the reason for TWO sums rather than one): one bigint in e4
     units caps at ~9.2e18/1.1e9 ≈ 8e9 rows per group — real 100 TB
     corpora exceed that. Splitting each row into whole units (≤1.1e5)
     and fractional e4 remainder (<1e4) bounds both sums by ~1e16 at
-    6e11 rows/group — 50× headroom at 100 TB, and bigint addition is
-    associative so any aggregation order gives the one answer.
+    6e11 rows/group — 50× headroom at 100 TB.
 
     floor + pmod (not div + %) so the identity ``x = floor(x/u)·u +
     pmod(x, u)`` also holds for negative money (refunds)."""
     unit = F.lit(10**frac_digits)
-    whole = F.sum(F.floor(e4_col / unit).cast("bigint"))
-    frac = F.sum(F.pmod(e4_col, unit))
-    return F.round(whole + frac.cast("double") / unit, digits)
+    return (
+        F.floor(e4_col / unit).cast("bigint").alias("__whole"),
+        F.pmod(e4_col, unit).alias("__frac"),
+    )
 
 
 @query(
@@ -201,6 +203,14 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q15_pricing_summary",
+    # The money term below is the two-level BIGINT formula, NOT the naive
+    # ROUND(SUM(price*(1-disc)), 2). Equivalence premise (edit with care):
+    # inputs are exact 4-dp fixed-point values (2-dp money x 2-dp discount),
+    # so ROUND(x*10000) recovers the exact integer product in both engines
+    # (the nearest rounding tie sits 0.5 away, doubles carry ~1e-9 error)
+    # and the whole/fraction split is then pure integer arithmetic. If the
+    # inputs ever stop being exactly representable at 4 dp, this oracle and
+    # money_units() must change together.
     oracle="""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
               ROUND(SUM(FLOOR(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)/10000))
                     + SUM(((CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT) % 10000) + 10000) % 10000)/10000.0,
@@ -209,34 +219,40 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
               ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
               FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     doc="OP-33 grouped counts, TPC-H Q1 shape; two-level bigint money "
-        "accumulation (exact + deterministic, see _money_sum_round) keeps "
+        "accumulation (exact + deterministic, see money_whole_frac) keeps "
         "the per-row cost at integer-add speed. Absorbs former "
-        "q45_percentile: exact linear-interpolation percentiles (Spark "
-        "percentile == DuckDB quantile_cont) ride the same single "
-        "shuffle; at scale prefer approx_percentile sketches",
+        "q45_percentile as a VALUE-HISTOGRAM exact percentile "
+        "(grouped_percentiles): l_quantity has a ~50-value domain, so "
+        "cumulative-weight interpolation over the histogram equals "
+        "quantile_cont exactly with bounded state — no per-group value "
+        "multiset (the r5 scale-killer); the money partial sums ride the "
+        "same histogram shuffle",
 )
 def q15(spark: SparkSession, sf: str) -> DataFrame:
+    from knightshift_spark.operators.percentiles import grouped_percentiles
+
     li = t(spark, sf, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # both percentiles from ONE buffer (percentile over an array arg
-    # fills a single per-group sketch instead of two)
-    pp = F.percentile("l_quantity", F.array(F.lit(0.5), F.lit(0.9)))
-    return (
-        li.withColumn("__rev_e4", money_units(rev))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            _money_sum_round(F.col("__rev_e4")).alias("revenue"),
-            pp.alias("__pp"),
-        )
-        .select(
-            "l_returnflag",
-            "l_linestatus",
-            "n",
-            "revenue",
-            F.round(F.element_at("__pp", 1), 4).alias("p50_qty"),
-            F.round(F.element_at("__pp", 2), 4).alias("p90_qty"),
-        )
+    unit = F.lit(10**4)
+    # whole/fraction split pre-projected so the money partial sums ride
+    # the histogram shuffle (see money_whole_frac for the overflow math)
+    whole, frac = money_whole_frac(money_units(rev))
+    return grouped_percentiles(
+        li.select("l_returnflag", "l_linestatus", "l_quantity", whole, frac),
+        keys=["l_returnflag", "l_linestatus"],
+        value_col="l_quantity",
+        percentiles={"p50_qty": 0.5, "p90_qty": 0.9},
+        extra_sums=["__whole", "__frac"],
+        round_digits=4,
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        F.round(
+            F.col("__whole") + F.col("__frac").cast("double") / unit, 2
+        ).alias("revenue"),
+        "p50_qty",
+        "p90_qty",
     )
 
 
