@@ -496,7 +496,14 @@ def dedup_report(
     members — what ``dedup_keep_list`` drops), ``max_cluster`` and, when
     ``text_col`` is given, ``chars_reclaimed`` (text mass of the removed
     docs). The sizing/reporting pass operators teams run on candidate
-    pairs before committing to a destructive keep-list write."""
+    pairs before committing to a destructive keep-list write.
+
+    All cluster counts (``n_clusters``/``n_clustered``/``n_removed``)
+    come from the SAME pairs-derived components relation regardless of
+    ``text_col`` (ADVICE r5 #4: the text path used to semi-join docs for
+    ``n_removed``, undercounting when pairs referenced ids absent from
+    ``docs``); only ``chars_reclaimed`` joins ``docs`` — removed ids with
+    no docs row contribute zero reclaimed characters."""
     comps = connected_components(pairs, a_col=a_col, b_col=b_col)
     sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
     cluster_stats = sizes.filter(F.col("n_members") >= 2).agg(
@@ -505,23 +512,19 @@ def dedup_report(
         F.coalesce(F.max("n_members"), F.lit(0)).alias("max_cluster"),
     )
     removed = comps.filter(F.col("id") != F.col("comp"))
+    removed_stats = removed.agg(F.count(F.lit(1)).alias("n_removed"))
+    report = (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(cluster_stats)
+        .crossJoin(removed_stats)
+    )
     if text_col is not None:
         reclaimed = (
             docs.join(removed.select(F.col("id").alias(id_col)), id_col, "left_semi")
-            .agg(
-                F.count(F.lit(1)).alias("n_removed"),
-                F.coalesce(F.sum(F.length(text_col)), F.lit(0)).alias(
-                    "chars_reclaimed"
-                ),
-            )
+            .agg(F.coalesce(F.sum(F.length(text_col)), F.lit(0)).alias("chars_reclaimed"))
         )
-    else:
-        reclaimed = removed.agg(F.count(F.lit(1)).alias("n_removed"))
-    return (
-        docs.agg(F.count(F.lit(1)).alias("n_docs"))
-        .crossJoin(cluster_stats)
-        .crossJoin(reclaimed)
-    )
+        report = report.crossJoin(reclaimed)
+    return report
 
 
 def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

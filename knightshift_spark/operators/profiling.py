@@ -134,7 +134,9 @@ def numeric_histogram(
         row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
         lo = row["lo"] if lo is None else lo
         hi = row["hi"] if hi is None else hi
-    if lo is None:  # all-NULL / empty column
+    if lo is None or hi is None:
+        # all-NULL / empty column — also when the caller pinned only ONE
+        # bound explicitly (ADVICE r5 #2: the other default stays None)
         return df.sparkSession.createDataFrame(
             [], "bin int, lo double, hi double, n long"
         )

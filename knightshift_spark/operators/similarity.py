@@ -731,6 +731,8 @@ def opq_train(
     """
     import numpy as np
 
+    if iters < 1:
+        raise ValueError(f"opq_train needs iters >= 1, got {iters}")
     rows = (
         _unit(vectors, id_col, vec_col, "__id", "__v")
         .orderBy("__id")
@@ -744,13 +746,17 @@ def opq_train(
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     R = np.eye(d)
-    books = None
     for _ in range(iters):
         Y = X @ R
         books, codes = _np_subspace_kmeans(Y, m, ksub)
         Yhat = np.hstack([books[j][codes[:, j]] for j in range(m)])
         U, _s, Vt = np.linalg.svd(X.T @ Yhat)
         R = U @ Vt
+    # each Procrustes step updates R AFTER the codebook fit, so the loop's
+    # last books live in the PREVIOUS rotation's space — refit once on the
+    # final R so knn_opq quantizes with matching centroids (FAISS retrains
+    # PQ on the final OPQMatrix the same way; ADVICE r5 #1)
+    books, _codes = _np_subspace_kmeans(X @ R, m, ksub)
     return [[float(x) for x in row] for row in R], [
         [[float(x) for x in cent] for cent in book] for book in books
     ]

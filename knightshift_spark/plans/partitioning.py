@@ -56,15 +56,18 @@ def salted_join(
     it only moves rows between reducers.
 
     ``deterministic=True`` (default) salts by ``xxhash64`` of the row's
-    hashable columns, so reruns and repartitionings place every row
-    identically — byte-identical written output, the repo-wide
-    determinism rule. Map-typed columns are excluded (Spark disallows
-    hashing maps); megabyte binary columns do add per-row hash cost.
-    The inherent limit: fully IDENTICAL rows share a salt (no
-    deterministic function of values can separate them), so for inputs
-    whose hot keys are exact-duplicate rows — the duplicate-heavy
-    corpus shape — pass ``deterministic=False`` to spread them with
-    ``rand(seed)`` at the cost of run-to-run placement stability.
+    hashable columns MIXED with the row's partition-local position
+    (``monotonically_increasing_id``), so fully IDENTICAL rows — the
+    duplicate-heavy corpus hot-key shape — still spread across salts
+    instead of all hashing to one reducer (ADVICE r5 #3: a values-only
+    hash silently nullified the mitigation exactly where it matters
+    most). Placement is reproducible for a fixed input layout (same
+    files, same partitioning → same salt per row); repartitioning the
+    input moves rows between salts but NEVER changes join output.
+    Map-typed columns are excluded from the hash (Spark disallows
+    hashing maps). ``deterministic=False`` uses ``rand(seed)`` — same
+    layout-dependent determinism class, kept for parity with earlier
+    rounds.
     """
     if deterministic:
         hashable = [
@@ -72,7 +75,9 @@ def salted_join(
             for f in big.schema.fields
             if not f.dataType.typeName().startswith("map")
         ]
-        salt_col = F.pmod(F.xxhash64(*hashable), F.lit(salt)).cast("int")
+        salt_col = F.pmod(
+            F.xxhash64(F.monotonically_increasing_id(), *hashable), F.lit(salt)
+        ).cast("int")
     else:
         salt_col = (F.rand(seed=42) * salt).cast("int")
     b = big.withColumn("__salt", salt_col)

@@ -932,6 +932,61 @@ def test_dedup_report(spark):
     assert r2["n_removed"] == 3 and "chars_reclaimed" not in r2.asDict()
 
 
+def test_dedup_report_pairs_outside_docs_consistent(spark):
+    # ADVICE r5 #4: pairs may reference ids absent from docs (pairs built
+    # on a superset snapshot); the cluster counts must come from the
+    # pairs universe in BOTH paths, chars_reclaimed only from docs rows
+    from knightshift_spark.operators.dedup import dedup_report
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa"), (1, "bbbb")], "doc_id long, text string"
+    )
+    # cluster {0,1,99}: 99 not in docs; removed = {1, 99}
+    pairs = spark.createDataFrame([(0, 1), (1, 99)], "doc_a long, doc_b long")
+    r = dedup_report(docs, pairs).collect()[0]
+    r2 = dedup_report(docs, pairs, text_col=None).collect()[0]
+    assert r["n_removed"] == r2["n_removed"] == 2
+    assert r["n_clustered"] == 3 and r["n_clusters"] == 1
+    assert r["chars_reclaimed"] == 4  # only doc 1 has a docs row
+
+
+def test_opq_train_rejects_zero_iters(spark):
+    import pytest
+
+    from knightshift_spark.operators.similarity import opq_train
+
+    vecs = spark.createDataFrame([(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="iters"):
+        opq_train(vecs, m=4, ksub=2, iters=0)
+
+
+def test_opq_books_live_in_final_rotation_space(spark):
+    # ADVICE r5 #1: the returned codebooks must be trained on X @ R for
+    # the RETURNED R — quantization error with the returned pair can't be
+    # worse than with books refit on the final rotation (they're equal)
+    import numpy as np
+
+    from knightshift_spark.operators.similarity import (
+        _np_subspace_kmeans,
+        _unit,
+        opq_train,
+    )
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(64, 8)) @ np.diag([5, 4, 3, 2, 1, 0.5, 0.25, 0.1])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(X)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    R, books = opq_train(vecs, m=4, ksub=4, iters=3, sample=64)
+    R = np.array(R)
+    sample = np.array(
+        [r["__v"] for r in _unit(vecs, "vec_id", "embedding", "__id", "__v")
+         .orderBy("__id").limit(64).collect()]
+    )
+    refit, _ = _np_subspace_kmeans(sample @ R, m=4, ksub=4)
+    for got, want in zip(books, refit):
+        assert np.allclose(np.array(got), want)
+
+
 def test_knn_ivfpq_opq_identity_matches_plain(spark):
     """With the identity rotation, OPQ-IVF-PQ must equal plain IVF-PQ
     bit for bit (same coarse cells, same residual codes, same ADC)."""

@@ -173,3 +173,15 @@ def test_numeric_histogram_edges(spark):
 
     with pytest.raises(ValueError, match="bins"):
         numeric_histogram(df, "x", bins=0)
+
+
+def test_numeric_histogram_one_pinned_bound_empty_column(spark):
+    # ADVICE r5 #2: pinning ONE bound on an all-NULL/empty column must
+    # return the documented empty result, not raise on the other bound
+    from knightshift_spark.operators.profiling import numeric_histogram
+
+    empty = spark.createDataFrame([], "v double")
+    assert numeric_histogram(empty, "v", bins=4, lo=0.0).count() == 0
+    assert numeric_histogram(empty, "v", bins=4, hi=10.0).count() == 0
+    nulls = spark.createDataFrame([(None,), (None,)], "v double")
+    assert numeric_histogram(nulls, "v", bins=4, lo=0.0).count() == 0

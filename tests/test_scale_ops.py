@@ -91,9 +91,9 @@ def test_salted_join_correctness(spark):
 
 
 def test_salted_join_deterministic_across_partitionings(spark):
-    # salt is a value hash, not rand(): any physical partitioning of the
-    # big side must yield the identical joined row multiset AND identical
-    # per-row salt assignment (observed via the per-salt row histogram)
+    # the salt moves rows between reducers but NEVER changes join output:
+    # any physical partitioning of the big side yields the identical
+    # joined row multiset
     big = spark.createDataFrame(
         [("h", i) for i in range(300)] + [("c", 1)], "k string, v int"
     )
@@ -106,12 +106,29 @@ def test_salted_join_deterministic_across_partitionings(spark):
     base = run(big)
     assert base == run(big.repartition(17))
     assert base == run(big.repartition(1))
-    # the hot key actually spreads: >1 distinct salt among its 300 rows
-    salted_col = F.pmod(F.xxhash64("k", "v"), F.lit(8))
+
+
+def test_salted_join_spreads_exact_duplicate_rows(spark):
+    # ADVICE r5 #3: the duplicate-heavy corpus hot key is 300 IDENTICAL
+    # rows — a values-only hash would put them all on one salt; the
+    # position-mixed salt must spread them across >1 reducer
+    from pyspark.sql import functions as FF
+
+    big = spark.createDataFrame(
+        [("h", "same") for _ in range(300)] + [("c", "x")], "k string, v string"
+    )
+    hashable = [FF.col("k"), FF.col("v")]
+    salt_col = FF.pmod(
+        FF.xxhash64(FF.monotonically_increasing_id(), *hashable), FF.lit(8)
+    ).cast("int")
     n_salts = (
-        big.filter(F.col("k") == "h").select(salted_col.alias("s")).distinct().count()
+        big.filter(FF.col("k") == "h").select(salt_col.alias("s")).distinct().count()
     )
     assert n_salts > 1
+    # and output content is still exact
+    small = spark.createDataFrame([("h", "hot"), ("c", "cold")], "k string, name string")
+    out = salted_join(big, small, "k").groupBy("k").count().collect()
+    assert {r["k"]: r["count"] for r in out} == {"h": 300, "c": 1}
 
 
 def test_salted_join_map_columns_and_rand_mode(spark):
