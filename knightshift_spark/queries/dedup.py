@@ -67,24 +67,58 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q30_ngram_jaccard",
-    oracle=_SHINGLES_CTE.format(scope="WHERE doc_id < 60")
+    oracle=_SHINGLES_CTE.format(scope="WHERE doc_id < 60").replace(
+        "WITH toks", "WITH RECURSIVE toks", 1
+    )
     + """,
       sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT doc_a, doc_b,
-             ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
-      FROM inter
-      JOIN sz sa ON doc_a = sa.doc_id
-      JOIN sz sb ON doc_b = sb.doc_id
-      WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.05""",
-    doc="exact word-bigram Jaccard pairs (oracle baseline for near-dup)",
+        GROUP BY 1, 2),
+      pr AS (
+        SELECT doc_a, doc_b,
+               ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+        FROM inter
+        JOIN sz sa ON doc_a = sa.doc_id
+        JOIN sz sb ON doc_b = sb.doc_id
+        WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.05),
+      edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pr
+        UNION SELECT doc_b, doc_a FROM pr),
+      reach AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach GROUP BY s)
+      SELECT pr.doc_a, pr.doc_b, pr.jaccard,
+             ca.comp AS comp_a, cb.comp AS comp_b
+      FROM pr
+      JOIN comp ca ON pr.doc_a = ca.id
+      JOIN comp cb ON pr.doc_b = cb.id""",
+    doc="exact word-bigram Jaccard pairs (oracle baseline for near-dup), "
+        "each annotated with BOTH endpoints' connected-component labels — "
+        "the pairs→components transitive closure (operators.dedup."
+        "connected_components, min-label + pointer jumping) checked "
+        "against DuckDB's WITH RECURSIVE reachability closure. comp = min "
+        "reachable id; the dedup_keep_list decision is derivable from the "
+        "hash-checked labels (keep iff id == comp)",
 )
 def q30(spark: SparkSession, sf: str) -> DataFrame:
+    from knightshift_spark.operators.dedup import connected_components
+
     docs = t(spark, sf, "documents").filter(F.col("doc_id") < 60)
-    return jaccard_pairs(docs, threshold=0.05)
+    # checkpoint: the pair relation feeds BOTH the output and the CC
+    # iteration — 205 rows here; at scale the funnel persists it anyway
+    pairs = jaccard_pairs(docs, threshold=0.05).localCheckpoint()
+    comps = connected_components(pairs)
+    ca = comps.select(F.col("id").alias("doc_a"), F.col("comp").alias("comp_a"))
+    cb = comps.select(F.col("id").alias("doc_b"), F.col("comp").alias("comp_b"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", "jaccard", "comp_a", "comp_b")
+    )
 
 
 @query(

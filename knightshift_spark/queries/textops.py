@@ -98,8 +98,31 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
                len(list_filter(tk, x -> list_contains({_ES}, x))) AS es,
                len(list_distinct(list_transform(range(1, len(tk)),
                    i -> tk[i] || ' ' || tk[i+1]))) AS nbd
-        FROM toks)
-      SELECT doc_id,
+        FROM toks),
+      g2c AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                 i -> tk[i] || ' ' || tk[i+1])) AS g
+          FROM toks) u
+        GROUP BY 1, 2),
+      g2s AS (
+        SELECT doc_id,
+               ROUND(CAST(MAX(c * (len(g) - 1)) AS DOUBLE)
+                     / SUM(c * (len(g) - 1)), 4) AS top_2gram_char_frac
+        FROM g2c GROUP BY doc_id),
+      g5c AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                      || ' ' || tk[i+3] || ' ' || tk[i+4])) AS g
+          FROM toks) u
+        GROUP BY 1, 2),
+      g5s AS (
+        SELECT doc_id,
+               ROUND(CAST(SUM(CASE WHEN c > 1 THEN c * (len(g) - 4) ELSE 0 END) AS DOUBLE)
+                     / SUM(c * (len(g) - 4)), 4) AS dup_5gram_char_frac
+        FROM g5c GROUP BY doc_id)
+      SELECT sc.doc_id,
              n AS n_tokens,
              ROUND(CASE WHEN n = 0 THEN 0.0
                    ELSE CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) / n END, 4)
@@ -114,35 +137,50 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
                   ELSE 'es' END AS lang_pred,
              ROUND(CASE WHEN n < 2 THEN 0.0
                    ELSE 1.0 - CAST(nbd AS DOUBLE) / (n - 1) END, 4)
-               AS dup_bigram_ratio
-      FROM sc""",
-    doc="text analysis in one projection (absorbs former q37_lang_id): "
-        "quality scoring (token count, mean token length, stopword ratio, "
-        "Gopher-style duplicate-bigram repetition) + stopword-vote "
-        "language ID (deterministic tie order en>fr>de>es)",
+               AS dup_bigram_ratio,
+             COALESCE(g2s.top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+             COALESCE(g5s.dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac
+      FROM sc
+      LEFT JOIN g2s ON sc.doc_id = g2s.doc_id
+      LEFT JOIN g5s ON sc.doc_id = g5s.doc_id""",
+    doc="text analysis (absorbs former q37_lang_id): quality scoring "
+        "(token count, mean token length, stopword ratio, duplicate-"
+        "bigram repetition) + stopword-vote language ID (deterministic "
+        "tie order en>fr>de>es) + the Gopher repetition screen's "
+        "character-mass families (operators.quality.ngram_repetition_"
+        "stats, Rae et al. 2021): top_2gram_char_frac (mass of the most "
+        "frequent word bigram) and dup_5gram_char_frac (mass of repeated "
+        "5-grams), both oracle-checked against DuckDB's unnest+group "
+        "arithmetic; docs with no n-grams report 0.0",
 )
 def q36(spark: SparkSession, sf: str) -> DataFrame:
+    from knightshift_spark.operators.quality import ngram_repetition_stats
+
     # bind the token array once: the repetition bigrams reference it
     # inside a transform() lambda, which re-evaluates inlined operands
     tk = F.col("__tk")
     n = F.size(tk)
     total_chars = F.aggregate(tk, F.lit(0), lambda acc, x: acc + F.length(x))
     sw = F.size(F.filter(tk, lambda x: x.isin(*STOPWORDS_EN)))
+    docs = t(spark, sf, "documents")
+    base = docs.select("doc_id", "text", tokens(F.lower(F.col("text"))).alias("__tk")).select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(total_chars.cast("double") / n), 4
+        ).alias("avg_token_len"),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(sw.cast("double") / n), 4
+        ).alias("stopword_ratio"),
+        lang_id(F.col("text"), tk=tk).alias("lang_pred"),
+        F.round(repetition_ratio(tk), 4).alias("dup_bigram_ratio"),
+    )
+    g2 = ngram_repetition_stats(docs, 2).select("doc_id", "top_2gram_char_frac")
+    g5 = ngram_repetition_stats(docs, 5).select("doc_id", "dup_5gram_char_frac")
     return (
-        t(spark, sf, "documents")
-        .select("doc_id", "text", tokens(F.lower(F.col("text"))).alias("__tk"))
-        .select(
-            "doc_id",
-            n.cast("bigint").alias("n_tokens"),
-            F.round(
-                F.when(n == 0, F.lit(0.0)).otherwise(total_chars.cast("double") / n), 4
-            ).alias("avg_token_len"),
-            F.round(
-                F.when(n == 0, F.lit(0.0)).otherwise(sw.cast("double") / n), 4
-            ).alias("stopword_ratio"),
-            lang_id(F.col("text"), tk=tk).alias("lang_pred"),
-            F.round(repetition_ratio(tk), 4).alias("dup_bigram_ratio"),
-        )
+        base.join(g2, "doc_id", "left")
+        .join(g5, "doc_id", "left")
+        .fillna({"top_2gram_char_frac": 0.0, "dup_5gram_char_frac": 0.0})
     )
 
 
