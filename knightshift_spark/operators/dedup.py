@@ -377,11 +377,16 @@ def lsh_candidate_pairs(
     # the former stats aggregate + annotate join cost q31b 0.49→0.90s
     # at a no-op cap setting; the window fold removes both
     bs = annotate_bucket_occupancy(b, ["band", "bucket"], "doc_b")
+    # BOTH dense-join sides come from the same window subtree: a capped
+    # bucket's members are exactly its rows in `small`, and the two sides
+    # are identical plans, so Catalyst reuses one exchange AND the join
+    # inherits the window's (band,bucket) hash partitioning — no third
+    # shuffle of the bucket relation (r5 #3: that re-shuffle was most of
+    # the residual cap overhead)
+    small = bs.filter(F.col("__n") <= max_bucket).select("doc_b", "band", "bucket")
     dense = (
-        a.join(
-            bs.filter(F.col("__n") <= max_bucket).select("doc_b", "band", "bucket"),
-            ["band", "bucket"],
-        )
+        small.select(F.col("doc_b").alias("doc_a"), "band", "bucket")
+        .join(small, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )
