@@ -1,0 +1,129 @@
+"""Unigram LM quality scoring — CCNet-style perplexity filtering, lite.
+
+CCNet (Wenzek et al. 2020, public method) ranks crawl documents by the
+perplexity of a language model trained on a high-quality reference
+corpus (they use KenLM 5-grams); documents statistically unlike the
+reference are cut. This module implements the distributed skeleton of
+that filter with a unigram model — the piece that is an ENGINE problem
+(two-pass frequency/score dataflow, deterministic accumulation); heavier
+models slot into the same table shape.
+
+Two phases, both plain DataFrame ops:
+
+1. ``unigram_logprob_table(ref_docs)`` — token frequencies over the
+   reference corpus -> add-one-smoothed log-probabilities. One
+   groupBy(token) shuffle; output is vocabulary-sized (model, not data).
+2. ``lm_quality_score(docs, table)`` — per-document mean token
+   log-prob under the model. Tokens explode, broadcast-join the model
+   table (vocabulary-sized => broadcast at any corpus scale),
+   out-of-vocabulary tokens take the smoothed unseen probability, and
+   the per-doc mean accumulates in DECIMAL(28,12) so partition order
+   can never flip a rounded score (the BM25 determinism rule).
+
+Scores are natural-log per-token averages; ``exp(-avg_logprob)`` is the
+perplexity. Higher avg_logprob (less negative) = more reference-like.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from knightshift_spark.operators.dedup import word_tokens
+
+_DEC = "decimal(28,12)"
+
+
+def unigram_logprob_table(
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """(token, logp) over the reference corpus, add-one smoothed:
+    logp = ln((count + 1) / (total + V + 1)). The ``+ 1`` slot in the
+    denominator reserves mass for the single shared UNSEEN token every
+    out-of-vocabulary term maps to at scoring time; that slot is stored
+    IN the table as a NULL-token row (``token IS NULL`` — a value no
+    real token can collide with), so a persisted model carries its own
+    smoothing and survives parquet round-trips self-contained.
+    ``min_count`` prunes the vocabulary tail (rare tokens carry little
+    signal and bloat the broadcast); pruned tokens score as unseen."""
+    import math
+
+    toks = ref_docs.select(
+        F.explode(word_tokens(F.col(text_col))).alias("token")
+    )
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    # two tiny scalars (total mass + vocab size) — computed in ONE job
+    total, vocab = counts.agg(F.sum("n"), F.count(F.lit(1))).collect()[0]
+    total, vocab = int(total or 0), int(vocab or 0)
+    denom = float(total + vocab + 1)
+    vocab_rows = counts.select(
+        "token",
+        F.round(F.log((F.col("n") + 1) / F.lit(denom)), 12).alias("logp"),
+    )
+    unseen_row = ref_docs.sparkSession.createDataFrame(
+        [(None, round(math.log(1.0 / denom), 12))], "token string, logp double"
+    )
+    return vocab_rows.unionByName(unseen_row)
+
+
+def unseen_logprob(table: DataFrame) -> float:
+    """The smoothed log-prob an out-of-vocabulary token receives — read
+    from the table's own NULL-token row (one model-sized lookup)."""
+    row = table.filter(F.col("token").isNull()).limit(1).collect()
+    if not row:
+        raise ValueError(
+            "model table has no NULL-token unseen row — was it built by "
+            "unigram_logprob_table?"
+        )
+    return float(row[0]["logp"])
+
+
+def lm_quality_score(
+    docs: DataFrame,
+    table: DataFrame,
+    unseen_logp: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, avg_logprob) — mean per-token log-prob under the
+    unigram model. Empty documents score NULL (no evidence either way —
+    the token-count gate is the right filter for them, not this one).
+    ``unseen_logp`` defaults to the table-derived min_count=1 value."""
+    if unseen_logp is None:
+        unseen_logp = unseen_logprob(table)
+    toks = docs.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("token")
+    )
+    scored = toks.join(F.broadcast(table), "token", "left").select(
+        id_col,
+        F.coalesce("logp", F.lit(float(unseen_logp))).alias("logp"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        # DECIMAL accumulation: float-sum order varies per partitioning,
+        # decimals do not — same rule as BM25 (queries/corpusops.py)
+        F.sum(F.col("logp").cast(_DEC)).alias("__s"),
+    )
+    out = per_doc.select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round((F.col("__s") / F.col("n_tokens")).cast("double"), 6).alias(
+            "avg_logprob"
+        ),
+    )
+    # docs with zero tokens never reach the explode — restore them with
+    # NULL scores so the output covers the input id space
+    empties = docs.select(id_col).join(out.select(id_col), id_col, "left_anti")
+    return out.unionByName(
+        empties.select(
+            id_col,
+            F.lit(0).cast("bigint").alias("n_tokens"),
+            F.lit(None).cast("double").alias("avg_logprob"),
+        )
+    )

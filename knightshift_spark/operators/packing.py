@@ -1,12 +1,16 @@
 """Sequence packing: lay documents into fixed-token training windows.
 
-Two packing disciplines, both deterministic given a numeric ordering key:
+Three packing disciplines, all deterministic given a numeric ordering key:
 
 - **chunk_pack** — GPT-style "concatenate, then split": documents are
   laid end-to-end in key order and the token stream is cut every
   ``budget`` tokens.  Documents may straddle a cut; the output reports
   each document's global token span and the chunk range it lands in.
   This is the packing used when training consumes a flat token stream.
+- **sliding_windows** — strided overlapping context windows over the
+  same concatenated stream (window ``k`` = tokens ``[k·stride,
+  k·stride + window)``); ``stride == window`` reduces exactly to
+  ``chunk_pack``.
 - **greedy_pack** — first-fit whole-document packing: walk documents in
   key order, start a new pack whenever adding the next document would
   exceed ``budget``.  No document is split; packs may be underfull.
@@ -120,6 +124,62 @@ def chunk_pack(
         first.alias("chunk_first"),
         last.alias("chunk_last"),
         (last - first + 1).alias("n_chunks_spanned"),
+    )
+
+
+def sliding_windows(
+    docs: DataFrame,
+    window: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    order_col: str | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Strided context windows over the concatenated token stream: the
+    overlap-packing generalization of ``chunk_pack`` (LLM training with
+    context overlap reads window ``k`` as tokens ``[k*stride, k*stride +
+    window)``; ``stride == window`` IS chunk packing and this reduces to
+    it exactly — property-tested).
+
+    Returns one row per document: ``id_col``, ``tokens_col``,
+    ``tok_start`` plus ``win_first`` / ``win_last`` (the window ids whose
+    span intersects the document's tokens) and ``n_windows`` — the
+    replication factor an overlap-aware loader must budget for. Same
+    two-phase distributed prefix sum as ``chunk_pack``; all window
+    arithmetic is integer (exact past 2^53). Zero-token documents occupy
+    no span and report the window covering their offset, span 1.
+    """
+    stride = window if stride is None else stride
+    if window < 1 or stride < 1:
+        raise ValueError(f"window/stride must be >= 1, got {window}/{stride}")
+    if stride > window:
+        raise ValueError(
+            f"stride {stride} > window {window} would leave token gaps "
+            "no training window covers"
+        )
+    order_col = order_col or id_col
+    out = _with_prefix(docs, order_col, tokens_col, n_buckets).withColumn(
+        "__end_incl",
+        F.col("__start") + F.greatest(F.col(tokens_col).cast("bigint") - 1, F.lit(0)),
+    )
+    # window k intersects [start, end] iff k*stride <= end and
+    # k*stride + window - 1 >= start, i.e. k in
+    # [ceil((start - window + 1) / stride), end DIV stride], clamped at 0.
+    # Integer ceil-div via (a + stride - 1) DIV stride: exact for a > 0;
+    # for a <= 0 truncation can overshoot by one but the 0-clamp absorbs it.
+    first = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.expr(f"(__start - {int(window)} + {int(stride)}) DIV {int(stride)}"),
+    )
+    last = F.expr(f"__end_incl DIV {int(stride)}")
+    return out.select(
+        id_col,
+        tokens_col,
+        F.col("__start").alias("tok_start"),
+        first.alias("win_first"),
+        last.alias("win_last"),
+        (last - first + 1).alias("n_windows"),
     )
 
 

@@ -1,0 +1,129 @@
+"""Semantic deduplication — embedding-space near-dup removal at scale.
+
+SemDeDup (Abbas et al. 2023, public method): cluster the corpus
+embeddings with k-means, then compare pairs ONLY within a cluster —
+semantic duplicates (paraphrases, template re-renders, near-identical
+passages) sit close in embedding space, so cross-cluster comparisons are
+overwhelmingly wasted work. This is the embedding twin of the banded-
+MinHash text path, with a LEARNED partition instead of a hashed one:
+
+- candidate volume ∝ cluster occupancy, never all-pairs;
+- the coarse quantizer is the same deterministic k-means‖ build the IVF
+  ANN index uses (``similarity.ivf_centroids``) — one codebook can serve
+  both the ANN index and the dedup pass;
+- ``max_cluster`` bounds within-cluster expansion exactly like the LSH
+  paths' ``max_bucket``: above the cap a cluster switches to STAR
+  pairing against its min-id representative (linear, stays connected
+  under the transitive closure every dedup consumer applies);
+- recall < 1.0 by design: a duplicate pair straddling a cluster
+  boundary is missed — raise ``n_clusters`` resolution down or run the
+  SRP-LSH path (``similarity.neardup_pairs_lsh``) when hash-style
+  recall characteristics fit better.
+
+The keep decision reuses the engine's closure machinery
+(``dedup.dedup_keep_list``): pairs → connected components → min-id
+survivor per cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from knightshift_spark.operators.dedup import (
+    annotate_bucket_occupancy,
+    dedup_keep_list,
+)
+from knightshift_spark.operators.similarity import (
+    _unit,
+    assign_ivf_cluster,
+    dot,
+    ivf_centroids,
+)
+
+
+def semantic_dedup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    centroids: list[list[float]] | None = None,
+    max_cluster: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cluster cosine near-dup pairs: (id_a, id_b, sim) with
+    id_a < id_b, sim rounded to 4. Pass ``centroids`` to reuse an
+    existing IVF codebook (the ANN index's coarse quantizer); otherwise
+    a deterministic k-means‖ build runs on the normalized vectors."""
+    if max_cluster is not None and max_cluster < 1:
+        raise ValueError(f"max_cluster must be >= 1, got {max_cluster}")
+    unit = _unit(vectors, id_col, vec_col, "__id", "__v")
+    cents = centroids if centroids is not None else ivf_centroids(
+        unit, n_clusters, id_col="__id", vec_col="__v"
+    )
+    if not cents:
+        return unit.sparkSession.createDataFrame(
+            [], f"id_a {vectors.schema[id_col].dataType.simpleString()}, "
+                f"id_b {vectors.schema[id_col].dataType.simpleString()}, sim double"
+        )
+    dim = len(cents[0])
+    assigned = unit.select(
+        "__id", "__v", assign_ivf_cluster(F.col("__v"), cents).alias("__cid")
+    )
+    a = assigned.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__cid"
+    )
+    b = assigned.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__cid"
+    )
+    if max_cluster is None:
+        cand = a.join(b, "__cid").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        bs = annotate_bucket_occupancy(b, ["__cid"], "id_b")
+        # both dense sides project from the window subtree: shared
+        # exchange + inherited (__cid) partitioning (the q31b lesson)
+        small = bs.filter(F.col("__n") <= max_cluster).select(
+            "__cid", "id_b", "__vb"
+        )
+        dense = (
+            small.select(
+                F.col("id_b").alias("id_a"), F.col("__vb").alias("__va"), "__cid"
+            )
+            .join(small, "__cid")
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
+        star = (
+            bs.filter((F.col("__n") > max_cluster) & (F.col("id_b") != F.col("__rep")))
+            .select("__cid", "id_b", "__vb", F.col("__rep").alias("id_a"))
+            .join(a, ["__cid", "id_a"])
+        )
+        cand = dense.unionByName(star.select(*dense.columns))
+    # unit vectors: cosine == dot (SQL-unrolled, codegen-friendly)
+    return (
+        cand.select(
+            "id_a", "id_b", F.round(dot("__va", "__vb", dim), 4).alias("sim")
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    docs: DataFrame,
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    centroids: list[list[float]] | None = None,
+    max_cluster: int | None = None,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full SemDeDup decision: semantic pairs → connected components
+    → one survivor (min id) per cluster; docs without an embedding are
+    kept (no evidence against them). ``vectors[vec_id_col]`` must carry
+    the same id domain as ``docs[id_col]``."""
+    pairs = semantic_dedup_pairs(
+        vectors, threshold, n_clusters, centroids, max_cluster,
+        id_col=vec_id_col, vec_col=vec_col,
+    )
+    return dedup_keep_list(docs, pairs, id_col=id_col, a_col="id_a", b_col="id_b")

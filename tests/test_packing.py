@@ -145,3 +145,58 @@ def test_greedy_pack_matches_duckdb_recursive_cte(spark):
     """
     want = {d: (p, q) for d, p, q in duckdb.connect().execute(sql).fetchall()}
     assert got == want
+
+
+def test_sliding_windows_matches_bruteforce_oracle(spark):
+    """Random doc lengths vs a serial python oracle: every document's
+    window range under (window=16, stride=8) overlap packing."""
+    import random
+
+    from knightshift_spark.operators.packing import sliding_windows
+
+    rng = random.Random(3)
+    rows = [(i, rng.choice([0, 1, 3, 7, 16, 31])) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["tok_start"], r["win_first"], r["win_last"], r["n_windows"])
+        for r in sliding_windows(docs, window=16, stride=8, n_buckets=7).collect()
+    }
+    start = 0
+    for doc_id, n in rows:
+        end = start + max(n - 1, 0)
+        w_first = max(0, -((start - 16 + 1) // -8))  # ceil div
+        w_last = end // 8
+        assert got[doc_id] == (start, w_first, w_last, w_last - w_first + 1), doc_id
+        start += n
+
+
+def test_sliding_windows_stride_equals_window_is_chunk_pack(spark):
+    import random
+
+    from knightshift_spark.operators.packing import chunk_pack, sliding_windows
+
+    rng = random.Random(9)
+    docs = spark.createDataFrame(
+        [(i, rng.randint(0, 40)) for i in range(150)], "doc_id long, n_tokens long"
+    )
+    chunks = {
+        r["doc_id"]: (r["tok_start"], r["chunk_first"], r["chunk_last"])
+        for r in chunk_pack(docs, budget=32).collect()
+    }
+    wins = {
+        r["doc_id"]: (r["tok_start"], r["win_first"], r["win_last"])
+        for r in sliding_windows(docs, window=32).collect()
+    }
+    assert chunks == wins
+
+
+def test_sliding_windows_rejects_gappy_stride(spark):
+    import pytest
+
+    from knightshift_spark.operators.packing import sliding_windows
+
+    docs = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="gap"):
+        sliding_windows(docs, window=8, stride=9)
+    with pytest.raises(ValueError, match=">= 1"):
+        sliding_windows(docs, window=0)
