@@ -669,8 +669,9 @@ def tokenize_section(spark, sf_dir: str) -> dict:
         }
     return {
         "note": "identical (id, n_subtokens) contract through the "
-                "tokenizer seam: JVM codegen regex vs trained 200-merge "
-                "BPE via Arrow mapInPandas on local[32]",
+                "tokenizer seam: JVM codegen regex vs a trained BPE "
+                "(bpe_merges learned merges) via Arrow mapInPandas on "
+                "local[32]",
         "bpe_train_sec": round(train_sec, 3),
         "bpe_merges": len(bpe.merges),
         "queries": out,

@@ -10,13 +10,17 @@ Chains the scale operators end-to-end over a ``documents`` table:
 3. quality gate: stopword ratio + token count thresholds, optionally
    plus the Gopher repetition screen (``repetition_thresholds``);
 4. language filter against an allowlist (engine lang-ID, not the stored
-   label — curation must not trust upstream metadata);
+   label — curation must not trust upstream metadata); optionally plus
+   the CCNet-style LM quality gate (``lm_table`` + ``min_avg_logprob``,
+   ``operators.lmscore`` — adds an ``lm_filtered`` funnel row);
 5. optional benchmark decontamination (``eval_docs``): anti-join against
    the broadcast n-gram hit list (``operators.dedup.contaminated_ids``);
 6. optional per-source quota (``quota``): deterministic cap on any one
    stratum (``operators.sampling.cap_per_group``);
 7. optional deterministic mixture sampling (``mixture``): per-stratum
-   md5-keyed fractions (``operators.sampling.stratified_sample``).
+   md5-keyed fractions (``operators.sampling.stratified_sample``);
+8. optional PII scrub of the surviving text (``pii_scrub=True``,
+   ``operators.redact`` — a transform, not a filter: no funnel row).
 
 The removal funnel reports one row per stage (input, exact-dup, near-dup,
 quality/lang, contamination, quota, mixture, kept), each with a self-verifying
@@ -77,6 +81,9 @@ def curate_corpus(
     mixture_salt: str = "",
     transitive_closure: bool = False,
     repetition_thresholds: dict[str, float] | None = None,
+    lm_table: DataFrame | None = None,
+    min_avg_logprob: float | None = None,
+    pii_scrub: bool = False,
 ) -> CurationResult:
     # bind the lowercased token array ONCE: each text function would
     # otherwise re-split per use (SCALE.md "Expression-engine lesson")
@@ -181,15 +188,29 @@ def curate_corpus(
 
     gated = kept
 
+    # 4b. (optional) CCNet-style LM quality gate: drop docs whose mean
+    # token log-prob under the reference unigram model falls below the
+    # threshold (operators.lmscore — vocab-sized broadcast model). Adds
+    # an `lm_filtered` funnel row only when active.
+    if lm_table is not None and min_avg_logprob is not None:
+        from knightshift_spark.operators.lmscore import lm_quality_score
+
+        scores = lm_quality_score(gated, lm_table, id_col=id_col, text_col=text_col)
+        good = scores.filter(F.col("avg_logprob") >= F.lit(min_avg_logprob)).select(id_col)
+        kept = gated.join(good, id_col, "left_semi")
+        if persist_intermediates:
+            kept = kept.localCheckpoint()
+    lm_gated = kept
+
     # 5. (optional) benchmark decontamination: drop any doc sharing an
     # n-gram with the eval set — anti-join against the broadcast hit list
     if eval_docs is not None:
         from knightshift_spark.operators.dedup import contaminated_ids
 
         hits = contaminated_ids(
-            gated, eval_docs, n=contamination_ngram, id_col=id_col, text_col=text_col
+            lm_gated, eval_docs, n=contamination_ngram, id_col=id_col, text_col=text_col
         )
-        kept = gated.join(hits, id_col, "left_anti")
+        kept = lm_gated.join(hits, id_col, "left_anti")
         if persist_intermediates:
             # the decontam anti-join re-runs the corpus-side gram explode;
             # it feeds the kept output, the mixture stage, and two funnel
@@ -224,25 +245,35 @@ def curate_corpus(
     def _n(df: DataFrame, alias: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias(alias))
 
-    funnel = (
-        _n(docs, "n_input")
-        .crossJoin(_n(exact_kept, "n_exact"))
-        .crossJoin(_n(deduped, "n_near"))
-        .crossJoin(_n(gated, "n_gated"))
-        .crossJoin(_n(decontaminated, "n_decon"))
-        .crossJoin(_n(quota_capped, "n_quota"))
-        .crossJoin(_n(kept, "n_final"))
-    )
+    stages = [
+        ("exact_dup_removed", exact_kept),
+        ("near_dup_removed", deduped),
+        ("quality_or_lang_removed", gated),
+    ]
+    if lm_gated is not gated:
+        stages.append(("lm_filtered", lm_gated))
+    stages += [
+        ("contaminated_removed", decontaminated),
+        ("quota_removed", quota_capped),
+        ("mixture_removed", kept),
+    ]
+    funnel = _n(docs, "n_input")
+    for i, (_, df) in enumerate(stages):
+        funnel = funnel.crossJoin(_n(df, f"n_{i}"))
+    prev = "n_input"
+    pieces = ["'input', n_input"]
+    for i, (reason, _) in enumerate(stages):
+        pieces.append(f"'{reason}', {prev} - n_{i}")
+        prev = f"n_{i}"
+    pieces.append(f"'kept', {prev}")
     stats = funnel.select(
-        F.expr(
-            "stack(8, 'input', n_input,"
-            " 'exact_dup_removed', n_input - n_exact,"
-            " 'near_dup_removed', n_exact - n_near,"
-            " 'quality_or_lang_removed', n_near - n_gated,"
-            " 'contaminated_removed', n_gated - n_decon,"
-            " 'quota_removed', n_decon - n_quota,"
-            " 'mixture_removed', n_quota - n_final,"
-            " 'kept', n_final) AS (reason, n)"
-        )
+        F.expr(f"stack({len(pieces)}, " + ", ".join(pieces) + ") AS (reason, n)")
     ).select("reason", "n", (F.col("n") >= 0).alias("ok"))
+
+    # (optional) final PII scrub — a transform, not a filter: the kept
+    # set is unchanged, its text loses identifiers (operators.redact)
+    if pii_scrub:
+        from knightshift_spark.operators.redact import redact_pii
+
+        kept = redact_pii(kept, text_col=text_col)
     return CurationResult(kept=kept, stats=stats, near_dup_pairs=confirmed)

@@ -229,3 +229,48 @@ def test_near_dup_pairs_feed_dedup_report(spark):
     assert report["n_removed"] == funnel["near_dup_removed"]
     assert report["n_clusters"] >= 1
     assert report["chars_reclaimed"] > 0
+
+
+def test_lm_gate_and_pii_scrub_stages(spark):
+    """Round-6 stages: the CCNet-style LM gate adds an lm_filtered
+    funnel row (only when active) and drops reference-unlike docs; the
+    PII scrub transforms surviving text without changing the kept set."""
+    from knightshift_spark.operators.lmscore import unigram_logprob_table
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank", "a"),
+        (2, "the slow red fox walks under the happy dog by the river path", "a"),
+        (3, "zzz qqq xxx vvv kkk jjj www yyy uuu ooo ppp lll", "a"),  # gibberish
+        (4, "email me at jane@example.com about the quick fox and the dog", "a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox and the lazy dog walk by the river")],
+        "doc_id long, text string",
+    )
+    table = unigram_logprob_table(ref)
+
+    res = curate_corpus(
+        docs, jaccard_threshold=0.9, min_tokens=1, langs=("en", "und"),
+        lm_table=table, min_avg_logprob=-2.9, pii_scrub=True,
+    )
+    stats = {r["reason"]: r["n"] for r in res.stats.collect()}
+    assert "lm_filtered" in stats and stats["lm_filtered"] >= 1
+    kept = {r["doc_id"]: r["text"] for r in res.kept.collect()}
+    assert 3 not in kept  # gibberish fell to the LM gate
+    assert 1 in kept and "<EMAIL>" in kept.get(4, "<EMAIL>")
+    assert "jane@example.com" not in kept.get(4, "")
+    # funnel monotonicity bits still hold with the extra stage
+    assert all(r["ok"] for r in res.stats.collect())
+
+
+def test_default_funnel_rows_unchanged_by_new_stages(spark):
+    """The dynamic stats builder must emit the EXACT same reasons in the
+    same order as round 5 when no new stage is active (q57 contract)."""
+    res = curate_corpus(_docs(spark), jaccard_threshold=0.5, min_tokens=5)
+    reasons = [r["reason"] for r in res.stats.collect()]
+    assert reasons == [
+        "input", "exact_dup_removed", "near_dup_removed",
+        "quality_or_lang_removed", "contaminated_removed",
+        "quota_removed", "mixture_removed", "kept",
+    ]
