@@ -1,0 +1,132 @@
+"""URL analysis for corpus curation — host/domain keys, canonical forms.
+
+Web-scale curation is organized AROUND urls: domain blocklists, per-
+domain quotas, dedup on the canonical url, provenance joins (C4 filters
+by blocklist, RefinedWeb by curated domain rules). Everything here is a
+native column expression (regexp + higher-order array functions) —
+JVM-side, codegen, zero Python — and every function has an exact DuckDB
+twin in the tests, so the keys these produce are engine-portable.
+
+Parsing is RFC-3986-lite by design: scheme://host[:port]/path?query#frag
+via anchored character-class regexes (the same on Java and RE2). It does
+not chase edge cases a crawler never emits (IPv6 hosts, userinfo) —
+documents with such urls keep a stable, if unnormalized, key.
+
+``url_domain`` is the NAIVE last-N-labels registrable domain. A public
+suffix list (co.uk, com.au, ...) is data, not code — load one into
+``registrable_domain``'s suffix table when available; the naive form is
+the deterministic fallback and is what the tests pin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# query parameters that never change content identity (tracking)
+TRACKING_PARAMS = ("utm_[^=]*", "fbclid", "gclid", "msclkid", "ref")
+
+_AUTHORITY = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host: authority minus port. Empty string when the
+    value does not parse as an absolute url."""
+    auth = F.regexp_extract(url, _AUTHORITY, 1)
+    return F.lower(F.regexp_replace(auth, r":\d+$", ""))
+
+
+def url_domain(url: Column, levels: int = 2) -> Column:
+    """Naive registrable domain: the last ``levels`` dot-labels of the
+    host (``a.b.example.com`` -> ``example.com``). See the module
+    docstring for the public-suffix caveat."""
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(n <= levels, host).otherwise(
+        F.concat_ws(".", F.slice(parts, n - levels + 1, levels))
+    )
+
+
+def normalize_url(url: Column, strip_params: tuple[str, ...] = TRACKING_PARAMS) -> Column:
+    """Canonical url for dedup/join keys:
+
+    - fragment stripped (never sent to the server);
+    - scheme + authority lowercased (path stays case-sensitive);
+    - a leading ``www.`` dropped (the standard canonical-host rule —
+      ``www.example.com`` and ``example.com`` key identically);
+    - default ports dropped (``:80`` for http, ``:443`` for https);
+    - tracking query params removed (``strip_params`` regexes, anchored
+      to the param name) and the survivors SORTED — parameter order is
+      transport noise, so ``?b=2&a=1`` and ``?a=1&b=2`` key identically;
+    - a bare ``?`` or a root path's trailing ``/`` dropped.
+    """
+    u = F.regexp_replace(F.trim(url), r"#.*$", "")  # fragment
+    head = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    tail = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    head = F.lower(head)
+    head = F.regexp_replace(head, r"^([A-Za-z0-9+.-]*://)www\.", r"$1")
+    head = F.regexp_replace(head, r"^(http://[^/?#]*):80$", r"$1")
+    head = F.regexp_replace(head, r"^(https://[^/?#]*):443$", r"$1")
+    # split tail into path and query; drop tracking params; sort the rest
+    path = F.substring_index(tail, "?", 1)
+    has_q = F.instr(tail, "?") > 0
+    query = F.regexp_extract(tail, r"\?(.*)$", 1)
+    name_rx = "^(" + "|".join(strip_params) + ")="
+    kept = F.sort_array(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(name_rx),
+        )
+    )
+    qnorm = F.when(
+        has_q & (F.size(kept) > 0), F.concat(F.lit("?"), F.concat_ws("&", kept))
+    ).otherwise(F.lit(""))
+    path = F.regexp_replace(path, r"^/$", "")  # root slash is implicit
+    return F.concat(head, path, qnorm)
+
+
+def domain_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str | None = "text",
+    levels: int = 2,
+) -> DataFrame:
+    """Per-domain rollup: (domain, n_docs[, total_chars]) — the sizing
+    pass behind domain quotas and blocklist candidates. One map-side-
+    combinable shuffle on the domain key."""
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if text_col is not None:
+        aggs.append(
+            F.coalesce(F.sum(F.length(text_col)), F.lit(0)).alias("total_chars")
+        )
+    return docs.groupBy(url_domain(F.col(url_col), levels).alias("domain")).agg(*aggs)
+
+
+def filter_domains(
+    docs: DataFrame,
+    domains: list[str] | DataFrame,
+    url_col: str = "url",
+    mode: str = "block",
+    levels: int = 2,
+) -> DataFrame:
+    """Domain allow/block filtering on the registrable domain.
+
+    ``domains`` as a list compiles to a broadcast-literal ``isin`` (the
+    C4 blocklist is thousands of entries — expression-sized); as a
+    DataFrame with a ``domain`` column it joins semi/anti (the right
+    form when the list is itself corpus-derived). ``mode``: ``block``
+    drops matching domains, ``allow`` keeps only them.
+    """
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    dom = url_domain(F.col(url_col), levels)
+    if isinstance(domains, DataFrame):
+        keyed = docs.withColumn("__dom", dom)
+        how = "left_anti" if mode == "block" else "left_semi"
+        out = keyed.join(
+            domains.select(F.col("domain").alias("__dom")), "__dom", how
+        )
+        return out.drop("__dom")
+    hit = dom.isin([d.lower() for d in domains])
+    return docs.filter(~hit if mode == "block" else hit)

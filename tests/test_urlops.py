@@ -1,0 +1,119 @@
+"""URL operators vs a DuckDB oracle + hand-pinned canonical forms."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from knightshift_spark.operators.urlops import (
+    domain_stats,
+    filter_domains,
+    normalize_url,
+    url_domain,
+    url_host,
+)
+
+URLS = [
+    (1, "https://WWW.Example.COM:443/Path/Page?b=2&utm_source=x&a=1#frag"),
+    (2, "http://sub.a.example.com:80/"),
+    (3, "http://news.example.co.uk/story?id=9"),
+    (4, "https://example.com/Path/Page?a=1&b=2"),
+    (5, "not a url at all"),
+    (6, "https://example.com:8443/keep-port?fbclid=abc"),
+    (7, "http://example.com/a%20b?z=1&y=2&x=3"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(URLS, "doc_id long, url string")
+
+
+def test_host_and_domain_match_duckdb(docs):
+    got = {
+        r["doc_id"]: (r["h"], r["d"])
+        for r in docs.select(
+            "doc_id",
+            url_host(F.col("url")).alias("h"),
+            url_domain(F.col("url")).alias("d"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u (doc_id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", URLS)
+    rows = con.execute(
+        r"""
+        WITH h AS (
+          SELECT doc_id,
+                 lower(regexp_replace(
+                   regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+                   ':[0-9]+$', '')) AS host
+          FROM u)
+        SELECT doc_id, host,
+               CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                    ELSE array_to_string(string_split(host, '.')[-2:], '.') END
+        FROM h"""
+    ).fetchall()
+    for doc_id, host, dom in rows:
+        assert got[doc_id] == (host, dom), (doc_id, got[doc_id], (host, dom))
+    # spot-pin the semantics, not just cross-engine agreement
+    assert got[1] == ("www.example.com", "example.com")
+    assert got[2] == ("sub.a.example.com", "example.com")
+    assert got[5] == ("", "")
+
+
+def test_normalize_url_canonical_forms(docs):
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", normalize_url(F.col("url")).alias("n")
+        ).collect()
+    }
+    assert got[1] == "https://example.com/Path/Page?a=1&b=2"  # www. stripped
+    assert got[2] == "http://sub.a.example.com"      # :80 + root slash drop
+    assert got[3] == "http://news.example.co.uk/story?id=9"
+    assert got[4] == "https://example.com/Path/Page?a=1&b=2"
+    assert got[6] == "https://example.com:8443/keep-port"  # non-default port kept
+    assert got[7] == "http://example.com/a%20b?x=3&y=2&z=1"  # params sorted
+    # tracking-stripped twins key identically (the dedup point)
+    assert got[1] == got[4]
+
+
+def test_normalize_idempotent(docs):
+    once = docs.select("doc_id", normalize_url(F.col("url")).alias("url"))
+    twice = once.select("doc_id", normalize_url(F.col("url")).alias("url"))
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_domain_stats_and_filters(spark, docs):
+    with_text = docs.withColumn("text", F.repeat(F.lit("x"), F.col("doc_id").cast("int")))
+    stats = {r["domain"]: r for r in domain_stats(with_text).collect()}
+    assert stats["example.com"]["n_docs"] == 5
+    assert stats["example.com"]["total_chars"] == 1 + 2 + 4 + 6 + 7
+    # the documented NAIVE last-2-labels form: co.uk, not example.co.uk
+    # (a public suffix list is data the caller loads; levels=3 also works)
+    assert stats["co.uk"]["n_docs"] == 1
+    stats3 = {r["domain"]: r for r in domain_stats(with_text, levels=3).collect()}
+    assert stats3["example.co.uk"]["n_docs"] == 1
+
+    blocked = filter_domains(docs, ["example.com"], mode="block")
+    assert sorted(r["doc_id"] for r in blocked.collect()) == [3, 5]
+    allowed = filter_domains(docs, ["co.uk"], mode="allow")
+    assert [r["doc_id"] for r in allowed.collect()] == [3]
+    # DataFrame form: semi/anti join path
+    dl = spark.createDataFrame([("example.com",)], "domain string")
+    blocked2 = filter_domains(docs, dl, mode="block")
+    assert sorted(r["doc_id"] for r in blocked2.collect()) == [3, 5]
+    assert blocked2.columns == docs.columns
+    with pytest.raises(ValueError, match="mode"):
+        filter_domains(docs, [], mode="nope")
+
+
+def test_plan_stays_jvm_side(docs):
+    from knightshift_spark.plans.partitioning import explain_str
+
+    plan = explain_str(
+        docs.select(normalize_url(F.col("url")), url_domain(F.col("url")))
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
