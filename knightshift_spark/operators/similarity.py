@@ -25,40 +25,22 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def _dot_sql(a: str, b: str, dim: int) -> str:
-    """The unrolled dot as ONE SQL string. ``expr()`` parses it in a
-    single Py4J call into exactly the tree the Column-by-Column form
-    builds (left-assoc ``+`` fold over ``CAST(element_at(...))`` terms) —
-    same nodes, same add order, bit-identical values — but plan
-    construction is one driver round-trip instead of ~6·dim."""
-    return " + ".join(
-        f"(CAST(element_at({a}, {i}) AS DOUBLE) * "
-        f"CAST(element_at({b}, {i}) AS DOUBLE))"
-        for i in range(1, dim + 1)
-    )
-
-
 def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
-    """Left-to-right sum of the element-wise product (deterministic).
+    """Left-to-right fold of the element-wise product (deterministic).
 
-    With ``dim`` the sum unrolls to ``dim`` explicit terms that run inside
-    whole-stage codegen; without it, a generic higher-order fold (HOFs are
-    interpreted — measured ~40% slower at d=64). Both add in the same
-    left-to-right order, so results are bit-identical to each other and
-    to the DuckDB oracle's ``list_sum(list_transform(...))``. Pass plain
-    column NAMES (with ``dim``) for the single-round-trip ``expr`` path.
+    Always the higher-order form: ``aggregate(zip_with(a, b, *), 0.0,
+    +)``. Earlier rounds unrolled ``dim`` explicit ``element_at`` terms
+    on the theory that the flat tree rides whole-stage codegen — on
+    Spark 4.1 it does the OPPOSITE: the 64-term tree kicks the whole
+    stage out of codegen (0 ``WholeStageCodegen`` spans) and the
+    interpreted flat tree loses to the fold everywhere it was measured
+    (broadcast-NL scoring 0.49s -> 0.35s; 500k-pair hash join 1.9s ->
+    0.48s at sf0.1 — re-measure before un-learning this again). The fold
+    adds in the same left-to-right order (0.0 + t1 + t2 ...), so values
+    stay bit-identical to the old form and to the DuckDB oracle's
+    ``list_sum(list_transform(...))``. ``dim`` is retained for call-site
+    compatibility and ignored.
     """
-    if dim is not None:
-        if isinstance(a, str) and isinstance(b, str):
-            return F.expr(_dot_sql(a, b, dim))
-        terms = (
-            F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
-            for i in range(1, dim)
-        )
-        return sum(
-            terms,
-            F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double"),
-        )
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
@@ -69,10 +51,6 @@ def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
 
 
 def norm(a: Column | str, dim: int | None = None) -> Column:
-    if dim is not None:
-        if isinstance(a, str):
-            return F.expr(f"sqrt({_dot_sql(a, a, dim)})")
-        return F.sqrt(dot(a, a, dim))
     a = F.col(a) if isinstance(a, str) else a
     return F.sqrt(
         F.aggregate(_as_double(a), F.lit(0.0), lambda acc, v: acc + v * v)
@@ -80,12 +58,7 @@ def norm(a: Column | str, dim: int | None = None) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
-    if dim is not None and isinstance(a, str) and isinstance(b, str):
-        return F.expr(
-            f"({_dot_sql(a, b, dim)}) / "
-            f"(sqrt({_dot_sql(a, a, dim)}) * sqrt({_dot_sql(b, b, dim)}))"
-        )
-    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+    return dot(a, b) / (norm(a) * norm(b))
 
 
 def knn_bruteforce(
