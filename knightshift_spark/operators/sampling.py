@@ -116,3 +116,45 @@ def stratified_sample(
         .filter(_bucket(key_col, salt) < F.col("__keep_below"))
         .drop("__keep_below")
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint train/val/test (or any named) split.
+
+    Each row lands in exactly one split: its key-hash bucket falls into
+    one of the consecutive bucket ranges sized by ``fractions`` (dict
+    order — insertion-ordered, so write the dict in the order you want
+    the ranges carved). Fractions must sum to 1 (±1e-9): a corpus split
+    must be a PARTITION — silently dropping the remainder is how eval
+    rows leak or vanish. Same row → same split on every run and engine
+    (md5-keyed, like every sampler here); a different ``salt`` re-deals.
+
+    Zero shuffles: the split is a projected label over the scan. Write
+    with ``partitionBy(out_col)`` to get split-pruned reads downstream.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"split fractions must sum to 1 exactly, got {total!r} "
+            f"({fractions!r}) — a split is a partition, not a sample"
+        )
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError(f"negative split fraction in {fractions!r}")
+    b = _bucket(key_col, salt)
+    expr = None
+    edge = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        edge += fractions[name]
+        cond = b < int(edge * _BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # the last split takes everything remaining — no row can fall through
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, expr)

@@ -185,3 +185,43 @@ def test_numeric_histogram_one_pinned_bound_empty_column(spark):
     assert numeric_histogram(empty, "v", bins=4, hi=10.0).count() == 0
     nulls = spark.createDataFrame([(None,), (None,)], "v double")
     assert numeric_histogram(nulls, "v", bins=4, lo=0.0).count() == 0
+
+
+def test_split_corpus_partitions_exactly(spark):
+    """Every row in exactly one split; proportions near the requested
+    fractions; deterministic across runs and partitionings; a new salt
+    re-deals; fractions must sum to 1."""
+    import pytest
+
+    from knightshift_spark.operators.sampling import split_corpus
+
+    docs = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    out = split_corpus(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 5000  # a partition: nothing dropped
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.77 < counts["train"] / 5000 < 0.83
+    assert 0.07 < counts["val"] / 5000 < 0.13
+    # deterministic + partition-invariant
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, split_corpus(docs.repartition(17), {"train": 0.8, "val": 0.1, "test": 0.1}).collect()))
+    assert a == b
+    # different salt re-deals (some rows move)
+    c = sorted(map(tuple, split_corpus(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v2").collect()))
+    assert a != c
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_corpus(docs, {"train": 0.8, "val": 0.1})
+    with pytest.raises(ValueError, match="negative"):
+        split_corpus(docs, {"train": 1.5, "val": -0.5})
+
+
+def test_split_corpus_consistent_with_hash_sample(spark):
+    """The 'train' range of split_corpus IS hash_sample's keep set at the
+    same fraction and salt — splits and samples compose predictably."""
+    from knightshift_spark.operators.sampling import hash_sample, split_corpus
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    split = split_corpus(docs, {"train": 0.3, "rest": 0.7}, salt="s")
+    train_ids = {r["doc_id"] for r in split.filter("split = 'train'").collect()}
+    sample_ids = {r["doc_id"] for r in hash_sample(docs, 0.3, salt="s").collect()}
+    assert train_ids == sample_ids
