@@ -130,6 +130,12 @@ def main() -> None:
     except Exception:
         pass  # tokenize point is informational; never fail the bench
 
+    curation = None
+    try:
+        curation = curation_section(spark, sf_dir)
+    except Exception:
+        pass  # curation point is informational; never fail the bench
+
     full = {
         "metric": "declared_query_suite_wall_seconds",
         "value": total,
@@ -144,6 +150,7 @@ def main() -> None:
         "sf1_relational": sf1,
         "media_decode": media,
         "tokenize": tokenize,
+        "curation_ops": curation,
     }
     print(json.dumps(full))
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
@@ -617,6 +624,89 @@ def media_section(spark) -> dict:
         "note": "real decode (PPM/WAV-PCM/Y4M) through Arrow-batched "
                 "mapInPandas stages; MB/s is payload bytes over wall time "
                 "on local[32]",
+        "queries": out,
+    }
+
+
+def curation_section(spark, sf_dir: str) -> dict:
+    """Round-6 curation operators on the full documents/embeddings
+    tables: PII scrub, C4 line+page rules, unigram LM scoring, and
+    SemDeDup pair generation. MB/s is text payload over wall time
+    (embeddings entry reports rows/s of pair candidates instead)."""
+    from pyspark.sql import functions as F
+
+    from knightshift_spark.operators.c4filters import c4_clean
+    from knightshift_spark.operators.lmscore import (
+        lm_quality_score,
+        unigram_logprob_table,
+    )
+    from knightshift_spark.operators.redact import redact_pii
+    from knightshift_spark.operators.semantic import semantic_dedup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(32)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_docs, n_chars = docs.agg(
+        F.count(F.lit(1)), F.sum(F.length("text"))
+    ).collect()[0]
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+    lm = unigram_logprob_table(docs.limit(1000))
+    entries = {
+        "pii_redact": redact_pii(docs),
+        "c4_clean": c4_clean(docs, sep=" a "),  # single-line corpus: q66's separator
+        "lm_score": lm_quality_score(docs, lm),
+    }
+    out: dict[str, dict] = {}
+    for name, df in entries.items():
+        s = _best_of(lambda: _run(df), runs)
+        out[name] = {
+            "spark_sec": round(s, 4),
+            "rows": n_docs,
+            "payload_mb": round(n_chars / 1e6, 2),
+            "mb_per_s": round(n_chars / 1e6 / s, 1),
+        }
+    # the synthetic embeddings are near-uniform on the sphere (no true
+    # semantic twins), so the dedup measurement adds 100 deterministic
+    # near-copies (one coordinate nudged; cosine ~0.9999) — the operator
+    # must FIND them, not return a vacuous empty set. Codebook build is
+    # timed separately (one-off, bounded driver transfers); the pair
+    # generation with a binding max_cluster cap is the recurring cost.
+    from knightshift_spark.operators.similarity import _unit, ivf_centroids
+
+    extra_cols = [c for c in emb.columns if c not in ("vec_id", "embedding")]
+    twins = (
+        emb.orderBy("vec_id").limit(100)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
+            ).alias("embedding"),
+            *extra_cols,
+        )
+    )
+    dup_heavy = emb.unionByName(twins)
+    t0 = time.perf_counter()
+    cents = ivf_centroids(
+        _unit(dup_heavy, "vec_id", "embedding", "__id", "__v"),
+        8, id_col="__id", vec_col="__v",
+    )
+    train_sec = time.perf_counter() - t0
+    sem = semantic_dedup_pairs(
+        dup_heavy, threshold=0.99, centroids=cents, max_cluster=300
+    )
+    s = _best_of(lambda: _run(sem), runs)
+    out["semantic_dedup_pairs"] = {
+        "spark_sec": round(s, 4),
+        "kmeans_train_sec": round(train_sec, 3),
+        "input_vectors": dup_heavy.count(),
+        "planted_twins": 100,
+        "pairs": sem.count(),
+    }
+    return {
+        "note": "curation operators over the full sf tables on "
+                "local[32]; all JVM-side except the k-means build's "
+                "bounded driver transfers",
         "queries": out,
     }
 

@@ -67,8 +67,19 @@ def semantic_dedup_pairs(
                 f"id_b {vectors.schema[id_col].dataType.simpleString()}, sim double"
         )
     dim = len(cents[0])
-    assigned = unit.select(
-        "__id", "__v", assign_ivf_cluster(F.col("__v"), cents).alias("__cid")
+    # null vectors are dropped EXPLICITLY (cheap pushable predicate),
+    # then the cluster id is coalesced non-nullable: a nullable join key
+    # makes every join clone its isnotnull(...) null-safety check —
+    # including the FULL k-centroid assignment expression — into the
+    # scan's DataFilters, evaluating the assignment twice per row
+    # (measured 2x wall on this path; the sentinel never fires because
+    # nulls are already gone)
+    assigned = unit.filter(F.col("__v").isNotNull()).select(
+        "__id",
+        "__v",
+        F.coalesce(
+            assign_ivf_cluster(F.col("__v"), cents), F.lit(-1)
+        ).alias("__cid"),
     )
     a = assigned.select(
         F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__cid"
