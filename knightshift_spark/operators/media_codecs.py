@@ -539,3 +539,30 @@ def best_media_codec(kind: str, dim: int = 8):
     if kind == "video":
         return Y4MVideoCodec(dim)
     raise ValueError(f"unknown media kind {kind!r} (image|audio|video)")
+
+
+def _dct2_basis(n: int) -> np.ndarray:
+    """DCT-II basis matrix (unnormalized — pHash only compares
+    coefficients to their own median, so scale cancels)."""
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    return np.cos(np.pi * (x + 0.5) * k / n)
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash (classic pHash): grayscale → 32×32
+    bilinear resize → 2D DCT-II → keep the 8×8 low-frequency block,
+    drop the DC term → each bit = coefficient above the block median.
+    Robust to resizing/re-encoding/mild noise (low frequencies carry the
+    scene); bit flips count perceptual difference — Hamming distance is
+    the comparison metric. Deterministic pure numpy (no scipy)."""
+    small = resize_bilinear(img, 32, 32).astype(np.float64).mean(axis=2)
+    t = _dct2_basis(32)
+    coeffs = (t @ small @ t.T)[:8, :8].flatten()[1:]  # drop DC
+    median = np.median(coeffs)
+    bits = coeffs > median
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out

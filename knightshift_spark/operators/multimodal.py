@@ -297,3 +297,93 @@ def resize_media(
             )
 
     return src.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+PHASH_SCHEMA = "media_id bigint, phash bigint"
+
+
+def image_phash(media: DataFrame, codec=None) -> DataFrame:
+    """(media_id, phash): 64-bit perceptual hash per image payload
+    (``media_codecs.phash64``) through the Arrow seam — the image twin
+    of the text corpus's SimHash. Only id+payload reach Python (column
+    pruning keeps the other blobs in parquet)."""
+    from knightshift_spark.operators.media_codecs import NumpyImageCodec, phash64
+
+    codec = codec if codec is not None else NumpyImageCodec()
+    src = media.select("media_id", "payload")
+
+    def signed_hash(payload: bytes) -> int:
+        h = phash64(codec.decode(payload))
+        # signed view of the 64-bit hash (BIGINT column)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "phash": pdf["payload"].map(signed_hash).astype("int64"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    hashes: DataFrame,
+    max_distance: int = 3,
+    bands: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate image pairs by Hamming distance over pHashes:
+    (id_a, id_b, distance) with id_a < id_b, distance ≤ ``max_distance``.
+
+    Scale shape is the SimHash/LSH family's: the 64-bit hash splits into
+    ``bands`` equal bit-slices and candidates join on (band, slice) —
+    by pigeonhole, two hashes within Hamming distance < ``bands`` agree
+    on at least one slice, so recall is EXACT for ``max_distance`` <
+    ``bands`` (the default 3 < 4) and candidate volume is ∝ slice-bucket
+    occupancy, never all-pairs. The rescore is one xor+bit_count."""
+    if not 64 % bands == 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if max_distance >= bands:
+        raise ValueError(
+            f"max_distance {max_distance} >= bands {bands} breaks the "
+            "pigeonhole recall guarantee; raise bands or lower the radius"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col(hash_col), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    keyed = hashes.select(
+        F.col(id_col), F.col(hash_col), F.explode(slices).alias("bb")
+    ).select(
+        id_col, hash_col, F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("__ha"), "band", "key"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("__hb"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .distinct()
+    )
