@@ -125,3 +125,22 @@ def test_rejects_bad_cap(spark):
     vecs = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="max_cluster"):
         semantic_dedup_pairs(vecs, max_cluster=0)
+
+
+def test_arrow_sim_engine_matches_sql(spark):
+    rows = _clustered_vectors(seed=11)
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sql_pairs = sorted(
+        map(tuple, semantic_dedup_pairs(vecs, 0.99, n_clusters=3).collect())
+    )
+    arrow_pairs = sorted(
+        map(
+            tuple,
+            semantic_dedup_pairs(
+                vecs, 0.99, n_clusters=3, sim_engine="arrow"
+            ).collect(),
+        )
+    )
+    assert sql_pairs == arrow_pairs and sql_pairs
+    with pytest.raises(ValueError, match="sim_engine"):
+        semantic_dedup_pairs(vecs, sim_engine="gpu")
