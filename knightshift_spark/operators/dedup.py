@@ -316,6 +316,40 @@ def minhash_pairs(
     )
 
 
+def lsh_band_buckets(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, band, bucket) band-bucket rows for MinHash+LSH banding —
+    the shared signature layer under ``lsh_candidate_pairs`` and the
+    persisted index (``write_lsh_index``/``query_lsh_index``). One
+    shuffle (the wide-signature aggregation); the band explode is
+    map-side."""
+    rows_per_band = num_hashes // bands
+    wide = minhash_wide(docs, num_hashes, id_col, text_col)
+    band_structs = [
+        F.struct(
+            F.lit(bd).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{j}").cast("string")
+                        for j in range(bd * rows_per_band, (bd + 1) * rows_per_band)
+                    ],
+                ).cast("binary")
+            ).alias("bucket"),
+        )
+        for bd in range(bands)
+    ]
+    return wide.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -343,28 +377,9 @@ def lsh_candidate_pairs(
     consumer applies). Buckets at/below the cap keep exact all-pairs, so
     a cap above the largest bucket is a no-op (oracle-identical output).
     """
-    rows_per_band = num_hashes // bands
     if max_bucket is not None and max_bucket < 1:
         raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
-    wide = minhash_wide(docs, num_hashes, id_col, text_col)
-    band_structs = [
-        F.struct(
-            F.lit(bd).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh_{j}").cast("string")
-                        for j in range(bd * rows_per_band, (bd + 1) * rows_per_band)
-                    ],
-                ).cast("binary")
-            ).alias("bucket"),
-        )
-        for bd in range(bands)
-    ]
-    buckets = wide.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = lsh_band_buckets(docs, num_hashes, bands, id_col, text_col)
     a = buckets.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     if max_bucket is None:
@@ -641,3 +656,105 @@ def winnow_candidate_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def write_lsh_index(
+    docs: DataFrame,
+    path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's LSH band buckets: signature the corpus ONCE,
+    then every future batch dedups against it by reading the index
+    instead of re-signaturing history (the text twin of the ANN index's
+    write-once/query-many layout; closes the corpus-stream docstring's
+    'near-dup stays a scheduled full recompute' gap — the schedule now
+    appends). Layout: (id, bucket) parquet partitioned by ``band`` (band
+    joins prune to their partition) + a ``_lsh_meta`` sidecar pinning
+    (num_hashes, bands) so a config drift between writer and reader is
+    an ERROR, not silently-empty buckets."""
+    buckets = lsh_band_buckets(docs, num_hashes, bands, id_col, text_col)
+    buckets.withColumnRenamed(id_col, "doc_id").write.mode(mode).partitionBy(
+        "band"
+    ).parquet(path)
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(num_hashes, bands)], "num_hashes int, bands int"
+    ).write.mode("overwrite").parquet(f"{path}/_lsh_meta")
+
+
+def append_lsh_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Add a new batch's buckets to an existing index (append-only;
+    parameters come from the index's own meta so every generation of the
+    index is signatured identically)."""
+    spark = docs.sparkSession
+    meta = spark.read.parquet(f"{path}/_lsh_meta").collect()[0]
+    buckets = lsh_band_buckets(
+        docs, int(meta["num_hashes"]), int(meta["bands"]), id_col, text_col
+    )
+    buckets.withColumnRenamed(id_col, "doc_id").write.mode("append").partitionBy(
+        "band"
+    ).parquet(path)
+
+
+def query_lsh_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = None,
+    include_within_batch: bool = True,
+) -> DataFrame:
+    """Candidate near-dup pairs for an incoming batch against the
+    persisted corpus index: (doc_a, doc_b) with doc_a = an indexed
+    corpus id, doc_b = a new-batch id — plus, with
+    ``include_within_batch``, the batch's internal pairs (doc_a <
+    doc_b, both new). The batch is signatured with the INDEX's pinned
+    parameters; only the batch is hashed — the corpus work is a parquet
+    read. ``max_bucket`` caps corpus-bucket fan-out with the same star
+    rule as ``lsh_candidate_pairs`` (over-occupied corpus buckets pair
+    the new doc with the bucket representative only)."""
+    meta = spark.read.parquet(f"{path}/_lsh_meta").collect()[0]
+    num_hashes, bands = int(meta["num_hashes"]), int(meta["bands"])
+    if max_bucket is not None and max_bucket < 1:
+        raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
+    idx = spark.read.parquet(path).select(
+        F.col("doc_id").alias("doc_a"), "band", "bucket"
+    )
+    nb = lsh_band_buckets(new_docs, num_hashes, bands, id_col, text_col).select(
+        F.col(id_col).alias("doc_b"), "band", "bucket"
+    )
+    if max_bucket is None:
+        cross = idx.join(nb, ["band", "bucket"]).select("doc_a", "doc_b")
+    else:
+        bs = annotate_bucket_occupancy(idx, ["band", "bucket"], "doc_a")
+        dense = (
+            bs.filter(F.col("__n") <= max_bucket)
+            .select("doc_a", "band", "bucket")
+            .join(nb, ["band", "bucket"])
+            .select("doc_a", "doc_b")
+        )
+        star = (
+            bs.filter(F.col("__n") > max_bucket)
+            .select(F.col("__rep").alias("doc_a"), "band", "bucket")
+            .distinct()
+            .join(nb, ["band", "bucket"])
+            .select("doc_a", "doc_b")
+        )
+        cross = dense.unionByName(star)
+    out = cross.distinct()
+    if include_within_batch:
+        within = lsh_candidate_pairs(
+            new_docs, num_hashes, bands, id_col, text_col, max_bucket
+        )
+        out = out.unionByName(within.select("doc_a", "doc_b")).distinct()
+    return out
