@@ -49,8 +49,13 @@ def main() -> None:
     )
 
     # 2. doc-level curation with decontamination + mixture; cluster dedup
-    # (connected components over confirmed pairs) and the Gopher
-    # repetition screen are the production-strength settings
+    # (connected components over confirmed pairs), the Gopher repetition
+    # screen, the CCNet-style LM gate (reference model = the corpus's own
+    # head — demo stand-in for a curated reference corpus), and a final
+    # PII scrub are the production-strength settings
+    from knightshift_spark.operators.lmscore import unigram_logprob_table
+
+    lm_table = unigram_logprob_table(corpus.limit(500))
     result = curate_corpus(
         para_clean,
         jaccard_threshold=0.5,
@@ -62,6 +67,9 @@ def main() -> None:
         mixture={f"src{i}": 1.0 if i % 2 == 0 else 0.5 for i in range(20)},
         transitive_closure=True,
         repetition_thresholds={"dup_line_frac": 0.30, "dup_5gram_char_frac": 0.15},
+        lm_table=lm_table,
+        min_avg_logprob=-10.0,  # lenient: cuts only statistical outliers
+        pii_scrub=True,
     )
     # 2b. sizing report BEFORE the destructive write: what the cluster
     # dedup is about to do (clusters, docs removed, text mass reclaimed)

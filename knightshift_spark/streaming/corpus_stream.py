@@ -22,9 +22,12 @@ This module runs the batch curation pieces under Structured Streaming:
 
 Near-dup (LSH) dedup stays BATCH by design: its candidate generation is
 corpus-global (a new doc can pair with any historical doc), which no
-bounded-state streaming operator expresses honestly — run
-``pipelines.corpus.curate_corpus`` over the accumulated parquet on a
-schedule instead (the standard lambda split).
+bounded-state streaming operator expresses honestly. The scheduled
+batch pass is INCREMENTAL though: ``operators.dedup.write_lsh_index``
+persists the corpus's band buckets, so each scheduled run signatures
+only the new slice and ``query_lsh_index``-joins history instead of
+re-hashing it (the standard lambda split, with the batch leg append-
+only).
 """
 
 from __future__ import annotations
