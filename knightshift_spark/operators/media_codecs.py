@@ -566,3 +566,69 @@ def phash64(img: np.ndarray) -> int:
         if b:
             out |= 1 << i
     return out
+
+
+def audio_hash64(samples: np.ndarray, rate: int) -> int:
+    """64-bit perceptual audio hash: mono mix → 8 kHz resample → power
+    spectrogram → 8 time-bins × 8 log-spaced frequency bands → bit =
+    band energy above the grid median. Gain-invariant (scaling moves
+    every cell equally, order — and so the median bits — survive);
+    robust to re-encoding/resampling; NOT shift-invariant (near-dup
+    targets re-encodes of the same clip, not subclips — that needs a
+    frame-sequence fingerprint). Pure numpy."""
+    if samples.ndim == 2:
+        samples = samples.mean(axis=1)
+    samples = samples.astype(np.float64)
+    if rate != 8000:
+        # resample_audio returns (n, channels); re-flatten the mono mix
+        samples = np.asarray(resample_audio(samples, rate, 8000)).reshape(-1)
+    n = len(samples)
+    if n == 0:
+        return 0
+    frame, hop = 1024, 512
+    if n < frame:
+        samples = np.pad(samples, (0, frame - n))
+        n = frame
+    starts = np.arange(0, n - frame + 1, hop)
+    frames = np.stack([samples[s : s + frame] for s in starts])
+    spec = np.abs(np.fft.rfft(frames * np.hanning(frame), axis=1)) ** 2
+    # 8 log-spaced bands over 100 Hz..4 kHz (content range at 8 kHz)
+    freqs = np.fft.rfftfreq(frame, 1 / 8000.0)
+    edges = np.geomspace(100.0, 4000.0, 9)
+    bands = np.stack(
+        [
+            spec[:, (freqs >= lo) & (freqs < hi)].sum(axis=1)
+            for lo, hi in zip(edges[:-1], edges[1:])
+        ],
+        axis=1,
+    )  # (frames, 8)
+    tbins = np.array_split(bands, 8, axis=0)
+    grid = np.stack([t.mean(axis=0) if len(t) else np.zeros(8) for t in tbins])
+    median = np.median(grid)
+    out = 0
+    for i, b in enumerate((grid > median).flatten()):
+        if b:
+            out |= 1 << i
+    return out
+
+
+def video_hash64(frames: np.ndarray, samples: int = 9) -> int:
+    """64-bit perceptual video hash: ``samples`` evenly-spaced frames →
+    ``phash64`` each → majority vote per bit. Robust to re-encoding and
+    frame-rate changes (the vote sees the same scenes); a single changed
+    frame cannot flip the hash. ``frames``: (n, H, W, 3) uint8."""
+    n = len(frames)
+    if n == 0:
+        return 0
+    idx = np.unique(np.linspace(0, n - 1, min(samples, n)).round().astype(int))
+    votes = np.zeros(64, dtype=int)
+    for i in idx:
+        h = phash64(frames[i])
+        for b in range(64):
+            votes[b] += (h >> b) & 1
+    out = 0
+    half = len(idx) / 2.0
+    for b in range(64):
+        if votes[b] > half:
+            out |= 1 << b
+    return out

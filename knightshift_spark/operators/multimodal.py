@@ -387,3 +387,53 @@ def phash_neardup_pairs(
         .filter(F.col("distance") <= max_distance)
         .distinct()
     )
+
+
+def audio_phash(media: DataFrame) -> DataFrame:
+    """(media_id, phash) for WAV payloads (``media_codecs.audio_hash64``)
+    — same output contract as ``image_phash``, so
+    ``phash_neardup_pairs`` dedups audio identically."""
+    from knightshift_spark.operators.media_codecs import audio_hash64, decode_wav
+
+    src = media.select("media_id", "payload")
+
+    def signed_hash(payload: bytes) -> int:
+        h = audio_hash64(*decode_wav(bytes(payload)))
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "phash": pdf["payload"].map(signed_hash).astype("int64"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def video_phash(media: DataFrame, samples: int = 9) -> DataFrame:
+    """(media_id, phash) for Y4M payloads: frame-sampled majority-vote
+    pHash (``media_codecs.video_hash64``); same contract as the image
+    and audio hashes — one ``phash_neardup_pairs`` family for all three
+    modalities."""
+    from knightshift_spark.operators.media_codecs import decode_y4m, video_hash64
+
+    src = media.select("media_id", "payload")
+
+    def signed_hash(payload: bytes) -> int:
+        frames, _fps = decode_y4m(bytes(payload))
+        h = video_hash64(frames, samples)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "phash": pdf["payload"].map(signed_hash).astype("int64"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=PHASH_SCHEMA)
