@@ -604,11 +604,21 @@ def media_section(spark) -> dict:
     img = media.filter(F.col("kind") == "image")
     wav = media.filter(F.col("kind") == "audio")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    from knightshift_spark.operators.multimodal import (
+        audio_phash,
+        image_phash,
+        video_phash,
+    )
+
+    vid = media.filter(F.col("kind") == "video")
     entries = {
         "image_features": (extract_features(img, dim=8, codec=NumpyImageCodec(8)), "image"),
         "image_resize_64x48": (resize_media(img, 64, 48, codec=NumpyImageCodec(8)), "image"),
         "audio_features": (extract_features(wav, dim=8, codec=NumpyAudioCodec(8)), "audio"),
         "video_frame_sample_250ms": (sample_frames(media, every_ms=250), "video"),
+        "image_phash": (image_phash(img), "image"),
+        "audio_phash": (audio_phash(wav), "audio"),
+        "video_phash": (video_phash(vid), "video"),
     }
     out: dict[str, dict] = {}
     for name, (df, kind) in entries.items():
