@@ -163,3 +163,82 @@ def numeric_histogram(
         )
         .orderBy("bin")
     )
+
+
+class CorpusCard:
+    """Result bundle of ``corpus_card`` — see that function."""
+
+    def __init__(self, overview, by_source, by_lang, token_histogram):
+        self.overview = overview
+        self.by_source = by_source
+        self.by_lang = by_lang
+        self.token_histogram = token_histogram
+
+
+def corpus_card(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str | None = "source",
+    hist_bins: int = 10,
+) -> CorpusCard:
+    """The dataset-card numbers a corpus release ships with, computed
+    from the corpus itself (never trusted from upstream metadata):
+
+    - ``overview`` (1 row): n_docs, total_chars, total_tokens,
+      n_distinct_texts (normalized fingerprints — 1 - n/n_docs is the
+      exact-dup rate), mean_tokens;
+    - ``by_source``: per-source doc/token counts + share (when
+      ``source_col`` given);
+    - ``by_lang``: engine language-ID distribution (lang_pred — the
+      curation gate's view of the corpus, not the stored label);
+    - ``token_histogram``: equi-width token-length distribution
+      (``numeric_histogram``).
+
+    One annotate projection feeds every branch; each output is a lazy
+    single-shuffle rollup over it (the caller materializes what it
+    reports). The pattern to run BEFORE and AFTER a curation funnel —
+    the delta between two cards is the funnel's public story.
+    """
+    from knightshift_spark.functions.text import (
+        doc_fingerprint,
+        lang_id,
+        token_count,
+        tokens,
+    )
+
+    annotated = docs.select(
+        "*", tokens(F.lower(F.col(text_col))).alias("__tk")
+    ).select(
+        *docs.columns,
+        doc_fingerprint(F.col(text_col)).alias("__fp"),
+        token_count(F.col(text_col), tk=F.col("__tk")).alias("__n_tokens"),
+        lang_id(F.col(text_col), tk=F.col("__tk")).alias("__lang"),
+    )
+    overview = annotated.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.length(text_col)), F.lit(0)).alias("total_chars"),
+        F.coalesce(F.sum("__n_tokens"), F.lit(0)).alias("total_tokens"),
+        F.count_distinct("__fp").alias("n_distinct_texts"),
+        F.round(F.avg("__n_tokens"), 4).alias("mean_tokens"),
+    )
+    total = annotated.agg(F.count(F.lit(1)).alias("__total"))
+
+    def _rollup(key_expr):
+        # share via a broadcast 1-row total (a global window would drag
+        # the grouped rows onto one partition and warn; same numbers)
+        return (
+            annotated.groupBy(key_expr)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("__n_tokens").alias("n_tokens"),
+            )
+            .crossJoin(F.broadcast(total))
+            .withColumn("share", F.round(F.col("n_docs") / F.col("__total"), 4))
+            .drop("__total")
+        )
+
+    by_lang = _rollup(F.col("__lang").alias("lang_pred"))
+    by_source = _rollup(F.col(source_col)) if source_col is not None else None
+    hist = numeric_histogram(annotated, "__n_tokens", bins=hist_bins)
+    return CorpusCard(overview, by_source, by_lang, hist)
