@@ -733,8 +733,15 @@ def query_lsh_index(
     nb = lsh_band_buckets(new_docs, num_hashes, bands, id_col, text_col).select(
         F.col(id_col).alias("doc_b"), "band", "bucket"
     )
+    # a batch may legitimately re-send an already-indexed id (replays,
+    # backfills): a (x, x) self-pair would read as "x duplicates x" to
+    # every downstream consumer, so the cross join excludes identity
     if max_bucket is None:
-        cross = idx.join(nb, ["band", "bucket"]).select("doc_a", "doc_b")
+        cross = (
+            idx.join(nb, ["band", "bucket"])
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
     else:
         bs = annotate_bucket_occupancy(idx, ["band", "bucket"], "doc_a")
         dense = (
@@ -750,7 +757,7 @@ def query_lsh_index(
             .join(nb, ["band", "bucket"])
             .select("doc_a", "doc_b")
         )
-        cross = dense.unionByName(star)
+        cross = dense.unionByName(star).filter(F.col("doc_a") != F.col("doc_b"))
     out = cross.distinct()
     if include_within_batch:
         within = lsh_candidate_pairs(

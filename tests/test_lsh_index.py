@@ -102,3 +102,17 @@ def test_meta_is_pinned(spark, index_path):
     # the index main read does NOT pick up the underscore sidecar
     cols = set(spark.read.parquet(index_path).columns)
     assert cols == {"doc_id", "band", "bucket"}
+
+
+def test_replayed_id_yields_no_self_pair(spark, index_path):
+    """A batch re-sending an already-indexed doc under its ORIGINAL id
+    (replay/backfill) must not pair the doc with itself."""
+    replay = spark.createDataFrame(CORPUS[:1], "doc_id long, text string")
+    pairs = query_lsh_index(
+        spark, index_path, replay, include_within_batch=False
+    ).collect()
+    assert all(r["doc_a"] != r["doc_b"] for r in pairs)
+    capped = query_lsh_index(
+        spark, index_path, replay, max_bucket=1, include_within_batch=False
+    ).collect()
+    assert all(r["doc_a"] != r["doc_b"] for r in capped)
