@@ -87,6 +87,15 @@ def grouped_percentiles(
     for name, p in percentiles.items():
         if not (0.0 <= p <= 1.0):
             raise ValueError(f"percentile {name!r} must be in [0, 1], got {p}")
+    reserved = {"n", "__cnt", "__hist", "__nn"} | {
+        f"__{name}_{side}" for name in percentiles for side in ("lo", "hi")
+    }
+    clashes = reserved & ({value_col, *extra_sums, *keys} | set(percentiles))
+    if clashes:
+        raise ValueError(
+            f"column name(s) {sorted(clashes)} collide with the operator's "
+            "internal/output names — rename the input columns"
+        )
     keys = list(keys)
     v = F.col(value_col)
 

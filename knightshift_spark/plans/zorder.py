@@ -106,7 +106,10 @@ def zorder_write(
     a contiguous curve segment, so its footer min/max stats are TIGHT in
     every z-ordered column and range scans skip non-overlapping files.
     ``repartitionByRange`` on the key gives size-balanced curve segments
-    (one exchange — the same price as any clustering write)."""
+    (one exchange — the same price as any clustering write); without
+    ``n_files`` the sort is partition-local only — files cluster within
+    each existing partition but segments overlap across partitions, so
+    pass ``n_files`` whenever the global layout is the point."""
     keyed = df.withColumn("__z", zorder_key(df, cols, bits, bounds))
     if n_files:
         keyed = keyed.repartitionByRange(n_files, "__z")
