@@ -681,8 +681,13 @@ def write_lsh_index(
         "band"
     ).parquet(path)
     spark = docs.sparkSession
+    # id type rides in the meta so readers use an explicit schema — an
+    # index built over an EMPTY corpus (day-zero bootstrap) writes no
+    # data files and schema inference would fail on it
+    id_type = docs.schema[id_col].dataType.simpleString()
     spark.createDataFrame(
-        [(num_hashes, bands)], "num_hashes int, bands int"
+        [(num_hashes, bands, id_type)],
+        "num_hashes int, bands int, id_type string",
     ).write.mode("overwrite").parquet(f"{path}/_lsh_meta")
 
 
@@ -727,9 +732,9 @@ def query_lsh_index(
     num_hashes, bands = int(meta["num_hashes"]), int(meta["bands"])
     if max_bucket is not None and max_bucket < 1:
         raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
-    idx = spark.read.parquet(path).select(
-        F.col("doc_id").alias("doc_a"), "band", "bucket"
-    )
+    idx = spark.read.schema(
+        f"doc_id {meta['id_type']}, bucket string, band int"
+    ).parquet(path).select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     nb = lsh_band_buckets(new_docs, num_hashes, bands, id_col, text_col).select(
         F.col(id_col).alias("doc_b"), "band", "bucket"
     )

@@ -126,3 +126,106 @@ def run_document_stream(
     )
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
+
+
+def _ingest_batch_with_neardup(
+    batch_df: DataFrame,
+    target_dir: str,
+    index_path: str,
+    threshold: float,
+) -> None:
+    """One micro-batch of the near-dup-aware ingestion (foreachBatch body):
+    query the persisted LSH index for candidates (cross-corpus AND
+    within-batch), confirm with exact Jaccard over candidate pairs only,
+    drop the batch side of every confirmed pair (corpus copy wins;
+    within-batch the lower id wins), then append survivors to the corpus
+    AND the index."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from knightshift_spark.operators.dedup import (
+        append_lsh_index,
+        jaccard_pairs,
+        query_lsh_index,
+    )
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    batch = batch_df.localCheckpoint()  # consumed by 4 actions below
+    cands = query_lsh_index(
+        spark, index_path, batch, include_within_batch=True
+    ).localCheckpoint()
+    drop_ids = None
+    if cands.count():
+        texts = batch.select("doc_id", "text")
+        if os.path.isdir(target_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(target_dir)
+        ):
+            texts = (
+                spark.read.parquet(target_dir)
+                .select("doc_id", "text")
+                .unionByName(texts)
+            )
+        cand_ids = cands.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
+        confirmed = jaccard_pairs(
+            texts.join(cand_ids, "doc_id", "left_semi"),
+            threshold=threshold,
+        ).join(cands, ["doc_a", "doc_b"], "left_semi")
+        # pairs are oriented (corpus, batch) or (batch_lo, batch_hi):
+        # doc_b is always the newer/higher side — it loses
+        drop_ids = confirmed.select(F.col("doc_b").alias("doc_id")).distinct()
+    keep = batch if drop_ids is None else batch.join(drop_ids, "doc_id", "left_anti")
+    # corpus first, index second: a crash between the two can only make a
+    # replay re-admit rows the corpus already has (reconciled by the
+    # scheduled batch dedup), never silently lose rows (the reverse order
+    # would drop replayed rows as index hits before they reach the corpus)
+    keep.write.mode("append").parquet(target_dir)
+    append_lsh_index(keep, index_path)
+
+
+def run_document_stream_with_neardup(
+    spark: SparkSession,
+    spool_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    index_path: str,
+    neardup_threshold: float = 0.7,
+    trigger: dict | None = None,
+    max_files_per_trigger: int | None = None,
+    min_tokens: int = 5,
+    langs: tuple[str, ...] = ("en",),
+    max_bigram_repetition: float | None = None,
+) -> StreamingQuery:
+    """The lambda split collapsed into one streaming job: screens →
+    cross-batch EXACT dedup (state store) → per-batch NEAR-dup dedup
+    against the persisted LSH index (``operators.dedup.write_lsh_index``
+    must have created ``index_path``, possibly over an empty corpus) →
+    parquet append + index append.
+
+    Near-dup work per batch is bounded by the batch's candidate volume
+    (the index join prunes to shared band buckets; only candidate docs'
+    texts are re-read for the Jaccard rescore). Delivery is
+    at-least-once at the corpus boundary: a crash between the corpus and
+    index appends lets a replayed batch re-admit rows the corpus already
+    holds — the scheduled batch dedup reconciles; rows are never lost.
+    Index appends accumulate small parquet files; compact on the same
+    schedule.
+    """
+    docs = stream_documents(spark, spool_dir, max_files_per_trigger)
+    screened = screen_documents(docs, min_tokens, langs, max_bigram_repetition)
+    deduped = screened.dropDuplicates(["__fp"]).drop("__fp")
+    writer = (
+        deduped.writeStream.foreachBatch(
+            lambda df, _id: _ingest_batch_with_neardup(
+                df, target_dir, index_path, neardup_threshold
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

@@ -470,3 +470,70 @@ def test_watermark_dedup_evicts_state_and_readmits_old_keys(spark, tmp_path):
     ks = sorted((r["k"], r["v"]) for r in rows)
     # k1 was emitted for day 1 AND re-admitted on day 2 after eviction
     assert ("k1", "d1") in ks and ("k1", "d2-again") in ks
+
+
+def test_document_stream_with_neardup_index(spark, tmp_path):
+    """Round-6 lambda collapse: the streaming job drops NEAR-duplicates
+    (not just exact) against the persisted LSH index — a batch-2
+    paraphrase of a batch-1 doc never reaches the corpus, survivors
+    join the index and block batch-3 copies too."""
+    import json as _json
+
+    from knightshift_spark.operators.dedup import write_lsh_index
+    from knightshift_spark.streaming.corpus_stream import (
+        run_document_stream_with_neardup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the keeper "
+        "watches from the old wooden bridge near the river"
+    )
+    paraphrase = (
+        "the quick brown fox jumps over the lazy dog while the keeper "
+        "watches from the old wooden bridge near the water"
+    )  # one word changed: high bigram Jaccard, different fingerprint
+    other = (
+        "a completely different report about storage engines and the "
+        "way compaction schedules interact with read amplification"
+    )
+    # appended word: bigram Jaccard 0.94 — verified to share an LSH band
+    # (a mid-sentence word swap at J=0.76 deterministically misses the
+    # 16/4 banding; banded recall is probabilistic by design)
+    other_tweaked = other + " today"
+
+    spool = tmp_path / "docs"
+    spool.mkdir()
+    batches = [
+        [{"doc_id": 1, "text": base, "source": "web"}],
+        [{"doc_id": 10, "text": paraphrase, "source": "crawl"},   # near-dup of 1
+         {"doc_id": 11, "text": other, "source": "crawl"}],
+        [{"doc_id": 20, "text": other_tweaked, "source": "web"}],  # near-dup of 11
+    ]
+    files = []
+    for i, rows in enumerate(batches):
+        f = spool / f"b{i}.jsonl"
+        f.write_text("\n".join(_json.dumps(r) for r in rows))
+        files.append(f)
+    now = os.stat(files[0]).st_mtime
+    for i, f in enumerate(files):
+        os.utime(f, (now + 60 * i, now + 60 * i))
+
+    target = tmp_path / "corpus"
+    index = str(tmp_path / "lsh_index")
+    # index starts over the empty corpus (schema-only write)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    write_lsh_index(empty, index, num_hashes=16, bands=4)
+
+    q = run_document_stream_with_neardup(
+        spark, str(spool), str(target), str(tmp_path / "ckpt"), index,
+        neardup_threshold=0.6, trigger={"availableNow": True},
+        max_files_per_trigger=1, min_tokens=1, langs=("en", "und"),
+    )
+    q.awaitTermination(180)
+    out = sorted(r["doc_id"] for r in spark.read.parquet(str(target)).collect())
+    assert out == [1, 11]  # paraphrases 10 and 20 never landed
+    # and the survivors are in the index (block future copies)
+    idx_ids = {
+        r["doc_id"] for r in spark.read.parquet(index).select("doc_id").collect()
+    }
+    assert idx_ids == {1, 11}
