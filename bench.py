@@ -136,6 +136,12 @@ def main() -> None:
     except Exception:
         pass  # curation point is informational; never fail the bench
 
+    inc_index = None
+    try:
+        inc_index = incremental_index_section(spark, sf_dir)
+    except Exception:
+        pass  # informational; never fail the bench
+
     full = {
         "metric": "declared_query_suite_wall_seconds",
         "value": total,
@@ -151,6 +157,7 @@ def main() -> None:
         "media_decode": media,
         "tokenize": tokenize,
         "curation_ops": curation,
+        "incremental_lsh_index": inc_index,
     }
     print(json.dumps(full))
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
@@ -718,6 +725,57 @@ def curation_section(spark, sf_dir: str) -> dict:
                 "local[32]; all JVM-side except the k-means build's "
                 "bounded driver transfers",
         "queries": out,
+    }
+
+
+def incremental_index_section(spark, sf_dir: str) -> dict:
+    """The persisted-LSH-index claim, measured at the 10× point: index
+    the 50k-doc corpus ONCE, then dedup a 500-doc incoming batch by
+    querying the index vs re-running full banding over corpus ∪ batch.
+    The per-batch number is what a scheduled incremental pass pays."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from knightshift_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        query_lsh_index,
+        write_lsh_index,
+    )
+
+    base = os.environ.get("SPARK_GRAFT_SCALE10_DIR", "/tmp/knightshift-scale10")
+    scale_dir = os.path.join(base, os.path.basename(sf_dir.rstrip("/")))
+    corpus = spark.read.parquet(os.path.join(scale_dir, "documents.parquet"))
+    batch = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 500)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    idx_path = os.path.join(base, "lsh_index")
+    shutil.rmtree(idx_path, ignore_errors=True)
+    t0 = time.perf_counter()
+    write_lsh_index(corpus.select("doc_id", "text"), idx_path, 16, 4)
+    build_sec = time.perf_counter() - t0
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    inc = query_lsh_index(spark, idx_path, batch, max_bucket=10_000)
+    inc_sec = _best_of(lambda: _run(inc), runs)
+    full = lsh_candidate_pairs(
+        corpus.select("doc_id", "text").unionByName(batch),
+        16, 4, max_bucket=10_000,
+    )
+    full_sec = _best_of(lambda: _run(full), runs)
+    return {
+        "note": "index 50k docs once, then per-batch near-dup candidacy "
+                "for 500 new docs: index query vs full banding over the "
+                "union — the incremental-vs-recompute gap grows linearly "
+                "with corpus size",
+        "corpus_docs": corpus.count(),
+        "batch_docs": batch.count(),
+        "index_build_sec": round(build_sec, 3),
+        "incremental_query_sec": round(inc_sec, 4),
+        "full_recompute_sec": round(full_sec, 4),
+        "speedup": round(full_sec / inc_sec, 2) if inc_sec else None,
     }
 
 
