@@ -85,31 +85,84 @@ def ngram_repetition_stats(
     (``length - (n-1)`` separators); the denominator is the doc's total
     n-gram character mass, so a doc that is ONE phrase repeated forever
     approaches fraction 1. The top gram ties deterministically (largest
-    gram string at equal mass).
+    gram string at equal mass). Single-family view of
+    ``ngram_repetition_multi``.
     """
+    return ngram_repetition_multi(docs, (n,), id_col=id_col, text_col=text_col)
+
+
+def ngram_repetition_multi(
+    docs: DataFrame,
+    ns: tuple[int, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Repetition fractions for SEVERAL n-gram families in one pass:
+    (id, top_{n}gram_char_frac, dup_{n}gram_char_frac for every n).
+
+    All families share one tokenize + one tagged explode
+    (struct(n, gram)) and two doc-keyed aggregations — gram-occurrence
+    counting on (id, n, gram), then conditional per-family sums on id —
+    instead of an explode + two shuffles PER family. At corpus scale the
+    explode output (every n-gram occurrence of every doc) dominates the
+    job, so folding k families into one pass cuts the heavy stage k-fold;
+    the Gopher screen's 10 families become one scan, one explode, two
+    shuffles. Docs with no grams of ANY family are absent from the
+    output (callers left-join + fill 0.0, matching the per-family
+    contract); a doc lacking only SOME family reports 0.0 there.
+    """
+    ns = tuple(sorted(set(ns)))
     tk = docs.select(id_col, word_tokens(F.col(text_col)).alias("__tk"))
-    grams = tk.select(
-        F.col(id_col), F.explode(word_ngrams_all(F.col("__tk"), n)).alias("__g")
+
+    # closure factory, NOT `lambda g, n=n: ...` — a two-parameter lambda
+    # would be called by F.transform as (element, INDEX) and silently tag
+    # every gram with its array position instead of the family size
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    tagged = F.concat(
+        *[F.transform(word_ngrams_all(F.col("__tk"), n), _tag(n)) for n in ns]
     )
-    per_gram = grams.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
-    mass = F.col("__c") * (F.length("__g") - (n - 1))
-    agg = per_gram.groupBy(id_col).agg(
-        F.sum(mass).alias("__total"),
-        # max by (mass, gram) → deterministic tie-break (largest gram
-        # string at equal mass); only the mass leaves the struct
-        F.max(F.struct(mass.alias("m"), F.col("__g").alias("g"))).alias("__top"),
-        F.sum(F.when(F.col("__c") > 1, mass).otherwise(F.lit(0))).alias("__dup"),
+    grams = tk.select(F.col(id_col), F.explode(tagged).alias("__t")).select(
+        id_col,
+        F.col("__t.n").alias("__n"),
+        F.col("__t.g").alias("__g"),
     )
+    per_gram = grams.groupBy(id_col, "__n", "__g").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    mass = F.col("__c") * (F.length("__g") - (F.col("__n") - 1))
+    aggs = []
+    for n in ns:
+        is_n = F.col("__n") == n
+        aggs += [
+            F.sum(F.when(is_n, mass)).alias(f"__total_{n}"),
+            # max by (mass, gram) → deterministic tie-break (largest gram
+            # string at equal mass); only the mass leaves the struct
+            F.max(
+                F.when(is_n, F.struct(mass.alias("m"), F.col("__g").alias("g")))
+            ).alias(f"__top_{n}"),
+            F.sum(
+                F.when(is_n & (F.col("__c") > 1), mass).otherwise(F.lit(0))
+            ).alias(f"__dup_{n}"),
+        ]
+    agg = per_gram.groupBy(id_col).agg(*aggs)
     zero = F.lit(0.0)
-    return agg.select(
-        F.col(id_col),
-        F.when(F.col("__total") == 0, zero)
-        .otherwise(F.round(F.col("__top.m") / F.col("__total"), 4))
-        .alias(f"top_{n}gram_char_frac"),
-        F.when(F.col("__total") == 0, zero)
-        .otherwise(F.round(F.col("__dup") / F.col("__total"), 4))
-        .alias(f"dup_{n}gram_char_frac"),
-    )
+    sel = [F.col(id_col)]
+    for n in ns:
+        total = F.col(f"__total_{n}")
+        absent = total.isNull() | (total == 0)
+        sel.append(
+            F.when(absent, zero)
+            .otherwise(F.round(F.col(f"__top_{n}.m") / total, 4))
+            .alias(f"top_{n}gram_char_frac")
+        )
+        sel.append(
+            F.when(absent, zero)
+            .otherwise(F.round(F.col(f"__dup_{n}") / total, 4))
+            .alias(f"dup_{n}gram_char_frac")
+        )
+    return agg.select(*sel)
 
 
 def gopher_repetition_stats(
@@ -121,19 +174,23 @@ def gopher_repetition_stats(
 ) -> DataFrame:
     """Full repetition profile: line stats joined with the requested
     n-gram families, one row per document (docs with no content report
-    zeros via the left joins). Each family is its own explode+agg —
-    ``len(top_ns ∪ dup_ns) + 1`` doc-keyed shuffles, all map-side
-    combinable, none carrying raw text past its explode."""
+    zeros via the left joins). ALL n-gram families ride ONE tagged
+    explode + two doc-keyed aggregations (``ngram_repetition_multi``);
+    lines are their own explode+agg — so the full Gopher screen costs
+    one text scan per kind, not one per family, and every aggregation
+    is map-side combinable with no raw text past its explode."""
     out = docs.select(id_col).distinct().join(
         line_repetition_stats(docs, id_col, text_col), id_col, "left"
     )
-    for n in sorted(set(top_ns) | set(dup_ns)):
-        stats = ngram_repetition_stats(docs, n, id_col, text_col)
+    ns = tuple(sorted(set(top_ns) | set(dup_ns)))
+    if ns:
         cols = [id_col]
-        if n in top_ns:
-            cols.append(f"top_{n}gram_char_frac")
-        if n in dup_ns:
-            cols.append(f"dup_{n}gram_char_frac")
+        for n in ns:
+            if n in top_ns:
+                cols.append(f"top_{n}gram_char_frac")
+            if n in dup_ns:
+                cols.append(f"dup_{n}gram_char_frac")
+        stats = ngram_repetition_multi(docs, ns, id_col, text_col)
         out = out.join(stats.select(*cols), id_col, "left")
     fill = {
         c: 0.0 for c in out.columns if c.endswith("_frac")

@@ -148,13 +148,15 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
         "bigram repetition) + stopword-vote language ID (deterministic "
         "tie order en>fr>de>es) + the Gopher repetition screen's "
         "character-mass families (operators.quality.ngram_repetition_"
-        "stats, Rae et al. 2021): top_2gram_char_frac (mass of the most "
+        "multi — both families fused into ONE tagged explode + two "
+        "doc-keyed aggregations, Rae et al. 2021): top_2gram_char_frac "
+        "(mass of the most "
         "frequent word bigram) and dup_5gram_char_frac (mass of repeated "
         "5-grams), both oracle-checked against DuckDB's unnest+group "
         "arithmetic; docs with no n-grams report 0.0",
 )
 def q36(spark: SparkSession, sf: str) -> DataFrame:
-    from knightshift_spark.operators.quality import ngram_repetition_stats
+    from knightshift_spark.operators.quality import ngram_repetition_multi
 
     # bind the token array once: the repetition bigrams reference it
     # inside a transform() lambda, which re-evaluates inlined operands
@@ -175,12 +177,11 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
         lang_id(F.col("text"), tk=tk).alias("lang_pred"),
         F.round(repetition_ratio(tk), 4).alias("dup_bigram_ratio"),
     )
-    g2 = ngram_repetition_stats(docs, 2).select("doc_id", "top_2gram_char_frac")
-    g5 = ngram_repetition_stats(docs, 5).select("doc_id", "dup_5gram_char_frac")
-    return (
-        base.join(g2, "doc_id", "left")
-        .join(g5, "doc_id", "left")
-        .fillna({"top_2gram_char_frac": 0.0, "dup_5gram_char_frac": 0.0})
+    reps = ngram_repetition_multi(docs, (2, 5)).select(
+        "doc_id", "top_2gram_char_frac", "dup_5gram_char_frac"
+    )
+    return base.join(reps, "doc_id", "left").fillna(
+        {"top_2gram_char_frac": 0.0, "dup_5gram_char_frac": 0.0}
     )
 
 
