@@ -1,0 +1,176 @@
+"""Heavy-hitter (frequent-item) mining at corpus scale.
+
+Boilerplate phrases, crawler chrome, and template sentences show up as
+word n-grams repeated millions of times across a corpus; finding them is
+the first step of every corpus-cleaning recipe (and the reference-side
+motivation: the cleaning stage's dictionary recodes are hand-curated
+frequent values — `validate_tv_channel_games.py` normalizes exactly the
+values that dominate the stream). The naive plan — explode every n-gram
+occurrence and ``groupBy(gram).count()`` — shuffles the FULL distinct
+gram universe, which at 100 TB is a shuffle of the same order as the
+corpus itself. This module trades one extra scan for eliminating that
+shuffle entirely:
+
+Phase 1 (candidates, no shuffle): each partition runs a Misra-Gries
+summary of capacity ``cap`` over its item occurrences inside ONE
+Arrow ``mapInPandas`` pass and emits at most ``cap`` (item, floor)
+rows plus its occurrence total. Misra-Gries guarantees a partition
+summary retains every item whose local count exceeds n_p/(cap+1); if an
+item's GLOBAL count exceeds N/(cap+1), then by pigeonhole its count
+exceeds n_p/(cap+1) in at least one partition, so it survives in the
+union of summaries. The union is at most cap × numPartitions rows — a
+driver-bounded candidate set, NOT data-dependent.
+
+Phase 2 (exact recount): re-scan the items, keep only candidate items
+(broadcast hash semi-join — the filter runs map-side BEFORE any
+exchange), and exact-count just those. Shuffle volume is now
+O(candidates), not O(distinct items). Counts are EXACT, so the final
+``count >= min_count`` filter returns precisely the true heavy hitters
+whenever ``min_count > N/(cap+1)`` — the operator validates that
+premise against the measured N and raises instead of silently returning
+a non-exhaustive answer.
+
+The same recipe is how distributed frequent-items is done in practice
+(e.g. Spark's own ``freqItems`` runs a lossy-count variant but without
+the exact recount, so its output may contain false positives; this
+operator's two-phase form is exact).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from knightshift_spark.operators.dedup import word_ngrams_all, word_tokens
+
+_CAND_SCHEMA = "item string, floor long, part_total long"
+
+
+def _mg_partition(cap: int):
+    """Per-partition Misra-Gries over Arrow batches.
+
+    State is ONE dict of at most ``cap`` counters regardless of
+    partition size; the decrement step is amortized via a single
+    sorted-values pass instead of per-item loops (numpy/pandas
+    vectorized within each batch's value_counts)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        total = 0
+        for pdf in batches:
+            vals = pdf["item"].dropna()
+            total += len(vals)
+            # batch-local exact counts first: one value_counts beats
+            # per-occurrence dict updates by the batch's dup factor
+            for item, c in vals.value_counts().items():
+                c = int(c)
+                if item in counters:
+                    counters[item] += c
+                elif len(counters) < cap:
+                    counters[item] = c
+                else:
+                    # decrement ALL counters by the largest amount the
+                    # new item supports; MG's unit-decrement repeated
+                    # min(c, min_counter) times, batched
+                    dec = min(c, min(counters.values()))
+                    counters = {
+                        k: v - dec for k, v in counters.items() if v > dec
+                    }
+                    if c > dec and len(counters) < cap:
+                        counters[item] = c - dec
+        out = pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "floor": [int(v) for v in counters.values()] + [0],
+                "part_total": [0] * len(counters) + [total],
+            }
+        )
+        yield out
+
+    return run
+
+
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str = "item",
+    cap: int = 4096,
+    min_count: int | None = None,
+    min_frac: float | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Exact global counts of every item occurring ``>= min_count``
+    times (or ``>= min_frac`` of all occurrences), mined with bounded
+    shuffle. Returns (item, n) sorted by (n desc, item) — deterministic —
+    optionally truncated to the top ``k``.
+
+    Exactness premise: ``min_count > N/(cap+1)`` where N is the total
+    occurrence count. Violations raise ``ValueError`` (a silent pass
+    would return a non-exhaustive item set). Give exactly one of
+    ``min_count`` / ``min_frac``; with ``min_frac`` the premise becomes
+    ``min_frac > 1/(cap+1)``, checkable before any job runs.
+    """
+    if (min_count is None) == (min_frac is None):
+        raise ValueError("give exactly one of min_count / min_frac")
+    if min_frac is not None and min_frac <= 1.0 / (cap + 1):
+        raise ValueError(
+            f"min_frac={min_frac} <= 1/(cap+1)={1.0/(cap+1):.2e}: the "
+            f"Misra-Gries candidate set is only exhaustive above that "
+            f"frequency — raise min_frac or cap"
+        )
+    src = items.select(F.col(item_col).cast("string").alias("item"))
+    summaries = src.mapInPandas(_mg_partition(cap), schema=_CAND_SCHEMA)
+    # candidate union + measured N: one driver-bounded collect
+    # (≤ cap rows per partition + one total row per partition)
+    rows = summaries.collect()
+    n_total = sum(r["part_total"] for r in rows if r["item"] is None)
+    cands = sorted({r["item"] for r in rows if r["item"] is not None})
+    if min_count is None:
+        min_count = max(1, math.ceil(n_total * min_frac))
+    if n_total and min_count <= n_total / (cap + 1):
+        raise ValueError(
+            f"min_count={min_count} <= N/(cap+1)={n_total/(cap+1):.1f}: "
+            f"candidates are not exhaustive at this threshold — raise "
+            f"min_count or cap"
+        )
+    if not cands:
+        return src.sparkSession.createDataFrame([], "item string, n long")
+    spark = src.sparkSession
+    cand_df = spark.createDataFrame([(c,) for c in cands], "item string")
+    counted = (
+        src.join(F.broadcast(cand_df), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), F.col("item"))
+    )
+    return counted.limit(k) if k is not None else counted
+
+
+def frequent_ngrams(
+    docs: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cap: int = 4096,
+    min_count: int | None = None,
+    min_frac: float | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Corpus-wide frequent word ``n``-grams (with multiplicity): the
+    boilerplate-phrase detector. Explodes each document's n-gram
+    occurrences (tokenization identical to the repetition filters) and
+    runs ``heavy_hitters`` over them; all occurrence counting happens
+    in the two bounded phases — nothing per-doc ever reaches the
+    driver."""
+    grams = docs.select(
+        F.explode(
+            word_ngrams_all(word_tokens(F.col(text_col)), n)
+        ).alias("item")
+    )
+    return heavy_hitters(
+        grams, "item", cap=cap, min_count=min_count, min_frac=min_frac, k=k
+    )

@@ -1,0 +1,104 @@
+"""Heavy-hitter mining: exactness vs a DuckDB full-count oracle,
+partition invariance (the Misra-Gries phase must not change the answer,
+only the candidate funnel), and the exhaustiveness guard."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from knightshift_spark.operators.heavyhitters import (
+    frequent_ngrams,
+    heavy_hitters,
+)
+
+from conftest import SF_SMOKE
+
+
+def _oracle_bigrams(min_count: int) -> list[tuple[str, int]]:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH toks AS (
+          SELECT string_split_regex(trim(lower(text)), '\\s+') AS tk
+          FROM read_parquet('{SF_SMOKE}/documents.parquet')
+          WHERE trim(text) <> ''),
+        grams AS (
+          SELECT unnest(list_transform(range(1, len(tk)),
+                 i -> tk[i] || ' ' || tk[i+1])) AS g
+          FROM toks WHERE len(tk) >= 2)
+        SELECT g, COUNT(*) AS n FROM grams GROUP BY g
+        HAVING COUNT(*) >= {min_count}
+        ORDER BY n DESC, g
+        """
+    ).fetchall()
+    con.close()
+    return [(g, int(n)) for g, n in rows]
+
+
+def test_frequent_ngrams_match_duckdb_full_count(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = [
+        (r["item"], r["n"])
+        for r in frequent_ngrams(
+            docs, 2, cap=2048, min_count=30
+        ).collect()
+    ]
+    want = _oracle_bigrams(30)
+    assert want, "fixture must exercise a non-empty answer"
+    assert got == want
+
+
+def test_partition_layout_does_not_change_answer(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    one = [
+        (r["item"], r["n"])
+        for r in frequent_ngrams(
+            docs.repartition(1), 2, cap=2048, min_count=30
+        ).collect()
+    ]
+    many = [
+        (r["item"], r["n"])
+        for r in frequent_ngrams(
+            docs.repartition(13), 2, cap=2048, min_count=30
+        ).collect()
+    ]
+    assert one == many == _oracle_bigrams(30)
+
+
+def test_planted_hot_item_and_topk(spark):
+    # a hot item buried in a long unique tail far wider than the cap
+    rows = [("hot",)] * 500 + [(f"tail-{i}",) for i in range(5000)]
+    items = spark.createDataFrame(rows, "item string").repartition(8)
+    got = heavy_hitters(items, cap=64, min_count=400, k=3).collect()
+    assert [(r["item"], r["n"]) for r in got] == [("hot", 500)]
+
+
+def test_min_frac_path(spark):
+    rows = [("a",)] * 60 + [("b",)] * 30 + [("c",)] * 10
+    items = spark.createDataFrame(rows, "item string")
+    got = [
+        (r["item"], r["n"])
+        for r in heavy_hitters(items, cap=50, min_frac=0.25).collect()
+    ]
+    assert got == [("a", 60), ("b", 30)]
+
+
+def test_exhaustiveness_guard(spark):
+    items = spark.createDataFrame([(str(i % 7),) for i in range(700)], "item string")
+    # min_count=2 <= N/(cap+1)=700/5: candidates not exhaustive → raise
+    with pytest.raises(ValueError, match="not exhaustive"):
+        heavy_hitters(items, cap=4, min_count=2).collect()
+    with pytest.raises(ValueError, match="min_frac"):
+        heavy_hitters(items, cap=4, min_frac=0.1)
+    with pytest.raises(ValueError, match="exactly one"):
+        heavy_hitters(items, cap=4)
+
+
+def test_empty_and_null_items(spark):
+    empty = spark.createDataFrame([], "item string")
+    assert heavy_hitters(empty, cap=8, min_count=1).collect() == []
+    nulls = spark.createDataFrame([(None,), ("x",), ("x",)], "item string")
+    got = heavy_hitters(nulls, cap=8, min_count=2).collect()
+    assert [(r["item"], r["n"]) for r in got] == [("x", 2)]
