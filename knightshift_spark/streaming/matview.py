@@ -1,0 +1,155 @@
+"""Incrementally-maintained aggregate views (streaming rollup sink).
+
+The reference keeps running per-batch counters and a continuously
+re-upserted games table (`get_games_from_tv.py` + `game_upsert.py`); the
+engine generalization is a MATERIALIZED AGGREGATE VIEW maintained by a
+stream: grouped aggregates over an unbounded source, updated per
+micro-batch without ever rescanning history.
+
+Design, Spark-first and 100 TB-honest:
+
+- The view stores ALGEBRAIC PARTIALS per group — (n, sum, min, max) —
+  not finalized values, so merging a new batch is itself an aggregation
+  (count→sum, sum→sum, min→min, max→max). Anything derivable (avg)
+  finalizes at read time. This is exactly Spark's own partial-agg
+  design, lifted to rest between runs.
+- The view is hash-BUCKETED by group key into ``n_buckets`` parquet
+  partitions. A micro-batch touches only the buckets its keys hash to;
+  the merge reads JUST those buckets (partition pruning on
+  ``__bucket``), re-aggregates batch ∪ current, and rewrites ONLY those
+  buckets (dynamic partition overwrite). Merge cost scales with batch
+  size + touched-bucket size, never with view size.
+- Replay safety: Structured Streaming's ``foreachBatch`` may re-deliver
+  a batch id after restart; a per-batch marker directory makes the
+  merge idempotent (a replayed id is skipped whole — the previous merge
+  for that id either completed and left a marker, or its overwrite is
+  safely redone before the marker lands).
+
+The same ``merge_view_batch`` works standalone for scheduled batch
+ingestion (pass your own monotonic batch ids).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+_PARTIALS = ("n", "sum", "min", "max")
+
+
+def _partials(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    return df.groupBy(*keys).agg(
+        F.count(value_col).alias("n"),
+        F.sum(value_col).cast("double").alias("sum"),
+        F.min(value_col).cast("double").alias("min"),
+        F.max(value_col).cast("double").alias("max"),
+    )
+
+
+def _merge_partials(df: DataFrame, keys: list[str]) -> DataFrame:
+    return df.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum").alias("sum"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+    )
+
+
+def _with_bucket(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "__bucket",
+        F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int"),
+    )
+
+
+def merge_view_batch(
+    batch: DataFrame,
+    view_path: str,
+    keys: list[str],
+    value_col: str,
+    n_buckets: int = 64,
+    batch_id: int | None = None,
+) -> None:
+    """Merge one batch of raw rows into the partials view at
+    ``view_path``. Reads only the buckets the batch touches, rewrites
+    only those buckets (dynamic partition overwrite). With ``batch_id``
+    the merge is idempotent: an id that already has a completion marker
+    is skipped."""
+    spark = batch.sparkSession
+    marker = None
+    if batch_id is not None:
+        marker = os.path.join(view_path, "_merged", str(int(batch_id)))
+        if os.path.exists(marker):
+            return
+    part = _with_bucket(_partials(batch, keys, value_col), keys, n_buckets)
+    touched = [r["__bucket"] for r in part.select("__bucket").distinct().collect()]
+    if touched:
+        merged = part
+        if os.path.isdir(view_path) and any(
+            e.startswith("__bucket=") for e in os.listdir(view_path)
+        ):
+            current = spark.read.parquet(view_path).filter(
+                F.col("__bucket").isin(touched)
+            )
+            # materialize BEFORE the overwrite: the merged plan reads the
+            # very files the write replaces (read-overwrite hazard);
+            # localCheckpoint cuts the lineage so the write sees no scan
+            merged = (
+                _merge_partials(part.unionByName(current), keys + ["__bucket"])
+                .select(part.columns)
+                .localCheckpoint(eager=True)
+            )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("__bucket").parquet(view_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if marker is not None:
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("done")
+
+
+def read_view(spark: SparkSession, view_path: str) -> DataFrame:
+    """Finalized view: group keys + n / sum / avg / min / max. The only
+    non-stored column (avg) derives from the partials; everything else
+    is served straight from parquet — a view read is a scan, not a
+    recomputation."""
+    v = spark.read.parquet(view_path).drop("__bucket")
+    return v.select(
+        *[c for c in v.columns if c not in _PARTIALS],
+        F.col("n"),
+        F.col("sum"),
+        F.round(F.col("sum") / F.col("n"), 6).alias("avg"),
+        F.col("min"),
+        F.col("max"),
+    )
+
+
+def run_matview_stream(
+    stream: DataFrame,
+    view_path: str,
+    keys: list[str],
+    value_col: str,
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+) -> StreamingQuery:
+    """Maintain the view from a streaming DataFrame. Each micro-batch
+    runs one bounded merge; the checkpoint + per-batch markers give
+    end-to-end exactly-once view contents across restarts."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        merge_view_batch(
+            batch_df, view_path, keys, value_col, n_buckets, batch_id=batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

@@ -1,0 +1,121 @@
+"""Incremental aggregate view: batch-sequence equivalence with a
+single-shot groupBy, partition-pruned merges, replay idempotence, and a
+live-stream maintenance run."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from knightshift_spark.streaming.matview import (
+    merge_view_batch,
+    read_view,
+    run_matview_stream,
+)
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        (F.col("id") % 5).alias("grp"), (F.col("id") * 2).cast("double").alias("v")
+    )
+
+
+def _expected(spark, hi):
+    return {
+        r["grp"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in _rows(spark, 0, hi)
+        .groupBy("grp")
+        .agg(
+            F.count("v").alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+
+
+def test_incremental_merges_equal_one_shot_aggregate(spark, tmp_path):
+    view = str(tmp_path / "view")
+    for i, (lo, hi) in enumerate([(0, 40), (40, 90), (90, 130)]):
+        merge_view_batch(_rows(spark, lo, hi), view, ["grp"], "v", n_buckets=8, batch_id=i)
+    got = {
+        r["grp"]: (r["n"], r["sum"], r["min"], r["max"])
+        for r in read_view(spark, view).collect()
+    }
+    assert got == _expected(spark, 130)
+    # avg finalizes from partials
+    avgs = {r["grp"]: r["avg"] for r in read_view(spark, view).collect()}
+    assert avgs[0] == round(got[0][1] / got[0][0], 6)
+
+
+def test_replayed_batch_id_is_skipped(spark, tmp_path):
+    view = str(tmp_path / "view")
+    merge_view_batch(_rows(spark, 0, 50), view, ["grp"], "v", batch_id=0)
+    before = _snapshot(spark, view)
+    merge_view_batch(_rows(spark, 0, 50), view, ["grp"], "v", batch_id=0)  # replay
+    assert _snapshot(spark, view) == before
+    # but a NEW id merges
+    merge_view_batch(_rows(spark, 50, 60), view, ["grp"], "v", batch_id=1)
+    assert _snapshot(spark, view) == _expected(spark, 60)
+
+
+def _snapshot(spark, view):
+    return {
+        r["grp"]: (r["n"], r["sum"], r["min"], r["max"])
+        for r in read_view(spark, view).collect()
+    }
+
+
+def test_merge_touches_only_buckets_of_the_batch(spark, tmp_path):
+    view = str(tmp_path / "view")
+    merge_view_batch(_rows(spark, 0, 100), view, ["grp"], "v", n_buckets=16, batch_id=0)
+    files_before = {
+        d: sorted(os.listdir(os.path.join(view, d)))
+        for d in os.listdir(view)
+        if d.startswith("__bucket=")
+    }
+    # a batch containing ONE group must rewrite only that group's bucket
+    one = _rows(spark, 100, 101).filter(F.col("grp") == 0)
+    assert one.count() == 1
+    merge_view_batch(one, view, ["grp"], "v", n_buckets=16, batch_id=1)
+    files_after = {
+        d: sorted(os.listdir(os.path.join(view, d)))
+        for d in os.listdir(view)
+        if d.startswith("__bucket=")
+    }
+    changed = [d for d in files_before if files_after.get(d) != files_before[d]]
+    assert len(changed) == 1
+    assert _snapshot(spark, view) == _expected(spark, 101)
+
+
+def test_streaming_maintenance(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    view = str(tmp_path / "view")
+    ck = str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema("grp long, v double").json(str(src))
+    )
+    def drop(path, lo, hi):
+        lines = [
+            '{"grp": %d, "v": %.1f}' % (i % 5, i * 2.0) for i in range(lo, hi)
+        ]
+        path.write_text("\n".join(lines) + "\n")
+
+    q = run_matview_stream(stream, view, ["grp"], "v", ck, n_buckets=8)
+    try:
+        drop(src / "a.json", 0, 30)
+        drop(src / "b.json", 30, 70)
+        deadline = time.time() + 60
+        want = _expected(spark, 70)
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if os.path.isdir(view) and _snapshot(spark, view) == want:
+                break
+            time.sleep(0.5)
+        assert _snapshot(spark, view) == want
+    finally:
+        q.stop()
