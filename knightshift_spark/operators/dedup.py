@@ -214,16 +214,38 @@ def contaminated_ids(
     n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hashed_prefilter: bool = False,
 ) -> DataFrame:
     """Just the ids of corpus docs sharing ≥1 word n-gram with the eval
     set — the anti-join input a curation pipeline actually needs. Same
     broadcast shape as ``contamination_report`` but skips the per-doc
     size/fraction aggregation entirely: one corpus gram scan, one
-    distinct on the (small) surviving id set."""
+    distinct on the (small) surviving id set.
+
+    ``hashed_prefilter=True`` is the big-eval-set variant: instead of
+    broadcasting the eval grams as STRINGS (tens of bytes each — a
+    multi-benchmark eval suite can push the broadcast past executor
+    comfort), broadcast only their distinct ``xxhash64`` values (8
+    bytes/gram, Bloom-filter economics with zero false negatives), join
+    the corpus grams on the hash, then CONFIRM the surviving candidates
+    against the true gram strings with an ordinary shuffle semi-join.
+    The confirm join touches only true hits + ~n_corpus·n_eval/2^64
+    expected hash collisions — both ≪ corpus — so the full corpus scan
+    pays an 8-byte-per-gram broadcast and the result stays exact."""
     grams_c = _gram_table(corpus, n, id_col, text_col, "gram")
     eval_grams = (
         _gram_table(eval_docs, n, id_col, text_col, "gram").select("gram").distinct()
     )
+    if hashed_prefilter:
+        eval_hashes = eval_grams.select(F.xxhash64("gram").alias("__h")).distinct()
+        cand = (
+            grams_c.withColumn("__h", F.xxhash64("gram"))
+            .join(F.broadcast(eval_hashes), "__h")
+            .drop("__h")
+        )
+        return (
+            cand.join(eval_grams, "gram", "left_semi").select(id_col).distinct()
+        )
     return grams_c.join(F.broadcast(eval_grams), "gram").select(id_col).distinct()
 
 

@@ -326,6 +326,32 @@ def test_contamination_report_flags_overlap(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_contaminated_ids_hashed_prefilter_equals_string_broadcast(spark):
+    """The 8-byte-hash prefilter path returns EXACTLY the string-
+    broadcast path's ids (the confirm join removes any hash collisions),
+    and its corpus-facing join broadcasts the hash relation."""
+    from knightshift_spark.operators.dedup import contaminated_ids
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta other words"),
+            (2, "totally unrelated text with no overlap at all"),
+            (3, "alpha beta gamma delta epsilon again here too"),
+            (4, "four words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    plain = {r["doc_id"] for r in contaminated_ids(corpus, ev, n=5).collect()}
+    hashed = contaminated_ids(corpus, ev, n=5, hashed_prefilter=True)
+    assert {r["doc_id"] for r in hashed.collect()} == plain == {1, 3}
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_knn_pq_exact_when_codebook_saturates(spark):
     """With ksub >= distinct sub-vectors, every sub-vector is its own
     centroid, so ADC distance is exact L2 on unit vectors — which ranks
