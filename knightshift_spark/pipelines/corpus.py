@@ -13,6 +13,10 @@ Chains the scale operators end-to-end over a ``documents`` table:
    label — curation must not trust upstream metadata); optionally plus
    the CCNet-style LM quality gate (``lm_table`` + ``min_avg_logprob``,
    ``operators.lmscore`` — adds an ``lm_filtered`` funnel row);
+   optionally plus the LEARNED linear quality gate (``quality_model``
+   from ``operators.classifier`` — hard ``min_quality_score`` threshold
+   or the deterministic Pareto keep-rule; survivors carry their
+   ``quality_score``; adds a ``classifier_filtered`` funnel row);
 5. optional benchmark decontamination (``eval_docs``): anti-join against
    the broadcast n-gram hit list (``operators.dedup.contaminated_ids``);
 6. optional per-source quota (``quota``): deterministic cap on any one
@@ -83,6 +87,9 @@ def curate_corpus(
     repetition_thresholds: dict[str, float] | None = None,
     lm_table: DataFrame | None = None,
     min_avg_logprob: float | None = None,
+    quality_model=None,
+    min_quality_score: float | None = None,
+    classifier_pareto_alpha: float = 9.0,
     pii_scrub: bool = False,
 ) -> CurationResult:
     # bind the lowercased token array ONCE: each text function would
@@ -202,15 +209,46 @@ def curate_corpus(
             kept = kept.localCheckpoint()
     lm_gated = kept
 
+    # 4c. (optional) LEARNED quality gate: the GPT-3/CCNet linear
+    # classifier (operators.classifier). ``min_quality_score`` keeps by
+    # hard threshold; otherwise the deterministic Pareto keep-rule with
+    # ``classifier_pareto_alpha`` decides, so low scorers survive with
+    # the published long-tail probability. Scoring is a shuffle-free map;
+    # survivors carry their `quality_score`. Adds a `classifier_filtered`
+    # funnel row only when a model is supplied.
+    if quality_model is not None:
+        from knightshift_spark.operators.classifier import (
+            pareto_quality_filter,
+            score_docs,
+        )
+
+        if min_quality_score is not None:
+            scored = score_docs(quality_model, lm_gated, text_col=text_col)
+            kept = scored.filter(
+                F.col("quality_score") >= F.lit(min_quality_score)
+            )
+        else:
+            kept = pareto_quality_filter(
+                quality_model,
+                lm_gated,
+                id_col=id_col,
+                text_col=text_col,
+                alpha=classifier_pareto_alpha,
+                salt=mixture_salt,
+            )
+        if persist_intermediates:
+            kept = kept.localCheckpoint()
+    clf_gated = kept
+
     # 5. (optional) benchmark decontamination: drop any doc sharing an
     # n-gram with the eval set — anti-join against the broadcast hit list
     if eval_docs is not None:
         from knightshift_spark.operators.dedup import contaminated_ids
 
         hits = contaminated_ids(
-            lm_gated, eval_docs, n=contamination_ngram, id_col=id_col, text_col=text_col
+            clf_gated, eval_docs, n=contamination_ngram, id_col=id_col, text_col=text_col
         )
-        kept = lm_gated.join(hits, id_col, "left_anti")
+        kept = clf_gated.join(hits, id_col, "left_anti")
         if persist_intermediates:
             # the decontam anti-join re-runs the corpus-side gram explode;
             # it feeds the kept output, the mixture stage, and two funnel
@@ -252,6 +290,8 @@ def curate_corpus(
     ]
     if lm_gated is not gated:
         stages.append(("lm_filtered", lm_gated))
+    if clf_gated is not lm_gated:
+        stages.append(("classifier_filtered", clf_gated))
     stages += [
         ("contaminated_removed", decontaminated),
         ("quota_removed", quota_capped),

@@ -274,3 +274,44 @@ def test_default_funnel_rows_unchanged_by_new_stages(spark):
         "quality_or_lang_removed", "contaminated_removed",
         "quota_removed", "mixture_removed", "kept",
     ]
+
+
+def test_classifier_gate_stage(spark):
+    """The learned quality gate: a model trained on separable corpora
+    drops spam-like docs from the funnel (hard-threshold mode), adds a
+    classifier_filtered row only when active, and survivors carry their
+    quality_score."""
+    from knightshift_spark.operators.classifier import train_quality_classifier
+
+    good_vocab = "careful study results method evidence analysis".split()
+    bad_vocab = "click buy cheap free winner casino".split()
+    import random as _random
+
+    rng = _random.Random(7)
+    hi = spark.createDataFrame(
+        [(i, " ".join(rng.choices(good_vocab, k=20))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    lo = spark.createDataFrame(
+        [(100 + i, " ".join(rng.choices(bad_vocab, k=20))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    model = train_quality_classifier(hi, lo, dim=1 << 12, max_iter=25)
+
+    docs = spark.createDataFrame(
+        [
+            (1, "careful study results and evidence for the method analysis", "a"),
+            (2, "click buy cheap free winner casino click buy cheap free", "a"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    res = curate_corpus(
+        docs, jaccard_threshold=0.9, min_tokens=1, langs=("en", "und"),
+        quality_model=model, min_quality_score=0.5,
+    )
+    stats = {r["reason"]: r["n"] for r in res.stats.collect()}
+    assert stats["classifier_filtered"] == 1
+    kept = res.kept.collect()
+    assert [r["doc_id"] for r in kept] == [1]
+    assert kept[0]["quality_score"] > 0.9
+    assert all(r["ok"] for r in res.stats.collect())
