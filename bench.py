@@ -142,6 +142,12 @@ def main() -> None:
     except Exception:
         pass  # informational; never fail the bench
 
+    mining = None
+    try:
+        mining = mining_section(spark, sf_dir)
+    except Exception:
+        pass  # informational; never fail the bench
+
     full = {
         "metric": "declared_query_suite_wall_seconds",
         "value": total,
@@ -158,6 +164,7 @@ def main() -> None:
         "tokenize": tokenize,
         "curation_ops": curation,
         "incremental_lsh_index": inc_index,
+        "mining_ops": mining,
     }
     print(json.dumps(full))
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
@@ -833,6 +840,90 @@ def tokenize_section(spark, sf_dir: str) -> dict:
         "bpe_train_sec": round(train_sec, 3),
         "bpe_merges": len(bpe.merges),
         "queries": out,
+    }
+
+
+def mining_section(spark, sf_dir: str) -> dict:
+    """Corpus-mining + learned-gate measurements on the full documents
+    table: exact heavy-hitter bigrams (two-phase Misra-Gries + recount
+    vs the naive full-universe groupBy — same answer, the scale
+    difference is shuffle volume: candidates vs ALL distinct grams),
+    and quality-classifier scoring MB/s (the recurring 100 TB cost;
+    training time reported separately)."""
+    from pyspark.sql import functions as F
+
+    from knightshift_spark.operators.classifier import (
+        score_docs,
+        train_quality_classifier,
+    )
+    from knightshift_spark.operators.dedup import word_ngrams_all, word_tokens
+    from knightshift_spark.operators.heavyhitters import frequent_ngrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(32)
+    n_docs, n_chars = docs.agg(
+        F.count(F.lit(1)), F.sum(F.length("text"))
+    ).collect()[0]
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+    grams = docs.select(
+        F.explode(word_ngrams_all(word_tokens(F.col("text")), 2)).alias("item")
+    )
+    n_grams, n_distinct = grams.agg(
+        F.count(F.lit(1)), F.approx_count_distinct("item")
+    ).collect()[0]
+    cap = 4096
+    min_count = max(int(n_grams / (cap + 1)) + 1, 10)
+
+    def two_phase():
+        return frequent_ngrams(
+            docs, 2, cap=cap, min_count=min_count
+        ).collect()
+
+    hh_sec = _best_of(lambda: two_phase(), runs)
+    found = two_phase()
+    naive = (
+        grams.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), F.col("item"))
+    )
+    naive_sec = _best_of(lambda: naive.collect(), runs)
+
+    # classifier: labels here are an arbitrary id split — the measured
+    # quantity is the SCORING map's throughput, which is label-agnostic
+    half = docs.filter(F.col("doc_id") % 2 == 0).limit(500)
+    other = docs.filter(F.col("doc_id") % 2 == 1).limit(500)
+    t0 = time.perf_counter()
+    model = train_quality_classifier(half, other, dim=1 << 18, max_iter=20)
+    train_sec = time.perf_counter() - t0
+    scored = score_docs(model, docs)
+    score_sec = _best_of(lambda: _run(scored), runs)
+
+    return {
+        "note": "heavy hitters: identical exact answer both paths. The "
+                "two-phase path pays three fixed jobs to make the "
+                "shuffle O(candidates) instead of O(distinct grams); at "
+                "bench SF the naive single shuffle is cheaper (the "
+                "distinct universe fits one box) — the crossover is the "
+                "100 TB regime where the gram universe dwarfs the "
+                "candidate cap. classifier: HashingTF+LR scoring as a "
+                "shuffle-free map",
+        "docs": int(n_docs),
+        "heavy_hitters": {
+            "gram_occurrences": int(n_grams),
+            "distinct_grams_approx": int(n_distinct),
+            "min_count": min_count,
+            "n_found": len(found),
+            "two_phase_sec": round(hh_sec, 4),
+            "naive_full_groupby_sec": round(naive_sec, 4),
+            "grams_per_s_two_phase": int(n_grams / hh_sec),
+        },
+        "classifier": {
+            "train_sec": round(train_sec, 3),
+            "score_sec": round(score_sec, 4),
+            "payload_mb": round(n_chars / 1e6, 2),
+            "score_mb_per_s": round(n_chars / 1e6 / score_sec, 1),
+        },
     }
 
 
