@@ -8,11 +8,13 @@ micro-batch without ever rescanning history.
 
 Design, Spark-first and 100 TB-honest:
 
-- The view stores ALGEBRAIC PARTIALS per group — (n, sum, min, max) —
-  not finalized values, so merging a new batch is itself an aggregation
-  (count→sum, sum→sum, min→min, max→max). Anything derivable (avg)
-  finalizes at read time. This is exactly Spark's own partial-agg
-  design, lifted to rest between runs.
+- The view stores ALGEBRAIC PARTIALS per group — (n, sum, min, max,
+  HLL sketch) — not finalized values, so merging a new batch is itself
+  an aggregation (count→sum, sum→sum, min→min, max→max, sketch→union).
+  Anything derivable (avg, approximate distinct) finalizes at read
+  time. This is exactly Spark's own partial-agg design, lifted to rest
+  between runs; the Datasketches HLL binary is what lets a DISTINCT
+  aggregate survive incremental maintenance at all.
 - The view is hash-BUCKETED by group key into ``n_buckets`` parquet
   partitions. A micro-batch touches only the buckets its keys hash to;
   the merge reads JUST those buckets (partition pruning on
@@ -37,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-_PARTIALS = ("n", "sum", "min", "max")
+_PARTIALS = ("n", "sum", "min", "max", "hll")
 
 
 def _partials(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
@@ -46,6 +48,10 @@ def _partials(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
         F.sum(value_col).cast("double").alias("sum"),
         F.min(value_col).cast("double").alias("min"),
         F.max(value_col).cast("double").alias("max"),
+        # distinct counts stay mergeable as Datasketches HLL binaries —
+        # the ONLY way n_distinct survives incremental maintenance
+        # (exact distinct is not algebraic over batches)
+        F.hll_sketch_agg(F.col(value_col).cast("string")).alias("hll"),
     )
 
 
@@ -55,6 +61,7 @@ def _merge_partials(df: DataFrame, keys: list[str]) -> DataFrame:
         F.sum("sum").alias("sum"),
         F.min("min").alias("min"),
         F.max("max").alias("max"),
+        F.hll_union_agg("hll").alias("hll"),
     )
 
 
@@ -127,6 +134,7 @@ def read_view(spark: SparkSession, view_path: str) -> DataFrame:
         F.round(F.col("sum") / F.col("n"), 6).alias("avg"),
         F.col("min"),
         F.col("max"),
+        F.hll_sketch_estimate("hll").alias("n_distinct_approx"),
     )
 
 

@@ -49,6 +49,10 @@ def test_incremental_merges_equal_one_shot_aggregate(spark, tmp_path):
     # avg finalizes from partials
     avgs = {r["grp"]: r["avg"] for r in read_view(spark, view).collect()}
     assert avgs[0] == round(got[0][1] / got[0][0], 6)
+    # HLL distinct survives the batch merges (exact at this cardinality:
+    # every v is distinct within its group, built across three batches)
+    nd = {r["grp"]: r["n_distinct_approx"] for r in read_view(spark, view).collect()}
+    assert nd == {g: t[0] for g, t in _expected(spark, 130).items()}
 
 
 def test_replayed_batch_id_is_skipped(spark, tmp_path):
