@@ -537,3 +537,64 @@ def test_document_stream_with_neardup_index(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(index).select("doc_id").collect()
     }
     assert idx_ids == {1, 11}
+
+
+def test_sessionize_stream_gap_and_timeout_close(spark, tmp_path):
+    """Custom stateful sessionizer: a gap witnessed inside a batch closes
+    a session immediately; a session that merely goes quiet closes when
+    the WATERMARK passes last+gap (event-time timeout); the still-active
+    session stays open in state."""
+    from knightshift_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "sess"
+    src.mkdir()
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, "k string, ts_s string").selectExpr(
+            "k", "CAST(ts_s AS TIMESTAMP) ts"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    drop(
+        "f1",
+        [
+            ("A", "2025-05-01 10:00:00"),
+            ("A", "2025-05-01 10:00:30"),
+            ("A", "2025-05-01 10:05:00"),  # 4.5 min gap > 1 min → split in-batch
+            ("B", "2025-05-01 10:04:00"),
+        ],
+    )
+    stream = spark.readStream.schema("k string, ts timestamp").parquet(
+        str(src / "*")
+    )
+    out = sessionize_stream(stream, "k", "ts", gap="1 minute", watermark_delay="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("sessions")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            (r["k"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in spark.sql("SELECT * FROM sessions").collect()
+        }
+        assert ("A", "2025-05-01 10:00:00", "2025-05-01 10:00:30", 2) in got1
+
+        # batch 2: B returns after a >gap silence (closes B's first
+        # session by data) and pushes the watermark to 10:50 — past A's
+        # open-session timeout mark of 10:06 → A's tail closes by silence
+        drop("f2", [("B", "2025-05-01 11:00:00")])
+        q.processAllAvailable()
+        # one more empty-ish batch lets pending event-time timeouts fire
+        drop("f3", [("C", "2025-05-01 11:01:00")])
+        q.processAllAvailable()
+        got = {
+            (r["k"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in spark.sql("SELECT * FROM sessions").collect()
+        }
+    finally:
+        q.stop()
+    assert ("A", "2025-05-01 10:05:00", "2025-05-01 10:05:00", 1) in got
+    assert ("B", "2025-05-01 10:04:00", "2025-05-01 10:04:00", 1) in got
+    # B's 11:00 run and C are still open — nothing emitted for them
+    assert not any(r[0] == "C" for r in got)
+    assert not any(r[0] == "B" and r[1].startswith("2025-05-01 11:") for r in got)
