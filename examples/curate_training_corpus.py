@@ -56,6 +56,31 @@ def main() -> None:
     from knightshift_spark.operators.lmscore import unigram_logprob_table
 
     lm_table = unigram_logprob_table(corpus.limit(500))
+
+    # 1b. boilerplate-phrase report: exact corpus-wide frequent trigrams
+    # (two-phase heavy hitters) — the phrases a cleaning pass would strip
+    from knightshift_spark.operators.heavyhitters import frequent_ngrams
+
+    print("most frequent trigrams (exact, two-phase):")
+    frequent_ngrams(para_clean, 3, cap=2048, min_frac=2e-3, k=5).show(
+        truncate=False
+    )
+
+    # 1c. learned quality gate, bootstrapped by weak supervision: the
+    # stopword-ratio heuristic labels a training split, the linear
+    # classifier GENERALIZES beyond it (hashed n-grams see content the
+    # single ratio can't). In production the positive side is a curated
+    # reference corpus (the GPT-3 recipe)
+    from knightshift_spark.functions.text import stopword_ratio
+    from knightshift_spark.operators.classifier import train_quality_classifier
+
+    ranked = corpus.select(
+        "doc_id", "text", stopword_ratio(F.col("text")).alias("__swr")
+    )
+    hi = ranked.orderBy(F.col("__swr").desc(), "doc_id").limit(200)
+    lo = ranked.orderBy(F.col("__swr").asc(), "doc_id").limit(200)
+    quality_model = train_quality_classifier(hi, lo, dim=1 << 16, max_iter=20)
+
     result = curate_corpus(
         para_clean,
         jaccard_threshold=0.5,
@@ -69,6 +94,11 @@ def main() -> None:
         repetition_thresholds={"dup_line_frac": 0.30, "dup_5gram_char_frac": 0.15},
         lm_table=lm_table,
         min_avg_logprob=-10.0,  # lenient: cuts only statistical outliers
+        quality_model=quality_model,
+        # lenient Pareto tail (alpha 1 keeps ~half even at score 0) —
+        # the synthetic demo corpus has no true junk; production uses
+        # the published alpha=9 against a real reference corpus
+        classifier_pareto_alpha=1.0,
         pii_scrub=True,
     )
     # 2b. sizing report BEFORE the destructive write: what the cluster
@@ -80,6 +110,20 @@ def main() -> None:
 
     result.kept.write.mode("overwrite").parquet(f"{out_dir}/documents")
     result.stats.show(truncate=False)
+
+    # 2c. layout hygiene: compact the (stage-fragmented) output into
+    # target-sized, id-clustered files — the write a scan actually wants
+    from knightshift_spark.plans.layout import compact_parquet
+
+    print(
+        compact_parquet(
+            spark,
+            f"{out_dir}/documents",
+            f"{out_dir}/documents_compacted",
+            target_file_mb=256,
+            order_by=["doc_id"],
+        )
+    )
 
     # 3. ANN index over the survivors' embeddings (build once, query many)
     kept_ids = spark.read.parquet(f"{out_dir}/documents").select(
