@@ -242,3 +242,57 @@ def corpus_card(
     by_source = _rollup(F.col(source_col)) if source_col is not None else None
     hist = numeric_histogram(annotated, "__n_tokens", bins=hist_bins)
     return CorpusCard(overview, by_source, by_lang, hist)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff: (id, status) with status in
+    {added, removed, changed, unchanged} — the release-note companion
+    to ``corpus_card`` (two cards say what a corpus IS; the diff says
+    what an update DID).
+
+    Both sides reduce to (id, fingerprint) projections before the
+    full-outer join, so the shuffle carries 32-byte md5 fingerprints,
+    never document text — at corpus scale the diff costs one id-keyed
+    join of two slim relations. 'changed' means same id, different
+    normalized text.
+    """
+    from knightshift_spark.functions.text import doc_fingerprint
+
+    o = old.select(
+        F.col(id_col).alias("__id"), doc_fingerprint(F.col(text_col)).alias("__fp_o")
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"), doc_fingerprint(F.col(text_col)).alias("__fp_n")
+    )
+    return (
+        o.join(n, "__id", "full_outer")
+        .select(
+            F.col("__id").alias(id_col),
+            F.when(F.col("__fp_o").isNull(), F.lit("added"))
+            .when(F.col("__fp_n").isNull(), F.lit("removed"))
+            .when(F.col("__fp_o") == F.col("__fp_n"), F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+    )
+
+
+def corpus_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(status, n) rollup of ``corpus_diff`` — the four release-note
+    numbers in one tiny aggregate."""
+    return (
+        corpus_diff(old, new, id_col, text_col)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )

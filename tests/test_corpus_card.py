@@ -68,3 +68,22 @@ def test_source_col_optional(spark, docs):
     card = corpus_card(docs.drop("source"), source_col=None)
     assert card.by_source is None
     assert card.overview.collect()[0]["n_docs"] == docs.count()
+
+
+def test_corpus_diff_statuses(spark):
+    from knightshift_spark.operators.profiling import (
+        corpus_diff,
+        corpus_diff_summary,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "GAMMA edited"), (4, "delta")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+    summary = {r["status"]: r["n"] for r in corpus_diff_summary(old, new).collect()}
+    assert summary == {"added": 1, "changed": 1, "removed": 1, "unchanged": 1}
