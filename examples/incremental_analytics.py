@@ -1,0 +1,96 @@
+"""Example — incremental analytics over an event stream.
+
+The operational trio a continuously-ingesting deployment runs:
+
+  event spool → streaming SESSION WINDOWS (custom stateful operator)
+             → incrementally-maintained AGGREGATE VIEW (per event_type)
+  plus the layout hygiene a long-lived table needs: key-skew diagnosis
+  before choosing a join strategy, and measured small-file compaction.
+
+Runnable against the driver testdata:
+
+    python examples/incremental_analytics.py [sf_dir] [work_dir]
+
+NOT imported by the engine or its tests — a usage demonstration.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.window import Window  # noqa: E402
+
+from knightshift_spark.plans.layout import compact_parquet, key_skew_report  # noqa: E402
+from knightshift_spark.session import get_spark  # noqa: E402
+from knightshift_spark.streaming.matview import read_view, run_matview_stream  # noqa: E402
+from knightshift_spark.streaming.stateful import sessionize_stream  # noqa: E402
+from knightshift_spark.tables import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/incremental_analytics"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(f"{work}/spool")
+    spark = get_spark("incremental-analytics")
+
+    events = load_table(spark, sf_dir, "events")
+
+    # 0. is user_id a safe join/agg key? price the mitigation first
+    print("key-skew report for user_id:")
+    key_skew_report(events, ["user_id"]).show(truncate=False)
+
+    # simulate a spool: three chronological drops of the event table
+    n = events.count()
+    for i, (lo, hi) in enumerate([(0.0, 0.4), (0.4, 0.8), (0.8, 1.01)]):
+        events.orderBy("ts").withColumn(
+            "__r", F.row_number().over(Window.orderBy("ts"))
+        ).filter(
+            (F.col("__r") > lo * n) & (F.col("__r") <= hi * n)
+        ).drop("__r").coalesce(1).write.json(f"{work}/spool/drop{i}")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).option("maxFilesPerTrigger", 1).json(f"{work}/spool/*")
+
+    # 1. incremental per-type aggregate view (algebraic partials + HLL)
+    q1 = run_matview_stream(
+        stream, f"{work}/view", ["event_type"], "value",
+        checkpoint_dir=f"{work}/ck_view",
+    )
+    # 2. streaming session windows per user (30 min gap)
+    q2 = (
+        sessionize_stream(stream, "user_id", "ts", gap="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", f"{work}/sessions")
+        .option("checkpointLocation", f"{work}/ck_sessions")
+        .outputMode("append")
+        .start()
+    )
+    q1.processAllAvailable()
+    q2.processAllAvailable()
+    q1.stop()
+    q2.stop()
+
+    print("incrementally-maintained per-type view:")
+    read_view(spark, f"{work}/view").orderBy("event_type").show(truncate=False)
+    sessions = spark.read.parquet(f"{work}/sessions")
+    print(f"closed sessions so far: {sessions.count()}")
+    sessions.orderBy(F.col("n_events").desc()).show(5, truncate=False)
+
+    # 3. layout hygiene: the stream's per-batch files → target-sized files
+    print(
+        compact_parquet(
+            spark, f"{work}/sessions", f"{work}/sessions_compacted",
+            target_file_mb=256, order_by=["k"],
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
