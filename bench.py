@@ -869,7 +869,7 @@ def mining_section(spark, sf_dir: str) -> dict:
         F.explode(word_ngrams_all(word_tokens(F.col("text")), 2)).alias("item")
     )
     n_grams, n_distinct = grams.agg(
-        F.count(F.lit(1)), F.approx_count_distinct("item")
+        F.count(F.lit(1)), F.count_distinct("item")
     ).collect()[0]
     cap = 4096
     min_count = max(int(n_grams / (cap + 1)) + 1, 10)
@@ -911,7 +911,7 @@ def mining_section(spark, sf_dir: str) -> dict:
         "docs": int(n_docs),
         "heavy_hitters": {
             "gram_occurrences": int(n_grams),
-            "distinct_grams_approx": int(n_distinct),
+            "distinct_grams": int(n_distinct),
             "min_count": min_count,
             "n_found": len(found),
             "two_phase_sec": round(hh_sec, 4),

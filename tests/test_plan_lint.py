@@ -109,3 +109,14 @@ def test_chunk_pack_has_no_global_window_over_data(plans):
     # bucket column before the big-side window
     assert plan.count("Window") >= 2
     assert "hashpartitioning(__bkt" in plan
+
+
+def test_q36_gopher_families_share_one_explode(plans):
+    """The fused multi-family repetition pass must stay ONE tagged
+    explode (a refactor back to per-family explode+agg would double the
+    text scans — SCALE.md round-6b lesson)."""
+    import re
+
+    plan = plans["q36_text_quality"]
+    explode_nodes = set(re.findall(r"\((\d+)\) Generate", plan))
+    assert len(explode_nodes) == 1, plan[:2000]
