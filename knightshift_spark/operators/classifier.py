@@ -58,7 +58,11 @@ def featurize_docs(
 
     tk = word_tokens(F.col(text_col))
     terms = F.concat(tk, word_ngrams_all(tk, 2)) if bigrams else tk
-    with_terms = docs.withColumn("__terms", terms)
+    # NULL text → empty term array, not a null one: HashingTF throws on
+    # null input, and a raw crawl always has some null-text rows
+    with_terms = docs.withColumn(
+        "__terms", F.coalesce(terms, F.array().cast("array<string>"))
+    )
     htf = HashingTF(
         inputCol="__terms", outputCol=features_col, numFeatures=dim
     )

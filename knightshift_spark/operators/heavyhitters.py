@@ -18,8 +18,9 @@ rows plus its occurrence total. Misra-Gries guarantees a partition
 summary retains every item whose local count exceeds n_p/(cap+1); if an
 item's GLOBAL count exceeds N/(cap+1), then by pigeonhole its count
 exceeds n_p/(cap+1) in at least one partition, so it survives in the
-union of summaries. The union is at most cap × numPartitions rows — a
-driver-bounded candidate set, NOT data-dependent.
+union of summaries. The union is at most cap × numPartitions rows and
+stays distributed — only the per-partition occurrence totals (one long
+each) ever reach the driver.
 
 Phase 2 (exact recount): re-scan the items, keep only candidate items
 (broadcast hash semi-join — the filter runs map-side BEFORE any
@@ -122,12 +123,18 @@ def heavy_hitters(
             f"frequency — raise min_frac or cap"
         )
     src = items.select(F.col(item_col).cast("string").alias("item"))
-    summaries = src.mapInPandas(_mg_partition(cap), schema=_CAND_SCHEMA)
-    # candidate union + measured N: one driver-bounded collect
-    # (≤ cap rows per partition + one total row per partition)
-    rows = summaries.collect()
-    n_total = sum(r["part_total"] for r in rows if r["item"] is None)
-    cands = sorted({r["item"] for r in rows if r["item"] is not None})
+    # summaries are ≤ cap rows per partition + one total row; checkpoint
+    # so the totals aggregate and the candidate broadcast read the SAME
+    # materialized pass (and the driver never round-trips candidate
+    # strings — only the per-partition totals collect, one long each)
+    summaries = src.mapInPandas(
+        _mg_partition(cap), schema=_CAND_SCHEMA
+    ).localCheckpoint(eager=True)
+    n_total = int(
+        summaries.filter(F.col("item").isNull())
+        .agg(F.coalesce(F.sum("part_total"), F.lit(0)))
+        .collect()[0][0]
+    )
     if min_count is None:
         min_count = max(1, math.ceil(n_total * min_frac))
     if n_total and min_count <= n_total / (cap + 1):
@@ -136,10 +143,7 @@ def heavy_hitters(
             f"candidates are not exhaustive at this threshold — raise "
             f"min_count or cap"
         )
-    if not cands:
-        return src.sparkSession.createDataFrame([], "item string, n long")
-    spark = src.sparkSession
-    cand_df = spark.createDataFrame([(c,) for c in cands], "item string")
+    cand_df = summaries.filter(F.col("item").isNotNull()).select("item").distinct()
     counted = (
         src.join(F.broadcast(cand_df), "item", "left_semi")
         .groupBy("item")

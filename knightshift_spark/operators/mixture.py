@@ -29,16 +29,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from knightshift_spark.functions.text import token_count
-from knightshift_spark.operators.sampling import hash_sample
+from knightshift_spark.operators.dedup import stable_hash32
 
 
 def source_token_counts(
     docs: DataFrame, source_col: str = "source", text_col: str = "text"
 ) -> DataFrame:
-    """(source, n_docs, n_tokens) — one map-side-combinable shuffle."""
+    """(source, n_docs, n_tokens) — one map-side-combinable shuffle.
+    NULL text counts 0 tokens (``token_count`` yields -1 for a null
+    array under Spark's legacy sizeOfNull — unguarded, null-heavy
+    sources would understate their totals and skew the budget split)."""
     return docs.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+        F.sum(
+            F.greatest(token_count(F.col(text_col)), F.lit(0))
+        ).alias("n_tokens"),
     )
 
 
@@ -114,28 +119,45 @@ def apply_mixture_plan(
     ``epoch`` column (1-based) distinguishes copies. Document-level
     granularity: the fractional epoch samples whole documents, so
     realized tokens track the target in expectation (exact-token
-    cutting belongs to the packer, `operators.packing`)."""
-    parts = []
-    for row in plan:
-        e = float(row["epochs"])
-        full, frac = int(e), round(e - int(e), 9)
-        sub = docs.filter(F.col(source_col) == row["source"])
-        if full:
-            parts.append(
-                sub.withColumn(
-                    "epoch",
-                    F.explode(F.sequence(F.lit(1), F.lit(full))),
-                )
-            )
-        if frac > 0:
-            parts.append(
-                hash_sample(
-                    sub, frac, key_col=id_col, salt=f"{salt}|epoch{full + 1}"
-                ).withColumn("epoch", F.lit(full + 1))
-            )
-    if not parts:
+    cutting belongs to the packer, `operators.packing`).
+
+    ONE corpus scan for the whole plan: the (tiny) plan broadcasts onto
+    the docs, epochs explode map-side (⌊e⌋ copies plus a final slot the
+    md5-bucket filter keeps with probability frac) — a per-source
+    filter-and-union would re-scan the input once per source. The
+    fractional draw reproduces ``sampling.hash_sample`` bit-for-bit
+    (same bucket formula, salt ``{salt}|epoch{⌊e⌋+1}``)."""
+    from knightshift_spark.operators.sampling import _BUCKETS
+
+    spark = docs.sparkSession
+    rows = [
+        (str(r["source"]), int(float(r["epochs"])),
+         round(float(r["epochs"]) - int(float(r["epochs"])), 9))
+        for r in plan
+        if float(r["epochs"]) > 0
+    ]
+    if not rows:
         return docs.limit(0).withColumn("epoch", F.lit(1))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    plan_df = spark.createDataFrame(
+        rows, f"{source_col} string, __full int, __frac double"
+    )
+    joined = docs.join(F.broadcast(plan_df), source_col)
+    hi = F.col("__full") + (F.col("__frac") > 0).cast("int")
+    exploded = joined.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(1), hi))
+    )
+    # the hash_sample bucket formula, inlined so the fractional epoch's
+    # salt can reference the per-row ⌊e⌋+1 (identical keep-set to
+    # hash_sample(sub, frac, salt=f"{salt}|epoch{full+1}"))
+    bucket = stable_hash32(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit(f"|{salt}|epoch"),
+            F.col("epoch").cast("string"),
+        )
+    ) % _BUCKETS
+    kept = exploded.filter(
+        (F.col("epoch") <= F.col("__full"))
+        | (bucket < (F.col("__frac") * _BUCKETS).cast("bigint"))
+    )
+    return kept.drop("__full", "__frac")

@@ -22,10 +22,11 @@ Design, Spark-first and 100 TB-honest:
   buckets (dynamic partition overwrite). Merge cost scales with batch
   size + touched-bucket size, never with view size.
 - Replay safety: Structured Streaming's ``foreachBatch`` may re-deliver
-  a batch id after restart; a per-batch marker directory makes the
-  merge idempotent (a replayed id is skipped whole — the previous merge
-  for that id either completed and left a marker, or its overwrite is
-  safely redone before the marker lands).
+  a batch id after restart. Every stored row carries ``__last_batch``
+  (the highest id merged into its bucket), so a replayed id skips the
+  buckets that already absorbed it and merges only the rest — this
+  heals even a crash that committed SOME touched buckets mid-overwrite,
+  which a sidecar "done" marker cannot see.
 
 The same ``merge_view_batch`` works standalone for scheduled batch
 ingestion (pass your own monotonic batch ids).
@@ -82,43 +83,71 @@ def merge_view_batch(
 ) -> None:
     """Merge one batch of raw rows into the partials view at
     ``view_path``. Reads only the buckets the batch touches, rewrites
-    only those buckets (dynamic partition overwrite). With ``batch_id``
-    the merge is idempotent: an id that already has a completion marker
-    is skipped."""
+    only those buckets (dynamic partition overwrite).
+
+    Replay safety is carried IN the view, per bucket: every stored row
+    records ``__last_batch`` = the highest batch id merged into its
+    bucket. A replayed batch id skips the buckets that already absorbed
+    it and merges only the rest — which also heals a crash that
+    committed SOME touched buckets before dying (partition overwrites
+    commit per-directory, not atomically across buckets; a sidecar
+    "done" marker can't see a partial commit, the per-bucket watermark
+    can). Requires monotonically increasing batch ids per view — which
+    is exactly what foreachBatch provides. ``batch_id=None`` merges
+    unconditionally (no replay protection — batch-mode callers manage
+    their own ids)."""
     spark = batch.sparkSession
-    marker = None
-    if batch_id is not None:
-        marker = os.path.join(view_path, "_merged", str(int(batch_id)))
-        if os.path.exists(marker):
-            return
+    bid = int(batch_id) if batch_id is not None else None
+    # one aggregation pass, materialized once: the touched-bucket
+    # collect AND the merge/write below reuse it (uncached, the groupBy
+    # + HLL would run twice per micro-batch)
     part = _with_bucket(_partials(batch, keys, value_col), keys, n_buckets)
+    part = part.withColumn(
+        "__last_batch", F.lit(bid if bid is not None else -1)
+    ).localCheckpoint(eager=True)
     touched = [r["__bucket"] for r in part.select("__bucket").distinct().collect()]
-    if touched:
-        merged = part
-        if os.path.isdir(view_path) and any(
-            e.startswith("__bucket=") for e in os.listdir(view_path)
-        ):
-            current = spark.read.parquet(view_path).filter(
-                F.col("__bucket").isin(touched)
+    if not touched:
+        return
+    merged = part
+    if os.path.isdir(view_path) and any(
+        e.startswith("__bucket=") for e in os.listdir(view_path)
+    ):
+        current = spark.read.parquet(view_path).filter(
+            F.col("__bucket").isin(touched)
+        )
+        if bid is not None:
+            done = {
+                r["__bucket"]
+                for r in current.groupBy("__bucket")
+                .agg(F.max("__last_batch").alias("__mb"))
+                .filter(F.col("__mb") >= bid)
+                .select("__bucket")
+                .collect()
+            }
+            if done:
+                part = part.filter(~F.col("__bucket").isin(list(done)))
+                current = current.filter(~F.col("__bucket").isin(list(done)))
+                touched = [b for b in touched if b not in done]
+                if not touched:
+                    return
+        # materialize BEFORE the overwrite: the merged plan reads the
+        # very files the write replaces (read-overwrite hazard);
+        # localCheckpoint cuts the lineage so the write sees no scan
+        merged = (
+            _merge_partials(part.unionByName(current), keys + ["__bucket"])
+            .withColumn(
+                "__last_batch",
+                F.lit(bid) if bid is not None else F.lit(-1),
             )
-            # materialize BEFORE the overwrite: the merged plan reads the
-            # very files the write replaces (read-overwrite hazard);
-            # localCheckpoint cuts the lineage so the write sees no scan
-            merged = (
-                _merge_partials(part.unionByName(current), keys + ["__bucket"])
-                .select(part.columns)
-                .localCheckpoint(eager=True)
-            )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            merged.write.mode("overwrite").partitionBy("__bucket").parquet(view_path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    if marker is not None:
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w") as f:
-            f.write("done")
+            .select(part.columns)
+            .localCheckpoint(eager=True)
+        )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("__bucket").parquet(view_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def read_view(spark: SparkSession, view_path: str) -> DataFrame:
@@ -126,7 +155,7 @@ def read_view(spark: SparkSession, view_path: str) -> DataFrame:
     non-stored column (avg) derives from the partials; everything else
     is served straight from parquet — a view read is a scan, not a
     recomputation."""
-    v = spark.read.parquet(view_path).drop("__bucket")
+    v = spark.read.parquet(view_path).drop("__bucket", "__last_batch")
     return v.select(
         *[c for c in v.columns if c not in _PARTIALS],
         F.col("n"),
@@ -147,8 +176,8 @@ def run_matview_stream(
     n_buckets: int = 64,
 ) -> StreamingQuery:
     """Maintain the view from a streaming DataFrame. Each micro-batch
-    runs one bounded merge; the checkpoint + per-batch markers give
-    end-to-end exactly-once view contents across restarts."""
+    runs one bounded merge; the checkpoint + per-bucket ``__last_batch``
+    watermarks give exactly-once view contents across restarts."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         merge_view_batch(

@@ -117,8 +117,11 @@ def sessionize_stream(
         ts: list[int] = []
         for pdf in pdfs:
             if len(pdf):
+                # pd.notna, not `is not None`: a null event time arrives
+                # as NaT, whose .value is int64-min — one such row would
+                # seed a year-1677 session
                 ts.extend(
-                    int(v.value // 1_000_000) for v in pdf["t"] if v is not None
+                    int(v.value // 1_000_000) for v in pdf["t"] if pd.notna(v)
                 )
         if not ts:
             return

@@ -88,3 +88,13 @@ def test_featurize_is_shuffle_free(spark):
     docs = _corpus(spark, _GOOD, 5, 8, "d")
     plan = featurize_docs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_null_text_scores_instead_of_crashing(spark):
+    good, bad, model = _fixture(spark)
+    probe = spark.createDataFrame(
+        [("p1", "careful study results"), ("p2", None)],
+        "doc_id string, text string",
+    )
+    rows = {r["doc_id"]: r["quality_score"] for r in score_docs(model, probe).collect()}
+    assert set(rows) == {"p1", "p2"}  # the null row survives (empty features)

@@ -73,6 +73,37 @@ def _snapshot(spark, view):
     }
 
 
+def test_partial_commit_heals_on_replay(spark, tmp_path):
+    """A crash that committed only SOME of a batch's buckets must heal:
+    the replay merges the missing buckets and skips the committed ones
+    (the per-bucket __last_batch watermark, not a sidecar marker)."""
+    view = str(tmp_path / "view")
+    # the simulation slices the batch by group, so each group must own
+    # its bucket exclusively — verify the hash layout grants that
+    buckets = {
+        r["grp"]: r["b"]
+        for r in _rows(spark, 0, 5)
+        .select("grp", F.pmod(F.xxhash64("grp"), F.lit(64)).cast("int").alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert len(set(buckets.values())) == 5, buckets
+    full = _rows(spark, 0, 100)
+    merge_view_batch(full, view, ["grp"], "v", n_buckets=64, batch_id=0)
+    # simulate batch 1 crashing after committing only bucket(s) of grp 0:
+    # merge the grp-0 slice under id 1, as the partial commit would leave
+    merge_view_batch(
+        _rows(spark, 100, 140).filter(F.col("grp") == 0),
+        view, ["grp"], "v", n_buckets=64, batch_id=1,
+    )
+    # replay of the FULL batch 1: grp 0's bucket already carries id 1 →
+    # skipped; the other groups' buckets merge now
+    merge_view_batch(
+        _rows(spark, 100, 140), view, ["grp"], "v", n_buckets=64, batch_id=1
+    )
+    assert _snapshot(spark, view) == _expected(spark, 140)
+
+
 def test_merge_touches_only_buckets_of_the_batch(spark, tmp_path):
     view = str(tmp_path / "view")
     merge_view_batch(_rows(spark, 0, 100), view, ["grp"], "v", n_buckets=16, batch_id=0)

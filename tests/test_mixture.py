@@ -21,6 +21,14 @@ def _corpus(spark):
     return spark.createDataFrame(rows, "doc_id long, text string, source string")
 
 
+def test_counts_ignore_null_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s"), (2, None, "s")], "doc_id long, text string, source string"
+    )
+    got = source_token_counts(docs).collect()[0]
+    assert (got["n_docs"], got["n_tokens"]) == (2, 3)  # null text = 0 tokens
+
+
 def test_counts_and_uncapped_plan(spark):
     docs = _corpus(spark)
     counts = {

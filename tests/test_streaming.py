@@ -561,6 +561,8 @@ def test_sessionize_stream_gap_and_timeout_close(spark, tmp_path):
             ("A", "2025-05-01 10:00:30"),
             ("A", "2025-05-01 10:05:00"),  # 4.5 min gap > 1 min → split in-batch
             ("B", "2025-05-01 10:04:00"),
+            ("A", None),  # null event time (NaT) must be ignored, not
+            # seed an int64-min session start
         ],
     )
     stream = spark.readStream.schema("k string, ts timestamp").parquet(
