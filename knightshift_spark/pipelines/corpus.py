@@ -24,7 +24,11 @@ Chains the scale operators end-to-end over a ``documents`` table:
 7. optional deterministic mixture sampling (``mixture``): per-stratum
    md5-keyed fractions (``operators.sampling.stratified_sample``);
 8. optional PII scrub of the surviving text (``pii_scrub=True``,
-   ``operators.redact`` — a transform, not a filter: no funnel row).
+   ``operators.redact`` — a transform, not a filter: no funnel row);
+0. (runs first) optional substring-level dedup
+   (``strip_substrings={...}``, ``operators.substring`` — cut
+   corpus-duplicated spans before any doc-level screen, the ExactSubstr
+   ordering; also a transform, no funnel row).
 
 The removal funnel reports one row per stage (input, exact-dup, near-dup,
 quality/lang, contamination, quota, mixture, kept), each with a self-verifying
@@ -91,7 +95,20 @@ def curate_corpus(
     min_quality_score: float | None = None,
     classifier_pareto_alpha: float = 9.0,
     pii_scrub: bool = False,
+    strip_substrings: dict | None = None,
 ) -> CurationResult:
+    # 0. (optional) substring-level dedup FIRST (the ExactSubstr move):
+    # cut corpus-duplicated spans out of the text before any doc-level
+    # screen, so fingerprints/shingles/quality see the cleaned text.
+    # A transform, not a filter — no funnel row. kwargs pass through
+    # (k/density/merge_gap), e.g. strip_substrings={"k": 40}
+    if strip_substrings is not None:
+        from knightshift_spark.operators.substring import strip_duplicated_spans
+
+        docs = strip_duplicated_spans(
+            docs, id_col=id_col, text_col=text_col, **strip_substrings
+        )
+
     # bind the lowercased token array ONCE: each text function would
     # otherwise re-split per use (SCALE.md "Expression-engine lesson")
     from knightshift_spark.functions.text import tokens

@@ -315,3 +315,27 @@ def test_classifier_gate_stage(spark):
     assert [r["doc_id"] for r in kept] == [1]
     assert kept[0]["quality_score"] > 0.9
     assert all(r["ok"] for r in res.stats.collect())
+
+
+def test_strip_substrings_pre_stage(spark):
+    """Substring dedup runs BEFORE the doc-level screens: the embedded
+    boilerplate is cut from the later doc, so the two docs are no longer
+    near-dups and both survive; the funnel gains no row."""
+    boiler = "identical boilerplate block repeated across these documents"
+    docs = spark.createDataFrame(
+        [
+            (1, f"the quick brown fox jumps over a lazy dog . {boiler}", "a"),
+            (2, f"{boiler} . seven wild geese flew under cold winter skies", "a"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    res = curate_corpus(
+        docs, jaccard_threshold=0.5, min_tokens=3, langs=("en", "und"),
+        strip_substrings={"k": 20, "density": 1},
+    )
+    kept = {r["doc_id"]: r["text"] for r in res.kept.collect()}
+    assert set(kept) == {1, 2}
+    assert boiler in kept[1]      # first occurrence keeps the block
+    assert boiler not in kept[2]  # later copy lost it before screening
+    reasons = [r["reason"] for r in res.stats.collect()]
+    assert "classifier_filtered" not in reasons  # no new funnel rows
