@@ -889,6 +889,14 @@ def mining_section(spark, sf_dir: str) -> dict:
     )
     naive_sec = _best_of(lambda: naive.collect(), runs)
 
+    # substring-level dedup: the full ExactSubstr-style pass (anchor
+    # table → first-occurrence window → span merge → native cut) over
+    # the whole documents table
+    from knightshift_spark.operators.substring import strip_duplicated_spans
+
+    stripped = strip_duplicated_spans(docs, k=40, density=8)
+    strip_sec = _best_of(lambda: _run(stripped), runs)
+
     # classifier: labels here are an arbitrary id split — the measured
     # quantity is the SCORING map's throughput, which is label-agnostic
     half = docs.filter(F.col("doc_id") % 2 == 0).limit(500)
@@ -923,6 +931,11 @@ def mining_section(spark, sf_dir: str) -> dict:
             "score_sec": round(score_sec, 4),
             "payload_mb": round(n_chars / 1e6, 2),
             "score_mb_per_s": round(n_chars / 1e6 / score_sec, 1),
+        },
+        "substring_dedup": {
+            "strip_sec": round(strip_sec, 4),
+            "payload_mb": round(n_chars / 1e6, 2),
+            "mb_per_s": round(n_chars / 1e6 / strip_sec, 1),
         },
     }
 

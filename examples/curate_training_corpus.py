@@ -83,6 +83,7 @@ def main() -> None:
 
     result = curate_corpus(
         para_clean,
+        strip_substrings={"k": 40, "density": 8},  # ExactSubstr pre-cut
         jaccard_threshold=0.5,
         min_tokens=5,
         langs=("en", "und"),
