@@ -89,8 +89,14 @@ def duplicated_spans(
         .filter(F.col("__rn") > 1)
         .select("__id", "pos", (F.col("pos") + (k - 1)).alias("__end"))
     )
-    # gaps-and-islands: a window starts a new span when its position
-    # exceeds the running max end (+ merge_gap) of earlier windows
+    return _merge_windows(dup, merge_gap, id_col)
+
+
+def _merge_windows(dup: DataFrame, merge_gap: int, id_col: str) -> DataFrame:
+    """Merge (id, pos, __end) k-windows into maximal (id, start, end)
+    spans — gaps-and-islands: a window starts a new span when its
+    position exceeds the running max end (+ merge_gap) of earlier
+    windows."""
     byid = Window.partitionBy("__id").orderBy("pos")
     prev_end = F.max("__end").over(byid.rowsBetween(Window.unboundedPreceding, -1))
     islands = dup.withColumn(
@@ -122,6 +128,14 @@ def strip_duplicated_spans(
     the accumulator walks (last_end, acc), appending the clean slice
     before each span — pure JVM expressions, no Python."""
     spans = duplicated_spans(docs, k, density, merge_gap, id_col, text_col)
+    return _cut_spans(docs, spans, id_col, text_col)
+
+
+def _cut_spans(
+    docs: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Cut (start, end) spans out of ``text_col`` — the shared tail of
+    the one-shot and incremental strip paths."""
     per_doc = spans.groupBy(id_col).agg(
         F.sort_array(F.collect_list(F.struct("start", "end"))).alias("__spans")
     )
@@ -150,3 +164,79 @@ def strip_duplicated_spans(
     return out.withColumn(
         text_col, F.when(F.col("__spans").isNull(), t).otherwise(cut)
     ).drop("__spans")
+
+
+def write_anchor_index(
+    docs: DataFrame,
+    path: str,
+    k: int = 40,
+    density: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's distinct anchor grams — the incremental
+    substring-dedup state (the text twin of ``write_lsh_index``): anchor
+    the corpus ONCE, then every future batch strips against the index
+    instead of re-anchoring history. Layout: (gram) parquet + a
+    ``_anchor_meta`` sidecar pinning (k, density) so writer/reader
+    config drift errors instead of silently missing duplicates."""
+    grams = (
+        _anchor_table(docs, k, density, id_col, text_col)
+        .select("gram")
+        .distinct()
+    )
+    grams.write.mode(mode).parquet(path)
+    docs.sparkSession.createDataFrame(
+        [(k, density)], "k int, density int"
+    ).write.mode("overwrite").parquet(f"{path}/_anchor_meta")
+
+
+def _anchor_meta(spark, path: str) -> tuple[int, int]:
+    meta = spark.read.parquet(f"{path}/_anchor_meta").collect()[0]
+    return int(meta["k"]), int(meta["density"])
+
+
+def strip_against_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merge_gap: int = 0,
+    append: bool = True,
+) -> DataFrame:
+    """Incrementally strip a NEW batch against the persisted index:
+    every batch occurrence of an INDEXED gram is a duplicate (its first
+    occurrence lives in corpus history); grams new to the index follow
+    the usual within-batch first-wins rule. With ``append=True`` the
+    batch's novel grams join the index afterwards (anti-join + append,
+    so the index stays duplicate-free), making
+
+        for b in batches: out += strip_against_index(b, path)
+
+    produce EXACTLY ``strip_duplicated_spans`` of the concatenated
+    corpus when batches arrive in id order (pinned by test). The batch
+    is materialized once (localCheckpoint) because the strip and the
+    index append both consume its anchor table."""
+    spark = batch.sparkSession
+    k, density = _anchor_meta(spark, path)
+    anchors = _anchor_table(batch, k, density, id_col, text_col).localCheckpoint(
+        eager=True
+    )
+    index = spark.read.schema("gram string").parquet(path)
+    hist = anchors.join(index, "gram", "left_semi").select(
+        "__id", "pos", (F.col("pos") + (k - 1)).alias("__end")
+    )
+    fresh = anchors.join(index, "gram", "left_anti")
+    first = Window.partitionBy("gram").orderBy("__id", "pos")
+    within = (
+        fresh.withColumn("__rn", F.row_number().over(first))
+        .filter(F.col("__rn") > 1)
+        .select("__id", "pos", (F.col("pos") + (k - 1)).alias("__end"))
+    )
+    dup = hist.unionByName(within)
+    spans = _merge_windows(dup, merge_gap, id_col)
+    out = _cut_spans(batch, spans, id_col, text_col)
+    if append:
+        fresh.select("gram").distinct().write.mode("append").parquet(path)
+    return out

@@ -118,3 +118,44 @@ def test_density_one_guarantee_no_cross_doc_kgram_survives(spark):
         spark.createDataFrame(rows, "doc_id long, text string"), k=k, density=1
     )
     assert {r["doc_id"] for r in spans.collect()} == {2, 3}
+
+
+def test_incremental_index_equals_one_shot(spark, tmp_path):
+    """Batching the corpus through (strip_against_index + append) in id
+    order must produce EXACTLY strip_duplicated_spans of the whole
+    corpus — the incremental path is the one-shot path, paid per batch."""
+    from knightshift_spark.operators.substring import (
+        strip_against_index,
+        write_anchor_index,
+    )
+
+    rng = random.Random(11)
+    words = [f"t{j}" for j in range(25)]
+    shared = " ".join(rng.choices(words, k=10))
+    rows = []
+    for i in range(9):
+        body = " ".join(rng.choices(words, k=30))
+        if i % 3 != 2:
+            cut = rng.randrange(len(body))
+            body = body[:cut] + " " + shared + " " + body[cut:]
+        rows.append((i, body))
+    k, density = 12, 2
+
+    one_shot = _spark_strip(spark, rows, k=k, density=density)
+
+    idx = str(tmp_path / "anchors")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    write_anchor_index(empty, idx, k=k, density=density)
+    got = {}
+    for lo in range(0, 9, 3):
+        batch = spark.createDataFrame(rows[lo : lo + 3], "doc_id long, text string")
+        out = strip_against_index(batch, idx)
+        got.update({r["doc_id"]: r["text"] for r in out.collect()})
+    assert got == one_shot
+    # replaying a batch with append=False must not grow the index
+    n_before = spark.read.schema("gram string").parquet(idx).count()
+    strip_against_index(
+        spark.createDataFrame(rows[:3], "doc_id long, text string"),
+        idx, append=False,
+    ).collect()
+    assert spark.read.schema("gram string").parquet(idx).count() == n_before
