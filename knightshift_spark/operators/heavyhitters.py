@@ -50,13 +50,28 @@ from knightshift_spark.operators.dedup import word_ngrams_all, word_tokens
 _CAND_SCHEMA = "item string, floor long, part_total long"
 
 
+def _mg_add(counters: dict[str, int], item: str, c: int, cap: int) -> dict[str, int]:
+    """Fold ``c`` occurrences of ``item`` into a Misra-Gries summary of
+    capacity ``cap``. The decrement is batched: MG's unit-decrement
+    repeated min(c, min_counter) times collapses into one pass."""
+    if item in counters:
+        counters[item] += c
+    elif len(counters) < cap:
+        counters[item] = c
+    else:
+        dec = min(c, min(counters.values()))
+        counters = {k: v - dec for k, v in counters.items() if v > dec}
+        if c > dec and len(counters) < cap:
+            counters[item] = c - dec
+    return counters
+
+
 def _mg_partition(cap: int):
     """Per-partition Misra-Gries over Arrow batches.
 
     State is ONE dict of at most ``cap`` counters regardless of
-    partition size; the decrement step is amortized via a single
-    sorted-values pass instead of per-item loops (numpy/pandas
-    vectorized within each batch's value_counts)."""
+    partition size; batch-local exact counts first (one value_counts
+    beats per-occurrence dict updates by the batch's dup factor)."""
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -65,24 +80,8 @@ def _mg_partition(cap: int):
         for pdf in batches:
             vals = pdf["item"].dropna()
             total += len(vals)
-            # batch-local exact counts first: one value_counts beats
-            # per-occurrence dict updates by the batch's dup factor
             for item, c in vals.value_counts().items():
-                c = int(c)
-                if item in counters:
-                    counters[item] += c
-                elif len(counters) < cap:
-                    counters[item] = c
-                else:
-                    # decrement ALL counters by the largest amount the
-                    # new item supports; MG's unit-decrement repeated
-                    # min(c, min_counter) times, batched
-                    dec = min(c, min(counters.values()))
-                    counters = {
-                        k: v - dec for k, v in counters.items() if v > dec
-                    }
-                    if c > dec and len(counters) < cap:
-                        counters[item] = c - dec
+                counters = _mg_add(counters, item, int(c), cap)
         out = pd.DataFrame(
             {
                 "item": list(counters.keys()) + [None],
@@ -177,4 +176,79 @@ def frequent_ngrams(
     )
     return heavy_hitters(
         grams, "item", cap=cap, min_count=min_count, min_frac=min_frac, k=k
+    )
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    item_col: str = "item",
+    cap: int = 1024,
+    n_groups: int = 32,
+) -> DataFrame:
+    """Continuously-maintained frequent-item candidates over a stream —
+    the batch miner's lambda twin (``applyInPandasWithState``).
+
+    Items hash into ``n_groups`` state groups; each group keeps ONE
+    Misra-Gries summary of capacity ``cap`` over its entire history
+    (state = two arrays + a counter, bounded regardless of stream
+    length). Every micro-batch emits the group's refreshed summary:
+    (group, item, floor, group_total), outputMode update — the latest
+    row set per group IS the current candidate table.
+
+    Guarantee (per group, hence per item — hashing sends every
+    occurrence of an item to the same group): any item whose history
+    count exceeds group_total/(cap+1) is present with
+    floor ≥ count − group_total/(cap+1). Global capacity is therefore
+    cap × n_groups; a scheduled batch recount (``heavy_hitters`` phase
+    2) turns candidates into exact counts when needed."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = stream.select(
+        F.col(item_col).cast("string").alias("item")
+    ).filter(F.col("item").isNotNull()).withColumn(
+        "__g", F.pmod(F.xxhash64("item"), F.lit(n_groups)).cast("int")
+    )
+    out_schema = "group int, item string, floor long, group_total long"
+    state_schema = "items array<string>, floors array<long>, total long"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, floors, total = state.get
+            counters = dict(zip(items, (int(f) for f in floors)))
+            total = int(total)
+        else:
+            counters, total = {}, 0
+        seen = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            seen = True
+            vals = pdf["item"]
+            total += len(vals)
+            for item, c in vals.value_counts().items():
+                counters = _mg_add(counters, item, int(c), cap)
+        if not seen:
+            return
+        state.update((list(counters), [int(v) for v in counters.values()], total))
+        # explicit per-column lists: a scalar + empty-list mix would
+        # make pandas guess the frame length (counters CAN empty out
+        # when one decrement round consumes every counter)
+        yield pd.DataFrame(
+            {
+                "group": [key[0]] * len(counters),
+                "item": list(counters),
+                "floor": [int(v) for v in counters.values()],
+                "group_total": [total] * len(counters),
+            }
+        )
+
+    return src.groupBy("__g").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -102,3 +102,43 @@ def test_empty_and_null_items(spark):
     nulls = spark.createDataFrame([(None,), ("x",), ("x",)], "item string")
     got = heavy_hitters(nulls, cap=8, min_count=2).collect()
     assert [(r["item"], r["n"]) for r in got] == [("x", 2)]
+
+
+def test_streaming_heavy_hitters_accumulates_across_batches(spark, tmp_path):
+    """The stateful miner keeps one bounded MG summary per hash group:
+    a hot item's floor grows across micro-batches, survives the tail
+    churn, and the state never exceeds cap items per group."""
+    from knightshift_spark.operators.heavyhitters import streaming_heavy_hitters
+
+    src = tmp_path / "items"
+    src.mkdir()
+
+    def drop(name, items):
+        (src / name).write_text("\n".join('{"item": "%s"}' % i for i in items))
+
+    drop("b1.json", ["hot"] * 60 + [f"t{i}" for i in range(300)])
+    stream = spark.readStream.schema("item string").json(str(src))
+    out = streaming_heavy_hitters(stream, cap=16, n_groups=4)
+    q = (
+        out.writeStream.format("memory").queryName("hh")
+        .outputMode("update").start()
+    )
+    try:
+        q.processAllAvailable()
+        drop("b2.json", ["hot"] * 40 + [f"u{i}" for i in range(300)])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM hh WHERE item = 'hot' ORDER BY group_total"
+        ).collect()
+    finally:
+        q.stop()
+    assert rows, "hot item must stay a candidate in its group"
+    last = rows[-1]
+    true_count = 100
+    # MG bounds: floor <= true count, and underestimates by at most
+    # group_total/(cap+1)
+    assert last["floor"] <= true_count
+    assert last["floor"] >= true_count - last["group_total"] / (16 + 1)
+    # the hot item's counts accumulated across batches (second summary
+    # reflects more history than the first)
+    assert last["group_total"] > rows[0]["group_total"]
