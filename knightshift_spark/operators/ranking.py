@@ -166,3 +166,93 @@ def bm25_reference(
         if s > 0.0:
             out[d] = round(s, 6)
     return out
+
+
+def write_text_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an inverted text index: posting lists (term, id, tf,
+    doc_len) partitioned by a term-hash bucket, plus a ``_index_meta``
+    sidecar carrying the corpus statistics BM25 needs (N, avgdl) frozen
+    at index time. The search twin of the ANN / LSH / anchor indexes:
+    tokenize the corpus once, then every query touches only its terms'
+    bucket partitions (directory-level pruning) instead of re-scanning
+    text. Posting lists sort within files by term so row-group stats
+    prune further inside a bucket."""
+    tf = term_frequencies(docs, id_col, text_col).withColumn(
+        "__bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    (
+        tf.repartition("__bucket")
+        .sortWithinPartitions("term")
+        .write.mode(mode)
+        .partitionBy("__bucket")
+        .parquet(path)
+    )
+    stats = docs.select(
+        F.size(word_tokens(F.col(text_col))).cast("bigint").alias("__dl")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.greatest(F.col("__dl"), F.lit(0))).alias("avgdl"),
+    )
+    spark = docs.sparkSession
+    row = stats.collect()[0]
+    spark.createDataFrame(
+        [(int(row["n_docs"]), float(row["avgdl"] or 0.0), n_buckets)],
+        "n_docs long, avgdl double, n_buckets int",
+    ).write.mode("overwrite").parquet(f"{path}/_index_meta")
+
+
+def query_text_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k BM25 over the persisted index — identical scoring to
+    ``bm25_scores`` (same Lucene idf, same decimal accumulation), but
+    the scan reads ONLY the query terms' bucket partitions: cost
+    follows the query's posting lists, not the corpus."""
+    meta = spark.read.parquet(f"{path}/_index_meta").collect()[0]
+    terms = sorted({t.lower() for t in query_terms})
+    buckets = [
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(int(meta["n_buckets"]))).cast("int").alias("b"))
+        .distinct()
+        .collect()
+    ]
+    postings = (
+        spark.read.parquet(path)
+        .filter(F.col("__bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    df_t = postings.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(int(meta["n_docs"])) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("doc_len") / F.lit(float(meta["avgdl"]))
+    )
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    return (
+        postings.join(F.broadcast(df_t), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.round(
+                F.sum(contrib.cast("decimal(28,12)")).cast("double"), 6
+            ).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(k)
+    )

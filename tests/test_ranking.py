@@ -88,3 +88,34 @@ def test_tfidf_reference_value(spark):
     row = [r for r in top.collect() if r.doc_id == 4][0]
     want = round((3 / 3) * (math.log((1 + 6) / (1 + 3)) + 1.0), 6)
     assert row.term == "cat" and row.tfidf == pytest.approx(want, abs=1e-6)
+
+
+def test_text_index_query_equals_inline_bm25(spark, tmp_path):
+    """query_text_index must reproduce bm25_scores exactly (same idf,
+    same decimal accumulation, same order) while reading ONLY the query
+    terms' bucket partitions."""
+    from knightshift_spark.operators.ranking import (
+        bm25_scores,
+        query_text_index,
+        write_text_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "inverted")
+    write_text_index(docs, idx, n_buckets=16)
+    terms = ["the", "model", "data"]
+    want = [
+        (r["doc_id"], r["n_terms_matched"], r["bm25"])
+        for r in bm25_scores(docs, terms).limit(10).collect()
+    ]
+    out = query_text_index(spark, idx, terms, k=10)
+    got = [
+        (r["doc_id"], r["n_terms_matched"], r["bm25"]) for r in out.collect()
+    ]
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan  # partition filter reached the scan
+    # directory-level pruning: at most |terms| bucket dirs are readable
+    import re
+    m = re.search(r"PartitionFilters: \[[^\]]*__bucket", plan)
+    assert m, plan[:1500]
