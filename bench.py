@@ -897,6 +897,30 @@ def mining_section(spark, sf_dir: str) -> dict:
     stripped = strip_duplicated_spans(docs, k=40, density=8)
     strip_sec = _best_of(lambda: _run(stripped), runs)
 
+    # inverted index: build once on the full documents table, then
+    # compare a repeated BM25 query against the index (bucket-pruned
+    # posting scan) vs inline bm25_scores (full tokenize each time)
+    import shutil as _sh
+    import tempfile as _tf
+
+    from knightshift_spark.operators.ranking import (
+        bm25_scores,
+        query_text_index,
+        write_text_index,
+    )
+
+    idx_dir = os.path.join(_tf.gettempdir(), "knightshift-text-index")
+    _sh.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    write_text_index(docs, idx_dir, n_buckets=64)
+    index_build_sec = time.perf_counter() - t0
+    q_terms = ["the", "model", "data", "with"]
+    idx_q = query_text_index(spark, idx_dir, q_terms, k=20)
+    idx_sec = _best_of(lambda: idx_q.collect(), runs)
+    inline_sec = _best_of(
+        lambda: bm25_scores(docs, q_terms).limit(20).collect(), runs
+    )
+
     # classifier: labels here are an arbitrary id split — the measured
     # quantity is the SCORING map's throughput, which is label-agnostic
     half = docs.filter(F.col("doc_id") % 2 == 0).limit(500)
@@ -936,6 +960,12 @@ def mining_section(spark, sf_dir: str) -> dict:
             "strip_sec": round(strip_sec, 4),
             "payload_mb": round(n_chars / 1e6, 2),
             "mb_per_s": round(n_chars / 1e6 / strip_sec, 1),
+        },
+        "text_index": {
+            "build_sec": round(index_build_sec, 3),
+            "indexed_query_sec": round(idx_sec, 4),
+            "inline_bm25_sec": round(inline_sec, 4),
+            "speedup": round(inline_sec / idx_sec, 2) if idx_sec else None,
         },
     }
 
