@@ -29,7 +29,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from knightshift_spark.functions.text import token_count
-from knightshift_spark.operators.dedup import stable_hash32
 
 
 def source_token_counts(
@@ -127,7 +126,7 @@ def apply_mixture_plan(
     filter-and-union would re-scan the input once per source. The
     fractional draw reproduces ``sampling.hash_sample`` bit-for-bit
     (same bucket formula, salt ``{salt}|epoch{⌊e⌋+1}``)."""
-    from knightshift_spark.operators.sampling import _BUCKETS
+    from knightshift_spark.operators.sampling import _BUCKETS, bucket_of
 
     spark = docs.sparkSession
     rows = [
@@ -146,16 +145,13 @@ def apply_mixture_plan(
     exploded = joined.withColumn(
         "epoch", F.explode(F.sequence(F.lit(1), hi))
     )
-    # the hash_sample bucket formula, inlined so the fractional epoch's
-    # salt can reference the per-row ⌊e⌋+1 (identical keep-set to
-    # hash_sample(sub, frac, salt=f"{salt}|epoch{full+1}"))
-    bucket = stable_hash32(
-        F.concat(
-            F.col(id_col).cast("string"),
-            F.lit(f"|{salt}|epoch"),
-            F.col("epoch").cast("string"),
-        )
-    ) % _BUCKETS
+    # sampling's own bucket formula with a per-row salt suffix —
+    # identical keep-set to hash_sample(sub, frac,
+    # salt=f"{salt}|epoch{full+1}")
+    bucket = bucket_of(
+        id_col,
+        F.concat(F.lit(f"|{salt}|epoch"), F.col("epoch").cast("string")),
+    )
     kept = exploded.filter(
         (F.col("epoch") <= F.col("__full"))
         | (bucket < (F.col("__frac") * _BUCKETS).cast("bigint"))

@@ -194,16 +194,22 @@ def write_text_index(
         .partitionBy("__bucket")
         .parquet(path)
     )
-    stats = docs.select(
-        F.size(word_tokens(F.col(text_col))).cast("bigint").alias("__dl")
-    ).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.greatest(F.col("__dl"), F.lit(0))).alias("avgdl"),
-    )
     spark = docs.sparkSession
-    row = stats.collect()[0]
+    # stats WITHOUT a second tokenize pass: total token mass comes from
+    # the just-written postings (distinct (id, doc_len) — doc_len is
+    # per-doc constant; token-less docs are absent and contribute 0),
+    # n_docs from a plain count so empty docs still weigh into avgdl —
+    # matching bm25_scores' corpus statistics exactly
+    n_docs = docs.count()
+    dl_sum = (
+        spark.read.parquet(path)
+        .select(id_col, "doc_len")
+        .distinct()
+        .agg(F.coalesce(F.sum("doc_len"), F.lit(0)))
+        .collect()[0][0]
+    )
     spark.createDataFrame(
-        [(int(row["n_docs"]), float(row["avgdl"] or 0.0), n_buckets)],
+        [(int(n_docs), float(dl_sum) / n_docs if n_docs else 0.0, n_buckets)],
         "n_docs long, avgdl double, n_buckets int",
     ).write.mode("overwrite").parquet(f"{path}/_index_meta")
 

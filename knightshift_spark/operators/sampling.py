@@ -25,8 +25,16 @@ from knightshift_spark.operators.dedup import stable_hash32
 _BUCKETS = 1 << 20
 
 
+def bucket_of(key: str, salt_col) -> "F.Column":
+    """md5 keep-bucket of (key, salt) where the salt is a COLUMN suffix —
+    the one formula every deterministic sampler here derives from (also
+    reused by ``operators.mixture`` for per-epoch fractional draws, so
+    the two can never drift)."""
+    return stable_hash32(F.concat(F.col(key).cast("string"), salt_col)) % _BUCKETS
+
+
 def _bucket(key, salt: str):
-    return stable_hash32(F.concat(F.col(key).cast("string"), F.lit(f"|{salt}"))) % _BUCKETS
+    return bucket_of(key, F.lit(f"|{salt}"))
 
 
 def hash_sample(

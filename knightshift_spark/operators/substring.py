@@ -83,13 +83,19 @@ def duplicated_spans(
     many characters (duplicated regions longer than k produce anchor
     windows ~density apart; a gap near ``density`` stitches them)."""
     anchors = _anchor_table(docs, k, density, id_col, text_col)
+    return _merge_windows(_later_occurrences(anchors, k), merge_gap, id_col)
+
+
+def _later_occurrences(anchors: DataFrame, k: int) -> DataFrame:
+    """(id, pos, __end) windows of every anchor occurrence AFTER the
+    globally first one (first = min id, then min pos) — the first-wins
+    rule both the one-shot and incremental paths share."""
     first = Window.partitionBy("gram").orderBy("__id", "pos")
-    dup = (
+    return (
         anchors.withColumn("__rn", F.row_number().over(first))
         .filter(F.col("__rn") > 1)
         .select("__id", "pos", (F.col("pos") + (k - 1)).alias("__end"))
     )
-    return _merge_windows(dup, merge_gap, id_col)
 
 
 def _merge_windows(dup: DataFrame, merge_gap: int, id_col: str) -> DataFrame:
@@ -228,13 +234,7 @@ def strip_against_index(
         "__id", "pos", (F.col("pos") + (k - 1)).alias("__end")
     )
     fresh = anchors.join(index, "gram", "left_anti")
-    first = Window.partitionBy("gram").orderBy("__id", "pos")
-    within = (
-        fresh.withColumn("__rn", F.row_number().over(first))
-        .filter(F.col("__rn") > 1)
-        .select("__id", "pos", (F.col("pos") + (k - 1)).alias("__end"))
-    )
-    dup = hist.unionByName(within)
+    dup = hist.unionByName(_later_occurrences(fresh, k))
     spans = _merge_windows(dup, merge_gap, id_col)
     out = _cut_spans(batch, spans, id_col, text_col)
     if append:
