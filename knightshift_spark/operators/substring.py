@@ -50,10 +50,20 @@ def _anchor_table(
     """(id, pos, gram) — 1-based anchor positions. The gram/hash arrays
     are bound as separate projections (HOF-CSE rule, SCALE.md)."""
     n = F.length(F.col("__t"))
-    positions = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    structs = F.transform(
-        positions,
-        lambda p: F.struct(p.alias("pos"), F.col("__t").substr(p, F.lit(k)).alias("gram")),
+    # the `n < k` guard matters: Spark's sequence(1, n-k+1) is a
+    # DESCENDING [1, 0] when n < k, not empty (the word_ngrams_all
+    # trap) — a 2-char doc would fabricate two anchors of the same
+    # gram and cut itself to ""
+    structs = F.when(
+        n < k, F.array().cast("array<struct<pos:int,gram:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda p: F.struct(
+                p.cast("int").alias("pos"),
+                F.col("__t").substr(p, F.lit(k)).alias("gram"),
+            ),
+        )
     )
     anchors = F.filter(
         F.col("__cand"),

@@ -108,3 +108,32 @@ def test_matview_any_batch_split_equals_one_shot(spark, tmp_path_factory, rows, 
         vs = [v for gg, v in rows if gg == g]
         want[g] = (len(vs), float(sum(vs)), float(min(vs)), float(max(vs)))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=20).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_substring_strip_matches_python_reference(spark, texts, density):
+    """strip_duplicated_spans ≡ the straight-Python reference of the
+    same anchor algorithm, for arbitrary corpora and densities."""
+    from test_substring import _py_reference
+
+    from knightshift_spark.operators.substring import strip_duplicated_spans
+
+    rows = list(enumerate(texts))
+    k = 5
+    want = _py_reference(rows, k=k, density=density)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicated_spans(docs, k=k, density=density).collect()
+    }
+    assert got == want
