@@ -173,6 +173,12 @@ def sliding_windows(
         F.expr(f"(__start - {int(window)} + {int(stride)}) DIV {int(stride)}"),
     )
     last = F.expr(f"__end_incl DIV {int(stride)}")
+    # zero-token docs occupy no span: with stride < window several
+    # windows' spans contain their offset — clamp to the single window
+    # STARTING at-or-before the offset (__start DIV stride) so the
+    # docstring's "span 1" contract holds for every stride
+    zero = F.col(tokens_col).cast("bigint") <= 0
+    first = F.when(zero, last).otherwise(first)
     return out.select(
         id_col,
         tokens_col,

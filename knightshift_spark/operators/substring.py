@@ -233,7 +233,13 @@ def strip_against_index(
     produce EXACTLY ``strip_duplicated_spans`` of the concatenated
     corpus when batches arrive in id order (pinned by test). The batch
     is materialized once (localCheckpoint) because the strip and the
-    index append both consume its anchor table."""
+    index append both consume its anchor table; the SPANS are
+    materialized too, BEFORE the append, so the returned DataFrame no
+    longer depends on reading ``path`` — otherwise any re-listing of
+    the index directory (refreshByPath, FileStatusCache invalidation,
+    evaluating the result after this call returns) would read the
+    batch's just-appended grams as historical and strip their first
+    occurrences as well."""
     spark = batch.sparkSession
     k, density = _anchor_meta(spark, path)
     anchors = _anchor_table(batch, k, density, id_col, text_col).localCheckpoint(
@@ -245,7 +251,7 @@ def strip_against_index(
     )
     fresh = anchors.join(index, "gram", "left_anti")
     dup = hist.unionByName(_later_occurrences(fresh, k))
-    spans = _merge_windows(dup, merge_gap, id_col)
+    spans = _merge_windows(dup, merge_gap, id_col).localCheckpoint(eager=True)
     out = _cut_spans(batch, spans, id_col, text_col)
     if append:
         fresh.select("gram").distinct().write.mode("append").parquet(path)

@@ -171,13 +171,39 @@ def _ingest_batch_with_neardup(
         cand_ids = cands.select(
             F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
         ).distinct()
+        # query_lsh_index orients cross pairs (corpus, batch) while
+        # jaccard_pairs emits (lo, hi) — a batch id LOWER than its
+        # matched corpus id (replays, backfills, partner drops with
+        # older id ranges) would miss a raw [doc_a, doc_b] semi-join.
+        # Normalize BOTH relations to (least, greatest) before joining.
+        cands_n = cands.select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        ).distinct()
         confirmed = jaccard_pairs(
             texts.join(cand_ids, "doc_id", "left_semi"),
             threshold=threshold,
-        ).join(cands, ["doc_a", "doc_b"], "left_semi")
-        # pairs are oriented (corpus, batch) or (batch_lo, batch_hi):
-        # doc_b is always the newer/higher side — it loses
-        drop_ids = confirmed.select(F.col("doc_b").alias("doc_id")).distinct()
+        ).join(cands_n, ["doc_a", "doc_b"], "left_semi")
+        # loser per confirmed pair, by batch membership (NOT id order):
+        # cross pair → the batch side loses (corpus copy wins);
+        # within-batch pair → the higher id loses (lower id wins)
+        bids = batch.select("doc_id").distinct()
+        in_a = bids.select(F.col("doc_id").alias("doc_a"), F.lit(True).alias("__ab"))
+        in_b = bids.select(F.col("doc_id").alias("doc_b"), F.lit(True).alias("__bb"))
+        drop_ids = (
+            confirmed.join(in_a, "doc_a", "left")
+            .join(in_b, "doc_b", "left")
+            .select(
+                F.when(
+                    F.col("__ab").isNotNull() & F.col("__bb").isNotNull(),
+                    F.greatest("doc_a", "doc_b"),
+                )
+                .when(F.col("__ab").isNotNull(), F.col("doc_a"))
+                .otherwise(F.col("doc_b"))
+                .alias("doc_id")
+            )
+            .distinct()
+        )
     keep = batch if drop_ids is None else batch.join(drop_ids, "doc_id", "left_anti")
     # corpus first, index second: a crash between the two can only make a
     # replay re-admit rows the corpus already has (reconciled by the

@@ -164,8 +164,10 @@ def test_sliding_windows_matches_bruteforce_oracle(spark):
     start = 0
     for doc_id, n in rows:
         end = start + max(n - 1, 0)
-        w_first = max(0, -((start - 16 + 1) // -8))  # ceil div
         w_last = end // 8
+        # zero-token docs clamp to the one window starting at-or-before
+        # their offset (ADVICE r6: span-1 contract for stride < window)
+        w_first = w_last if n == 0 else max(0, -((start - 16 + 1) // -8))
         assert got[doc_id] == (start, w_first, w_last, w_last - w_first + 1), doc_id
         start += n
 

@@ -539,6 +539,61 @@ def test_document_stream_with_neardup_index(spark, tmp_path):
     assert idx_ids == {1, 11}
 
 
+def test_document_stream_neardup_batch_id_below_corpus_id(spark, tmp_path):
+    """Regression (ADVICE r6): a new-batch doc whose id is LOWER than the
+    matched corpus doc's id must still be dropped. Cross pairs from
+    query_lsh_index are oriented (corpus, batch) but the exact-Jaccard
+    rescore emits (lo, hi); before orientation normalization the confirm
+    semi-join silently admitted such duplicates. The loser is chosen by
+    batch MEMBERSHIP (corpus copy wins), never by id order."""
+    import json as _json
+
+    from knightshift_spark.operators.dedup import write_lsh_index
+    from knightshift_spark.streaming.corpus_stream import (
+        run_document_stream_with_neardup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the keeper "
+        "watches from the old wooden bridge near the river"
+    )
+    paraphrase = base.replace("river", "water")  # near-dup, new fingerprint
+
+    spool = tmp_path / "docs"
+    spool.mkdir()
+    batches = [
+        [{"doc_id": 100, "text": base, "source": "web"}],
+        # batch-2 id 5 < corpus id 100: the pre-fix semi-join missed this
+        [{"doc_id": 5, "text": paraphrase, "source": "backfill"}],
+    ]
+    files = []
+    for i, rows in enumerate(batches):
+        f = spool / f"b{i}.jsonl"
+        f.write_text("\n".join(_json.dumps(r) for r in rows))
+        files.append(f)
+    now = os.stat(files[0]).st_mtime
+    for i, f in enumerate(files):
+        os.utime(f, (now + 60 * i, now + 60 * i))
+
+    target = tmp_path / "corpus"
+    index = str(tmp_path / "lsh_index")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    write_lsh_index(empty, index, num_hashes=16, bands=4)
+
+    q = run_document_stream_with_neardup(
+        spark, str(spool), str(target), str(tmp_path / "ckpt"), index,
+        neardup_threshold=0.6, trigger={"availableNow": True},
+        max_files_per_trigger=1, min_tokens=1, langs=("en", "und"),
+    )
+    q.awaitTermination(180)
+    out = sorted(r["doc_id"] for r in spark.read.parquet(str(target)).collect())
+    assert out == [100]  # the low-id backfill duplicate never landed
+    idx_ids = {
+        r["doc_id"] for r in spark.read.parquet(index).select("doc_id").collect()
+    }
+    assert idx_ids == {100}
+
+
 def test_sessionize_stream_gap_and_timeout_close(spark, tmp_path):
     """Custom stateful sessionizer: a gap witnessed inside a batch closes
     a session immediately; a session that merely goes quiet closes when
