@@ -40,12 +40,20 @@ _SHINGLES_CTE = r"""
 
 # Portable 32-bit hash: int of first 8 hex chars of md5 — identical to
 # operators.dedup.stable_hash32 (Spark conv(substr(md5(x),1,8),16,10)).
-_HASH32 = (
-    "list_sum(list_transform(range(1, 9), i -> "
-    "CAST((strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1) AS BIGINT)"
-    " * (CAST(1 AS BIGINT) << (4 * (8 - i)))))"
-)
-_HASH32_W = _HASH32.replace("md5(shingle)", "md5(w)")
+def hash32_sql(arg: str) -> str:
+    """DuckDB SQL for ``stable_hash32(arg)``: integer value of the first
+    8 hex chars of md5 — the engine-portable hash every dedup/sampling
+    oracle reproduces (also consumed by the q57 funnel oracle in
+    ``queries.textops``)."""
+    return (
+        "list_sum(list_transform(range(1, 9), i -> "
+        f"CAST((strpos('0123456789abcdef', substr(md5({arg}), i, 1)) - 1) AS BIGINT)"
+        " * (CAST(1 AS BIGINT) << (4 * (8 - i)))))"
+    )
+
+
+_HASH32 = hash32_sql("shingle")
+_HASH32_W = hash32_sql("w")
 
 
 @query(

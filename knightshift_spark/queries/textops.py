@@ -185,11 +185,165 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q57_oracle() -> str:
+    """Exact DuckDB oracle for the q57 curation funnel (VERDICT r6 #1):
+    every stage of ``pipelines.corpus.curate_corpus`` under q57's exact
+    configuration is deterministic and engine-portable, so the whole
+    per-stage funnel composes from the already-green stage oracles —
+    q29 fingerprints, q31b LSH banding, q30 exact Jaccard, q36 lang-ID,
+    q65 5-gram decontamination — plus the md5-bucket arithmetic of
+    ``operators.sampling`` (quota rank + mixture keep-threshold).
+
+    The caps that make the Spark pipeline scale-safe are provably
+    inactive at q57's ≤960-doc scope (lsh_max_bucket / jaccard_df_max =
+    10 000 > any possible occupancy / shingle df), so the capped
+    operators run their exact branches and the oracle needs no cap
+    modeling — the same argument q31b pins.
+    """
+    from knightshift_spark.operators.sampling import _BUCKETS
+    from knightshift_spark.queries.dedup import _band_rows, _mh_cols, hash32_sql
+
+    h32_sh = hash32_sql("shingle")
+    # stable_hash32(concat(cast(doc_id as string), '|')) % 2^20 — the
+    # deterministic sampling bucket (salt = '' ⇒ suffix is just '|')
+    bkt_hash = hash32_sql("CAST(doc_id AS VARCHAR) || '|'")
+    bkt = f"{bkt_hash} % {_BUCKETS}"
+    # int(frac * 2^20) computed with the IDENTICAL Python floats the
+    # Spark query passes to stratified_sample — no re-derivation drift
+    weights = ", ".join(
+        f"('src{i}', {int((0.5 + 0.05 * i) * _BUCKETS)})" for i in range(10)
+    )
+    gram5 = (
+        "list_distinct(list_transform(range(1, len(tk) - 3), "
+        "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] "
+        "|| ' ' || tk[i+4]))"
+    )
+    tk_expr = (
+        "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+        r"ELSE string_split_regex(trim(lower(text)), '\s+') END"
+    )
+    g = "greatest(en, fr, de, es)"
+    return rf"""
+      WITH input AS (
+        SELECT doc_id, text, source FROM documents
+        WHERE doc_id < 1000 AND doc_id % 25 <> 7),
+      -- stage 1: exact dedup — keep the min id per normalized-text md5 (q29)
+      ek AS MATERIALIZED (
+        SELECT MIN(doc_id) AS doc_id
+        FROM (SELECT doc_id,
+                     md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+              FROM input)
+        GROUP BY fp),
+      toks AS MATERIALIZED (
+        SELECT i.doc_id, {tk_expr} AS tk
+        FROM input i JOIN ek USING (doc_id)),
+      -- stage 2: near-dup — LSH banded candidates (q31b) ∩ exact bigram
+      -- Jaccard >= 0.5 (q30); drop doc_b of each confirmed (lo, hi) pair
+      sh AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(tk)),
+                      i -> tk[i] || ' ' || tk[i+1]))) AS shingle
+        FROM toks),
+      hx AS (SELECT doc_id, shingle, {h32_sh} AS h FROM sh),
+      mh AS MATERIALIZED (
+        SELECT doc_id,
+               {_mh_cols(16)}
+        FROM hx GROUP BY doc_id),
+      buckets AS MATERIALIZED (
+        {_band_rows(4, 4)}),
+      cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                       AND a.doc_id < b.doc_id),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      -- rescore CANDIDATES only (the Spark side semi-joins the same way):
+      -- without this prune the shingle self-join is all-pairs over the
+      -- whole corpus and dominates the oracle's runtime
+      cids AS (SELECT doc_a AS doc_id FROM cand
+               UNION SELECT doc_b FROM cand),
+      shc AS (SELECT sh.* FROM sh JOIN cids USING (doc_id)),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      conf AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN cand ON i.doc_a = cand.doc_a AND i.doc_b = cand.doc_b
+        JOIN sz sa ON i.doc_a = sa.doc_id
+        JOIN sz sb ON i.doc_b = sb.doc_id
+        WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5),
+      nd AS (
+        SELECT doc_id FROM ek
+        WHERE doc_id NOT IN (SELECT doc_b FROM conf)),
+      -- stages 3-4: token-count gate + stopword-vote language ID (q36);
+      -- min_stopword_ratio = 0.0 is vacuous (the ratio is non-negative)
+      lng AS (
+        SELECT t.doc_id, len(tk) AS n,
+               len(list_filter(tk, x -> list_contains({_EN}, x))) AS en,
+               len(list_filter(tk, x -> list_contains({_FR}, x))) AS fr,
+               len(list_filter(tk, x -> list_contains({_DE}, x))) AS de,
+               len(list_filter(tk, x -> list_contains({_ES}, x))) AS es
+        FROM toks t JOIN nd USING (doc_id)),
+      gated AS MATERIALIZED (
+        SELECT doc_id FROM lng
+        WHERE n >= 5
+          AND (CASE WHEN n = 0 OR {g} * 10 < n THEN 'und'
+                    WHEN en = {g} THEN 'en'
+                    WHEN fr = {g} THEN 'fr'
+                    WHEN de = {g} THEN 'de'
+                    ELSE 'es' END) IN ('en', 'und')),
+      -- stage 5: decontamination — drop docs sharing a word 5-gram with
+      -- the FULL-table eval slice doc_id % 25 = 7 (q65)
+      ev AS (
+        SELECT DISTINCT unnest({gram5}) AS gram
+        FROM (SELECT {tk_expr} AS tk FROM documents WHERE doc_id % 25 = 7)),
+      cg AS (
+        SELECT t.doc_id, unnest({gram5}) AS gram
+        FROM toks t JOIN gated USING (doc_id)),
+      dec AS MATERIALIZED (
+        SELECT doc_id FROM gated
+        WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM cg JOIN ev USING (gram))),
+      -- stage 6: per-source quota 40 — md5-bucket rank (operators.sampling)
+      qin AS (
+        SELECT i.doc_id, i.source, {bkt} AS bkt
+        FROM input i JOIN dec USING (doc_id)),
+      quot AS MATERIALIZED (
+        SELECT doc_id, source, bkt FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY bkt, doc_id) AS rnk
+          FROM qin)
+        WHERE rnk <= 40),
+      -- stage 7: deterministic mixture — keep below the per-source
+      -- bucket threshold; sources outside the map keep nothing
+      mixed AS (
+        SELECT q.doc_id
+        FROM quot q
+        LEFT JOIN (VALUES {weights}) w(source, kb) USING (source)
+        WHERE bkt < COALESCE(kb, 0)),
+      counts AS (SELECT
+        (SELECT COUNT(*) FROM input) AS n_in,
+        (SELECT COUNT(*) FROM ek)    AS n0,
+        (SELECT COUNT(*) FROM nd)    AS n1,
+        (SELECT COUNT(*) FROM gated) AS n2,
+        (SELECT COUNT(*) FROM dec)   AS n3,
+        (SELECT COUNT(*) FROM quot)  AS n4,
+        (SELECT COUNT(*) FROM mixed) AS n5)
+      SELECT reason, n, n >= 0 AS ok FROM (
+        SELECT 'input' AS reason, n_in AS n FROM counts
+        UNION ALL SELECT 'exact_dup_removed', n_in - n0 FROM counts
+        UNION ALL SELECT 'near_dup_removed', n0 - n1 FROM counts
+        UNION ALL SELECT 'quality_or_lang_removed', n1 - n2 FROM counts
+        UNION ALL SELECT 'contaminated_removed', n2 - n3 FROM counts
+        UNION ALL SELECT 'quota_removed', n3 - n4 FROM counts
+        UNION ALL SELECT 'mixture_removed', n4 - n5 FROM counts
+        UNION ALL SELECT 'kept', n5 FROM counts) t"""
+
+
 @query(
     "q57_curate_corpus",
-    oracle=None,  # multi-stage composition → rows-only check; components
-    # are individually oracle-checked (q29/q30/q31b/q35/q36/q65/q66) and
-    # every output row carries a self-verifying ok bit (funnel monotonicity)
+    oracle=_q57_oracle(),
     doc="full seven-stage corpus-curation pipeline: exact dedup → "
         "LSH+Jaccard near-dup → quality/lang gates → benchmark "
         "decontamination (5-gram collision vs the held-out eval slice) → "
