@@ -235,8 +235,14 @@ def scale10x_section(spark, specs, sf_dir: str) -> dict:
     if not os.path.exists(marker):
         _build_scale10x(spark, sf_dir, os.path.join(scale_dir, "documents.parquet"))
 
-    from knightshift_spark.operators.dedup import lsh_candidate_pairs
-    from knightshift_spark.queries.dedup import _band_rows, _HASH32, _mh_cols, _SHINGLES_CTE
+    from knightshift_spark.operators.dedup import lsh_candidate_pairs, simhash16
+    from knightshift_spark.queries.dedup import (
+        _band_rows,
+        _HASH32,
+        _HASH32_W,
+        _mh_cols,
+        _SHINGLES_CTE,
+    )
     from knightshift_spark.tables import load_table
 
     lsh_oracle = (
@@ -249,11 +255,29 @@ def scale10x_section(spark, specs, sf_dir: str) -> dict:
       FROM buckets a JOIN buckets b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
     )
+    # full-scope simhash (q32 was absorbed into q31b, which scopes to
+    # doc_id < 200; the 10× scale comparison wants the whole corpus)
+    simhash_oracle = (
+        _SHINGLES_CTE.format(scope="")
+        + f""",
+      wc AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+      wcn AS (SELECT doc_id, w, COUNT(*) AS c FROM wc GROUP BY 1, 2),
+      hw AS (SELECT doc_id, w, c, {_HASH32_W} AS h FROM wcn),
+      bits AS (SELECT doc_id, b,
+                      SUM(CASE WHEN (h >> b) & 1 = 1 THEN c ELSE -c END) AS s
+               FROM hw, unnest(range(0, 16)) AS u(b) GROUP BY doc_id, b)
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id"""
+    )
 
     entries = {
         "dedup_exact": (specs["q29_dedup_exact"].spark_fn, specs["q29_dedup_exact"].oracle),
         "decontaminate": (specs["q65_contamination"].spark_fn, specs["q65_contamination"].oracle),
-        "simhash": (specs["q32_simhash"].spark_fn, specs["q32_simhash"].oracle),
+        "simhash": (
+            lambda s, d: simhash16(load_table(s, d, "documents")),
+            simhash_oracle,
+        ),
         "chunk_pack": (specs["q68_chunk_pack"].spark_fn, specs["q68_chunk_pack"].oracle),
         "minhash_lsh_full": (
             lambda s, d: lsh_candidate_pairs(

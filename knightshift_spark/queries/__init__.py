@@ -48,6 +48,7 @@ def load_all() -> dict[str, QuerySpec]:
         corpusops,
         dedup,
         events,
+        mining,
         pgn_e2e,
         profiles,
         relational,

@@ -162,7 +162,7 @@ def _mh_cols(num_hashes: int) -> str:
     )
 
 
-def _band_rows(bands: int, rows_per_band: int) -> str:
+def _band_rows(bands: int, rows_per_band: int, src: str = "mh") -> str:
     pieces = []
     for b in range(bands):
         concat = " || ',' || ".join(
@@ -170,7 +170,7 @@ def _band_rows(bands: int, rows_per_band: int) -> str:
             for j in range(b * rows_per_band, (b + 1) * rows_per_band)
         )
         pieces.append(
-            f"SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM mh"
+            f"SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM {src}"
         )
     return "\n        UNION ALL ".join(pieces)
 
@@ -185,12 +185,35 @@ def _band_rows(bands: int, rows_per_band: int) -> str:
                {_mh_cols(16)}
         FROM hx GROUP BY doc_id),
       buckets AS (
-        {_band_rows(4, 4)})
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM buckets a
-      JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
-                     AND a.doc_id < b.doc_id""",
-    doc="MinHash+LSH banded candidate pairs — the 100 TB near-dup path. "
+        {_band_rows(4, 4)}),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                       AND a.doc_id < b.doc_id),
+      wc AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+      wcn AS (SELECT doc_id, w, COUNT(*) AS c FROM wc GROUP BY 1, 2),
+      hw AS (SELECT doc_id, w, c, {_HASH32_W} AS h FROM wcn),
+      bits AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h >> b) & 1 = 1 THEN c ELSE -c END) AS s
+        FROM hw, unnest(range(0, 16)) AS u(b)
+        GROUP BY doc_id, b),
+      sim AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh16
+        FROM bits GROUP BY doc_id)
+      SELECT p.doc_a, p.doc_b,
+             sa.sh16 AS simhash_a, sb.sh16 AS simhash_b,
+             CAST(bit_count(xor(sa.sh16, sb.sh16)) AS BIGINT) AS sim_hamming
+      FROM pairs p
+      JOIN sim sa ON p.doc_a = sa.doc_id
+      JOIN sim sb ON p.doc_b = sb.doc_id""",
+    doc="MinHash+LSH banded candidate pairs — the 100 TB near-dup path — "
+        "each annotated with BOTH endpoints' 16-bit SimHash fingerprint "
+        "and their Hamming distance (absorbs former q32_simhash: same "
+        "term-frequency SimHash arithmetic, now exercised as the "
+        "second-opinion distance a production near-dup confirm consults). "
         "Even the band-bucket hashing is oracle-checked: the md5-anchored "
         "hash family is engine-portable end-to-end",
 )
@@ -199,7 +222,27 @@ def q31b(spark: SparkSession, sf: str) -> DataFrame:
     # max_bucket=500 > the 200-doc scope ⇒ provably above every bucket's
     # occupancy: the capped operator runs its exact all-pairs branch and
     # stays oracle-identical while exercising the production signature
-    return lsh_candidate_pairs(docs, num_hashes=16, bands=4, max_bucket=500)
+    pairs = lsh_candidate_pairs(docs, num_hashes=16, bands=4, max_bucket=500)
+    sim = simhash16(docs)
+    sa = sim.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").cast("bigint").alias("simhash_a")
+    )
+    sb = sim.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").cast("bigint").alias("simhash_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "simhash_a",
+            "simhash_b",
+            F.bit_count(
+                F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
+            ).cast("bigint").alias("sim_hamming"),
+        )
+    )
 
 
 @query(
@@ -237,32 +280,8 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
     return contamination_report(corpus, ev, n=5)
 
 
-@query(
-    "q32_simhash",
-    oracle=r"""
-      WITH toks AS (
-        SELECT doc_id,
-               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                    ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
-        FROM documents),
-      wc AS (
-        SELECT doc_id, unnest(tk) AS w FROM toks),
-      wcn AS (
-        SELECT doc_id, w, COUNT(*) AS c FROM wc GROUP BY 1, 2),
-      hx AS (SELECT doc_id, w, c, """
-    + _HASH32_W
-    + """ AS h FROM wcn),
-      bits AS (
-        SELECT doc_id, b,
-               SUM(CASE WHEN (h >> b) & 1 = 1 THEN c ELSE -c END) AS s
-        FROM hx, unnest(range(0, 16)) AS u(b)
-        GROUP BY doc_id, b)
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-      FROM bits GROUP BY doc_id""",
-    doc="16-bit SimHash fingerprint over term frequencies",
-)
-def q32(spark: SparkSession, sf: str) -> DataFrame:
-    return simhash16(t(spark, sf, "documents")).select(
-        "doc_id", F.col("simhash").cast("bigint").alias("simhash")
-    )
+# Former q32_simhash (doc_id → 16-bit SimHash projection) folded into
+# q31b_minhash_lsh: the identical term-frequency SimHash arithmetic is
+# oracle-checked there as the simhash_a/simhash_b/sim_hamming columns on
+# every LSH candidate pair (COVERAGE.md fusion map). The slot funds the
+# round-7 substring-dedup declaration (q70).

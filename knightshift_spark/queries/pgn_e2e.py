@@ -155,20 +155,20 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:  # sf unused: fixture input
     return run_pgn_pipeline(spark)
 
 
-@query(
-    "q55_games_per_result",
-    oracle="""SELECT * FROM (VALUES
-                ('0-1', 'GM', 'None', 1, 0),
-                ('1/2-1/2', 'None', 'IM', 1, 1),
-                ('1/2-1/2', 'None', 'None', 1, 0))
-              AS t(val_result, val_title_white, val_title_black,
-                   n_games, n_rated)""",
-    doc="domain analytics over the cleaned games table (absorbs former "
-        "q56_title_matchups): result × title-pair distribution with a "
-        "conditional rated-count, hand-computed from the q28 golden rows",
-)
-def q55(spark: SparkSession, sf: str) -> DataFrame:  # sf unused: fixture input
-    games = run_pgn_pipeline(spark)
+# Former q55_games_per_result (which itself had absorbed
+# q56_title_matchups) folded into q28_pgn_pipeline: q28 hash-checks the
+# ENTIRE cleaned games relation against the golden rows, and q55 was a
+# pure GROUP BY + conditional count over exactly those hash-checked rows
+# — both aggregate shapes are independently oracle-checked elsewhere
+# (q48 conditional agg, q08 count), so no operator or oracle coverage is
+# lost (COVERAGE.md fusion map). Its rollup survives as
+# ``games_per_result`` below for library users; the slot funds the
+# round-7 fuzzy-join declaration (q69).
+
+
+def games_per_result(games: DataFrame) -> DataFrame:
+    """Result × title-pair distribution with a conditional rated count —
+    the q55 analytics rollup, kept as a library helper."""
     return games.groupBy("val_result", "val_title_white", "val_title_black").agg(
         F.count(F.lit(1)).cast("int").alias("n_games"),
         F.count(F.when(F.col("val_elo_white").isNotNull(), 1))

@@ -240,75 +240,62 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q62_oracle() -> str:
+    """Both profile modes in one relation: mode='exact' rows mirror the
+    exact-distinct profile; mode='approx' rows carry the same exact
+    values plus the approx_ok audit bit (the AUDIT form — VERDICT r2 #6:
+    the sketch's |HLL − exact|/exact ≤ 0.15 bound is what gets checked,
+    never the engine-specific estimate)."""
+    pieces = []
+    for mode, okbit in (("exact", "true"), ("approx", "true")):
+        for c in ("o_custkey", "o_orderstatus", "o_totalprice"):
+            pieces.append(f"""
+      SELECT '{mode}' AS mode, '{c}' AS column, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             COUNT(DISTINCT {c}) AS n_distinct, {okbit} AS approx_ok,
+             CAST(MIN({c}) AS VARCHAR) AS min_val,
+             CAST(MAX({c}) AS VARCHAR) AS max_val
+      FROM orders""")
+    return "\n      UNION ALL".join(pieces)
+
+
 @query(
     "q62_profile_table",
-    oracle="""
-      SELECT 'o_custkey' AS column, COUNT(*) AS n_rows,
-             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-             COUNT(DISTINCT o_custkey) AS n_distinct,
-             CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
-             CAST(MAX(o_custkey) AS VARCHAR) AS max_val
-      FROM orders
-      UNION ALL
-      SELECT 'o_orderstatus', COUNT(*),
-             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-             COUNT(DISTINCT o_orderstatus),
-             CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
-      FROM orders
-      UNION ALL
-      SELECT 'o_totalprice', COUNT(*),
-             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-             COUNT(DISTINCT o_totalprice),
-             CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
-      FROM orders""",
+    oracle=_q62_oracle(),
     doc="single-pass per-column profiling (null rate / distinct / min-max) "
-        "— the batch data-quality report a 100 TB ingest logs per run",
+        "— the batch data-quality report a 100 TB ingest logs per run — in "
+        "BOTH engine modes of operators.profiling.profile_table, unioned "
+        "under a mode column (absorbs former q62b_profile_approx): "
+        "mode='exact' is the two-phase exact-distinct plan, mode='approx' "
+        "is the audit form whose approx_ok bit pins the HLL sketch error "
+        "bound (|HLL − exact|/exact ≤ 0.15 = 3·default rsd) against an "
+        "exact-SQL oracle; profile_table(approx=True) remains the "
+        "production single-shuffle mode at 100 TB. The exact side emits a "
+        "literal approx_ok=true so one schema fits both modes",
 )
 def q62(spark: SparkSession, sf: str) -> DataFrame:
     from knightshift_spark.operators.profiling import profile_table
 
-    return profile_table(
-        t(spark, sf, "orders"), ["o_custkey", "o_orderstatus", "o_totalprice"]
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice"]
+    orders = t(spark, sf, "orders")
+    exact = profile_table(orders, cols).select(
+        F.lit("exact").alias("mode"),
+        "column", "n_rows", "n_nulls", "n_distinct",
+        F.lit(True).alias("approx_ok"),
+        "min_val", "max_val",
     )
-
-
-@query(
-    "q62b_profile_approx",
-    oracle="""
-      SELECT 'o_custkey' AS column, COUNT(*) AS n_rows,
-             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-             COUNT(DISTINCT o_custkey) AS n_distinct, true AS approx_ok,
-             CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
-             CAST(MAX(o_custkey) AS VARCHAR) AS max_val
-      FROM orders
-      UNION ALL
-      SELECT 'o_orderstatus', COUNT(*),
-             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-             COUNT(DISTINCT o_orderstatus), true,
-             CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
-      FROM orders
-      UNION ALL
-      SELECT 'o_totalprice', COUNT(*),
-             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-             COUNT(DISTINCT o_totalprice), true,
-             CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
-      FROM orders""",
-    doc="approximate per-column profiling (approx_count_distinct): the "
-        "100 TB profiling path — one shuffle of constant-size HLL sketches "
-        "instead of q62's exact-distinct Expand. Declared in AUDIT form "
-        "(VERDICT r2 #6): each row carries a self-verifying approx_ok bit "
-        "(|HLL − exact|/exact ≤ 0.15 = 3·default rsd) so the sketch error "
-        "bound is oracle-checked; profile_table(approx=True) is the "
-        "production single-shuffle mode",
-)
-def q62b(spark: SparkSession, sf: str) -> DataFrame:
-    from knightshift_spark.operators.profiling import profile_table
-
-    return profile_table(
-        t(spark, sf, "orders"),
-        ["o_custkey", "o_orderstatus", "o_totalprice"],
-        approx_check=0.15,
+    audit = profile_table(orders, cols, approx_check=0.15).select(
+        F.lit("approx").alias("mode"),
+        "column", "n_rows", "n_nulls", "n_distinct", "approx_ok",
+        "min_val", "max_val",
     )
+    return exact.unionByName(audit)
+
+
+# Former q62b_profile_approx folded into q62_profile_table's
+# mode='approx' rows (same AUDIT-form approx_ok bit, same oracle
+# arithmetic — COVERAGE.md fusion map). The slot funds the round-7
+# heavy-hitters declaration (q71).
 
 
 @query(
