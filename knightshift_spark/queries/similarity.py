@@ -160,47 +160,8 @@ def ann_recall_harness(
     return spark.createDataFrame(rows, out.schema)
 
 
-@query(
-    "q59_ann_recall",
-    oracle=None,  # measures engine-internal ANN quality → rows-only
-    doc="recall@k harness: LSH and IVF top-k vs brute-force ground truth — "
-        "the accept/reject dial for ANN parameters at scale. Lean declared "
-        "set (4 variants, no per-config PQ codegen compile — the full "
-        "6-variant sweep incl. PQ/IVF-PQ runs in pytest); output rows carry "
-        "a self-verifying ok bit (recall bounds + multiprobe monotonicity). "
-        "Absorbs former q53_knn_ivf: both IVF probe settings run inside "
-        "the harness against the same Lloyd-refined codebook",
-)
-def q59(spark: SparkSession, sf: str) -> DataFrame:
-    from knightshift_spark.operators.similarity import (
-        prepare_ivf_candidates,
-        prepare_lsh_candidates,
-    )
-
-    emb = t(spark, sf, "embeddings")
-    q, c = emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10)
-    # the candidate relation feeds truth + codebook + 2 prepared index
-    # tables — pin it in memory for the duration of the harness build
-    c = c.persist()
-    truth = knn_bruteforce(q, c, k=3, dim=64)
-    # one codebook build serves both IVF probe settings (build-once path)
-    cents = ivf_centroids(c, n_clusters=4)
-    # shared index tables: the sketch / cluster-assignment projections
-    # (the per-candidate codegen cost) run once per index, not once per
-    # probe setting — the in-memory form of the persisted-index path
-    c_lsh = prepare_lsh_candidates(c, bits=4).persist()
-    c_ivf = prepare_ivf_candidates(c, cents).persist()
-    variants = {
-        "lsh_b4": knn_lsh(q, c_lsh, k=3, bits=4),
-        "lsh_b4_h1": knn_lsh(q, c_lsh, k=3, bits=4, hamming_probe=1),
-        "ivf_c4": knn_ivf(q, c_ivf, k=3, n_clusters=4, centroids=cents),
-        "ivf_c4_p2": knn_ivf(q, c_ivf, k=3, n_clusters=4, n_probe=2, centroids=cents),
-    }
-    widens = {"lsh_b4_h1": "lsh_b4", "ivf_c4_p2": "ivf_c4"}
-    out = ann_recall_harness(spark, variants, truth, widens)
-    for cached in (c, c_lsh, c_ivf):  # harness materialized → safe to drop
-        cached.unpersist()
-    return out
+# q59_ann_recall is declared at the end of this module: its round-7
+# composed oracle consumes _srp_sketch_sql, which must exist first.
 
 
 def _srp_sketch_sql(vec: str, bits: int = 4, dim: int = 64) -> str:
@@ -251,3 +212,178 @@ def q33b(spark: SparkSession, sf: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5),
         k=3, bits=4,
     )
+
+
+def _sq_l2_sql(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB squared-L2 with the same left-to-right double fold as
+    ``operators.similarity._sq_l2``."""
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+def _top3_sql(name: str, pair_src: str) -> str:
+    """Ranked top-3 CTE pair over a (query_id, neighbor_id, sim) source —
+    the SQL twin of the knn_* window (sim DESC, neighbor_id tie-break)."""
+    return f"""
+      {name} AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM ({pair_src}))
+        WHERE rnk <= 3)"""
+
+
+def _q59_oracle() -> str:
+    """Composed exact oracle for the whole recall harness (VERDICT r6
+    #5, taken further): with the declared IVF codebook switched to the
+    hash-ranked seed rule, EVERY variant — SRP buckets, Hamming-1
+    probes, both IVF probe settings — plus the brute-force truth and the
+    recall/ok arithmetic is deterministic md5/double arithmetic DuckDB
+    reproduces bit-for-bit (the q33/q33b portability argument, extended
+    to the harness)."""
+    from knightshift_spark.queries.dedup import hash32_sql
+
+    seed_hash = hash32_sql("CAST(neighbor_id AS VARCHAR) || '|ivfseed'")
+    cos = _cos("q.v", "c.v")
+    lsh0 = (
+        f"SELECT q.query_id, c.neighbor_id, {_cos('q.v', 'c.v')} AS sim "
+        "FROM qs q JOIN cs c ON q.sk = c.sk"
+    )
+    lsh1 = (
+        f"SELECT q.query_id, c.neighbor_id, {_cos('q.v', 'c.v')} AS sim "
+        "FROM qs q JOIN cs c ON bit_count(xor(q.sk, c.sk)) <= 1"
+    )
+    ivf = (
+        "SELECT q.query_id, c.neighbor_id, {cos} AS sim "
+        "FROM qv q JOIN qprobe p ON q.query_id = p.query_id AND p.pr <= {np} "
+        "JOIN casg a ON p.cid = a.cid "
+        "JOIN cv c ON a.neighbor_id = c.neighbor_id"
+    )
+    return f"""
+      WITH qv AS MATERIALIZED (
+        SELECT vec_id AS query_id, embedding AS v FROM embeddings
+        WHERE vec_id < 10),
+      cv AS MATERIALIZED (
+        SELECT vec_id AS neighbor_id, embedding AS v FROM embeddings
+        WHERE vec_id >= 10),
+      {_top3_sql("truth", f"SELECT q.query_id, c.neighbor_id, {cos} AS sim FROM qv q, cv c")},
+      qs AS MATERIALIZED (
+        SELECT query_id, v, {_srp_sketch_sql('v')} AS sk FROM qv),
+      cs AS MATERIALIZED (
+        SELECT neighbor_id, v, {_srp_sketch_sql('v')} AS sk FROM cv),
+      cent AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY h, neighbor_id) - 1 AS cid, v
+        FROM (SELECT neighbor_id, v, {seed_hash} AS h FROM cv
+              ORDER BY h, neighbor_id LIMIT 4)),
+      casg AS MATERIALIZED (
+        SELECT neighbor_id, cid FROM (
+          SELECT c.neighbor_id, ct.cid,
+                 ROW_NUMBER() OVER (PARTITION BY c.neighbor_id
+                                    ORDER BY {_sq_l2_sql('c.v', 'ct.v')}, ct.cid) AS rn
+          FROM cv c CROSS JOIN cent ct)
+        WHERE rn = 1),
+      qprobe AS MATERIALIZED (
+        SELECT q.query_id, ct.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sq_l2_sql('q.v', 'ct.v')}, ct.cid) AS pr
+        FROM qv q CROSS JOIN cent ct),
+      {_top3_sql("lsh0", lsh0)},
+      {_top3_sql("lsh1", lsh1)},
+      {_top3_sql("ivf1", ivf.format(cos=cos, np=1))},
+      {_top3_sql("ivf2", ivf.format(cos=cos, np=2))},
+      appr AS (
+        SELECT 'lsh_b4' AS method, query_id, neighbor_id FROM lsh0
+        UNION ALL SELECT 'lsh_b4_h1', query_id, neighbor_id FROM lsh1
+        UNION ALL SELECT 'ivf_seed4', query_id, neighbor_id FROM ivf1
+        UNION ALL SELECT 'ivf_seed4_p2', query_id, neighbor_id FROM ivf2),
+      hits AS (
+        SELECT method, COUNT(*) AS n_hits
+        FROM appr JOIN truth USING (query_id, neighbor_id)
+        GROUP BY method),
+      m(method, widens) AS (VALUES
+        ('ivf_seed4', NULL), ('ivf_seed4_p2', 'ivf_seed4'),
+        ('lsh_b4', NULL), ('lsh_b4_h1', 'lsh_b4')),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+      sc AS MATERIALIZED (
+        SELECT m.method, m.widens,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               (SELECT n_truth FROM tot) AS n_truth,
+               ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                     / (SELECT n_truth FROM tot), 4) AS recall_at_k
+        FROM m LEFT JOIN hits h ON m.method = h.method)
+      SELECT s.method, s.n_hits, s.n_truth, s.recall_at_k,
+             (s.recall_at_k BETWEEN 0 AND 1)
+               AND COALESCE(s.recall_at_k >= b.recall_at_k, TRUE) AS ok
+      FROM sc s LEFT JOIN sc b ON s.widens = b.method"""
+
+
+@query(
+    "q59_ann_recall",
+    oracle=_q59_oracle(),
+    doc="recall@k harness: LSH (SRP buckets, plus Hamming-1 multiprobe) "
+        "and IVF (1- and 2-probe) top-k vs brute-force ground truth — the "
+        "accept/reject dial for ANN parameters at scale — now with a "
+        "COMPOSED EXACT ORACLE: the declared codebook is the hash-ranked "
+        "seed rule (4 lowest md5-bucket candidates), so every variant, "
+        "the truth set, and the recall/ok arithmetic reproduce in DuckDB "
+        "bit-for-bit (q33/q33b's portability argument extended to the "
+        "harness). The Lloyd-refined production codebook build "
+        "(ivf_centroids) remains covered by pytest (brute-force recall "
+        "floors) and the bench ANN section — the q31b pattern: declared "
+        "form checks the exact path, production branch verified where "
+        "exactness is measurable. Lean 4-variant set (the full 6-variant "
+        "sweep incl. PQ/IVF-PQ runs in pytest); output rows keep the "
+        "self-verifying ok bit (recall bounds + multiprobe monotonicity). "
+        "Absorbs former q53_knn_ivf: both IVF probe settings share one "
+        "codebook and one prepared assignment table",
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    from knightshift_spark.operators.dedup import stable_hash32
+    from knightshift_spark.operators.similarity import (
+        prepare_ivf_candidates,
+        prepare_lsh_candidates,
+    )
+
+    emb = t(spark, sf, "embeddings")
+    q, c = emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10)
+    # the candidate relation feeds truth + codebook + 2 prepared index
+    # tables — pin it in memory for the duration of the harness build
+    c = c.persist()
+    truth = knn_bruteforce(q, c, k=3, dim=64)
+    # deterministic hash-ranked seed codebook (4 rows collected — bounded
+    # by construction); one codebook serves both IVF probe settings
+    seeds = (
+        c.select(
+            "vec_id",
+            "embedding",
+            stable_hash32(
+                F.concat(F.col("vec_id").cast("string"), F.lit("|ivfseed"))
+            ).alias("__h"),
+        )
+        .orderBy("__h", "vec_id")
+        .limit(4)
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in seeds]
+    # shared index tables: the sketch / cluster-assignment projections
+    # (the per-candidate codegen cost) run once per index, not once per
+    # probe setting — the in-memory form of the persisted-index path
+    c_lsh = prepare_lsh_candidates(c, bits=4).persist()
+    c_ivf = prepare_ivf_candidates(c, cents).persist()
+    variants = {
+        "lsh_b4": knn_lsh(q, c_lsh, k=3, bits=4),
+        "lsh_b4_h1": knn_lsh(q, c_lsh, k=3, bits=4, hamming_probe=1),
+        "ivf_seed4": knn_ivf(q, c_ivf, k=3, n_clusters=4, centroids=cents),
+        "ivf_seed4_p2": knn_ivf(
+            q, c_ivf, k=3, n_clusters=4, n_probe=2, centroids=cents
+        ),
+    }
+    widens = {"lsh_b4_h1": "lsh_b4", "ivf_seed4_p2": "ivf_seed4"}
+    out = ann_recall_harness(spark, variants, truth, widens)
+    for cached in (c, c_lsh, c_ivf):  # harness materialized → safe to drop
+        cached.unpersist()
+    return out
