@@ -148,12 +148,48 @@ def main() -> None:
     except Exception:
         pass  # informational; never fail the bench
 
+    # per-query delta vs the PREVIOUS bench_full.json (VERDICT r6 #9):
+    # suite-level ±1-2 s jitter is machine noise (memory: 14.9-17.9 s
+    # band) — only a per-query plan regression is actionable, so name
+    # the queries that moved instead of letting the total read as one
+    prev_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+    bench_diff = None
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+        prev_q = prev.get("queries") or {}
+        moved = {}
+        for name, now in times.items():
+            before = prev_q.get(name)
+            if before is None:
+                moved[name] = {"now": now, "prev": None, "note": "new"}
+                continue
+            delta = round(now - before, 4)
+            # noise gate: flag only >0.3 s AND >25% moves
+            if abs(delta) > 0.3 and abs(delta) > 0.25 * max(before, 1e-9):
+                moved[name] = {"now": now, "prev": before, "delta_sec": delta}
+        bench_diff = {
+            "prev_total_sec": prev.get("value"),
+            "total_delta_sec": round(total - prev["value"], 4)
+            if isinstance(prev.get("value"), (int, float))
+            else None,
+            "moved_queries": moved,
+            "note": "per-query deltas vs the previous bench_full.json; "
+            "only >0.3s AND >25% moves are listed — suite totals "
+            "within ~±2s with an empty list here are machine noise",
+        }
+    except Exception:
+        pass  # first run / missing file — informational only
+
     full = {
         "metric": "declared_query_suite_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
         "duckdb_queries": duck_times,
+        "diff_vs_prev": bench_diff,
         "sf": sf,
         "duckdb_oracle_total_sec": duck_total,
         "spark_vs_duckdb_ratio": ratio,
@@ -188,6 +224,9 @@ def main() -> None:
                 "scale10x_ratio": (scale10 or {}).get("ratio"),
                 "skew_ratio": (skewed or {}).get("ratio"),
                 "sf1_ratio": (sf1 or {}).get("ratio"),
+                "n_moved_vs_prev": (
+                    len(bench_diff["moved_queries"]) if bench_diff else None
+                ),
                 "detail": "bench_full.json" if detail_path else None,
             }
         )

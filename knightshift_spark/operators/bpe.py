@@ -90,6 +90,14 @@ def train_bpe(
     return merges
 
 
+# Hard ceiling on the driver-side training sample (VERDICT r6 #6): the
+# sample parameter is a DRIVER-MEMORY commitment, not a tuning knob a
+# 100×-scale caller may inflate along with the data. 100k docs ≈ low
+# hundreds of MB of text — comfortably driver-sized; past that, train on
+# a written-out hash_sample instead.
+MAX_BPE_SAMPLE = 100_000
+
+
 def train_bpe_on_corpus(
     docs,
     num_merges: int = 200,
@@ -99,7 +107,14 @@ def train_bpe_on_corpus(
 ) -> "BPETokenizer":
     """Train on the ``sample`` lowest-id documents of a corpus DataFrame
     (deterministic sample, bounded driver memory) and return the frozen
-    seam-ready tokenizer."""
+    seam-ready tokenizer. ``sample`` is capped at ``MAX_BPE_SAMPLE`` —
+    exceeding it raises instead of silently OOMing the driver."""
+    if sample > MAX_BPE_SAMPLE:
+        raise ValueError(
+            f"sample={sample} exceeds MAX_BPE_SAMPLE={MAX_BPE_SAMPLE}: the "
+            "training sample collects to the driver. Train on a "
+            "hash_sample written to storage if you need more coverage."
+        )
     rows = docs.select(id_col, text_col).orderBy(id_col).limit(sample).collect()
     merges = train_bpe((r[text_col] for r in rows), num_merges)
     return BPETokenizer(merges=tuple(merges))

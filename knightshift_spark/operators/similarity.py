@@ -148,6 +148,7 @@ def knn_bruteforce_arrow(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Throughput variant of ``knn_bruteforce``: per-Arrow-batch numpy
     matmul inside ``mapInPandas``.
@@ -159,13 +160,27 @@ def knn_bruteforce_arrow(
     carries ≤ k rows per (batch, query), never the full score matrix.
     Use when d×|Q| is large enough that GEMM beats codegen (~d ≥ 128 or
     |Q| ≥ 100); results are identical up to float-sum ordering.
+
+    The query side collects to the driver and broadcasts — a driver-
+    memory commitment, so it is guarded (VERDICT r6 #6): more than
+    ``max_queries`` rows raises instead of silently OOMing. Batch a
+    bigger query load through repeated calls (or flip the relations —
+    the larger side belongs in ``candidates``).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    # limit(max+1) bounds the check itself — no count job, no oversized
+    # transfer even when the guard fires
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"queries exceed max_queries={max_queries}: the query matrix "
+            "collects to the driver and broadcasts to every task. Put the "
+            "large relation on the candidates side, or batch the queries."
+        )
     q_ids = np.array([r[id_col] for r in q_rows])
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)

@@ -86,6 +86,143 @@ def normalize_url(url: Column, strip_params: tuple[str, ...] = TRACKING_PARAMS) 
     return F.concat(head, path, qnorm)
 
 
+# --- Public-suffix (PSL) registrable domain -------------------------------
+#
+# Vendored SNAPSHOT of publicsuffix.org entries (data, not code): the
+# most common multi-label public suffixes plus the canonical wildcard /
+# exception cases, enough for real co.uk-style grouping. The full list
+# (~9k rules) is a drop-in replacement — pass it as ``rules`` — because
+# rule SEMANTICS (longest match, ``*.`` wildcards, ``!`` exceptions,
+# implicit ``*`` default) are implemented here, not baked per entry.
+DEFAULT_PUBLIC_SUFFIXES: tuple[str, ...] = (
+    # United Kingdom
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk", "nhs.uk",
+    # Australia
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    # Japan
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    # Brazil / Latin America
+    "com.br", "net.br", "org.br", "gov.br", "com.mx", "org.mx", "gob.mx",
+    "com.ar", "org.ar", "gob.ar",
+    # Asia
+    "co.kr", "or.kr", "go.kr", "co.in", "org.in", "gov.in", "ac.in",
+    "com.cn", "org.cn", "gov.cn", "net.cn", "com.tw", "org.tw",
+    "com.sg", "org.sg", "com.hk", "org.hk", "co.id", "or.id",
+    "com.my", "org.my", "co.th", "or.th", "com.vn", "org.vn",
+    # Africa / Oceania / Europe multi-label
+    "co.za", "org.za", "gov.za", "co.nz", "org.nz", "govt.nz",
+    "com.tr", "org.tr", "gov.tr", "co.il", "org.il", "gov.il",
+    "com.pl", "org.pl", "net.pl", "com.ua", "org.ua", "gov.ua",
+    "com.gr", "org.gr", "com.pt", "org.pt", "com.ro", "org.ro",
+    # canonical wildcard + exception family (publicsuffix.org test set)
+    "*.ck", "!www.ck", "*.bd", "*.kawasaki.jp", "!city.kawasaki.jp",
+)
+
+_MAX_SUFFIX_LABELS = 5  # longest vendored rule (incl. wildcard slot)
+
+
+def suffix_rules(spark, rules: tuple[str, ...] = DEFAULT_PUBLIC_SUFFIXES) -> DataFrame:
+    """PSL rules normalized for the match join: (match, ps_labels,
+    is_exception) where ``match`` is the literal host-suffix string the
+    rule matches on and ``ps_labels`` the public-suffix label count IF
+    that rule prevails — a wildcard rule ``*.ck`` matches on its parent
+    ``ck`` but yields one extra label; an exception ``!www.ck`` matches
+    on ``www.ck`` and yields one fewer."""
+    rows = []
+    for r in rules:
+        r = r.strip().lower()
+        if not r or r.startswith("//"):
+            continue
+        if r.startswith("!"):
+            body = r[1:]
+            rows.append((body, body.count(".") + 1 - 1, True))
+        elif r.startswith("*."):
+            parent = r[2:]
+            rows.append((parent, parent.count(".") + 1 + 1, False))
+        else:
+            rows.append((r, r.count(".") + 1, False))
+    return spark.createDataFrame(
+        rows, "match string, ps_labels int, is_exception boolean"
+    )
+
+
+def registrable_domain(
+    docs: DataFrame,
+    url_col: str = "url",
+    out_col: str = "domain",
+    rules: DataFrame | None = None,
+) -> DataFrame:
+    """PSL-correct registrable domain (VERDICT r6 #7 — the fix for
+    ``url_domain``'s naive 2-label grouping): public suffix by longest
+    matching rule with wildcard/exception/implicit-``*`` semantics, then
+    registrable = suffix + one label. Hosts that ARE a public suffix
+    (``co.uk`` itself) get NULL — there is no registrant.
+
+    Scale shape: the ≤``_MAX_SUFFIX_LABELS`` candidate suffixes explode
+    from each DISTINCT host (not each row), join the broadcast rule
+    table, reduce to one prevailing rule per host, and broadcast back
+    onto the corpus — the corpus side never shuffles."""
+    spark = docs.sparkSession
+    rls = rules if rules is not None else suffix_rules(spark)
+    hosts = docs.select(url_host(F.col(url_col)).alias("__host")).distinct()
+    parts = F.split(F.col("__host"), r"\.")
+    n = F.size(parts)
+    cand = hosts.select(
+        "__host",
+        n.alias("__n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.least(n, F.lit(_MAX_SUFFIX_LABELS))),
+                lambda i: F.concat_ws(".", F.slice(parts, n - i + 1, i)),
+            )
+        ).alias("match"),
+    )
+    # prevailing rule: any exception wins outright (PSL §algorithm 3);
+    # otherwise the longest ps_labels among matches; no match → the
+    # implicit '*' default rule (ps = 1 label)
+    matched = (
+        cand.join(F.broadcast(rls), "match")
+        # PSL label-count requirement: a rule only matches hosts with at
+        # least as many labels as the rule itself. Only wildcards can
+        # exceed the matched parent (rule labels == ps_labels for both
+        # normal and wildcard rows; exceptions always satisfy it)
+        .filter(F.col("is_exception") | (F.col("__n") >= F.col("ps_labels")))
+        .groupBy("__host", "__n")
+        .agg(
+            F.max(F.when(F.col("is_exception"), F.col("ps_labels"))).alias("__exc"),
+            F.max(F.when(~F.col("is_exception"), F.col("ps_labels"))).alias("__ps"),
+        )
+        .select(
+            "__host",
+            F.coalesce("__exc", "__ps").alias("__ps"),
+        )
+    )
+    resolved = (
+        hosts.join(matched, "__host", "left")
+        .select(
+            "__host",
+            F.coalesce("__ps", F.lit(1)).alias("__ps"),
+        )
+        .withColumn(
+            out_col,
+            F.when(F.size(F.split(F.col("__host"), r"\.")) <= F.col("__ps"), F.lit(None).cast("string"))
+            .otherwise(
+                F.concat_ws(
+                    ".",
+                    F.slice(
+                        F.split(F.col("__host"), r"\."),
+                        F.size(F.split(F.col("__host"), r"\.")) - F.col("__ps"),
+                        F.col("__ps") + 1,
+                    ),
+                )
+            ),
+        )
+        .select("__host", out_col)
+    )
+    keyed = docs.withColumn("__host", url_host(F.col(url_col)))
+    return keyed.join(F.broadcast(resolved), "__host", "left").drop("__host")
+
+
 def domain_stats(
     docs: DataFrame,
     url_col: str = "url",

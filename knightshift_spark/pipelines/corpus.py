@@ -314,18 +314,37 @@ def curate_corpus(
         ("quota_removed", quota_capped),
         ("mixture_removed", kept),
     ]
-    funnel = _n(docs, "n_input")
-    for i, (_, df) in enumerate(stages):
-        funnel = funnel.crossJoin(_n(df, f"n_{i}"))
-    prev = "n_input"
-    pieces = ["'input', n_input"]
-    for i, (reason, _) in enumerate(stages):
-        pieces.append(f"'{reason}', {prev} - n_{i}")
-        prev = f"n_{i}"
-    pieces.append(f"'kept', {prev}")
-    stats = funnel.select(
-        F.expr(f"stack({len(pieces)}, " + ", ".join(pieces) + ") AS (reason, n)")
-    ).select("reason", "n", (F.col("n") >= 0).alias("ok"))
+    # flat funnel plan (VERDICT r6 nit): one UNION of the per-stage
+    # 1-row counts + a lag window over the N+1 rows, instead of N
+    # chained 1-row crossJoins — same single action, flatter plan
+    from pyspark.sql.window import Window
+
+    counts = _n(docs, "n").select(
+        F.lit(-1).alias("__i"), F.lit("input").alias("__reason"), F.col("n")
+    )
+    for i, (reason, df) in enumerate(stages):
+        counts = counts.unionByName(
+            _n(df, "n").select(
+                F.lit(i).alias("__i"), F.lit(reason).alias("__reason"), F.col("n")
+            )
+        )
+    # N+1 rows total — the unpartitioned window is a deliberate
+    # single-partition pass over a constant-size relation
+    lagged = counts.withColumn("__prev", F.lag("n").over(Window.orderBy("__i")))
+    input_row = lagged.filter(F.col("__i") == -1).select(
+        F.col("__reason").alias("reason"), F.col("n")
+    )
+    removed = lagged.filter(F.col("__i") >= 0).select(
+        F.col("__reason").alias("reason"), (F.col("__prev") - F.col("n")).alias("n")
+    )
+    kept_row = lagged.filter(F.col("__i") == len(stages) - 1).select(
+        F.lit("kept").alias("reason"), F.col("n")
+    )
+    stats = (
+        input_row.unionByName(removed)
+        .unionByName(kept_row)
+        .select("reason", "n", (F.col("n") >= 0).alias("ok"))
+    )
 
     # (optional) final PII scrub — a transform, not a filter: the kept
     # set is unchanged, its text loses identifiers (operators.redact)

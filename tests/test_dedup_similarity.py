@@ -218,6 +218,28 @@ def test_knn_arrow_matches_codegen(spark):
     assert exact == arrow
 
 
+def test_driver_bound_guards(spark):
+    """VERDICT r6 #6: the two caller-trusted driver transfers are hard-
+    capped — a 100×-scale caller gets a loud error, never a driver OOM."""
+    import pytest
+
+    from knightshift_spark.operators.bpe import MAX_BPE_SAMPLE, train_bpe_on_corpus
+    from knightshift_spark.operators.similarity import knn_bruteforce_arrow
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="MAX_BPE_SAMPLE"):
+        train_bpe_on_corpus(docs, sample=MAX_BPE_SAMPLE + 1)
+
+    q = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)], "vec_id long, embedding array<float>"
+    )
+    c = spark.createDataFrame([(9, [0.0, 1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="max_queries"):
+        knn_bruteforce_arrow(q, c, k=1, max_queries=4)
+    # at the bound it still runs (limit(max+1) only guards, never trims)
+    assert knn_bruteforce_arrow(q, c, k=1, max_queries=5).count() == 5
+
+
 def test_knn_arrow_tie_break_partition_invariant(spark):
     """Candidates tied at the k-th similarity must truncate deterministically
     (smallest neighbor_id wins), so the result is identical whether the batch

@@ -117,3 +117,38 @@ def test_plan_stays_jvm_side(docs):
         docs.select(normalize_url(F.col("url")), url_domain(F.col("url")))
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_registrable_domain_psl_semantics(spark):
+    """VERDICT r6 #7: PSL-correct grouping — co.uk-style multi-label
+    suffixes, wildcard rules, exception rules, the implicit '*' default,
+    and the label-count requirement (a wildcard rule never matches a
+    host shorter than the rule)."""
+    from knightshift_spark.operators.urlops import registrable_domain
+
+    cases = [
+        # (url, expected registrable domain)
+        ("https://a.b.example.co.uk/x", "example.co.uk"),   # listed suffix
+        ("http://example.co.uk", "example.co.uk"),
+        ("https://www.example.com/", "www.example.com"[4:]),  # 'example.com'
+        ("https://deep.sub.example.com", "example.com"),    # implicit '*'
+        ("https://x.example.zz", "example.zz"),             # unlisted TLD
+        ("https://foo.bar.ck/", "foo.bar.ck"),              # *.ck → ps=bar.ck
+        ("https://www.ck/", "www.ck"),                      # !www.ck exception
+        ("https://co.uk/", None),                           # host IS a suffix
+        ("https://x.ck/", None),                            # *.ck: x.ck IS a suffix
+        ("https://kawasaki.jp/", "kawasaki.jp"),            # wildcard rule longer
+        # than the host must NOT match (PSL label-count requirement)
+        ("https://city.kawasaki.jp/", "city.kawasaki.jp"),  # exception beats *.kawasaki.jp
+        ("https://a.city.kawasaki.jp/", "city.kawasaki.jp"),
+        ("https://sub.other.kawasaki.jp/", "sub.other.kawasaki.jp"),  # *.kawasaki.jp
+    ]
+    docs = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "id long, url string"
+    )
+    got = {
+        r["id"]: r["domain"]
+        for r in registrable_domain(docs, "url").collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
