@@ -169,10 +169,12 @@ def frequent_ngrams(
     runs ``heavy_hitters`` over them; all occurrence counting happens
     in the two bounded phases — nothing per-doc ever reaches the
     driver."""
-    grams = docs.select(
-        F.explode(
-            word_ngrams_all(word_tokens(F.col(text_col)), n)
-        ).alias("item")
+    # bind the token array BEFORE the n-gram lambda (HOF-CSE rule,
+    # SCALE.md): inlining word_tokens into the transform re-ran the
+    # regex split once per emitted gram — measured 10.1s -> 0.7s for
+    # the 265k-gram explode at sf0.1
+    grams = docs.select(word_tokens(F.col(text_col)).alias("__tk")).select(
+        F.explode(word_ngrams_all(F.col("__tk"), n)).alias("item")
     )
     return heavy_hitters(
         grams, "item", cap=cap, min_count=min_count, min_frac=min_frac, k=k
