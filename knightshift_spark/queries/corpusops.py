@@ -98,10 +98,15 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_scores(t(spark, sf, "documents"), list(_BM25_TERMS)).limit(20)
 
 
+_PACK_BUCKETS = 64  # greedy-pack range buckets in the declared form: small
+# enough that the oracle's per-bucket recursive walk stays shallow, large
+# enough to exercise real bucket-boundary behavior at every SF
+
+
 @query(
     "q68_chunk_pack",
-    oracle=r"""
-      WITH d AS (
+    oracle=rf"""
+      WITH RECURSIVE d AS MATERIALIZED (
         SELECT doc_id,
                CAST(CASE WHEN trim(text) = '' THEN 0
                     ELSE len(string_split_regex(trim(text), '\s+')) END
@@ -112,25 +117,59 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
                CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                     AS BIGINT) AS tok_start
-        FROM d)
-      SELECT doc_id, n_tokens, tok_start,
+        FROM d),
+      bb AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM d),
+      bkts AS (
+        SELECT doc_id, n_tokens,
+               CAST(floor((doc_id - lo)
+                    * GREATEST(1, LEAST({_PACK_BUCKETS}, hi - lo + 1))
+                    / (hi - lo + 1)) AS INT) AS bkt
+        FROM d, bb),
+      ordered AS MATERIALIZED (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY doc_id) AS rn
+        FROM bkts),
+      walk AS (
+        SELECT bkt, rn, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS pack, 0 AS pos, n_tokens AS used
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.bkt, o.rn, o.doc_id, o.n_tokens,
+               CASE WHEN w.used > 0 AND w.used + o.n_tokens > 256
+                    THEN w.pack + 1 ELSE w.pack END,
+               CASE WHEN w.used > 0 AND w.used + o.n_tokens > 256
+                    THEN 0 ELSE w.pos + 1 END,
+               CASE WHEN w.used > 0 AND w.used + o.n_tokens > 256
+                    THEN o.n_tokens ELSE w.used + o.n_tokens END
+        FROM walk w JOIN ordered o ON o.bkt = w.bkt AND o.rn = w.rn + 1)
+      SELECT pre.doc_id, pre.n_tokens, tok_start,
              tok_start // 256 AS chunk_first,
-             (tok_start + greatest(n_tokens - 1, 0)) // 256 AS chunk_last,
-             (tok_start + greatest(n_tokens - 1, 0)) // 256
-               - tok_start // 256 + 1 AS n_chunks_spanned
-      FROM pre""",
-    doc="GPT-style concat-and-split sequence packing: documents laid "
-        "end-to-end in doc_id order, token stream cut every 256 tokens; "
-        "each document reports its global token span and chunk range. "
-        "Spark plan is the two-phase distributed prefix sum (range-bucket "
-        "local cumsum + broadcast bucket offsets), NOT a global window — "
-        "the oracle's serial SUM() OVER is exactly what the operator "
-        "avoids at 100 TB; integer DIV keeps offsets exact past 2^53",
+             (tok_start + greatest(pre.n_tokens - 1, 0)) // 256 AS chunk_last,
+             (tok_start + greatest(pre.n_tokens - 1, 0)) // 256
+               - tok_start // 256 + 1 AS n_chunks_spanned,
+             (CAST(w.bkt AS BIGINT) << 32) + w.pack AS pack_id,
+             w.pos AS pack_pos
+      FROM pre JOIN walk w ON pre.doc_id = w.doc_id""",
+    doc="GPT-style sequence packing, BOTH strategies over one token "
+        "relation: concat-and-split (documents laid end-to-end in doc_id "
+        "order, stream cut every 256 tokens — global span + chunk range "
+        "per doc) AND first-fit whole-document greedy packing "
+        "(operators.packing.greedy_pack: pack_id/pack_pos, packs never "
+        "cross range buckets — its one scale concession, encoded "
+        "identically in the oracle's per-bucket recursive-CTE walk, "
+        "promoted from test_packing per ROADMAP item 2). Spark plan is "
+        "the two-phase distributed prefix sum + one applyInPandas walk "
+        "per bucket, NOT a global window — the oracle's serial SUM() "
+        "OVER / recursion is exactly what the operator avoids at 100 TB; "
+        "integer arithmetic end-to-end",
 )
 def q68(spark: SparkSession, sf: str) -> DataFrame:
     from knightshift_spark.functions.text import token_count
+    from knightshift_spark.operators.packing import greedy_pack
 
     docs = t(spark, sf, "documents").select(
         "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
     )
-    return chunk_pack(docs, budget=256)
+    packed = greedy_pack(docs, budget=256, n_buckets=_PACK_BUCKETS).select(
+        "doc_id", "pack_id", "pack_pos"
+    )
+    return chunk_pack(docs, budget=256).join(packed, "doc_id")
