@@ -256,3 +256,24 @@ def strip_against_index(
     if append:
         fresh.select("gram").distinct().write.mode("append").parquet(path)
     return out
+
+
+def append_novel_grams(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append the batch's index-novel anchor grams WITHOUT stripping —
+    the second half of ``strip_against_index`` split out so a streaming
+    ingester can order writes corpus-FIRST, index-second: a crash
+    between the two then only re-admits already-landed rows on replay
+    (reconciled by the scheduled batch dedup) instead of re-stripping a
+    replayed batch's first occurrences against its own grams (text
+    loss). The anti-join keeps the index duplicate-free."""
+    spark = batch.sparkSession
+    k, density = _anchor_meta(spark, path)
+    anchors = _anchor_table(batch, k, density, id_col, text_col)
+    index = spark.read.schema("gram string").parquet(path)
+    fresh = anchors.join(index, "gram", "left_anti").select("gram").distinct()
+    fresh.write.mode("append").parquet(path)

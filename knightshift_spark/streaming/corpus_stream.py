@@ -213,6 +213,77 @@ def _ingest_batch_with_neardup(
     append_lsh_index(keep, index_path)
 
 
+def _ingest_batch_with_substring_strip(
+    batch_df: DataFrame,
+    target_dir: str,
+    index_path: str,
+    merge_gap: int,
+) -> None:
+    """One micro-batch of substring-dedup-aware ingestion (foreachBatch
+    body): cut every span whose content's first occurrence lives in
+    corpus HISTORY (the persisted anchor index) or earlier in the batch,
+    append the stripped survivors to the corpus, then add the batch's
+    novel anchor grams to the index. Corpus first, index second — the
+    same crash-ordering argument as the near-dup ingester: a replay can
+    only re-admit rows the corpus already holds (duplicate doc_ids the
+    scheduled batch dedup reconciles), never strip a replayed batch's
+    first occurrences against its own just-appended grams."""
+    from knightshift_spark.operators.substring import (
+        append_novel_grams,
+        strip_against_index,
+    )
+
+    if batch_df.isEmpty():
+        return
+    batch = batch_df.localCheckpoint()  # consumed by strip AND gram append
+    stripped = strip_against_index(
+        batch, index_path, merge_gap=merge_gap, append=False
+    )
+    stripped.write.mode("append").parquet(target_dir)
+    append_novel_grams(batch, index_path)
+
+
+def run_document_stream_with_substring_strip(
+    spark: SparkSession,
+    spool_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    index_path: str,
+    merge_gap: int = 0,
+    trigger: dict | None = None,
+    max_files_per_trigger: int | None = None,
+    min_tokens: int = 5,
+    langs: tuple[str, ...] = ("en", "und"),
+) -> StreamingQuery:
+    """Incremental ExactSubstr ingestion: screens → cross-batch exact
+    dedup (state store) → per-batch substring strip against the
+    persisted anchor index (``operators.substring.write_anchor_index``
+    must have created ``index_path``, possibly over an empty corpus) →
+    parquet append + novel-gram append.
+
+    The anchor index is the text twin of the LSH index leg: each batch
+    is anchored ONCE and joined against history's gram set — history is
+    never re-anchored. Per-batch cost is the batch's own anchor table
+    plus one gram-keyed join; the index grows by the batch's NOVEL
+    grams only (anti-join keeps it duplicate-free). Delivery is
+    at-least-once at the corpus boundary, same as the near-dup runner.
+    """
+    docs = stream_documents(spark, spool_dir, max_files_per_trigger)
+    screened = screen_documents(docs, min_tokens, langs)
+    deduped = screened.dropDuplicates(["__fp"]).drop("__fp")
+    writer = (
+        deduped.writeStream.foreachBatch(
+            lambda df, _id: _ingest_batch_with_substring_strip(
+                df, target_dir, index_path, merge_gap
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
 def run_document_stream_with_neardup(
     spark: SparkSession,
     spool_dir: str,

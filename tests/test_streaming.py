@@ -594,6 +594,74 @@ def test_document_stream_neardup_batch_id_below_corpus_id(spark, tmp_path):
     assert idx_ids == {100}
 
 
+def test_document_stream_with_substring_strip(spark, tmp_path):
+    """Round-7 streaming ExactSubstr: a batch-2 document embedding a
+    region first seen in batch 1 lands with that region CUT (stripped
+    against the persisted anchor index), and the stream's cumulative
+    output equals the one-shot strip of the concatenated batches — the
+    incremental ≡ one-shot property, now at the stream boundary."""
+    import json as _json
+
+    from knightshift_spark.operators.substring import (
+        strip_duplicated_spans,
+        write_anchor_index,
+    )
+    from knightshift_spark.streaming.corpus_stream import (
+        run_document_stream_with_substring_strip,
+    )
+
+    boiler = "SHARED LICENSE HEADER do not remove this exact boilerplate text"
+    rows = [
+        (1, f"first unique document body with {boiler} inside the middle part"),
+        (2, f"second document totally different start {boiler} and another tail"),
+        (3, "third document with no shared region at all in any position"),
+    ]
+    spool = tmp_path / "docs"
+    spool.mkdir()
+    batches = [[rows[0]], [rows[1], rows[2]]]
+    files = []
+    for i, batch in enumerate(batches):
+        f = spool / f"b{i}.jsonl"
+        f.write_text(
+            "\n".join(
+                _json.dumps({"doc_id": d, "text": t, "source": "web"})
+                for d, t in batch
+            )
+        )
+        files.append(f)
+    now = os.stat(files[0]).st_mtime
+    for i, f in enumerate(files):
+        os.utime(f, (now + 60 * i, now + 60 * i))
+
+    target = tmp_path / "corpus"
+    index = str(tmp_path / "anchor_index")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    write_anchor_index(empty, index, k=16, density=1)
+
+    q = run_document_stream_with_substring_strip(
+        spark, str(spool), str(target), str(tmp_path / "ckpt"), index,
+        trigger={"availableNow": True}, max_files_per_trigger=1,
+        min_tokens=1, langs=("en", "und"),
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(target)).collect()
+    }
+    # one-shot reference over the full corpus in id order
+    want = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicated_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            k=16, density=1,
+        ).collect()
+    }
+    assert got == want
+    assert got[1] == rows[0][1]          # first occurrence keeps its text
+    assert boiler not in got[2]          # batch-2 copy was cut
+    assert got[3] == rows[2][1]          # untouched doc passes through
+
+
 def test_sessionize_stream_gap_and_timeout_close(spark, tmp_path):
     """Custom stateful sessionizer: a gap witnessed inside a batch closes
     a session immediately; a session that merely goes quiet closes when
