@@ -228,15 +228,22 @@ def domain_stats(
     url_col: str = "url",
     text_col: str | None = "text",
     levels: int = 2,
+    psl: bool = False,
+    rules: DataFrame | None = None,
 ) -> DataFrame:
     """Per-domain rollup: (domain, n_docs[, total_chars]) — the sizing
     pass behind domain quotas and blocklist candidates. One map-side-
-    combinable shuffle on the domain key."""
+    combinable shuffle on the domain key. ``psl=True`` groups by the
+    PSL-correct ``registrable_domain`` (broadcast rule join; co.uk-style
+    hosts group right) instead of the naive last-``levels`` labels."""
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     if text_col is not None:
         aggs.append(
             F.coalesce(F.sum(F.length(text_col)), F.lit(0)).alias("total_chars")
         )
+    if psl:
+        keyed = registrable_domain(docs, url_col, out_col="__psl_dom", rules=rules)
+        return keyed.groupBy(F.col("__psl_dom").alias("domain")).agg(*aggs)
     return docs.groupBy(url_domain(F.col(url_col), levels).alias("domain")).agg(*aggs)
 
 
@@ -246,6 +253,8 @@ def filter_domains(
     url_col: str = "url",
     mode: str = "block",
     levels: int = 2,
+    psl: bool = False,
+    rules: DataFrame | None = None,
 ) -> DataFrame:
     """Domain allow/block filtering on the registrable domain.
 
@@ -253,10 +262,22 @@ def filter_domains(
     C4 blocklist is thousands of entries — expression-sized); as a
     DataFrame with a ``domain`` column it joins semi/anti (the right
     form when the list is itself corpus-derived). ``mode``: ``block``
-    drops matching domains, ``allow`` keeps only them.
+    drops matching domains, ``allow`` keeps only them. ``psl=True``
+    keys on the PSL-correct ``registrable_domain`` — a blocklist entry
+    ``example.co.uk`` then matches every ``*.example.co.uk`` host,
+    which the naive 2-label key grouped under ``co.uk``.
     """
     if mode not in ("block", "allow"):
         raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    if psl:
+        keyed = registrable_domain(docs, url_col, out_col="__dom", rules=rules)
+        if isinstance(domains, DataFrame):
+            how = "left_anti" if mode == "block" else "left_semi"
+            return keyed.join(
+                domains.select(F.col("domain").alias("__dom")), "__dom", how
+            ).drop("__dom")
+        hit = F.col("__dom").isin([d.lower() for d in domains])
+        return keyed.filter(~hit if mode == "block" else hit).drop("__dom")
     dom = url_domain(F.col(url_col), levels)
     if isinstance(domains, DataFrame):
         keyed = docs.withColumn("__dom", dom)

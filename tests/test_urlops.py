@@ -152,3 +152,39 @@ def test_registrable_domain_psl_semantics(spark):
     }
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_domain_stats_and_filter_psl_mode(spark):
+    """psl=True keys on the PSL registrable domain: co.uk hosts group
+    per REGISTRANT (naive 2-label grouping lumped them all under
+    'co.uk'), and a blocklist entry catches every subdomain."""
+    from knightshift_spark.operators.urlops import domain_stats, filter_domains
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.shop.co.uk/p", "x"),
+            (2, "https://b.shop.co.uk/q", "yy"),
+            (3, "https://news.co.uk/r", "zzz"),
+            (4, "https://plain.com/s", "w"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    stats = {
+        r["domain"]: r["n_docs"]
+        for r in domain_stats(docs, psl=True).collect()
+    }
+    assert stats == {"shop.co.uk": 2, "news.co.uk": 1, "plain.com": 1}
+    # naive mode collapses all .co.uk registrants into one key
+    naive = {r["domain"]: r["n_docs"] for r in domain_stats(docs).collect()}
+    assert naive["co.uk"] == 3
+
+    kept = {
+        r["doc_id"]
+        for r in filter_domains(docs, ["shop.co.uk"], mode="block", psl=True).collect()
+    }
+    assert kept == {3, 4}
+    allowed = {
+        r["doc_id"]
+        for r in filter_domains(docs, ["shop.co.uk"], mode="allow", psl=True).collect()
+    }
+    assert allowed == {1, 2}
