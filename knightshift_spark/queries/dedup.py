@@ -184,13 +184,27 @@ def _band_rows(bands: int, rows_per_band: int, src: str = "mh") -> str:
         SELECT doc_id,
                {_mh_cols(16)}
         FROM hx GROUP BY doc_id),
-      buckets AS (
+      buckets AS MATERIALIZED (
         {_band_rows(4, 4)}),
       pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM buckets a
         JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
                        AND a.doc_id < b.doc_id),
+      occ AS MATERIALIZED (
+        SELECT doc_id, band, bucket,
+               COUNT(*) OVER (PARTITION BY band, bucket) AS n,
+               MIN(doc_id) OVER (PARTITION BY band, bucket) AS rep
+        FROM buckets),
+      capped AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM occ a
+        JOIN occ b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id
+        WHERE a.n <= 4
+        UNION
+        SELECT rep AS doc_a, doc_id AS doc_b
+        FROM occ WHERE n > 4 AND doc_id <> rep),
       wc AS (SELECT doc_id, unnest(tk) AS w FROM toks),
       wcn AS (SELECT doc_id, w, COUNT(*) AS c FROM wc GROUP BY 1, 2),
       hw AS (SELECT doc_id, w, c, {_HASH32_W} AS h FROM wcn),
@@ -199,30 +213,45 @@ def _band_rows(bands: int, rows_per_band: int, src: str = "mh") -> str:
                SUM(CASE WHEN (h >> b) & 1 = 1 THEN c ELSE -c END) AS s
         FROM hw, unnest(range(0, 16)) AS u(b)
         GROUP BY doc_id, b),
-      sim AS (
+      sim AS MATERIALIZED (
         SELECT doc_id,
                CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh16
-        FROM bits GROUP BY doc_id)
-      SELECT p.doc_a, p.doc_b,
+        FROM bits GROUP BY doc_id),
+      tagged AS (
+        SELECT 'exact' AS path, doc_a, doc_b FROM pairs
+        UNION ALL
+        SELECT 'capped', doc_a, doc_b FROM capped)
+      SELECT p.path, p.doc_a, p.doc_b,
              sa.sh16 AS simhash_a, sb.sh16 AS simhash_b,
              CAST(bit_count(xor(sa.sh16, sb.sh16)) AS BIGINT) AS sim_hamming
-      FROM pairs p
+      FROM tagged p
       JOIN sim sa ON p.doc_a = sa.doc_id
       JOIN sim sb ON p.doc_b = sb.doc_id""",
     doc="MinHash+LSH banded candidate pairs — the 100 TB near-dup path — "
-        "each annotated with BOTH endpoints' 16-bit SimHash fingerprint "
-        "and their Hamming distance (absorbs former q32_simhash: same "
-        "term-frequency SimHash arithmetic, now exercised as the "
-        "second-opinion distance a production near-dup confirm consults). "
-        "Even the band-bucket hashing is oracle-checked: the md5-anchored "
-        "hash family is engine-portable end-to-end",
+        "in BOTH production branches, tagged by path (closes VERDICT r6 "
+        "nit #1): path='exact' is the cap-above-occupancy all-pairs "
+        "branch (max_bucket=500 > scope); path='capped' runs "
+        "max_bucket=4, which the scope's occupancy distribution "
+        "(buckets of 5/9/10 exist) pushes into real STAR pairing — the "
+        "representative-only fan-out the operator uses on duplicate-"
+        "heavy corpora, oracle-checked via the same occupancy window "
+        "arithmetic. Each pair is annotated with both endpoints' 16-bit "
+        "SimHash and their Hamming distance (absorbs former q32_simhash: "
+        "identical term-frequency arithmetic, exercised as the second-"
+        "opinion distance a near-dup confirm consults). The md5-anchored "
+        "hash family keeps every stage engine-portable",
 )
 def q31b(spark: SparkSession, sf: str) -> DataFrame:
     docs = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    # max_bucket=500 > the 200-doc scope ⇒ provably above every bucket's
-    # occupancy: the capped operator runs its exact all-pairs branch and
-    # stays oracle-identical while exercising the production signature
-    pairs = lsh_candidate_pairs(docs, num_hashes=16, bands=4, max_bucket=500)
+    # path='exact': max_bucket=500 > the 200-doc scope ⇒ provably above
+    # every bucket's occupancy — the capped operator's exact all-pairs
+    # branch. path='capped': max_bucket=4 binds (buckets of 5/9/10 at
+    # this scope) — dense pairs below the cap, star pairs above it
+    exact = lsh_candidate_pairs(docs, num_hashes=16, bands=4, max_bucket=500)
+    capped = lsh_candidate_pairs(docs, num_hashes=16, bands=4, max_bucket=4)
+    tagged = exact.select(F.lit("exact").alias("path"), "doc_a", "doc_b").unionByName(
+        capped.select(F.lit("capped").alias("path"), "doc_a", "doc_b")
+    )
     sim = simhash16(docs)
     sa = sim.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").cast("bigint").alias("simhash_a")
@@ -231,9 +260,10 @@ def q31b(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("simhash").cast("bigint").alias("simhash_b")
     )
     return (
-        pairs.join(sa, "doc_a")
+        tagged.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
+            "path",
             "doc_a",
             "doc_b",
             "simhash_a",
