@@ -142,3 +142,86 @@ class MergeMetricsListener(StreamingQueryListener):
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         pass
+
+
+class PersistentMetricsLog:
+    """Durable per-batch metrics (ROADMAP r6 item 5): each progress
+    event appends ONE parquet row, so restarts keep history — the
+    durable twin of ``StreamMetrics``'s bounded in-memory deque, and
+    the engine-side analog of the reference's per-poll log lines
+    (``get_games_from_tv.py`` counters), surviving as a queryable table
+    instead of a log file.
+
+    Duck-typed to ``StreamMetrics.record_progress``, so it plugs into
+    the SAME ``MergeMetricsListener``. Appends are tiny single-row
+    jobs on the listener thread — metrics cadence, not data cadence.
+    Restarted queries may REPLAY a batch id; the log keeps every
+    attempt and ``load_metrics_log`` dedupes last-attempt-wins at read
+    time (append stays blind, reads stay correct — the same
+    at-least-once + reconciling-read contract as the corpus sinks)."""
+
+    def __init__(self, spark, path: str):
+        self._spark = spark
+        self._path = path
+
+    def record_progress(self, progress) -> None:
+        import json as _json
+
+        row = (
+            str(progress.id),
+            int(progress.batchId),
+            str(progress.timestamp),
+            int(progress.numInputRows),
+            (progress.durationMs or {}).get("triggerExecution"),
+            float(progress.processedRowsPerSecond)
+            if progress.processedRowsPerSecond is not None
+            else None,
+            _json.dumps(
+                {
+                    k: dict(v.asDict()) if hasattr(v, "asDict") else dict(v)
+                    for k, v in (progress.observedMetrics or {}).items()
+                },
+                sort_keys=True,
+            ),
+        )
+        self._spark.createDataFrame(
+            [row],
+            "query_id string, batch_id bigint, ts string, input_rows bigint, "
+            "duration_ms bigint, rows_per_sec double, observed string",
+        ).write.mode("append").parquet(self._path)
+
+
+def load_metrics_log(spark, path: str) -> DataFrame:
+    """The metrics log deduped to one row per (query_id, batch_id) —
+    the LATEST attempt wins (max engine timestamp; replays of a batch
+    after restart supersede the partial first attempt)."""
+    from pyspark.sql.window import Window
+
+    raw = spark.read.parquet(path)
+    w = Window.partitionBy("query_id", "batch_id").orderBy(
+        F.col("ts").desc(), F.col("input_rows").desc()
+    )
+    return (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def metrics_log_totals(spark, path: str) -> dict:
+    """Cross-restart totals over the deduped log — what the in-memory
+    ``StreamMetrics.totals()`` cannot give after a process bounce."""
+    row = (
+        load_metrics_log(spark, path)
+        .agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.coalesce(F.sum("input_rows"), F.lit(0)).alias("input_rows"),
+            F.coalesce(F.sum("duration_ms"), F.lit(0)).alias("wall_ms"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_batches": row["n_batches"],
+        "input_rows": row["input_rows"],
+        "wall_ms": row["wall_ms"],
+    }

@@ -308,6 +308,69 @@ def test_streaming_metrics_listener(spark, tmp_path):
     assert t["n_batches"] == 2 and t["sink_rows"] == 3 and t["wall_ms"] > 0
 
 
+def test_persistent_metrics_log_survives_restart(spark, tmp_path):
+    """Durable observability: per-batch metrics land in a parquet log
+    through the SAME listener, accumulate across two separate stream
+    runs (a restart), and a replayed (query_id, batch_id) attempt
+    dedupes last-wins at read time."""
+    from knightshift_spark.streaming.metrics import (
+        MergeMetricsListener,
+        PersistentMetricsLog,
+        load_metrics_log,
+        metrics_log_totals,
+    )
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    f1, f2 = spool / "a.pgn", spool / "b.pgn"
+    f1.write_text(GAME_V1)
+    now = os.stat(f1).st_mtime
+    os.utime(f1, (now - 60, now - 60))
+
+    log_path = str(tmp_path / "metrics_log")
+    log = PersistentMetricsLog(spark, log_path)
+    listener = MergeMetricsListener(log)
+    spark.streams.addListener(listener)
+    try:
+        # run 1: one file, one batch
+        q = run_pgn_stream(
+            spark, str(spool), str(tmp_path / "games"), str(tmp_path / "ckpt"),
+            trigger={"availableNow": True}, max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+        # run 2 ("after restart", same checkpoint): a new file arrives
+        f2.write_text(GAME_V2)
+        os.utime(f2, (now + 60, now + 60))
+        q = run_pgn_stream(
+            spark, str(spool), str(tmp_path / "games"), str(tmp_path / "ckpt"),
+            trigger={"availableNow": True}, max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+        # listener delivery is async — poll the log until both batches land
+        import time as _t
+
+        deadline = _t.monotonic() + 30
+        while _t.monotonic() < deadline:
+            try:
+                if load_metrics_log(spark, log_path).count() >= 2:
+                    break
+            except Exception:
+                pass  # log dir not created yet
+            _t.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+
+    deduped = load_metrics_log(spark, log_path)
+    rows = deduped.collect()
+    assert len(rows) >= 2  # history spans both runs — in-memory can't
+    t = metrics_log_totals(spark, log_path)
+    assert t["n_batches"] == len(rows) and t["input_rows"] >= 2
+    # replay dedup: re-append a stale attempt for an existing batch id
+    stale = deduped.limit(1).withColumn("ts", F.lit("1970-01-01T00:00:00Z"))
+    stale.write.mode("append").parquet(log_path)
+    assert load_metrics_log(spark, log_path).count() == len(rows)  # last-wins
+
+
 def test_document_stream_incremental_dedup(spark, tmp_path):
     """Incremental corpus ingestion: quality/lang/repetition screens per
     batch, exact dedup ACROSS micro-batches via the state store, append
