@@ -16,12 +16,14 @@ several KB and truncation loses its opening brace). Per-query numbers —
 Spark AND DuckDB (``duckdb_queries``) — live in the full line / file.
 
 Methodology: per query, the DataFrame (plan) is built once — clients
-reuse prepared queries — and execution is timed as the best of
-``SPARK_GRAFT_BENCH_RUNS`` (default 2) ``noop``-format writes, so the
-full plan runs on executors without driver-side row serialization
-skewing the numbers. The DuckDB baseline runs the same oracle SQL over
-the same parquet files with the same best-of-N rule;
-``spark_vs_duckdb_ratio`` compares oracle-backed queries only.
+reuse prepared queries — and the reported time is that build (timed,
+because q69/q71 materialize eager checkpoints during it; broken out in
+``build_sec``) plus the best of ``SPARK_GRAFT_BENCH_RUNS`` (default 2)
+``noop``-format writes, so the full plan runs on executors without
+driver-side row serialization skewing the numbers. The DuckDB baseline
+runs the same oracle SQL over the same parquet files with the same
+best-of-N rule; ``spark_vs_duckdb_ratio`` compares oracle-backed
+queries only.
 """
 
 from __future__ import annotations
@@ -52,16 +54,24 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     times: dict[str, float] = {}
+    build_times: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
-        # build the plan once (clients reuse prepared queries); time the
-        # executions and keep the best of `runs`
+        # build the plan once (clients reuse prepared queries) and TIME
+        # that build: for most queries it is ~ms of plan construction,
+        # but q69/q71 materialize eager localCheckpoints at build time
+        # (candidate pass / Misra-Gries summaries) and excluding that
+        # would under-report them (VERDICT r7 #5). Charged into the
+        # per-query number; also broken out as build_sec.
+        t0 = time.perf_counter()
         df = spec.spark_fn(spark, sf_dir)
+        build = time.perf_counter() - t0
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
             _run(df)
             best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
+        build_times[name] = round(build, 4)
+        times[name] = round(build + best, 4)
 
     total = round(sum(times.values()), 4)
 
@@ -188,6 +198,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "build_sec": build_times,
         "duckdb_queries": duck_times,
         "diff_vs_prev": bench_diff,
         "sf": sf,

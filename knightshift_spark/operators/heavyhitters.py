@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from knightshift_spark.operators.dedup import word_ngrams_all, word_tokens
+from knightshift_spark.plans.partitioning import lint_checkpoint
 
 _CAND_SCHEMA = "item string, floor long, part_total long"
 
@@ -126,9 +127,11 @@ def heavy_hitters(
     # so the totals aggregate and the candidate broadcast read the SAME
     # materialized pass (and the driver never round-trips candidate
     # strings — only the per-partition totals collect, one long each)
-    summaries = src.mapInPandas(
-        _mg_partition(cap), schema=_CAND_SCHEMA
-    ).localCheckpoint(eager=True)
+    summaries = lint_checkpoint(
+        src.mapInPandas(_mg_partition(cap), schema=_CAND_SCHEMA),
+        "heavy_hitters.mg_summaries",
+        eager=True,
+    )
     n_total = int(
         summaries.filter(F.col("item").isNull())
         .agg(F.coalesce(F.sum("part_total"), F.lit(0)))

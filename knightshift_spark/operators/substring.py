@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from knightshift_spark.operators.dedup import stable_hash32
+from knightshift_spark.plans.partitioning import lint_checkpoint
 
 
 def _anchor_table(
@@ -242,8 +243,10 @@ def strip_against_index(
     occurrences as well."""
     spark = batch.sparkSession
     k, density = _anchor_meta(spark, path)
-    anchors = _anchor_table(batch, k, density, id_col, text_col).localCheckpoint(
-        eager=True
+    anchors = lint_checkpoint(
+        _anchor_table(batch, k, density, id_col, text_col),
+        "strip_against_index.anchors",
+        eager=True,
     )
     index = spark.read.schema("gram string").parquet(path)
     hist = anchors.join(index, "gram", "left_semi").select(
@@ -251,7 +254,11 @@ def strip_against_index(
     )
     fresh = anchors.join(index, "gram", "left_anti")
     dup = hist.unionByName(_later_occurrences(fresh, k))
-    spans = _merge_windows(dup, merge_gap, id_col).localCheckpoint(eager=True)
+    spans = lint_checkpoint(
+        _merge_windows(dup, merge_gap, id_col),
+        "strip_against_index.spans",
+        eager=True,
+    )
     out = _cut_spans(batch, spans, id_col, text_col)
     if append:
         fresh.select("gram").distinct().write.mode("append").parquet(path)

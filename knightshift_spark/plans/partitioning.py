@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import io
 from collections.abc import Sequence
-from contextlib import redirect_stdout
+from contextlib import contextmanager, redirect_stdout
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -116,3 +116,32 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     with redirect_stdout(buf):
         df.explain(mode)
     return buf.getvalue()
+
+
+# ``localCheckpoint`` replaces a DataFrame's plan with an RDD scan, so any
+# Arrow stage / join shape BEHIND a checkpoint is invisible to plan lints
+# run on the final query. Operators whose checkpoints sit inside declared
+# queries route them through ``lint_checkpoint`` so the lint suite can
+# capture and audit the pre-checkpoint plans too (zero overhead when no
+# capture is active — the common production path).
+_pre_checkpoint_capture: list[tuple[str, str]] | None = None
+
+
+@contextmanager
+def capture_checkpoint_plans():
+    """Within the block, every ``lint_checkpoint`` records
+    ``(label, explain_str(pre-checkpoint df))`` into the yielded list."""
+    global _pre_checkpoint_capture
+    prev, _pre_checkpoint_capture = _pre_checkpoint_capture, []
+    try:
+        yield _pre_checkpoint_capture
+    finally:
+        _pre_checkpoint_capture = prev
+
+
+def lint_checkpoint(df: DataFrame, label: str, eager: bool = True) -> DataFrame:
+    """``df.localCheckpoint(eager)`` that first exposes the plan being
+    truncated to an active ``capture_checkpoint_plans`` block."""
+    if _pre_checkpoint_capture is not None:
+        _pre_checkpoint_capture.append((label, explain_str(df)))
+    return df.localCheckpoint(eager=eager)

@@ -20,6 +20,7 @@ from knightshift_spark.operators.dedup import (
     minhash_pairs,
     simhash16,
 )
+from knightshift_spark.plans.partitioning import lint_checkpoint
 from knightshift_spark.queries import query
 from knightshift_spark.tables import load_table as t
 
@@ -118,7 +119,7 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
     docs = t(spark, sf, "documents").filter(F.col("doc_id") < 60)
     # checkpoint: the pair relation feeds BOTH the output and the CC
     # iteration — 205 rows here; at scale the funnel persists it anyway
-    pairs = jaccard_pairs(docs, threshold=0.05).localCheckpoint()
+    pairs = lint_checkpoint(jaccard_pairs(docs, threshold=0.05), "q30.pairs")
     comps = connected_components(pairs)
     ca = comps.select(F.col("id").alias("doc_a"), F.col("comp").alias("comp_a"))
     cb = comps.select(F.col("id").alias("doc_b"), F.col("comp").alias("comp_b"))

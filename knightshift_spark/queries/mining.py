@@ -151,7 +151,7 @@ def _q70_oracle() -> str:
       per AS (
         SELECT sl.doc_id,
                COUNT(*) AS n_spans,
-               SUM(en - s + 1) AS dup_chars,
+               CAST(SUM(en - s + 1) AS BIGINT) AS dup_chars,
                COALESCE(string_agg(substr(d.text, pe + 1, s - pe - 1),
                                    '' ORDER BY s), '')
                  || substr(d.text, MAX(en) + 1) AS stripped
@@ -159,7 +159,7 @@ def _q70_oracle() -> str:
         GROUP BY sl.doc_id, d.text)
       SELECT d.doc_id,
              COALESCE(per.n_spans, 0) AS n_spans,
-             COALESCE(per.dup_chars, 0) AS dup_chars,
+             CAST(COALESCE(per.dup_chars, 0) AS BIGINT) AS dup_chars,
              md5(COALESCE(per.stripped, d.text)) AS stripped_fp
       FROM d LEFT JOIN per ON d.doc_id = per.doc_id"""
 

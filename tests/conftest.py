@@ -4,6 +4,13 @@ import os
 import sys
 
 import pytest
+from hypothesis import settings as _hyp_settings
+
+# Property failures must reproduce across runs (a randomized 10-example
+# property once shipped red by seed luck); per-test @settings can still
+# override knobs, but the registered profile makes the default deterministic.
+_hyp_settings.register_profile("repo", derandomize=True)
+_hyp_settings.load_profile("repo")
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)

@@ -5,12 +5,13 @@ from __future__ import annotations
 
 import math
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 _SETTINGS = dict(
     max_examples=10,  # each example runs Spark jobs — keep the suite fast
     deadline=None,
+    derandomize=True,  # property failures must reproduce across runs
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 
@@ -59,6 +60,7 @@ def test_grouped_percentiles_matches_reference(spark, rows, p):
     st.integers(2, 20),
     st.integers(1, 20),
 )
+@example(lengths=[1, 0], window=2, stride=1)  # zero-token doc clamps to one window
 @settings(**_SETTINGS)
 def test_sliding_windows_matches_reference(spark, lengths, window, stride):
     from knightshift_spark.operators.packing import sliding_windows
@@ -76,6 +78,8 @@ def test_sliding_windows_matches_reference(spark, lengths, window, stride):
         end = start + max(n - 1, 0)
         w_first = max(0, -((start - window + 1) // -stride))
         w_last = end // stride
+        if n == 0:  # empty docs emit exactly one (empty) window
+            w_first = w_last
         assert got[i] == (start, w_first, w_last), (i, n, window, stride)
         start += n
 

@@ -42,6 +42,19 @@ def compare(name: str, s: pd.DataFrame, d: pd.DataFrame) -> list[str]:
     d.columns = s.columns
     for c in s.columns:
         sv, dv = s[c], d[c]
+        # Driver parity hashes the *rendered* values, so an oracle column
+        # that pandas-converts to float while Spark stays integral (e.g. a
+        # DuckDB HUGEINT SUM) breaks the hash even when every value is
+        # numerically identical. Fail loudly on that drift here.
+        if {sv.dtype.kind, dv.dtype.kind} == {"i", "f"} or {
+            sv.dtype.kind,
+            dv.dtype.kind,
+        } == {"u", "f"}:
+            problems.append(
+                f"col {c}: integral-vs-float dtype drift spark={sv.dtype} "
+                f"duckdb={dv.dtype} (CAST the oracle column; the driver hash "
+                "renders 0 and 0.0 differently)"
+            )
         try:
             if sv.dtype.kind == "f" or dv.dtype.kind == "f":
                 eq = (sv.fillna(-1e308) - dv.fillna(-1e308)).abs() < 1e-12
