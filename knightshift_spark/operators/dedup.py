@@ -465,10 +465,18 @@ def connected_components(
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
+    # round 0 fused into init: comp = min(id, min(neighbors)) — the same
+    # aggregation that would otherwise be (distinct-init + first nbr-min
+    # round), one shuffle instead of three. Star-shaped pair sets (the
+    # capped LSH output) already converge here; the loop then just
+    # verifies changed == 0.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__m"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("__m")).alias("comp"),
+        )
         .localCheckpoint()
     )
     for _ in range(max_iters):

@@ -221,7 +221,8 @@ def strip_against_index(
     text_col: str = "text",
     merge_gap: int = 0,
     append: bool = True,
-) -> DataFrame:
+    return_fresh: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Incrementally strip a NEW batch against the persisted index:
     every batch occurrence of an INDEXED gram is a duplicate (its first
     occurrence lives in corpus history); grams new to the index follow
@@ -240,7 +241,14 @@ def strip_against_index(
     the index directory (refreshByPath, FileStatusCache invalidation,
     evaluating the result after this call returns) would read the
     batch's just-appended grams as historical and strip their first
-    occurrences as well."""
+    occurrences as well.
+
+    ``return_fresh=True`` returns ``(stripped, fresh_grams)`` where
+    ``fresh_grams`` is the batch's index-novel gram set, ALREADY
+    materialized (the anti-join is checkpointed — it feeds both the
+    within-batch dedup and this return), so a corpus-first/index-second
+    ingester can hand it to ``append_novel_grams(grams=...)`` after the
+    corpus write without re-anchoring the batch (ADVICE r7)."""
     spark = batch.sparkSession
     k, density = _anchor_meta(spark, path)
     anchors = lint_checkpoint(
@@ -252,7 +260,14 @@ def strip_against_index(
     hist = anchors.join(index, "gram", "left_semi").select(
         "__id", "pos", (F.col("pos") + (k - 1)).alias("__end")
     )
-    fresh = anchors.join(index, "gram", "left_anti")
+    # materialized once: consumed by the within-batch first-occurrence
+    # pass AND by the index-append / return_fresh leg — and after the
+    # checkpoint it no longer reads ``path`` either
+    fresh = lint_checkpoint(
+        anchors.join(index, "gram", "left_anti"),
+        "strip_against_index.fresh",
+        eager=True,
+    )
     dup = hist.unionByName(_later_occurrences(fresh, k))
     spans = lint_checkpoint(
         _merge_windows(dup, merge_gap, id_col),
@@ -260,8 +275,11 @@ def strip_against_index(
         eager=True,
     )
     out = _cut_spans(batch, spans, id_col, text_col)
+    fresh_grams = fresh.select("gram").distinct()
     if append:
-        fresh.select("gram").distinct().write.mode("append").parquet(path)
+        fresh_grams.write.mode("append").parquet(path)
+    if return_fresh:
+        return out, fresh_grams
     return out
 
 
@@ -270,6 +288,7 @@ def append_novel_grams(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    grams: DataFrame | None = None,
 ) -> None:
     """Append the batch's index-novel anchor grams WITHOUT stripping —
     the second half of ``strip_against_index`` split out so a streaming
@@ -277,7 +296,15 @@ def append_novel_grams(
     between the two then only re-admits already-landed rows on replay
     (reconciled by the scheduled batch dedup) instead of re-stripping a
     replayed batch's first occurrences against its own grams (text
-    loss). The anti-join keeps the index duplicate-free."""
+    loss). The anti-join keeps the index duplicate-free.
+
+    ``grams`` takes a precomputed novel-gram set (the ``return_fresh``
+    leg of ``strip_against_index``) so callers that just stripped the
+    same batch don't pay the per-position anchor scan and the index
+    anti-join a second time (ADVICE r7)."""
+    if grams is not None:
+        grams.write.mode("append").parquet(path)
+        return
     spark = batch.sparkSession
     k, density = _anchor_meta(spark, path)
     anchors = _anchor_table(batch, k, density, id_col, text_col)

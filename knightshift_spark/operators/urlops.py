@@ -88,34 +88,157 @@ def normalize_url(url: Column, strip_params: tuple[str, ...] = TRACKING_PARAMS) 
 
 # --- Public-suffix (PSL) registrable domain -------------------------------
 #
-# Vendored SNAPSHOT of publicsuffix.org entries (data, not code): the
-# most common multi-label public suffixes plus the canonical wildcard /
-# exception cases, enough for real co.uk-style grouping. The full list
-# (~9k rules) is a drop-in replacement — pass it as ``rules`` — because
-# rule SEMANTICS (longest match, ``*.`` wildcards, ``!`` exceptions,
-# implicit ``*`` default) are implemented here, not baked per entry.
+# Vendored SNAPSHOT of publicsuffix.org entries (data, not code; the
+# list is public content, MPL-2.0): the widely-used multi-label public
+# suffixes — ccTLD second-level families, JP prefectures + city
+# wildcards, US states with k12/cc/lib, the CentralNic private-section
+# suffixes the canonical test vectors exercise — plus every wildcard /
+# exception case from publicsuffix.org's own test file. This container
+# has no network, so the snapshot is curated, not the verbatim ~9k-rule
+# file; the full list is a drop-in replacement — pass it as ``rules`` —
+# because rule SEMANTICS (longest match, ``*.`` wildcards, ``!``
+# exceptions, implicit ``*`` default) are implemented here, not baked
+# per entry. Single-label TLDs need no entries: the implicit ``*`` rule
+# covers them. ``tests/test_urlops_psl.py`` pins the publicsuffix.org
+# checkPublicSuffix vectors this snapshot covers.
+
+_US_STATES = (
+    "al ak az ar ca co ct dc de fl ga hi ia id il in ks ky la ma md me "
+    "mi mn mo ms mt nc nd ne nh nj nm nv ny oh ok or pa ri sc sd tn tx "
+    "ut va vt wa wi wv wy"
+).split()
+
+# JP prefectures (all 47 are PSL second-level suffixes under .jp)
+_JP_PREFECTURES = (
+    "hokkaido aomori iwate miyagi akita yamagata fukushima ibaraki "
+    "tochigi gunma saitama chiba tokyo kanagawa niigata toyama ishikawa "
+    "fukui yamanashi nagano gifu shizuoka aichi mie shiga kyoto osaka "
+    "hyogo nara wakayama tottori shimane okayama hiroshima yamaguchi "
+    "tokushima kagawa ehime kochi fukuoka saga nagasaki kumamoto oita "
+    "miyazaki kagoshima okinawa"
+).split()
+
+# JP designated cities: wildcard suffix with the city government itself
+# excepted (the canonical www.city.kobe.jp test-vector family)
+_JP_WILDCARD_CITIES = (
+    "kawasaki kitakyushu kobe nagoya sapporo sendai yokohama"
+).split()
+
 DEFAULT_PUBLIC_SUFFIXES: tuple[str, ...] = (
     # United Kingdom
     "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk", "nhs.uk",
-    # Australia
+    "police.uk", "ltd.uk", "plc.uk", "me.uk",
+    # Australia (incl. state 2LDs)
     "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
-    # Japan
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
-    # Brazil / Latin America
-    "com.br", "net.br", "org.br", "gov.br", "com.mx", "org.mx", "gob.mx",
-    "com.ar", "org.ar", "gob.ar",
-    # Asia
-    "co.kr", "or.kr", "go.kr", "co.in", "org.in", "gov.in", "ac.in",
-    "com.cn", "org.cn", "gov.cn", "net.cn", "com.tw", "org.tw",
-    "com.sg", "org.sg", "com.hk", "org.hk", "co.id", "or.id",
-    "com.my", "org.my", "co.th", "or.th", "com.vn", "org.vn",
-    # Africa / Oceania / Europe multi-label
-    "co.za", "org.za", "gov.za", "co.nz", "org.nz", "govt.nz",
-    "com.tr", "org.tr", "gov.tr", "co.il", "org.il", "gov.il",
-    "com.pl", "org.pl", "net.pl", "com.ua", "org.ua", "gov.ua",
-    "com.gr", "org.gr", "com.pt", "org.pt", "com.ro", "org.ro",
-    # canonical wildcard + exception family (publicsuffix.org test set)
-    "*.ck", "!www.ck", "*.bd", "*.kawasaki.jp", "!city.kawasaki.jp",
+    "act.au", "nsw.au", "nt.au", "qld.au", "sa.au", "tas.au", "vic.au",
+    "wa.au",
+    # New Zealand
+    "ac.nz", "co.nz", "geek.nz", "gen.nz", "govt.nz", "health.nz",
+    "iwi.nz", "kiwi.nz", "maori.nz", "mil.nz", "net.nz", "org.nz",
+    "parliament.nz", "school.nz",
+    # Japan: organizational 2LDs + the 3rd-level used by the PSL vectors
+    "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    "ne.jp", "or.jp", "ide.kyoto.jp",
+    # Korea
+    "ac.kr", "co.kr", "es.kr", "go.kr", "hs.kr", "kg.kr", "mil.kr",
+    "ms.kr", "ne.kr", "or.kr", "pe.kr", "re.kr", "sc.kr",
+    "seoul.kr", "busan.kr", "daegu.kr", "daejeon.kr", "gwangju.kr",
+    "incheon.kr", "ulsan.kr",
+    # India
+    "ac.in", "co.in", "edu.in", "firm.in", "gen.in", "gov.in", "ind.in",
+    "mil.in", "net.in", "nic.in", "org.in", "res.in",
+    # China / Taiwan / Hong Kong / SE Asia
+    "ac.cn", "com.cn", "edu.cn", "gov.cn", "mil.cn", "net.cn", "org.cn",
+    "club.tw", "com.tw", "ebiz.tw", "edu.tw", "game.tw", "gov.tw",
+    "idv.tw", "mil.tw", "net.tw", "org.tw",
+    "com.hk", "edu.hk", "gov.hk", "idv.hk", "net.hk", "org.hk",
+    "com.sg", "edu.sg", "gov.sg", "net.sg", "org.sg", "per.sg",
+    "ac.id", "biz.id", "co.id", "go.id", "mil.id", "my.id", "net.id",
+    "or.id", "sch.id", "web.id",
+    "com.my", "edu.my", "gov.my", "mil.my", "name.my", "net.my",
+    "org.my",
+    "ac.th", "co.th", "go.th", "in.th", "mi.th", "net.th", "or.th",
+    "ac.vn", "biz.vn", "com.vn", "edu.vn", "gov.vn", "health.vn",
+    "info.vn", "int.vn", "name.vn", "net.vn", "org.vn", "pro.vn",
+    "com.ph", "edu.ph", "gov.ph", "i.ph", "mil.ph", "net.ph", "ngo.ph",
+    "org.ph",
+    # Brazil (common subset of the large .br family)
+    "adv.br", "art.br", "com.br", "eco.br", "edu.br", "emp.br",
+    "gov.br", "ind.br", "inf.br", "jus.br", "leg.br", "med.br",
+    "mil.br", "mus.br", "net.br", "org.br", "pro.br", "rec.br",
+    "srv.br", "tur.br", "tv.br", "wiki.br",
+    # Latin America
+    "com.mx", "edu.mx", "gob.mx", "net.mx", "org.mx",
+    "com.ar", "edu.ar", "gob.ar", "int.ar", "mil.ar", "net.ar",
+    "org.ar", "tur.ar",
+    "arts.co", "com.co", "edu.co", "firm.co", "gov.co", "info.co",
+    "int.co", "mil.co", "net.co", "nom.co", "org.co", "rec.co",
+    "web.co",
+    "gob.cl", "mil.cl",
+    "com.pe", "edu.pe", "gob.pe", "mil.pe", "net.pe", "nom.pe",
+    "org.pe",
+    "co.ve", "com.ve", "edu.ve", "gob.ve", "info.ve", "mil.ve",
+    "net.ve", "org.ve", "web.ve",
+    "com.ec", "edu.ec", "fin.ec", "gob.ec", "info.ec", "med.ec",
+    "mil.ec", "net.ec", "org.ec", "pro.ec",
+    "com.uy", "edu.uy", "gub.uy", "mil.uy", "net.uy", "org.uy",
+    # Africa
+    "ac.za", "co.za", "edu.za", "gov.za", "law.za", "mil.za", "net.za",
+    "nom.za", "org.za", "school.za", "web.za",
+    "com.ng", "edu.ng", "gov.ng", "i.ng", "mil.ng", "mobi.ng",
+    "name.ng", "net.ng", "org.ng", "sch.ng",
+    "ac.ke", "co.ke", "go.ke", "info.ke", "me.ke", "mobi.ke", "ne.ke",
+    "or.ke", "sc.ke",
+    "com.eg", "edu.eg", "eun.eg", "gov.eg", "mil.eg", "name.eg",
+    "net.eg", "org.eg", "sci.eg",
+    "ac.ma", "co.ma", "gov.ma", "net.ma", "org.ma", "press.ma",
+    # Middle East
+    "ac.il", "co.il", "gov.il", "idf.il", "k12.il", "muni.il", "net.il",
+    "org.il",
+    "av.tr", "bbs.tr", "bel.tr", "biz.tr", "com.tr", "dr.tr", "edu.tr",
+    "gen.tr", "gov.tr", "info.tr", "k12.tr", "mil.tr", "name.tr",
+    "net.tr", "org.tr", "pol.tr", "tel.tr", "tv.tr", "web.tr",
+    # Europe
+    "ac.ru", "edu.ru", "gov.ru", "int.ru", "mil.ru", "test.ru",
+    "com.ua", "edu.ua", "gov.ua", "in.ua", "net.ua", "org.ua",
+    "kiev.ua", "kharkov.ua", "lviv.ua", "odessa.ua",
+    "biz.pl", "com.pl", "edu.pl", "gov.pl", "info.pl", "mil.pl",
+    "net.pl", "org.pl", "waw.pl", "wroc.pl", "krakow.pl", "poznan.pl",
+    "gda.pl",
+    "com.gr", "edu.gr", "gov.gr", "net.gr", "org.gr",
+    "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "nome.pt",
+    "org.pt", "publ.pt",
+    "arts.ro", "com.ro", "firm.ro", "info.ro", "nom.ro", "nt.ro",
+    "org.ro", "rec.ro", "store.ro", "tm.ro", "www.ro",
+    "co.hu", "edu.hu", "gov.hu", "info.hu", "mil.hu", "net.hu",
+    "org.hu", "priv.hu",
+    "com.es", "edu.es", "gob.es", "nom.es", "org.es",
+    "edu.it", "gov.it",
+    "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr",
+    # Canada
+    "ab.ca", "bc.ca", "gc.ca", "mb.ca", "nb.ca", "nf.ca", "nl.ca",
+    "ns.ca", "nt.ca", "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca",
+    "yk.ca",
+    # CentralNic private-section suffixes (in the PSL and its vectors)
+    "uk.com", "us.com", "eu.com", "gb.net", "uk.net", "de.com",
+    "jpn.com", "cn.com", "za.com", "br.com", "ru.com", "sa.com",
+    "se.net",
+    # wildcard TLDs (each label under them is a public suffix)
+    "*.bd", "*.ck", "!www.ck", "*.er", "*.fk", "*.jm", "*.kh", "*.mm",
+    "*.np", "*.pg",
+)
+
+# generated families: US state 2LDs with k12/cc/lib thirds, JP
+# prefectures, JP designated-city wildcards with the city-government
+# exception — same data shape as the literals above
+DEFAULT_PUBLIC_SUFFIXES += tuple(
+    s for st in _US_STATES
+    for s in (f"{st}.us", f"k12.{st}.us", f"cc.{st}.us", f"lib.{st}.us")
+)
+DEFAULT_PUBLIC_SUFFIXES += tuple(f"{p}.jp" for p in _JP_PREFECTURES)
+DEFAULT_PUBLIC_SUFFIXES += tuple(
+    s for c in _JP_WILDCARD_CITIES
+    for s in (f"*.{c}.jp", f"!city.{c}.jp")
 )
 
 _MAX_SUFFIX_LABELS = 5  # longest vendored rule (incl. wildcard slot)
@@ -160,8 +283,12 @@ def registrable_domain(
 
     Scale shape: the ≤``_MAX_SUFFIX_LABELS`` candidate suffixes explode
     from each DISTINCT host (not each row), join the broadcast rule
-    table, reduce to one prevailing rule per host, and broadcast back
-    onto the corpus — the corpus side never shuffles."""
+    table, reduce to one prevailing rule per host, and join back onto
+    the corpus on ``__host``. Only the RULE table carries a broadcast
+    hint — the resolved distinct-host relation is left unhinted because
+    at crawl scale distinct hosts run to tens of millions of rows; AQE
+    picks broadcast when its measured size allows and falls back to a
+    shuffle join when it doesn't (ADVICE r7)."""
     spark = docs.sparkSession
     rls = rules if rules is not None else suffix_rules(spark)
     hosts = docs.select(url_host(F.col(url_col)).alias("__host")).distinct()
@@ -220,7 +347,7 @@ def registrable_domain(
         .select("__host", out_col)
     )
     keyed = docs.withColumn("__host", url_host(F.col(url_col)))
-    return keyed.join(F.broadcast(resolved), "__host", "left").drop("__host")
+    return keyed.join(resolved, "__host", "left").drop("__host")
 
 
 def domain_stats(

@@ -55,6 +55,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational2,
         similarity,
         textops,
+        txn,
     )
 
     return REGISTRY

@@ -1,0 +1,137 @@
+"""q72: transactional MERGE/DELETE through the TxnTable commit log.
+
+End-to-end ACID parity with the reference's upsert+validate loop
+(``knightshift/db/game_upsert.py:84-110`` key-hit UPDATE / miss INSERT;
+``validate_tv_channel_games.py:113`` conditional DELETE): seed the table
+from ``customer``, MERGE an update batch derived from ``orders`` (fresh
+versions win, stale versions lose, unknown keys insert), DELETE a
+predicate slice, and aggregate the final snapshot. The oracle replays
+the same last-writer-wins algebra in pure SQL, so the driver hash
+checks the TABLE'S FINAL STATE — commits, bucket rewrites, carried-
+forward files and all — not just a computed expression.
+
+Money is handled in exact e2 integer units (``round(x*100)`` BIGINT)
+end to end, and every oracle aggregate is CAST back to BIGINT (DuckDB
+integer SUM yields HUGEINT → pandas float64 — the q70 lesson)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knightshift_spark.queries import query
+from knightshift_spark.sources.txntable import TxnTable
+from knightshift_spark.tables import load_table as t
+
+_SCHEMA = "c_custkey long, c_nationkey int, bal_e2 long, version int"
+
+_ORACLE = """
+WITH cur AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_e2,
+         1 AS version
+  FROM customer
+), agg AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS tot_e2
+  FROM orders GROUP BY o_custkey
+), upd AS (
+  SELECT a.c_custkey, c.c_nationkey,
+         CAST(a.tot_e2 % 1000000 AS BIGINT) AS bal_e2,
+         CASE WHEN a.c_custkey % 3 <> 0 THEN 2 ELSE 0 END AS version
+  FROM agg a JOIN customer c ON a.c_custkey = c.c_custkey
+  UNION ALL
+  SELECT c_custkey + 1000000 AS c_custkey,
+         CAST(c_custkey % 25 AS INT) AS c_nationkey,
+         c_custkey AS bal_e2, 2 AS version
+  FROM customer WHERE c_custkey % 10 = 0
+), merged AS (
+  SELECT c_custkey, c_nationkey, bal_e2, version FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY c_custkey ORDER BY version DESC, src DESC
+    ) AS rn
+    FROM (
+      SELECT *, 0 AS src FROM cur
+      UNION ALL
+      SELECT *, 1 AS src FROM upd
+    )
+  ) WHERE rn = 1
+), kept AS (
+  SELECT * FROM merged WHERE bal_e2 % 7 <> 0
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(bal_e2) AS BIGINT) AS sum_bal_e2,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_custkey
+FROM kept
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def _e2(col) -> F.Column:
+    return F.round(col * F.lit(100)).cast("bigint")
+
+
+@query(
+    "q72_txn_merge",
+    oracle=_ORACLE,
+    doc="ACID MERGE INTO + conditional DELETE via the TxnTable commit "
+    "log (OP-06/07/08 with snapshot isolation); oracle replays the "
+    "last-writer-wins algebra in SQL and checks the final table state.",
+)
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    cust = t(spark, sf, "customer")
+    orders = t(spark, sf, "orders")
+
+    cur = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        _e2(F.col("c_acctbal")).alias("bal_e2"),
+        F.lit(1).cast("int").alias("version"),
+    )
+    agg = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(_e2(F.col("o_totalprice"))).alias("tot_e2")
+    )
+    upd_existing = agg.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")), "c_custkey"
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("tot_e2") % F.lit(1000000)).cast("bigint").alias("bal_e2"),
+        F.when(F.col("c_custkey") % 3 != 0, F.lit(2))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("version"),
+    )
+    upd_new = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + F.lit(1000000)).alias("c_custkey"),
+        (F.col("c_custkey") % 25).cast("int").alias("c_nationkey"),
+        F.col("c_custkey").alias("bal_e2"),
+        F.lit(2).cast("int").alias("version"),
+    )
+
+    table = TxnTable.create(
+        spark,
+        os.path.join(tempfile.mkdtemp(prefix="q72_txn_"), "t"),
+        keys=["c_custkey"],
+        schema=_SCHEMA,
+        n_buckets=4,
+    )
+    table.append(cur)                                           # v1
+    table.merge(upd_existing.unionByName(upd_new), ["version"])  # v2
+    table.delete_where(F.col("bal_e2") % 7 == 0)                # v3
+
+    return (
+        table.snapshot()
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("bal_e2").alias("sum_bal_e2"),
+            F.max("c_custkey").alias("max_custkey"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -1,0 +1,436 @@
+"""Transactional parquet table — ACID upserts without a lakehouse jar.
+
+The reference commits every game row in its own Postgres transaction
+(``knightshift/db/game_upsert.py:84-110``: key-hit → UPDATE, miss →
+INSERT) and readers never observe a half-applied batch. The engine's
+plain-parquet sinks (stage-and-swap in ``pipelines/run_all.py``) give
+whole-TABLE atomicity only; ROADMAP item 1 wanted Delta/Iceberg ``MERGE
+INTO``, but the container ships neither package. This module closes the
+gap with a from-scratch implementation of the published commit-log
+design (Armbrust et al., *Delta Lake: High-Performance ACID Table
+Storage over Cloud Object Stores*, VLDB 2020 — public knowledge):
+
+- every write lands data under a fresh ``data/<uuid>/`` directory, then
+  publishes an immutable JSON commit ``_txnlog/<version>.json`` whose
+  creation is ATOMIC (``os.link`` — exclusive create; the local-FS
+  equivalent of an object store's conditional PUT / HDFS's
+  rename-without-overwrite);
+- a reader resolves the table to the set of live files by replaying the
+  log (latest checkpoint + tail), so it sees either all of a commit or
+  none of it; data directories without a commit record are invisible
+  (crash-safe);
+- writers are optimistically concurrent: a commit that loses the race
+  for its version number re-validates against the intervening commits
+  and either rebases (disjoint key buckets) or raises
+  ``ConcurrentWriteError`` (overlap).
+
+Scale shape (100 TB): rows are hash-bucketed on the merge key
+(``pmod(xxhash64(keys), n_buckets)``) and every data directory is owned
+by exactly one bucket, so MERGE/DELETE rewrite only the buckets their
+update keys touch — the "partition the stored table so the merge only
+rewrites touched partitions" design from ``operators/merge.py``'s scale
+notes, made durable. The driver-side metadata is O(commits) tiny JSON
+with periodic checkpoints (O(tail) replay); all data movement is Spark
+jobs that shuffle only touched-bucket rows on the key. Point lookups
+prune to one bucket's files before any scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from knightshift_spark.operators.merge import upsert
+
+_LOG_DIR = "_txnlog"
+_DATA_DIR = "data"
+_BUCKET = "__bucket"
+_CHECKPOINT_EVERY = 20
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Two writers touched the same bucket between read and commit."""
+
+
+class VacuumedVersionError(RuntimeError):
+    """Time travel to a version whose files were vacuumed."""
+
+
+def _log_path(table: str, version: int) -> str:
+    return os.path.join(table, _LOG_DIR, f"{version:020d}.json")
+
+
+def _ckpt_path(table: str, version: int) -> str:
+    return os.path.join(table, _LOG_DIR, f"{version:020d}.checkpoint.json")
+
+
+def _atomic_publish(payload: dict, dst: str) -> bool:
+    """Exclusively create ``dst`` with ``payload`` — True on win, False
+    when another writer already owns that version. ``os.link`` from a
+    staged temp file is the POSIX atomic create-if-absent."""
+    tmp = os.path.join(os.path.dirname(dst), f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, sort_keys=True)
+    try:
+        os.link(tmp, dst)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+class TxnTable:
+    """A keyed, bucketed, log-structured parquet table with snapshot
+    isolation, optimistic concurrency, MERGE/DELETE/compaction, and
+    time travel. See the module docstring for the protocol."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        if not os.path.isdir(os.path.join(path, _LOG_DIR)):
+            raise FileNotFoundError(f"not a TxnTable (no {_LOG_DIR}): {path}")
+
+    # -- creation ----------------------------------------------------------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        schema: StructType | str,
+        n_buckets: int = 16,
+    ) -> "TxnTable":
+        """Commit 0 records the table contract: merge key, bucket count,
+        column schema. Everything later must conform."""
+        os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+        if isinstance(schema, str):
+            schema = spark.createDataFrame([], schema).schema
+        meta = {
+            "version": 0,
+            "op": "create",
+            "keys": list(keys),
+            "n_buckets": int(n_buckets),
+            "schema": schema.json(),
+            "adds": [],
+            "removes": [],
+            "buckets": [],
+        }
+        if not _atomic_publish(meta, _log_path(path, 0)):
+            raise FileExistsError(f"TxnTable already exists: {path}")
+        return TxnTable(spark, path)
+
+    # -- log replay --------------------------------------------------------
+
+    def _commits(self) -> list[dict]:
+        log_dir = os.path.join(self.path, _LOG_DIR)
+        out = []
+        for name in sorted(os.listdir(log_dir)):
+            if name.endswith(".json") and not name.endswith(".checkpoint.json"):
+                with open(os.path.join(log_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def _state(self, version: int | None = None) -> tuple[dict, dict[str, dict], int]:
+        """(table meta, active adds by path, latest version) as of
+        ``version`` — latest checkpoint plus the commit tail, so replay
+        cost is O(tail), not O(history)."""
+        log_dir = os.path.join(self.path, _LOG_DIR)
+        names = sorted(os.listdir(log_dir))
+        ckpts = [
+            int(n.split(".")[0])
+            for n in names
+            if n.endswith(".checkpoint.json")
+            and (version is None or int(n.split(".")[0]) <= version)
+        ]
+        active: dict[str, dict] = {}
+        meta: dict = {}
+        start = 0
+        if ckpts:
+            with open(_ckpt_path(self.path, max(ckpts))) as f:
+                ck = json.load(f)
+            meta = ck["meta"]
+            active = {a["path"]: a for a in ck["active"]}
+            start = max(ckpts) + 1
+        latest = -1
+        for name in names:
+            if not name.endswith(".json") or name.endswith(".checkpoint.json"):
+                continue
+            v = int(name.split(".")[0])
+            latest = max(latest, v)
+            if v < start or (version is not None and v > version):
+                continue
+            with open(os.path.join(log_dir, name)) as f:
+                c = json.load(f)
+            if c["op"] == "create":
+                meta = {k: c[k] for k in ("keys", "n_buckets", "schema")}
+            for p in c.get("removes", []):
+                active.pop(p, None)
+            for a in c.get("adds", []):
+                active[a["path"]] = a
+            if c["op"] == "vacuum":
+                meta["vacuum_horizon"] = c["read_version"]
+        if version is not None and meta.get("vacuum_horizon", -1) > version:
+            raise VacuumedVersionError(
+                f"version {version} predates vacuum horizon "
+                f"{meta['vacuum_horizon']}"
+            )
+        return meta, active, latest
+
+    def version(self) -> int:
+        return self._state()[2]
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first — op, version, touched buckets."""
+        return [
+            {k: c.get(k) for k in ("version", "op", "buckets", "read_version")}
+            for c in self._commits()
+        ]
+
+    # -- reads -------------------------------------------------------------
+
+    def _schema(self, meta: dict) -> StructType:
+        return StructType.fromJson(json.loads(meta["schema"]))
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        """The table as of ``version`` (default: latest). Reads exactly
+        the live files of that snapshot — writers never disturb it."""
+        meta, active, _ = self._state(version)
+        if not active:
+            return self.spark.createDataFrame([], self._schema(meta))
+        paths = [os.path.join(self.path, p) for p in active]
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing:
+            raise VacuumedVersionError(f"snapshot files vacuumed: {missing[:3]}")
+        return self.spark.read.schema(self._schema(meta)).parquet(*paths)
+
+    def lookup(self, key_values: Sequence, version: int | None = None) -> DataFrame:
+        """Point lookup: bucket-prune to the one bucket owning the key,
+        then filter — reads that bucket's files only."""
+        meta, active, _ = self._state(version)
+        keys = meta["keys"]
+        row = self.spark.createDataFrame([tuple(key_values)], ", ".join(
+            f"{k} {f.dataType.simpleString()}"
+            for k, f in zip(keys, [self._schema(meta)[k] for k in keys])
+        ))
+        bucket = row.select(
+            F.pmod(F.xxhash64(*keys), F.lit(meta["n_buckets"])).alias("b")
+        ).collect()[0]["b"]
+        paths = [
+            os.path.join(self.path, p)
+            for p, a in active.items()
+            if a["bucket"] == bucket
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], self._schema(meta))
+        cond = None
+        for k, v in zip(keys, key_values):
+            c = F.col(k) == F.lit(v)
+            cond = c if cond is None else (cond & c)
+        return (
+            self.spark.read.schema(self._schema(meta)).parquet(*paths).filter(cond)
+        )
+
+    # -- writes ------------------------------------------------------------
+
+    def _bucketed(self, df: DataFrame, meta: dict) -> DataFrame:
+        cols = [f.name for f in self._schema(meta).fields]
+        return df.select(*cols).withColumn(
+            _BUCKET, F.pmod(F.xxhash64(*meta["keys"]), F.lit(meta["n_buckets"]))
+        )
+
+    def _write_data(self, df: DataFrame, meta: dict) -> list[dict]:
+        """One job, partitioned by bucket; returns add entries (one per
+        bucket directory actually produced). The pre-write repartition
+        co-locates each bucket so a W-partition input writes ~1 file per
+        bucket instead of W×buckets tiny files (write parallelism is
+        then ≤ n_buckets tasks — at scale n_buckets is thousands, and
+        buckets needing more parallelism split naturally across commits
+        + compaction)."""
+        rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+        out = os.path.join(self.path, rel)
+        self._bucketed(df, meta).repartition(F.col(_BUCKET)).write.partitionBy(
+            _BUCKET
+        ).parquet(out)
+        adds = []
+        for name in sorted(os.listdir(out)):
+            if name.startswith(f"{_BUCKET}="):
+                adds.append(
+                    {
+                        "path": os.path.join(rel, name),
+                        "bucket": int(name.split("=", 1)[1]),
+                    }
+                )
+        if not adds:  # empty write: nothing to publish, drop the dir
+            shutil.rmtree(out)
+        return adds
+
+    def _commit(
+        self,
+        op: str,
+        adds: list[dict],
+        removes: list[str],
+        buckets: list[int],
+        read_version: int,
+    ) -> int:
+        """Optimistic commit. Losing the version race re-validates: if
+        every intervening commit touched disjoint buckets, rebase onto
+        the new head (our removes are still live); otherwise roll back
+        the staged data and raise."""
+        v = read_version + 1
+        payload = {
+            "op": op,
+            "adds": adds,
+            "removes": removes,
+            "buckets": sorted(buckets),
+            "read_version": read_version,
+        }
+        while True:
+            payload["version"] = v
+            if _atomic_publish(payload, _log_path(self.path, v)):
+                if v % _CHECKPOINT_EVERY == 0:
+                    meta, active, _ = self._state(v)
+                    _atomic_publish(
+                        {"meta": meta, "active": sorted(active.values(), key=lambda a: a["path"])},
+                        _ckpt_path(self.path, v),
+                    )
+                return v
+            with open(_log_path(self.path, v)) as f:
+                other = json.load(f)
+            if op != "append" and set(other.get("buckets", [])) & set(buckets):
+                for a in adds:
+                    shutil.rmtree(os.path.join(self.path, a["path"]), ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"buckets {sorted(set(other['buckets']) & set(buckets))} "
+                    f"modified by commit {v} since read_version {read_version}"
+                )
+            v += 1
+
+    def append(self, df: DataFrame) -> int:
+        """Blind insert (no key logic — dedup belongs to merge). Appends
+        never conflict: version races just rebase."""
+        meta, _, read_v = self._state()
+        adds = self._write_data(df, meta)
+        if not adds:
+            return read_v
+        return self._commit("append", adds, [], [a["bucket"] for a in adds], read_v)
+
+    def merge(self, updates: DataFrame, order_by: Sequence[str]) -> int:
+        """MERGE INTO: last-writer-wins upsert (``operators/merge.upsert``
+        — updates beat stored rows on ``order_by`` ties, the reference's
+        unconditional UPDATE-on-key-hit). Only buckets containing update
+        keys are read and rewritten; every other file carries forward
+        untouched in the commit."""
+        meta, active, read_v = self._state()
+        keys = meta["keys"]
+        upd = self._bucketed(updates, meta)
+        touched = sorted(
+            r[_BUCKET] for r in upd.select(_BUCKET).distinct().collect()
+        )
+        if not touched:
+            return read_v
+        base_paths = [
+            os.path.join(self.path, p)
+            for p, a in active.items()
+            if a["bucket"] in set(touched)
+        ]
+        base = (
+            self.spark.read.schema(self._schema(meta)).parquet(*base_paths)
+            if base_paths
+            else self.spark.createDataFrame([], self._schema(meta))
+        )
+        merged = upsert(base, upd.drop(_BUCKET), keys, list(order_by))
+        adds = self._write_data(merged, meta)
+        removes = [p for p, a in active.items() if a["bucket"] in set(touched)]
+        return self._commit("merge", adds, removes, touched, read_v)
+
+    def delete_where(self, cond) -> int:
+        """Conditional DELETE (reference OP-07): buckets holding matching
+        rows are rewritten without them; untouched buckets carry over."""
+        meta, active, read_v = self._state()
+        snap = self.snapshot()
+        hit = snap.filter(cond).withColumn(
+            _BUCKET, F.pmod(F.xxhash64(*meta["keys"]), F.lit(meta["n_buckets"]))
+        )
+        touched = sorted(r[_BUCKET] for r in hit.select(_BUCKET).distinct().collect())
+        if not touched:
+            return read_v
+        base_paths = [
+            os.path.join(self.path, p)
+            for p, a in active.items()
+            if a["bucket"] in set(touched)
+        ]
+        kept = (
+            self.spark.read.schema(self._schema(meta))
+            .parquet(*base_paths)
+            .filter(~F.coalesce(cond, F.lit(False)))
+        )
+        adds = self._write_data(kept, meta)
+        removes = [p for p, a in active.items() if a["bucket"] in set(touched)]
+        return self._commit("delete", adds, removes, touched, read_v)
+
+    def compact(self, min_files: int = 2) -> int:
+        """Rewrite every bucket fragmented across ≥ ``min_files`` data
+        directories into one — bin-packing for the small-file problem
+        appends create. Same conflict rules as merge."""
+        meta, active, read_v = self._state()
+        by_bucket: dict[int, list[str]] = {}
+        for p, a in active.items():
+            by_bucket.setdefault(a["bucket"], []).append(p)
+        touched = sorted(b for b, ps in by_bucket.items() if len(ps) >= min_files)
+        if not touched:
+            return read_v
+        paths = [
+            os.path.join(self.path, p)
+            for b in touched
+            for p in by_bucket[b]
+        ]
+        rows = self.spark.read.schema(self._schema(meta)).parquet(*paths)
+        adds = self._write_data(rows, meta)
+        removes = [p for b in touched for p in by_bucket[b]]
+        return self._commit("compact", adds, removes, touched, read_v)
+
+    def vacuum(self) -> int:
+        """Physically delete data directories no live snapshot at the
+        CURRENT version references, and record the horizon: time travel
+        before it now raises ``VacuumedVersionError`` instead of
+        returning wrong answers."""
+        meta, active, read_v = self._state()
+        live = set(active)
+        data_root = os.path.join(self.path, _DATA_DIR)
+        dropped = []
+        for d in sorted(os.listdir(data_root)):
+            base = os.path.join(_DATA_DIR, d)
+            subs = [
+                os.path.join(base, n)
+                for n in os.listdir(os.path.join(self.path, base))
+                if n.startswith(f"{_BUCKET}=")
+            ]
+            dead = [s for s in subs if s not in live]
+            for s in dead:
+                shutil.rmtree(os.path.join(self.path, s))
+                dropped.append(s)
+            if subs and len(dead) == len(subs):
+                shutil.rmtree(os.path.join(self.path, base), ignore_errors=True)
+        return self._commit("vacuum", [], [], [], read_v)
+
+
+def txn_upsert_writer(table: TxnTable, order_by: Sequence[str]):
+    """foreachBatch sink factory: MERGE each micro-batch into the table —
+    the transactional twin of ``sources/jdbc.upsert_writer``. Replayed
+    batches (restart after crash) re-merge the same rows; last-writer-
+    wins makes that idempotent on the final state."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            table.merge(batch_df, order_by)
+
+    return write_batch

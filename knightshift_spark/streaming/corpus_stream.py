@@ -235,12 +235,16 @@ def _ingest_batch_with_substring_strip(
 
     if batch_df.isEmpty():
         return
-    batch = batch_df.localCheckpoint()  # consumed by strip AND gram append
-    stripped = strip_against_index(
-        batch, index_path, merge_gap=merge_gap, append=False
+    batch = batch_df.localCheckpoint()  # anchored once, cut once
+    # return_fresh hands back the strip's already-materialized novel-gram
+    # set, so the post-corpus-write append reuses the first anchor scan
+    # instead of re-anchoring the batch and re-running the index
+    # anti-join (ADVICE r7)
+    stripped, fresh_grams = strip_against_index(
+        batch, index_path, merge_gap=merge_gap, append=False, return_fresh=True
     )
     stripped.write.mode("append").parquet(target_dir)
-    append_novel_grams(batch, index_path)
+    append_novel_grams(batch, index_path, grams=fresh_grams)
 
 
 def run_document_stream_with_substring_strip(

@@ -158,37 +158,89 @@ class PersistentMetricsLog:
     Restarted queries may REPLAY a batch id; the log keeps every
     attempt and ``load_metrics_log`` dedupes last-attempt-wins at read
     time (append stays blind, reads stay correct — the same
-    at-least-once + reconciling-read contract as the corpus sinks)."""
+    at-least-once + reconciling-read contract as the corpus sinks).
 
-    def __init__(self, spark, path: str):
+    File growth (ADVICE r7): each flush appends one small parquet file,
+    so a long-running stream accumulates files at metrics cadence /
+    ``flush_every``. ``flush_every > 1`` buffers that many progress
+    events per write (a crash loses at most the buffered tail — metrics
+    only, never data), and ``compact_metrics_log`` rewrites the whole
+    log as one deduped file; schedule it like the corpus compaction
+    pass. Reads window over the full log, so compaction also bounds
+    ``load_metrics_log`` cost."""
+
+    _SCHEMA = (
+        "query_id string, batch_id bigint, ts string, input_rows bigint, "
+        "duration_ms bigint, rows_per_sec double, observed string"
+    )
+
+    def __init__(self, spark, path: str, flush_every: int = 1):
         self._spark = spark
         self._path = path
+        self._flush_every = max(int(flush_every), 1)
+        self._buf: list[tuple] = []
 
     def record_progress(self, progress) -> None:
         import json as _json
 
-        row = (
-            str(progress.id),
-            int(progress.batchId),
-            str(progress.timestamp),
-            int(progress.numInputRows),
-            (progress.durationMs or {}).get("triggerExecution"),
-            float(progress.processedRowsPerSecond)
-            if progress.processedRowsPerSecond is not None
-            else None,
-            _json.dumps(
-                {
-                    k: dict(v.asDict()) if hasattr(v, "asDict") else dict(v)
-                    for k, v in (progress.observedMetrics or {}).items()
-                },
-                sort_keys=True,
-            ),
+        self._buf.append(
+            (
+                str(progress.id),
+                int(progress.batchId),
+                str(progress.timestamp),
+                int(progress.numInputRows),
+                (progress.durationMs or {}).get("triggerExecution"),
+                float(progress.processedRowsPerSecond)
+                if progress.processedRowsPerSecond is not None
+                else None,
+                _json.dumps(
+                    {
+                        k: dict(v.asDict()) if hasattr(v, "asDict") else dict(v)
+                        for k, v in (progress.observedMetrics or {}).items()
+                    },
+                    sort_keys=True,
+                ),
+            )
         )
-        self._spark.createDataFrame(
-            [row],
-            "query_id string, batch_id bigint, ts string, input_rows bigint, "
-            "duration_ms bigint, rows_per_sec double, observed string",
-        ).write.mode("append").parquet(self._path)
+        if len(self._buf) >= self._flush_every:
+            self.flush()
+
+    def flush(self) -> None:
+        """Write any buffered progress rows. Call on query stop when
+        ``flush_every > 1`` so the tail isn't lost with the process."""
+        if not self._buf:
+            return
+        rows, self._buf = self._buf, []
+        self._spark.createDataFrame(rows, self._SCHEMA).write.mode(
+            "append"
+        ).parquet(self._path)
+
+
+def compact_metrics_log(spark, path: str) -> int:
+    """Rewrite the whole metrics log as ONE deduped parquet file and
+    return the surviving row count. Bounds the append-only file growth
+    (one tiny file per flush — ADVICE r7) and the read-side window
+    cost: compaction applies the same last-attempt-wins rule as
+    ``load_metrics_log``, so replayed-batch losers are dropped for good.
+
+    Stage-and-swap (write ``path.next``, rename over ``path``) so a
+    concurrent reader sees either the old log or the compacted one,
+    never a partial directory — the same commit discipline as the
+    corpus sinks. Run it from the maintenance schedule, not the
+    listener thread (the listener must never block on a full rewrite)."""
+    import os
+    import shutil
+    import uuid
+
+    deduped = load_metrics_log(spark, path).coalesce(1)
+    nxt = f"{path}.next-{uuid.uuid4().hex[:6]}"
+    deduped.write.mode("overwrite").parquet(nxt)
+    n = spark.read.parquet(nxt).count()
+    old = f"{path}.old-{uuid.uuid4().hex[:6]}"
+    os.rename(path, old)
+    os.rename(nxt, path)
+    shutil.rmtree(old)
+    return n
 
 
 def load_metrics_log(spark, path: str) -> DataFrame:

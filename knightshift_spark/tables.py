@@ -28,10 +28,26 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# resolved-table memo: (sf_dir, name) -> (session, DataFrame). A parquet
+# `spark.read` runs a schema-inference job per call; a warehouse client
+# resolves a table handle ONCE and reuses it across queries, so the
+# engine does too (plans are immutable — sharing the analyzed relation
+# is safe). Keyed by session identity: a new session rebuilds.
+_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    hit = _CACHE.get((sf_dir, name))
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = _read_table(spark, sf_dir, name)
+    _CACHE[(sf_dir, name)] = (spark, df)
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet may store ts as TIMESTAMP(NANOS), which arrives as
         # bigint under the session-wide nanosAsLong pin (session.RUNTIME_CONFS);

@@ -371,6 +371,60 @@ def test_persistent_metrics_log_survives_restart(spark, tmp_path):
     assert load_metrics_log(spark, log_path).count() == len(rows)  # last-wins
 
 
+def test_metrics_log_buffering_and_compaction(spark, tmp_path):
+    """ADVICE r7: ``flush_every`` buffers progress events (fewer tiny
+    files), ``flush()`` drains the tail, and ``compact_metrics_log``
+    rewrites the whole log as one deduped file without changing what
+    ``load_metrics_log`` returns."""
+    import glob
+    from types import SimpleNamespace
+
+    from knightshift_spark.streaming.metrics import (
+        PersistentMetricsLog,
+        compact_metrics_log,
+        load_metrics_log,
+    )
+
+    def progress(batch_id, ts, rows):
+        return SimpleNamespace(
+            id="q-1",
+            batchId=batch_id,
+            timestamp=ts,
+            numInputRows=rows,
+            durationMs={"triggerExecution": 10},
+            processedRowsPerSecond=float(rows),
+            observedMetrics={},
+        )
+
+    log_path = str(tmp_path / "mlog")
+    log = PersistentMetricsLog(spark, log_path, flush_every=3)
+    log.record_progress(progress(0, "2026-01-01T00:00:00Z", 5))
+    log.record_progress(progress(1, "2026-01-01T00:01:00Z", 7))
+    assert not os.path.isdir(log_path)  # buffered, nothing written yet
+    log.record_progress(progress(2, "2026-01-01T00:02:00Z", 9))  # flush 3
+    # a replayed attempt of batch 1 (restart) plus a tail row
+    log.record_progress(progress(1, "2026-01-01T00:03:00Z", 8))
+    log.flush()  # drain the 1-row tail explicitly
+    files_before = glob.glob(f"{log_path}/*.parquet")
+    assert len(files_before) >= 2  # two flushes -> at least two files
+
+    deduped_before = {
+        (r.batch_id, r.input_rows)
+        for r in load_metrics_log(spark, log_path).collect()
+    }
+    assert deduped_before == {(0, 5), (1, 8), (2, 9)}  # last attempt wins
+
+    n = compact_metrics_log(spark, log_path)
+    assert n == 3
+    files_after = glob.glob(f"{log_path}/*.parquet")
+    assert len(files_after) == 1  # one file, losers physically gone
+    deduped_after = {
+        (r.batch_id, r.input_rows)
+        for r in load_metrics_log(spark, log_path).collect()
+    }
+    assert deduped_after == deduped_before
+
+
 def test_document_stream_incremental_dedup(spark, tmp_path):
     """Incremental corpus ingestion: quality/lang/repetition screens per
     batch, exact dedup ACROSS micro-batches via the state store, append

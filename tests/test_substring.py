@@ -159,3 +159,54 @@ def test_incremental_index_equals_one_shot(spark, tmp_path):
         idx, append=False,
     ).collect()
     assert spark.read.schema("gram string").parquet(idx).count() == n_before
+
+
+def test_return_fresh_split_path_equals_fused(spark, tmp_path):
+    """ADVICE r7: the corpus-first/index-second split —
+    strip_against_index(append=False, return_fresh=True) followed by
+    append_novel_grams(grams=...) — must leave the SAME stripped text
+    and the SAME index as the fused append=True call, without
+    re-anchoring the batch."""
+    from knightshift_spark.operators.substring import (
+        append_novel_grams,
+        strip_against_index,
+        write_anchor_index,
+    )
+
+    rng = random.Random(23)
+    words = [f"w{j}" for j in range(20)]
+    shared = " ".join(rng.choices(words, k=8))
+    rows = [
+        (i, " ".join(rng.choices(words, k=25)) + " " + shared)
+        for i in range(6)
+    ]
+    k, density = 10, 2
+
+    def run(split: bool):
+        idx = str(tmp_path / f"idx_{split}")
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        write_anchor_index(empty, idx, k=k, density=density)
+        texts = {}
+        for lo in (0, 3):
+            batch = spark.createDataFrame(
+                rows[lo : lo + 3], "doc_id long, text string"
+            )
+            if split:
+                out, fresh = strip_against_index(
+                    batch, idx, append=False, return_fresh=True
+                )
+                texts.update({r["doc_id"]: r["text"] for r in out.collect()})
+                append_novel_grams(batch, idx, grams=fresh)
+            else:
+                out = strip_against_index(batch, idx)
+                texts.update({r["doc_id"]: r["text"] for r in out.collect()})
+        grams = {
+            r["gram"]
+            for r in spark.read.schema("gram string").parquet(idx).collect()
+        }
+        return texts, grams
+
+    fused_texts, fused_grams = run(split=False)
+    split_texts, split_grams = run(split=True)
+    assert split_texts == fused_texts
+    assert split_grams == fused_grams

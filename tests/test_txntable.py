@@ -1,0 +1,219 @@
+"""TxnTable: ACID commit-log parquet table (ROADMAP r7 item 1 — the
+in-engine replacement for the unavailable Delta/Iceberg MERGE INTO).
+
+Reference semantics being reproduced: ``knightshift/db/game_upsert.py``
+(key-hit UPDATE / miss INSERT, reader never sees a half-applied batch)
+and ``validate_tv_channel_games.py`` (conditional DELETE)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from knightshift_spark.operators.merge import upsert
+from knightshift_spark.sources import txntable
+from knightshift_spark.sources.txntable import (
+    ConcurrentWriteError,
+    TxnTable,
+    VacuumedVersionError,
+)
+
+SCHEMA = "id long, val string, version int"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rows(df):
+    return {(r.id, r.val, r.version) for r in df.collect()}
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return TxnTable.create(
+        spark, str(tmp_path / "t"), keys=["id"], schema=SCHEMA, n_buckets=4
+    )
+
+
+def test_append_snapshot_roundtrip_and_crash_safety(spark, table):
+    table.append(_df(spark, [(1, "a", 1), (2, "b", 1)]))
+    table.append(_df(spark, [(3, "c", 1)]))
+    assert _rows(table.snapshot()) == {(1, "a", 1), (2, "b", 1), (3, "c", 1)}
+    # a data directory WITHOUT a commit record (crashed writer) is invisible
+    orphan = os.path.join(table.path, "data", "deadbeef", "__bucket=0")
+    os.makedirs(orphan)
+    _df(spark, [(99, "ghost", 9)]).write.mode("overwrite").parquet(orphan)
+    assert (99, "ghost", 9) not in _rows(table.snapshot())
+    # double-create refuses
+    with pytest.raises(FileExistsError):
+        TxnTable.create(spark, table.path, keys=["id"], schema=SCHEMA)
+
+
+def test_merge_is_last_writer_wins_and_rewrites_touched_buckets_only(
+    spark, table
+):
+    base = [(i, f"v{i}", 1) for i in range(12)]
+    table.append(_df(spark, base))
+    before = {a["path"]: a["bucket"] for a in table._state()[1].values()}
+
+    updates = [(3, "UPD", 2), (7, "STALE", 0), (100, "NEW", 2)]
+    table.merge(_df(spark, updates), order_by=["version"])
+
+    expect = _rows(
+        upsert(_df(spark, base), _df(spark, updates), ["id"], ["version"])
+    )
+    assert _rows(table.snapshot()) == expect
+    assert (3, "UPD", 2) in expect and (7, "v7", 1) in expect  # stale lost
+
+    after = {a["path"]: a["bucket"] for a in table._state()[1].values()}
+    touched = {
+        r.b
+        for r in _df(spark, updates)
+        .select(F.pmod(F.xxhash64("id"), F.lit(4)).alias("b"))
+        .distinct()
+        .collect()
+    }
+    # untouched buckets carry the SAME physical paths through the commit
+    for path, bucket in before.items():
+        if bucket not in touched:
+            assert path in after
+        else:
+            assert path not in after
+
+
+def test_time_travel_and_history(spark, table):
+    table.append(_df(spark, [(1, "a", 1)]))          # v1
+    table.merge(_df(spark, [(1, "b", 2)]), ["version"])  # v2
+    table.delete_where(F.col("id") == 1)             # v3
+    assert _rows(table.snapshot(1)) == {(1, "a", 1)}
+    assert _rows(table.snapshot(2)) == {(1, "b", 2)}
+    assert _rows(table.snapshot()) == set()
+    assert [h["op"] for h in table.history()] == [
+        "create", "append", "merge", "delete",
+    ]
+
+
+def test_delete_where_keeps_other_buckets_physically(spark, table):
+    table.append(_df(spark, [(i, "x", 1) for i in range(8)]))
+    before = set(table._state()[1])
+    table.delete_where(F.col("id") == 5)
+    snap = _rows(table.snapshot())
+    assert (5, "x", 1) not in snap and len(snap) == 7
+    after = set(table._state()[1])
+    assert before & after  # untouched bucket files survived as-is
+
+
+def test_optimistic_concurrency_conflict_and_rebase(spark, table):
+    table.append(_df(spark, [(1, "a", 1), (2, "b", 1)]))
+    meta, _, read_v = table._state()
+
+    # writer A stages a merge against read_v, then commits
+    a_adds = table._write_data(_df(spark, [(1, "A", 2)]), meta)
+    a_buckets = [x["bucket"] for x in a_adds]
+    table._commit("merge", a_adds, [], a_buckets, read_v)
+
+    # writer B staged against the SAME read_v on the SAME bucket: conflict
+    b_adds = table._write_data(_df(spark, [(1, "B", 3)]), meta)
+    with pytest.raises(ConcurrentWriteError):
+        table._commit("merge", b_adds, [], [x["bucket"] for x in b_adds], read_v)
+    for x in b_adds:  # staged data was rolled back
+        assert not os.path.isdir(os.path.join(table.path, x["path"]))
+
+    # writer C staged against the same read_v but a DISJOINT bucket: rebase
+    disjoint_rows, key = None, 3
+    while disjoint_rows is None:
+        cand = _df(spark, [(key, "C", 2)])
+        b = cand.select(F.pmod(F.xxhash64("id"), F.lit(4)).alias("b")).collect()[0].b
+        if b not in set(a_buckets):
+            disjoint_rows = cand
+        key += 1
+    c_adds = table._write_data(disjoint_rows, meta)
+    v = table._commit("merge", c_adds, [], [x["bucket"] for x in c_adds], read_v)
+    assert v == read_v + 2  # rebased past A's commit
+    got = _rows(table.snapshot())
+    assert (1, "A", 2) in got and (key - 1, "C", 2) in got
+
+
+def test_compact_preserves_state_and_merges_files(spark, table):
+    for i in range(3):
+        table.append(_df(spark, [(j, f"r{i}", 1) for j in range(6)]))
+    before_state = _rows(table.snapshot())
+    _, active, _ = table._state()
+    buckets = [a["bucket"] for a in active.values()]
+    assert max(buckets.count(b) for b in set(buckets)) >= 2
+    table.compact()
+    _, active2, _ = table._state()
+    buckets2 = [a["bucket"] for a in active2.values()]
+    assert max(buckets2.count(b) for b in set(buckets2)) == 1
+    assert _rows(table.snapshot()) == before_state
+
+
+def test_vacuum_drops_dead_files_and_guards_time_travel(spark, table):
+    table.append(_df(spark, [(1, "a", 1)]))              # v1
+    table.merge(_df(spark, [(1, "b", 2)]), ["version"])  # v2 (v1 file dead)
+    dead = [
+        p for p in table._state(1)[1] if p not in table._state()[1]
+    ]
+    assert dead
+    table.vacuum()
+    for p in dead:
+        assert not os.path.isdir(os.path.join(table.path, p))
+    assert _rows(table.snapshot()) == {(1, "b", 2)}  # current unharmed
+    with pytest.raises(VacuumedVersionError):
+        table.snapshot(1).collect()
+
+
+def test_checkpoint_bounds_log_replay(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(txntable, "_CHECKPOINT_EVERY", 3)
+    t = TxnTable.create(
+        spark, str(tmp_path / "ck"), keys=["id"], schema=SCHEMA, n_buckets=2
+    )
+    for i in range(4):
+        t.append(_df(spark, [(i, f"a{i}", 1)]))
+    ckpts = [
+        n for n in os.listdir(os.path.join(t.path, "_txnlog"))
+        if n.endswith(".checkpoint.json")
+    ]
+    assert ckpts  # v3 checkpointed
+    with open(os.path.join(t.path, "_txnlog", sorted(ckpts)[-1])) as f:
+        ck = json.load(f)
+    assert ck["meta"]["keys"] == ["id"] and ck["active"]
+    # a FRESH handle resolves through the checkpoint to the same state
+    fresh = TxnTable(spark, t.path)
+    assert _rows(fresh.snapshot()) == {(i, f"a{i}", 1) for i in range(4)}
+    assert fresh.version() == 4
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, table):
+    table.append(_df(spark, [(i, f"v{i}", 1) for i in range(10)]))
+    got = table.lookup([7]).collect()
+    assert [(r.id, r.val) for r in got] == [(7, "v7")]
+    meta, active, _ = table._state()
+    bucket7 = (
+        _df(spark, [(7, "", 0)])
+        .select(F.pmod(F.xxhash64("id"), F.lit(meta["n_buckets"])).alias("b"))
+        .collect()[0].b
+    )
+    # physically remove every OTHER bucket's files: lookup must still work,
+    # proving it never touches them
+    import shutil
+
+    for p, a in active.items():
+        if a["bucket"] != bucket7:
+            shutil.rmtree(os.path.join(table.path, p))
+    assert [(r.id, r.val) for r in table.lookup([7]).collect()] == [(7, "v7")]
+
+
+def test_streaming_writer_replay_is_idempotent(spark, table):
+    from knightshift_spark.sources.txntable import txn_upsert_writer
+
+    write = txn_upsert_writer(table, order_by=["version"])
+    batch = _df(spark, [(1, "a", 1), (2, "b", 1)])
+    write(batch, 0)
+    state1 = _rows(table.snapshot())
+    write(batch, 0)  # crash-replay of the same micro-batch
+    assert _rows(table.snapshot()) == state1 == {(1, "a", 1), (2, "b", 1)}
