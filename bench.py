@@ -187,6 +187,12 @@ def main() -> None:
     except Exception:
         pass  # informational; never fail the bench
 
+    txn = None
+    try:
+        txn = txn_table_section(spark, sf_dir)
+    except Exception:
+        pass  # informational; never fail the bench
+
     # per-query delta vs the PREVIOUS bench_full.json (VERDICT r6 #9):
     # suite-level ±1-2 s jitter is machine noise (memory: 14.9-17.9 s
     # band) — only a per-query plan regression is actionable, so name
@@ -242,6 +248,7 @@ def main() -> None:
         "curation_ops": curation,
         "incremental_lsh_index": inc_index,
         "mining_ops": mining,
+        "txn_table": txn,
     }
     print(json.dumps(full))
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
@@ -887,6 +894,96 @@ def incremental_index_section(spark, sf_dir: str) -> dict:
         "incremental_query_sec": round(inc_sec, 4),
         "full_recompute_sec": round(full_sec, 4),
         "speedup": round(full_sec / inc_sec, 2) if inc_sec else None,
+    }
+
+
+def txn_table_section(spark, sf_dir: str) -> dict:
+    """The TxnTable MERGE claim, measured at the 10× point: seed the
+    50k-doc corpus into a 256-bucket table once, then land a 32-key
+    update batch (the reference's per-game upsert cadence) two ways —
+    the commit-log merge (rewrites only buckets containing update keys)
+    vs the plain-parquet path (algebraic upsert + full stage-and-swap
+    rewrite, the engine's pre-round-8 deviation). The gap is the
+    fraction of the table the commit protocol did NOT have to touch,
+    and it grows linearly with table size at fixed batch size."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from knightshift_spark.operators.merge import upsert
+    from knightshift_spark.sources.txntable import TxnTable
+
+    base = os.environ.get("SPARK_GRAFT_SCALE10_DIR", "/tmp/knightshift-scale10")
+    scale_dir = os.path.join(base, os.path.basename(sf_dir.rstrip("/")))
+    corpus = (
+        spark.read.parquet(os.path.join(scale_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .withColumn("version", F.lit(1).cast("int"))
+    )
+    batch = corpus.filter(F.col("doc_id") % 1543 == 7).limit(32).select(
+        "doc_id", F.concat(F.lit("edited: "), F.col("text")).alias("text"),
+        F.lit(2).cast("int").alias("version"),
+    ).localCheckpoint()
+    update_rows = batch.count()
+
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for root, _, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    tbl_path = os.path.join(base, "txn_table")
+    shutil.rmtree(tbl_path, ignore_errors=True)
+    t0 = time.perf_counter()
+    table = TxnTable.create(
+        spark, tbl_path, keys=["doc_id"],
+        schema="doc_id long, text string, version int", n_buckets=256,
+    )
+    table.append(corpus)
+    seed_sec = time.perf_counter() - t0
+
+    _, active_before, _ = table._state()
+    t0 = time.perf_counter()
+    table.merge(batch, order_by=["version"])
+    merge_sec = time.perf_counter() - t0
+    _, active_after, _ = table._state()
+    carried = set(active_before) & set(active_after)
+    merge_bytes = sum(
+        _dir_bytes(os.path.join(tbl_path, p))
+        for p in set(active_after) - set(active_before)
+    )
+
+    # the old path: full-table algebraic upsert + whole-table rewrite
+    swap_dir = os.path.join(base, "txn_naive")
+    shutil.rmtree(swap_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    upsert(corpus, batch, ["doc_id"], ["version"]).write.mode(
+        "overwrite"
+    ).parquet(swap_dir)
+    naive_sec = time.perf_counter() - t0
+    naive_bytes = _dir_bytes(swap_dir)
+    shutil.rmtree(swap_dir, ignore_errors=True)
+
+    return {
+        "note": "single-run timings (a merge mutates state; best-of-N "
+                "would measure a different table each run). At this "
+                "payload both paths sit on the local job floor, so the "
+                "scale claim is the BYTES column: the commit-log merge "
+                "rewrites only buckets containing update keys while the "
+                "stage-and-swap path rewrites the whole table — that "
+                "ratio is size-invariant at fixed batch width, so at "
+                "100 TB it is the difference between touching ~0.1% "
+                "(n_buckets sized to data) and touching everything",
+        "update_rows": update_rows,
+        "n_buckets": 256,
+        "table_rows": 50_000,
+        "files_carried_by_reference": f"{len(carried)}/{len(active_before)}",
+        "seed_sec": round(seed_sec, 3),
+        "pruned_merge_sec": round(merge_sec, 4),
+        "full_rewrite_sec": round(naive_sec, 4),
+        "merge_rewritten_mb": round(merge_bytes / 1e6, 2),
+        "full_rewritten_mb": round(naive_bytes / 1e6, 2),
+        "bytes_ratio": round(naive_bytes / merge_bytes, 1) if merge_bytes else None,
     }
 
 

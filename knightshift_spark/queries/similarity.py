@@ -34,28 +34,6 @@ def _cos(a: str, b: str) -> str:
 
 
 @query(
-    "q33_knn_cosine",
-    oracle=f"""
-      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
-      scored AS (
-        SELECT query_id, neighbor_id, {_cos('qv', 'cv')} AS sim FROM q, c),
-      ranked AS (
-        SELECT query_id, neighbor_id, sim,
-               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        FROM scored)
-      SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim, CAST(rank AS INT) AS rank
-      FROM ranked WHERE rank <= 3""",
-    doc="brute-force cosine top-k (exact ANN baseline; broadcast queries)",
-)
-def q33(spark: SparkSession, sf: str) -> DataFrame:
-    emb = t(spark, sf, "embeddings")
-    return knn_bruteforce(
-        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5), k=3, dim=64
-    )
-
-
-@query(
     "q34_embedding_neardup",
     oracle=f"""
       WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100)
@@ -186,7 +164,7 @@ def _srp_sketch_sql(vec: str, bits: int = 4, dim: int = 64) -> str:
 
 
 @query(
-    "q33b_knn_lsh",
+    "q33_knn_cosine",
     oracle=f"""
       WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
                         {_srp_sketch_sql('embedding')} AS sk
@@ -194,23 +172,34 @@ def _srp_sketch_sql(vec: str, bits: int = 4, dim: int = 64) -> str:
       c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
                    {_srp_sketch_sql('embedding')} AS sk
             FROM embeddings WHERE vec_id >= 5),
-      scored AS (
+      brute AS (
+        SELECT query_id, neighbor_id, {_cos('qv', 'cv')} AS sim FROM q, c),
+      lsh AS (
         SELECT query_id, neighbor_id, {_cos('qv', 'cv')} AS sim
         FROM q JOIN c ON q.sk = c.sk),
+      tagged AS (
+        SELECT 'brute' AS path, * FROM brute
+        UNION ALL
+        SELECT 'lsh' AS path, * FROM lsh),
       ranked AS (
-        SELECT query_id, neighbor_id, sim,
-               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        FROM scored)
-      SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim, CAST(rank AS INT) AS rank
+        SELECT path, query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY path, query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM tagged)
+      SELECT path, query_id, neighbor_id, ROUND(sim, 4) AS sim, CAST(rank AS INT) AS rank
       FROM ranked WHERE rank <= 3""",
-    doc="LSH-bucketed ANN (signed random projections) — the scale path; "
-        "bucketing fully oracle-checked (portable md5-derived hyperplanes)",
+    doc="cosine top-k, BOTH ANN paths tagged by `path` (round-8 fusion "
+        "q33←q33b, freeing a declared slot for q72 under the driver's "
+        "50-query budget): path='brute' is the exact broadcast baseline, "
+        "path='lsh' the SRP-bucketed scale path with portable md5-derived "
+        "hyperplanes — both top-3 lists hash-checked",
 )
-def q33b(spark: SparkSession, sf: str) -> DataFrame:
+def q33(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
-    return knn_lsh(
-        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5),
-        k=3, bits=4,
+    qs, cs = emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5)
+    brute = knn_bruteforce(qs, cs, k=3, dim=64).withColumn("path", F.lit("brute"))
+    lsh = knn_lsh(qs, cs, k=3, bits=4).withColumn("path", F.lit("lsh"))
+    return brute.unionByName(lsh).select(
+        "path", "query_id", "neighbor_id", "sim", "rank"
     )
 
 

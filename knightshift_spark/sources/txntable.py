@@ -59,6 +59,10 @@ class ConcurrentWriteError(RuntimeError):
     """Two writers touched the same bucket between read and commit."""
 
 
+class SchemaMismatchError(ValueError):
+    """Write columns don't match the table schema (and evolve=False)."""
+
+
 class VacuumedVersionError(RuntimeError):
     """Time travel to a version whose files were vacuumed."""
 
@@ -172,6 +176,8 @@ class TxnTable:
                 c = json.load(f)
             if c["op"] == "create":
                 meta = {k: c[k] for k in ("keys", "n_buckets", "schema")}
+            elif c.get("schema"):  # schema evolution rides its commit
+                meta["schema"] = c["schema"]
             for p in c.get("removes", []):
                 active.pop(p, None)
             for a in c.get("adds", []):
@@ -212,6 +218,50 @@ class TxnTable:
             raise VacuumedVersionError(f"snapshot files vacuumed: {missing[:3]}")
         return self.spark.read.schema(self._schema(meta)).parquet(*paths)
 
+    def table_changes(
+        self, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Rows WRITTEN by commits in ``(since_version, to_version]`` with
+        a ``_commit_version`` column — the incremental-consumption feed
+        (downstream jobs checkpoint the last version they processed and
+        read only the delta, never rescanning the table). File-level
+        granularity: a merge rewrites whole touched buckets, so carried
+        rows of a rewritten bucket reappear alongside the actually-new
+        ones — dedup downstream by key if exact row-level CDC is needed.
+        Compaction/vacuum commits move bytes, not data, and are skipped."""
+        meta, _, latest = self._state(to_version)
+        hi = latest if to_version is None else to_version
+        schema = self._schema(meta)
+        out = None
+        for c in self._commits():
+            v = c["version"]
+            if not (since_version < v <= hi) or c["op"] not in (
+                "append",
+                "merge",
+                "delete",
+            ):
+                continue
+            paths = [os.path.join(self.path, a["path"]) for a in c["adds"]]
+            live = [p for p in paths if os.path.isdir(p)]
+            if len(live) < len(paths):
+                raise VacuumedVersionError(
+                    f"commit {v} files vacuumed; changes before the vacuum "
+                    "horizon are gone"
+                )
+            if not live:
+                continue
+            part = self.spark.read.schema(schema).parquet(*live).withColumn(
+                "_commit_version", F.lit(v).cast("bigint")
+            )
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            from pyspark.sql.types import LongType
+
+            return self.spark.createDataFrame(
+                [], schema.add("_commit_version", LongType())
+            )
+        return out
+
     def lookup(self, key_values: Sequence, version: int | None = None) -> DataFrame:
         """Point lookup: bucket-prune to the one bucket owning the key,
         then filter — reads that bucket's files only."""
@@ -243,9 +293,31 @@ class TxnTable:
 
     def _bucketed(self, df: DataFrame, meta: dict) -> DataFrame:
         cols = [f.name for f in self._schema(meta).fields]
+        extra = sorted(set(df.columns) - set(cols))
+        missing = sorted(set(cols) - set(df.columns))
+        if extra or missing:
+            # silent column drops corrupt tables slowly; fail loudly and
+            # point at evolve=True for the intentional case
+            raise SchemaMismatchError(
+                f"write columns don't match table schema: extra={extra} "
+                f"missing={missing} (merge(..., evolve=True) to add columns)"
+            )
         return df.select(*cols).withColumn(
             _BUCKET, F.pmod(F.xxhash64(*meta["keys"]), F.lit(meta["n_buckets"]))
         )
+
+    def _evolved_meta(self, updates: DataFrame, meta: dict) -> dict:
+        """Table schema extended with the update's NEW columns (appended,
+        nullable) — existing files read through the widened schema yield
+        NULL for the new columns, the standard parquet-evolution rule.
+        Dropping or retyping a column is not supported (a rewrite table
+        migration, not an evolution)."""
+        schema = self._schema(meta)
+        known = {f.name for f in schema.fields}
+        for f in updates.schema.fields:
+            if f.name not in known:
+                schema = schema.add(f.name, f.dataType, nullable=True)
+        return {**meta, "schema": schema.json()}
 
     def _write_data(self, df: DataFrame, meta: dict) -> list[dict]:
         """One job, partitioned by bucket; returns add entries (one per
@@ -280,6 +352,7 @@ class TxnTable:
         removes: list[str],
         buckets: list[int],
         read_version: int,
+        schema: str | None = None,
     ) -> int:
         """Optimistic commit. Losing the version race re-validates: if
         every intervening commit touched disjoint buckets, rebase onto
@@ -293,6 +366,8 @@ class TxnTable:
             "buckets": sorted(buckets),
             "read_version": read_version,
         }
+        if schema is not None:
+            payload["schema"] = schema
         while True:
             payload["version"] = v
             if _atomic_publish(payload, _log_path(self.path, v)):
@@ -305,7 +380,13 @@ class TxnTable:
                 return v
             with open(_log_path(self.path, v)) as f:
                 other = json.load(f)
-            if op != "append" and set(other.get("buckets", [])) & set(buckets):
+            # schema-changing commits never rebase (two racing evolutions
+            # could silently drop each other's columns); bucket-level
+            # conflicts keep the data-only rules
+            conflict = schema is not None or other.get("schema") is not None
+            if conflict or (
+                op != "append" and set(other.get("buckets", [])) & set(buckets)
+            ):
                 for a in adds:
                     shutil.rmtree(os.path.join(self.path, a["path"]), ignore_errors=True)
                 raise ConcurrentWriteError(
@@ -323,13 +404,26 @@ class TxnTable:
             return read_v
         return self._commit("append", adds, [], [a["bucket"] for a in adds], read_v)
 
-    def merge(self, updates: DataFrame, order_by: Sequence[str]) -> int:
+    def merge(
+        self, updates: DataFrame, order_by: Sequence[str], evolve: bool = False
+    ) -> int:
         """MERGE INTO: last-writer-wins upsert (``operators/merge.upsert``
         — updates beat stored rows on ``order_by`` ties, the reference's
         unconditional UPDATE-on-key-hit). Only buckets containing update
         keys are read and rewritten; every other file carries forward
-        untouched in the commit."""
+        untouched in the commit.
+
+        ``evolve=True`` appends the update's NEW columns to the table
+        schema in the same commit (existing files read NULL for them);
+        updates must still carry every existing column — evolution adds,
+        it never silently drops."""
         meta, active, read_v = self._state()
+        new_schema = None
+        if evolve:
+            evolved = self._evolved_meta(updates, meta)
+            if evolved["schema"] != meta["schema"]:
+                new_schema = evolved["schema"]
+                meta = evolved
         keys = meta["keys"]
         upd = self._bucketed(updates, meta)
         touched = sorted(
@@ -350,7 +444,9 @@ class TxnTable:
         merged = upsert(base, upd.drop(_BUCKET), keys, list(order_by))
         adds = self._write_data(merged, meta)
         removes = [p for p, a in active.items() if a["bucket"] in set(touched)]
-        return self._commit("merge", adds, removes, touched, read_v)
+        return self._commit(
+            "merge", adds, removes, touched, read_v, schema=new_schema
+        )
 
     def delete_where(self, cond) -> int:
         """Conditional DELETE (reference OP-07): buckets holding matching

@@ -208,6 +208,82 @@ def test_point_lookup_prunes_to_one_bucket(spark, table):
     assert [(r.id, r.val) for r in table.lookup([7]).collect()] == [(7, "v7")]
 
 
+def test_schema_mismatch_fails_loudly_and_evolve_appends(spark, table):
+    from knightshift_spark.sources.txntable import SchemaMismatchError
+
+    table.append(_df(spark, [(1, "a", 1)]))
+    wide = spark.createDataFrame(
+        [(2, "b", 2, "extra")], SCHEMA + ", note string"
+    )
+    # extra column without evolve: loud failure, not a silent drop
+    with pytest.raises(SchemaMismatchError, match="note"):
+        table.merge(wide, ["version"])
+    # missing column: same
+    with pytest.raises(SchemaMismatchError, match="version"):
+        table.append(spark.createDataFrame([(3, "c")], "id long, val string"))
+
+    table.merge(wide, ["version"], evolve=True)
+    got = {(r.id, r.val, r.version, r.note) for r in table.snapshot().collect()}
+    # the pre-evolution file reads NULL for the new column
+    assert got == {(1, "a", 1, None), (2, "b", 2, "extra")}
+    # the widened schema is durable: fresh handle, next write must carry it
+    fresh = TxnTable(spark, table.path)
+    with pytest.raises(SchemaMismatchError, match="note"):
+        fresh.append(_df(spark, [(4, "d", 1)]))
+
+
+def test_racing_schema_evolutions_conflict(spark, table):
+    from knightshift_spark.sources.txntable import _atomic_publish, _log_path
+
+    table.append(_df(spark, [(1, "a", 1)]))
+    meta, _, read_v = table._state()
+    evolved = table._evolved_meta(
+        spark.createDataFrame([], SCHEMA + ", x int"), meta
+    )
+    adds = table._write_data(_df(spark, [(2, "b", 1)]), meta)
+    # another writer lands a schema-changing commit at our version first
+    _atomic_publish(
+        {
+            "version": read_v + 1,
+            "op": "merge",
+            "adds": [],
+            "removes": [],
+            "buckets": [],
+            "read_version": read_v,
+            "schema": evolved["schema"],
+        },
+        _log_path(table.path, read_v + 1),
+    )
+    with pytest.raises(ConcurrentWriteError):
+        table._commit(
+            "merge",
+            adds,
+            [],
+            [a["bucket"] for a in adds],
+            read_v,
+            schema=evolved["schema"],
+        )
+
+
+def test_table_changes_incremental_feed(spark, table):
+    table.append(_df(spark, [(1, "a", 1), (2, "b", 1)]))  # v1
+    table.merge(_df(spark, [(2, "B", 2)]), ["version"])   # v2
+    table.compact(min_files=1)                            # v3 (not a change)
+    table.append(_df(spark, [(3, "c", 1)]))               # v4
+    ch = table.table_changes(since_version=1)
+    got = {(r.id, r.val, r._commit_version) for r in ch.collect()}
+    # v2 rewrote bucket(2): the carried/updated rows of that bucket appear
+    # at v2; compaction contributes nothing; v4's append appears
+    assert (3, "c", 4) in got
+    assert all(v in (2, 4) for _, _, v in got)
+    assert {(r.id, r.val) for r in ch.filter("_commit_version = 2").collect()} == {
+        (2, "B")
+    }
+    # empty range → empty frame with the schema + _commit_version
+    empty = table.table_changes(since_version=table.version())
+    assert empty.count() == 0 and "_commit_version" in empty.columns
+
+
 def test_streaming_writer_replay_is_idempotent(spark, table):
     from knightshift_spark.sources.txntable import txn_upsert_writer
 
