@@ -91,6 +91,46 @@ def _atomic_publish(payload: dict, dst: str) -> bool:
         os.unlink(tmp)
 
 
+def _footer_stats(bucket_dir: str, cols: Sequence[str]) -> dict:
+    """Per-directory min/max for ``cols``, read from the parquet footers
+    the write already produced — data skipping for free, no Spark job.
+    Returns {} (no stats, never wrong stats) when a column is missing,
+    a row group lacks min/max, or a value isn't JSON-round-trippable."""
+    if not cols:
+        return {}
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return {}
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    try:
+        for name in os.listdir(bucket_dir):
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(bucket_dir, name)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for c in cols:
+                j = idx.get(c)
+                if j is None:
+                    return {}
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(j).statistics
+                    if st is None or not st.has_min_max:
+                        return {}
+                    lo, hi = st.min, st.max
+                    if not all(
+                        isinstance(v, (int, float, str)) and not isinstance(v, bool)
+                        for v in (lo, hi)
+                    ):
+                        return {}
+                    mins[c] = lo if c not in mins else min(mins[c], lo)
+                    maxs[c] = hi if c not in maxs else max(maxs[c], hi)
+    except Exception:
+        return {}
+    return {c: [mins[c], maxs[c]] for c in cols if c in mins}
+
+
 class TxnTable:
     """A keyed, bucketed, log-structured parquet table with snapshot
     isolation, optimistic concurrency, MERGE/DELETE/compaction, and
@@ -111,9 +151,15 @@ class TxnTable:
         keys: Sequence[str],
         schema: StructType | str,
         n_buckets: int = 16,
+        stats_cols: Sequence[str] | None = None,
     ) -> "TxnTable":
         """Commit 0 records the table contract: merge key, bucket count,
-        column schema. Everything later must conform."""
+        column schema, and the columns every data file carries min/max
+        stats for (``stats_cols``, default: the key columns). Stats come
+        free from the parquet footers at commit time — no extra job —
+        and ``snapshot_where`` prunes files by them, so range scans on a
+        write-clustered column (ingest time, monotone ids) skip the
+        files that can't match. Everything later must conform."""
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         if isinstance(schema, str):
@@ -124,6 +170,7 @@ class TxnTable:
             "keys": list(keys),
             "n_buckets": int(n_buckets),
             "schema": schema.json(),
+            "stats_cols": list(stats_cols) if stats_cols is not None else list(keys),
             "adds": [],
             "removes": [],
             "buckets": [],
@@ -176,6 +223,7 @@ class TxnTable:
                 c = json.load(f)
             if c["op"] == "create":
                 meta = {k: c[k] for k in ("keys", "n_buckets", "schema")}
+                meta["stats_cols"] = c.get("stats_cols", c["keys"])
             elif c.get("schema"):  # schema evolution rides its commit
                 meta["schema"] = c["schema"]
             for p in c.get("removes", []):
@@ -217,6 +265,39 @@ class TxnTable:
         if missing:
             raise VacuumedVersionError(f"snapshot files vacuumed: {missing[:3]}")
         return self.spark.read.schema(self._schema(meta)).parquet(*paths)
+
+    def snapshot_where(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """``snapshot()`` restricted to ``lo <= col <= hi`` with FILE
+        skipping: data files whose footer min/max for ``col`` (captured
+        at commit, ``stats_cols``) can't intersect the range are never
+        opened. On a write-clustered column (ingest time, monotone ids)
+        a narrow range reads a handful of files out of the whole table;
+        files without stats are read and filtered — skipping is an
+        optimization, never a correctness dependency."""
+        meta, active, _ = self._state(version)
+        paths = []
+        for p, a in active.items():
+            st = (a.get("stats") or {}).get(col)
+            if st is not None:
+                if hi is not None and st[0] > hi:
+                    continue
+                if lo is not None and st[1] < lo:
+                    continue
+            paths.append(os.path.join(self.path, p))
+        if not paths:
+            return self.spark.createDataFrame([], self._schema(meta))
+        df = self.spark.read.schema(self._schema(meta)).parquet(*paths)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     def table_changes(
         self, since_version: int, to_version: int | None = None
@@ -335,12 +416,16 @@ class TxnTable:
         adds = []
         for name in sorted(os.listdir(out)):
             if name.startswith(f"{_BUCKET}="):
-                adds.append(
-                    {
-                        "path": os.path.join(rel, name),
-                        "bucket": int(name.split("=", 1)[1]),
-                    }
+                entry = {
+                    "path": os.path.join(rel, name),
+                    "bucket": int(name.split("=", 1)[1]),
+                }
+                stats = _footer_stats(
+                    os.path.join(out, name), meta.get("stats_cols") or []
                 )
+                if stats:
+                    entry["stats"] = stats
+                adds.append(entry)
         if not adds:  # empty write: nothing to publish, drop the dir
             shutil.rmtree(out)
         return adds

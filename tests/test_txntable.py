@@ -284,6 +284,41 @@ def test_table_changes_incremental_feed(spark, table):
     assert empty.count() == 0 and "_commit_version" in empty.columns
 
 
+def test_snapshot_where_skips_files_by_footer_stats(spark, tmp_path):
+    """Data skipping: three appends with disjoint id ranges → a range
+    read opens only the matching commit's files. Proven physically: the
+    out-of-range files are deleted from disk and the pruned read still
+    answers (an unpruned plan would fail on the missing files)."""
+    import shutil
+
+    t = TxnTable.create(
+        spark, str(tmp_path / "s"), keys=["id"], schema=SCHEMA, n_buckets=2
+    )
+    t.append(_df(spark, [(i, "a", 1) for i in range(0, 10)]))        # v1
+    t.append(_df(spark, [(i, "b", 1) for i in range(100, 110)]))     # v2
+    t.append(_df(spark, [(i, "c", 1) for i in range(200, 210)]))     # v3
+    _, active, _ = t._state()
+    assert all("stats" in a for a in active.values())
+    got = {r.id for r in t.snapshot_where("id", lo=100, hi=109).collect()}
+    assert got == set(range(100, 110))
+    # physically remove every file that can't hold ids 100..109
+    for p, a in t._state()[1].items():
+        mn, mx = a["stats"]["id"]
+        if mx < 100 or mn > 109:
+            shutil.rmtree(os.path.join(t.path, p))
+    got2 = {r.id for r in t.snapshot_where("id", lo=100, hi=109).collect()}
+    assert got2 == set(range(100, 110))
+    # stats survive a merge's rewrite (recomputed from the new footers)
+    t2 = TxnTable.create(
+        spark, str(tmp_path / "s2"), keys=["id"], schema=SCHEMA, n_buckets=2
+    )
+    t2.append(_df(spark, [(1, "a", 1), (500, "z", 1)]))
+    t2.merge(_df(spark, [(500, "Z", 2)]), ["version"])
+    _, active2, _ = t2._state()
+    assert all("stats" in a for a in active2.values())
+    assert {r.id for r in t2.snapshot_where("id", lo=400, hi=600).collect()} == {500}
+
+
 def test_streaming_writer_replay_is_idempotent(spark, table):
     from knightshift_spark.sources.txntable import txn_upsert_writer
 
