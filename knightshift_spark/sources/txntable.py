@@ -438,6 +438,7 @@ class TxnTable:
         buckets: list[int],
         read_version: int,
         schema: str | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Optimistic commit. Losing the version race re-validates: if
         every intervening commit touched disjoint buckets, rebase onto
@@ -453,6 +454,8 @@ class TxnTable:
         }
         if schema is not None:
             payload["schema"] = schema
+        if txn is not None:
+            payload["txn"] = {"app_id": txn[0], "batch_id": txn[1]}
         while True:
             payload["version"] = v
             if _atomic_publish(payload, _log_path(self.path, v)):
@@ -489,8 +492,23 @@ class TxnTable:
             return read_v
         return self._commit("append", adds, [], [a["bucket"] for a in adds], read_v)
 
+    def streaming_watermark(self, app_id: str) -> int:
+        """Highest batch_id a ``txn``-stamped merge has committed for
+        ``app_id`` (-1 if none) — the exactly-once high-water mark for
+        ``txn_upsert_writer``."""
+        hi = -1
+        for c in self._commits():
+            t = c.get("txn")
+            if t and t.get("app_id") == app_id:
+                hi = max(hi, int(t["batch_id"]))
+        return hi
+
     def merge(
-        self, updates: DataFrame, order_by: Sequence[str], evolve: bool = False
+        self,
+        updates: DataFrame,
+        order_by: Sequence[str],
+        evolve: bool = False,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """MERGE INTO: last-writer-wins upsert (``operators/merge.upsert``
         — updates beat stored rows on ``order_by`` ties, the reference's
@@ -530,7 +548,7 @@ class TxnTable:
         adds = self._write_data(merged, meta)
         removes = [p for p, a in active.items() if a["bucket"] in set(touched)]
         return self._commit(
-            "merge", adds, removes, touched, read_v, schema=new_schema
+            "merge", adds, removes, touched, read_v, schema=new_schema, txn=txn
         )
 
     def delete_where(self, cond) -> int:
@@ -604,14 +622,28 @@ class TxnTable:
         return self._commit("vacuum", [], [], [], read_v)
 
 
-def txn_upsert_writer(table: TxnTable, order_by: Sequence[str]):
+def txn_upsert_writer(
+    table: TxnTable, order_by: Sequence[str], app_id: str | None = None
+):
     """foreachBatch sink factory: MERGE each micro-batch into the table —
-    the transactional twin of ``sources/jdbc.upsert_writer``. Replayed
-    batches (restart after crash) re-merge the same rows; last-writer-
-    wins makes that idempotent on the final state."""
+    the transactional twin of ``sources/jdbc.upsert_writer``.
+
+    Without ``app_id``, replayed batches (restart after crash) re-merge
+    the same rows and last-writer-wins makes that idempotent on the
+    final state (at-least-once + reconciling merge). With ``app_id``,
+    the sink is EXACTLY-ONCE: each merge commit records
+    (app_id, batch_id), and a replayed batch whose id is ≤ the app's
+    high-water mark is skipped outright — the Delta-style transactional
+    app-id protocol, which stays safe even for sinks whose merge isn't
+    naturally idempotent. The watermark check and the commit are the
+    same log, so a crash between them can't record a batch it didn't
+    write."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.isEmpty():
-            table.merge(batch_df, order_by)
+        if batch_df.isEmpty():
+            return
+        if app_id is not None and batch_id <= table.streaming_watermark(app_id):
+            return  # replay of a batch whose commit already landed
+        table.merge(batch_df, order_by, txn=(app_id, int(batch_id)) if app_id else None)
 
     return write_batch

@@ -102,6 +102,8 @@ def run_pgn_stream(
     jdbc_table: str = "tv_channel_games",
     jdbc_options: dict[str, str] | None = None,
     on_batch=None,
+    txn_table_dir: str | None = None,
+    txn_buckets: int = 16,
 ) -> StreamingQuery:
     """Start the streaming ingestion query.
 
@@ -113,7 +115,11 @@ def run_pgn_stream(
     database through ``sources.jdbc.upsert_writer`` (staged batch + one
     set-based MERGE — the streaming twin of the reference's per-row
     upsert loop, ``get_games_from_tv.py:122-147`` + ``game_upsert.py:
-    84-110``); otherwise it stage-and-swaps the parquet ``target_dir``.
+    84-110``); with ``txn_table_dir`` it MERGEs into a commit-log
+    ``TxnTable`` (bucket-pruned rewrite + the exactly-once app-id
+    protocol: a replayed micro-batch is skipped by the table's own
+    high-water mark, not re-merged); otherwise it stage-and-swaps the
+    parquet ``target_dir``.
 
     ``on_batch(batch_id, n_rows)`` is the observability hook — the
     per-poll processed-count the reference logs each cycle
@@ -145,6 +151,31 @@ def run_pgn_stream(
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
             rows = _ingest(batch_df)
             merge(rows, batch_id)
+            if on_batch is not None:
+                on_batch(batch_id, rows.count())
+
+    elif txn_table_dir is not None:
+        from knightshift_spark.sources.txntable import TxnTable, txn_upsert_writer
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            rows = _ingest(batch_df)
+            try:
+                table = TxnTable(batch_df.sparkSession, txn_table_dir)
+            except FileNotFoundError:
+                # first batch creates the table from the ingested schema;
+                # a concurrent creator winning the race is fine — commit 0
+                # is exclusive-create, so reopen on FileExistsError
+                try:
+                    table = TxnTable.create(
+                        batch_df.sparkSession, txn_table_dir,
+                        keys=["id_game"], schema=rows.schema,
+                        n_buckets=txn_buckets,
+                    )
+                except FileExistsError:
+                    table = TxnTable(batch_df.sparkSession, txn_table_dir)
+            txn_upsert_writer(table, ["tm_ingested"], app_id="pgn-ingest")(
+                rows, batch_id
+            )
             if on_batch is not None:
                 on_batch(batch_id, rows.count())
 

@@ -69,6 +69,51 @@ def test_pgn_stream_merges_across_batches(spark, tmp_path):
     assert out["streamG2"]["val_result"] == "0-1"
 
 
+def test_pgn_stream_txn_table_sink_exactly_once(spark, tmp_path):
+    """The TxnTable sink: same merged end state as the parquet sink,
+    with commit-log history (one merge commit per micro-batch) and the
+    exactly-once app-id watermark set; a fresh query re-draining the
+    same spool from a NEW checkpoint replays batch ids the table has
+    seen — the sink skips them, the version doesn't move."""
+    from knightshift_spark.sources.txntable import TxnTable
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    tbl = str(tmp_path / "games_txn")
+    f1, f2 = spool / "a_batch1.pgn", spool / "b_batch2.pgn"
+    f1.write_text(GAME_V1)
+    f2.write_text(GAME_V2)
+    now = os.stat(f1).st_mtime
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now + 60, now + 60))
+
+    q = run_pgn_stream(
+        spark, str(spool), None, str(tmp_path / "ckpt"),
+        trigger={"availableNow": True}, max_files_per_trigger=1,
+        txn_table_dir=tbl, txn_buckets=4,
+    )
+    q.awaitTermination(120)
+
+    table = TxnTable(spark, tbl)
+    out = {r["id_game"]: r for r in table.snapshot().collect()}
+    assert sorted(out) == ["streamG1", "streamG2"]
+    assert out["streamG1"]["val_event_name"] == "V2 updated"  # batch 2 won
+    ops = [h["op"] for h in table.history()]
+    assert ops == ["create", "merge", "merge"]  # one commit per batch
+    assert table.streaming_watermark("pgn-ingest") == 1
+    v = table.version()
+
+    # restart with a FRESH checkpoint: the source replays both files as
+    # batches 0 and 1 again; the table's own watermark must skip them
+    q = run_pgn_stream(
+        spark, str(spool), None, str(tmp_path / "ckpt2"),
+        trigger={"availableNow": True}, max_files_per_trigger=1,
+        txn_table_dir=tbl, txn_buckets=4,
+    )
+    q.awaitTermination(120)
+    assert table.version() == v  # no new commits — skipped, not re-merged
+
+
 def test_streaming_rollup_matches_batch(spark, tmp_path):
     from tests.conftest import SF_SMOKE
     from knightshift_spark.tables import load_table

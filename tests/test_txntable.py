@@ -328,3 +328,25 @@ def test_streaming_writer_replay_is_idempotent(spark, table):
     state1 = _rows(table.snapshot())
     write(batch, 0)  # crash-replay of the same micro-batch
     assert _rows(table.snapshot()) == state1 == {(1, "a", 1), (2, "b", 1)}
+
+
+def test_streaming_writer_app_id_is_exactly_once(spark, table):
+    """With app_id, a replayed batch is SKIPPED by the log's high-water
+    mark (no merge commit at all), and the watermark is scoped per app."""
+    from knightshift_spark.sources.txntable import txn_upsert_writer
+
+    write = txn_upsert_writer(table, order_by=["version"], app_id="stream-A")
+    write(_df(spark, [(1, "a", 1)]), 0)
+    write(_df(spark, [(2, "b", 1)]), 1)
+    v = table.version()
+    assert table.streaming_watermark("stream-A") == 1
+    # replay both batches after a "restart": nothing commits
+    write(_df(spark, [(1, "a", 1)]), 0)
+    write(_df(spark, [(2, "b", 1)]), 1)
+    assert table.version() == v  # skipped outright, not re-merged
+    # a different app's stream is independent
+    assert table.streaming_watermark("stream-B") == -1
+    other = txn_upsert_writer(table, order_by=["version"], app_id="stream-B")
+    other(_df(spark, [(3, "c", 1)]), 0)
+    assert table.version() == v + 1
+    assert _rows(table.snapshot()) == {(1, "a", 1), (2, "b", 1), (3, "c", 1)}
