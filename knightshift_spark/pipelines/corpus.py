@@ -266,11 +266,13 @@ def curate_corpus(
             clf_gated, eval_docs, n=contamination_ngram, id_col=id_col, text_col=text_col
         )
         kept = clf_gated.join(hits, id_col, "left_anti")
-        if persist_intermediates:
-            # the decontam anti-join re-runs the corpus-side gram explode;
-            # it feeds the kept output, the mixture stage, and two funnel
-            # counters — materialize once, cut the lineage
-            kept = kept.localCheckpoint()
+        # NOT checkpointed even under persist_intermediates: the gram
+        # explode here reads the already-checkpointed dedup output, so
+        # its lineage is shallow — re-running it per funnel consumer
+        # costs ~0.45 s at sf0.1 while the checkpoint job it replaces
+        # costs ~1.4 s (A/B measured round 8; the heavy subtrees above
+        # are a different story — dropping exact_kept's checkpoint
+        # TRIPLES the LSH plan and loses 1.4 s)
     decontaminated = kept
 
     # 6. (optional) per-source quota: cap any one stratum from dominating
