@@ -56,6 +56,7 @@ def run_pipeline(
     pgn_source_dir: str,
     warehouse_dir: str,
     fetch_profile: Callable[[str], str | None] | None = None,
+    transactional: bool = False,
 ) -> PipelineReport:
     """Ingest PGN dumps → merge into games table → clean → enrich users.
 
@@ -63,7 +64,17 @@ def run_pipeline(
     enrichment — offline mode). Writes:
     ``{warehouse}/games`` (validated table), ``{warehouse}/games_rejected``
     (cleaning deletions, kept for audit), ``{warehouse}/users``.
+
+    ``transactional=True`` keeps the games table in a commit-log
+    ``TxnTable`` at ``{warehouse}/games_txn`` instead of stage-and-swap
+    parquet: the ingest merge and the validation deletion land as two
+    ACID commits (bucket-pruned rewrites, snapshot-isolated readers,
+    history/time travel) — the closest engine analog of the reference's
+    per-transaction Postgres upsert+delete loop. Same end state as the
+    default path (tested), different durability contract.
     """
+    if transactional:
+        return _run_pipeline_txn(spark, pgn_source_dir, warehouse_dir, fetch_profile)
     games_dir = f"{warehouse_dir}/games"
     rejected_dir = f"{warehouse_dir}/games_rejected"
     users_dir = f"{warehouse_dir}/users"
@@ -114,6 +125,71 @@ def run_pipeline(
     return PipelineReport(
         ingested=ingested,
         valid=spark.read.parquet(games_dir).count(),
+        deleted=deleted_count,
+        users_added=users_added,
+    )
+
+
+def _run_pipeline_txn(
+    spark: SparkSession,
+    pgn_source_dir: str,
+    warehouse_dir: str,
+    fetch_profile: Callable[[str], str | None] | None,
+) -> PipelineReport:
+    """The ``transactional=True`` body of ``run_pipeline`` — games live
+    in a TxnTable; cleaning deletions are `delete_keys` commits. The
+    enrichment flag-update merges back through the same table."""
+    from knightshift_spark.sources.txntable import TxnTable
+
+    tbl_dir = f"{warehouse_dir}/games_txn"
+    rejected_dir = f"{warehouse_dir}/games_rejected"
+    users_dir = f"{warehouse_dir}/users"
+
+    lines = pgn.read_pgn_lines(spark, pgn_source_dir)
+    fresh = ingest_games(pgn.assemble_games(pgn.sessionize(lines)))
+    try:
+        table = TxnTable(spark, tbl_dir)
+    except FileNotFoundError:
+        table = TxnTable.create(
+            spark, tbl_dir, keys=["id_game"], schema=fresh.schema, n_buckets=16
+        )
+    table.merge(fresh, ["tm_ingested"])                      # commit: ingest
+    ingested = fresh.count()
+
+    result = clean_games(table.snapshot())
+    # both halves read the PRE-clean snapshot; checkpoint before the
+    # table moves on. Cleaning is delete + normalize: the invalid keys
+    # leave, and the validators' transformed columns (title/termination
+    # normalization, sentinel→NULL, validation notes/flags) merge back.
+    deleted = result.deleted.localCheckpoint()
+    cleaned = result.valid.localCheckpoint()
+    deleted.write.mode(
+        "append" if os.path.isdir(rejected_dir) else "overwrite"
+    ).parquet(rejected_dir)
+    deleted_count = deleted.count()
+    table.delete_keys(deleted.select("id_game"))             # commit: clean/delete
+    table.merge(cleaned, ["tm_ingested"])                    # commit: clean/update
+    valid = table.snapshot()
+
+    users_added = 0
+    if fetch_profile is not None:
+        existing = (
+            spark.read.parquet(users_dir)
+            if os.path.isdir(users_dir)
+            else spark.createDataFrame([], LICHESS_USERS)
+        )
+        existing_count = existing.count()
+        bodies = profile_bodies_source(distinct_players(valid), fetch_profile)
+        enriched = enrich_users(valid, existing, bodies)
+        enriched.users.write.mode("overwrite").parquet(f"{users_dir}.next")
+        games_flagged = enriched.games.localCheckpoint()  # pre-commit snapshot read
+        _swap(users_dir)
+        table.merge(games_flagged, ["tm_ingested"])          # commit: enrich flags
+        users_added = spark.read.parquet(users_dir).count() - existing_count
+
+    return PipelineReport(
+        ingested=ingested,
+        valid=table.snapshot().count(),
         deleted=deleted_count,
         users_added=users_added,
     )

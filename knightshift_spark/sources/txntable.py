@@ -576,6 +576,36 @@ class TxnTable:
         removes = [p for p, a in active.items() if a["bucket"] in set(touched)]
         return self._commit("delete", adds, removes, touched, read_v)
 
+    def delete_keys(self, keys_df: DataFrame) -> int:
+        """DELETE by key LIST (the takedown/GDPR primitive — and the
+        pipeline's validation-deletion sink): buckets containing any of
+        the given keys are rewritten without those rows, everything else
+        carries over by reference. One shuffle on the key, bounded by
+        touched-bucket bytes, like merge."""
+        meta, active, read_v = self._state()
+        keys = meta["keys"]
+        kd = keys_df.select(*keys).dropDuplicates(list(keys)).withColumn(
+            _BUCKET, F.pmod(F.xxhash64(*keys), F.lit(meta["n_buckets"]))
+        )
+        touched = sorted(r[_BUCKET] for r in kd.select(_BUCKET).distinct().collect())
+        if not touched:
+            return read_v
+        base_paths = [
+            os.path.join(self.path, p)
+            for p, a in active.items()
+            if a["bucket"] in set(touched)
+        ]
+        if not base_paths:
+            return read_v
+        kept = (
+            self.spark.read.schema(self._schema(meta))
+            .parquet(*base_paths)
+            .join(kd.drop(_BUCKET), list(keys), "left_anti")
+        )
+        adds = self._write_data(kept, meta)
+        removes = [p for p, a in active.items() if a["bucket"] in set(touched)]
+        return self._commit("delete", adds, removes, touched, read_v)
+
     def compact(self, min_files: int = 2) -> int:
         """Rewrite every bucket fragmented across ≥ ``min_files`` data
         directories into one — bin-packing for the small-file problem

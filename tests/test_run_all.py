@@ -65,6 +65,42 @@ def test_two_run_pipeline(spark, tmp_path):
     assert users == {"user1", "user2", "user5"}  # insert-if-absent: no dups
 
 
+def test_transactional_pipeline_matches_swap_pipeline(spark, tmp_path):
+    """transactional=True produces the SAME games end state and report as
+    the stage-and-swap path across two runs — plus a commit history
+    (ingest merge, validation delete, enrichment flag merge per run) and
+    time travel back to the pre-clean state."""
+    from knightshift_spark.sources.txntable import TxnTable
+
+    src1, src2 = tmp_path / "d1", tmp_path / "d2"
+    src1.mkdir(), src2.mkdir()
+    (src1 / "games.pgn").write_text(PGN_FIXTURE)
+    (src2 / "more.pgn").write_text(RUN2_PGN)
+
+    wh_swap, wh_txn = str(tmp_path / "wh_swap"), str(tmp_path / "wh_txn")
+    reports = {}
+    for wh, txn in ((wh_swap, False), (wh_txn, True)):
+        reports[txn] = [
+            run_pipeline(spark, str(src1), wh, fetch_profile=_fetch, transactional=txn),
+            run_pipeline(spark, str(src2), wh, fetch_profile=_fetch, transactional=txn),
+        ]
+    assert reports[False] == reports[True]
+
+    def rows(df):
+        # tm_validated is a current_timestamp — wall-clock, not comparable
+        return {tuple(r) for r in df.drop("tm_ingested", "tm_validated").collect()}
+
+    table = TxnTable(spark, f"{wh_txn}/games_txn")
+    assert rows(table.snapshot()) == rows(spark.read.parquet(f"{wh_swap}/games"))
+    ops = [h["op"] for h in table.history()]
+    # run 1: ingest merge, validation delete (2 invalid), clean-update
+    # merge, flag merge; run 2: same minus the delete (nothing invalid)
+    assert ops == ["create", "merge", "delete", "merge", "merge",
+                   "merge", "merge", "merge"]
+    # time travel: before run 1's validation delete, the invalid rows exist
+    assert table.snapshot(1).count() == 5  # all ingested rows, pre-clean
+
+
 def test_pipeline_empty_source_dir(spark, tmp_path):
     src = tmp_path / "emptydump"
     src.mkdir()

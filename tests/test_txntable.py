@@ -284,6 +284,17 @@ def test_table_changes_incremental_feed(spark, table):
     assert empty.count() == 0 and "_commit_version" in empty.columns
 
 
+def test_delete_keys_removes_listed_rows_only(spark, table):
+    table.append(_df(spark, [(i, "x", 1) for i in range(8)]))
+    v = table.version()
+    table.delete_keys(spark.createDataFrame([(2,), (5,), (999,)], "id long"))
+    assert {r.id for r in table.snapshot().collect()} == {0, 1, 3, 4, 6, 7}
+    assert table.version() == v + 1
+    # an EMPTY key list commits nothing
+    table.delete_keys(spark.createDataFrame([], "id long"))
+    assert table.version() == v + 1
+
+
 def test_snapshot_where_skips_files_by_footer_stats(spark, tmp_path):
     """Data skipping: three appends with disjoint id ranges → a range
     read opens only the matching commit's files. Proven physically: the
