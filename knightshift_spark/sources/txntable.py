@@ -627,6 +627,29 @@ class TxnTable:
         removes = [p for b in touched for p in by_bucket[b]]
         return self._commit("compact", adds, removes, touched, read_v)
 
+    def restore(self, version: int) -> int:
+        """Roll the table BACK to ``version`` as a NEW commit (the undo
+        for a bad merge/delete): the old snapshot's file set becomes
+        active again by reference — no data is rewritten, and the bad
+        commits stay in history for audit. Fails with
+        ``VacuumedVersionError`` if vacuum already dropped any of the
+        old files; conflicts with every concurrent writer (it touches
+        all buckets by definition, so it never rebases)."""
+        meta, old_active, _ = self._state(version)
+        for p in old_active:
+            if not os.path.isdir(os.path.join(self.path, p)):
+                raise VacuumedVersionError(f"restore target file vacuumed: {p}")
+        _, cur_active, read_v = self._state()
+        adds = [a for p, a in old_active.items() if p not in cur_active]
+        removes = [p for p in cur_active if p not in old_active]
+        if not adds and not removes:
+            return read_v  # already at that state
+        buckets = sorted(
+            {a["bucket"] for a in adds}
+            | {cur_active[p]["bucket"] for p in removes}
+        )
+        return self._commit("restore", adds, removes, buckets, read_v)
+
     def vacuum(self) -> int:
         """Physically delete data directories no live snapshot at the
         CURRENT version references, and record the horizon: time travel

@@ -330,6 +330,29 @@ def test_snapshot_where_skips_files_by_footer_stats(spark, tmp_path):
     assert {r.id for r in t2.snapshot_where("id", lo=400, hi=600).collect()} == {500}
 
 
+def test_restore_rolls_back_by_reference(spark, table):
+    table.append(_df(spark, [(1, "good", 1), (2, "good", 1)]))  # v1
+    v1_files = set(table._state()[1])
+    table.merge(_df(spark, [(1, "BAD", 9), (3, "BAD", 9)]), ["version"])  # v2
+    table.delete_where(F.col("id") == 2)                                  # v3
+    v = table.restore(1)                                                  # v4
+    assert v == 4
+    assert _rows(table.snapshot()) == {(1, "good", 1), (2, "good", 1)}
+    # rollback is by REFERENCE: v1's physical files are active again
+    assert set(table._state()[1]) == v1_files
+    # the bad commits stay in history for audit
+    assert [h["op"] for h in table.history()] == [
+        "create", "append", "merge", "delete", "restore",
+    ]
+    # restoring to the current state is a no-op
+    assert table.restore(4) == 4
+    # after vacuum, a rollback past the horizon refuses loudly
+    table.merge(_df(spark, [(1, "new", 2)]), ["version"])  # v5
+    table.vacuum()                                         # v6
+    with pytest.raises(VacuumedVersionError):
+        table.restore(2)
+
+
 def test_random_op_sequence_matches_dict_model(spark, tmp_path):
     """Model-based check: a seeded random sequence of append / merge /
     delete_keys / compact / snapshot-at-version ops replayed against a
