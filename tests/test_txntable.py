@@ -330,6 +330,42 @@ def test_snapshot_where_skips_files_by_footer_stats(spark, tmp_path):
     assert {r.id for r in t2.snapshot_where("id", lo=400, hi=600).collect()} == {500}
 
 
+def test_row_changes_classifies_cdc_exactly(spark, table):
+    """Row-level CDC: a merge that updates one key, inserts one, and
+    carries the rest yields exactly {update_pre/post, insert}; a
+    delete commit yields exactly {delete}; carried rows never appear
+    (unlike the file-granular table_changes feed)."""
+    table.append(_df(spark, [(i, "base", 1) for i in range(6)]))      # v1
+    table.merge(_df(spark, [(2, "UPD", 2), (100, "NEW", 2)]), ["version"])  # v2
+    table.delete_where(F.col("id") == 4)                              # v3
+
+    v1 = {(r.id, r._change_type) for r in table.row_changes(1).collect()}
+    assert v1 == {(i, "insert") for i in range(6)}
+
+    v2 = {(r.id, r.val, r._change_type) for r in table.row_changes(2).collect()}
+    assert v2 == {
+        (2, "base", "update_preimage"),
+        (2, "UPD", "update_postimage"),
+        (100, "NEW", "insert"),
+    }
+    assert all(r._commit_version == 2 for r in table.row_changes(2).collect())
+
+    v3 = {(r.id, r._change_type) for r in table.row_changes(3).collect()}
+    assert v3 == {(4, "delete")}
+
+    # an append into buckets that ALREADY hold rows is pure inserts —
+    # the pre-existing same-bucket rows must not read as deletes
+    table.append(_df(spark, [(300, "app", 1), (301, "app", 1)]))      # v4
+    v4 = {(r.id, r._change_type) for r in table.row_changes(4).collect()}
+    assert v4 == {(300, "insert"), (301, "insert")}
+
+    with pytest.raises(ValueError):
+        table.row_changes(0)  # create is not a data commit
+    table.restore(1)                                                  # v5
+    with pytest.raises(ValueError):
+        table.row_changes(5)  # restore reactivates files, not a row diff
+
+
 def test_restore_rolls_back_by_reference(spark, table):
     table.append(_df(spark, [(1, "good", 1), (2, "good", 1)]))  # v1
     v1_files = set(table._state()[1])
