@@ -75,60 +75,99 @@ def _ckpt_path(table: str, version: int) -> str:
     return os.path.join(table, _LOG_DIR, f"{version:020d}.checkpoint.json")
 
 
-def _atomic_publish(payload: dict, dst: str) -> bool:
+class CommitBackend:
+    """The ONE primitive the whole ACID protocol rests on: atomically
+    create a commit object if (and only if) no object with that name
+    exists yet. On a POSIX filesystem that is ``os.link``; on cloud
+    object stores it is a conditional PUT (S3 ``If-None-Match: *``,
+    GCS ``x-goog-if-generation-match: 0``, Azure ``If-None-Match``) —
+    inject a backend that issues that request and the table is
+    object-store-durable with no other change. Commit READS stay
+    filesystem reads here (the log is tiny JSON that any store exposes
+    listably); a full remote backend would wrap those too."""
+
+    def put_if_absent(self, dst: str, data: bytes) -> bool:
+        """Create ``dst`` holding ``data``; False iff ``dst`` exists.
+        MUST be atomic under concurrent callers — two racers for the
+        same ``dst`` see exactly one True."""
+        raise NotImplementedError
+
+
+class LinkCommitBackend(CommitBackend):
+    """POSIX default: stage a temp file, ``os.link`` it into place —
+    link fails with EEXIST if the destination exists (exclusive create,
+    the local-FS equivalent of a conditional PUT)."""
+
+    def put_if_absent(self, dst: str, data: bytes) -> bool:
+        tmp = os.path.join(os.path.dirname(dst), f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            os.link(tmp, dst)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+
+def _atomic_publish(
+    payload: dict, dst: str, backend: CommitBackend | None = None
+) -> bool:
     """Exclusively create ``dst`` with ``payload`` — True on win, False
-    when another writer already owns that version. ``os.link`` from a
-    staged temp file is the POSIX atomic create-if-absent."""
-    tmp = os.path.join(os.path.dirname(dst), f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump(payload, f, sort_keys=True)
-    try:
-        os.link(tmp, dst)
-        return True
-    except FileExistsError:
-        return False
-    finally:
-        os.unlink(tmp)
+    when another writer already owns that version."""
+    data = json.dumps(payload, sort_keys=True).encode()
+    return (backend or LinkCommitBackend()).put_if_absent(dst, data)
 
 
-def _footer_stats(bucket_dir: str, cols: Sequence[str]) -> dict:
-    """Per-directory min/max for ``cols``, read from the parquet footers
-    the write already produced — data skipping for free, no Spark job.
-    Returns {} (no stats, never wrong stats) when a column is missing,
-    a row group lacks min/max, or a value isn't JSON-round-trippable."""
+def _footer_stats(bucket_dir: str, cols: Sequence[str]) -> tuple[dict, dict]:
+    """(directory-level, per-FILE) min/max for ``cols``, read from the
+    parquet footers the write already produced — data skipping for
+    free, no Spark job. Returns ``({}, {})`` (no stats, never wrong
+    stats) when a column is missing, a row group lacks min/max, or a
+    value isn't JSON-round-trippable. File-level stats power
+    intra-bucket pruning when a write splits a bucket into several
+    curve-segment files (``zorder_cols``)."""
     if not cols:
-        return {}
+        return {}, {}
     try:
         import pyarrow.parquet as pq
     except Exception:
-        return {}
-    mins: dict[str, object] = {}
-    maxs: dict[str, object] = {}
+        return {}, {}
+    per_file: dict[str, dict] = {}
     try:
-        for name in os.listdir(bucket_dir):
+        for name in sorted(os.listdir(bucket_dir)):
             if not name.endswith(".parquet"):
                 continue
             md = pq.ParquetFile(os.path.join(bucket_dir, name)).metadata
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            mins: dict[str, object] = {}
+            maxs: dict[str, object] = {}
             for c in cols:
                 j = idx.get(c)
                 if j is None:
-                    return {}
+                    return {}, {}
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(j).statistics
                     if st is None or not st.has_min_max:
-                        return {}
+                        return {}, {}
                     lo, hi = st.min, st.max
                     if not all(
                         isinstance(v, (int, float, str)) and not isinstance(v, bool)
                         for v in (lo, hi)
                     ):
-                        return {}
+                        return {}, {}
                     mins[c] = lo if c not in mins else min(mins[c], lo)
                     maxs[c] = hi if c not in maxs else max(maxs[c], hi)
+            per_file[name] = {c: [mins[c], maxs[c]] for c in cols if c in mins}
     except Exception:
-        return {}
-    return {c: [mins[c], maxs[c]] for c in cols if c in mins}
+        return {}, {}
+    dir_stats: dict = {}
+    for c in cols:
+        vals = [fs[c] for fs in per_file.values() if c in fs]
+        if vals and len(vals) == len(per_file):
+            dir_stats[c] = [min(v[0] for v in vals), max(v[1] for v in vals)]
+    return dir_stats, per_file
 
 
 class TxnTable:
@@ -136,9 +175,12 @@ class TxnTable:
     isolation, optimistic concurrency, MERGE/DELETE/compaction, and
     time travel. See the module docstring for the protocol."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self, spark: SparkSession, path: str, backend: CommitBackend | None = None
+    ):
         self.spark = spark
         self.path = path
+        self._backend = backend or LinkCommitBackend()
         if not os.path.isdir(os.path.join(path, _LOG_DIR)):
             raise FileNotFoundError(f"not a TxnTable (no {_LOG_DIR}): {path}")
 
@@ -152,32 +194,52 @@ class TxnTable:
         schema: StructType | str,
         n_buckets: int = 16,
         stats_cols: Sequence[str] | None = None,
+        zorder_cols: Sequence[str] | None = None,
+        zorder_bounds: dict | None = None,
+        target_file_rows: int | None = None,
+        backend: CommitBackend | None = None,
     ) -> "TxnTable":
         """Commit 0 records the table contract: merge key, bucket count,
         column schema, and the columns every data file carries min/max
-        stats for (``stats_cols``, default: the key columns). Stats come
-        free from the parquet footers at commit time — no extra job —
-        and ``snapshot_where`` prunes files by them, so range scans on a
-        write-clustered column (ingest time, monotone ids) skip the
-        files that can't match. Everything later must conform."""
+        stats for (``stats_cols``, default: the key columns plus any
+        ``zorder_cols``). Stats come free from the parquet footers at
+        commit time — no extra job — and ``snapshot_where`` prunes files
+        by them, so range scans on a write-clustered column (ingest
+        time, monotone ids) skip the files that can't match.
+
+        ``zorder_cols`` additionally Morton-clusters every write WITHIN
+        its bucket (``plans/zorder.py``): rows are sorted by the
+        interleaved-bit curve key and split into ≤``target_file_rows``
+        files, so each file covers a tight range in EVERY z-ordered
+        column and ``snapshot_where`` prunes at FILE granularity inside
+        buckets — Delta/Iceberg's ``OPTIMIZE ZORDER BY``, paid at write
+        time as one sort per bucket partition. Everything later must
+        conform."""
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         if isinstance(schema, str):
             schema = spark.createDataFrame([], schema).schema
+        if stats_cols is None:
+            stats_cols = list(keys) + [
+                c for c in (zorder_cols or []) if c not in keys
+            ]
         meta = {
             "version": 0,
             "op": "create",
             "keys": list(keys),
             "n_buckets": int(n_buckets),
             "schema": schema.json(),
-            "stats_cols": list(stats_cols) if stats_cols is not None else list(keys),
+            "stats_cols": list(stats_cols),
+            "zorder_cols": list(zorder_cols) if zorder_cols else [],
+            "zorder_bounds": {k: list(v) for k, v in (zorder_bounds or {}).items()},
+            "target_file_rows": target_file_rows,
             "adds": [],
             "removes": [],
             "buckets": [],
         }
-        if not _atomic_publish(meta, _log_path(path, 0)):
+        if not _atomic_publish(meta, _log_path(path, 0), backend):
             raise FileExistsError(f"TxnTable already exists: {path}")
-        return TxnTable(spark, path)
+        return TxnTable(spark, path, backend)
 
     # -- log replay --------------------------------------------------------
 
@@ -224,6 +286,9 @@ class TxnTable:
             if c["op"] == "create":
                 meta = {k: c[k] for k in ("keys", "n_buckets", "schema")}
                 meta["stats_cols"] = c.get("stats_cols", c["keys"])
+                meta["zorder_cols"] = c.get("zorder_cols", [])
+                meta["zorder_bounds"] = c.get("zorder_bounds", {})
+                meta["target_file_rows"] = c.get("target_file_rows")
             elif c.get("schema"):  # schema evolution rides its commit
                 meta["schema"] = c["schema"]
             for p in c.get("removes", []):
@@ -266,6 +331,37 @@ class TxnTable:
             raise VacuumedVersionError(f"snapshot files vacuumed: {missing[:3]}")
         return self.spark.read.schema(self._schema(meta)).parquet(*paths)
 
+    def _paths_for_range(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> list[str]:
+        """The data paths (bucket dirs, or individual files where
+        per-file stats exist) that can intersect ``lo <= col <= hi`` —
+        the pruning half of ``snapshot_where``, separated so tests and
+        tooling can count what a range scan would actually open."""
+
+        def overlaps(st) -> bool:
+            if st is None:
+                return True  # no stats: must read (never-wrong rule)
+            if hi is not None and st[0] > hi:
+                return False
+            if lo is not None and st[1] < lo:
+                return False
+            return True
+
+        _, active, _ = self._state(version)
+        paths: list[str] = []
+        for p, a in active.items():
+            if not overlaps((a.get("stats") or {}).get(col)):
+                continue
+            files = a.get("files")
+            if files:
+                for fe in files:
+                    if overlaps((fe.get("stats") or {}).get(col)):
+                        paths.append(os.path.join(self.path, p, fe["name"]))
+            else:
+                paths.append(os.path.join(self.path, p))
+        return paths
+
     def snapshot_where(
         self,
         col: str,
@@ -279,17 +375,15 @@ class TxnTable:
         opened. On a write-clustered column (ingest time, monotone ids)
         a narrow range reads a handful of files out of the whole table;
         files without stats are read and filtered — skipping is an
-        optimization, never a correctness dependency."""
-        meta, active, _ = self._state(version)
-        paths = []
-        for p, a in active.items():
-            st = (a.get("stats") or {}).get(col)
-            if st is not None:
-                if hi is not None and st[0] > hi:
-                    continue
-                if lo is not None and st[1] < lo:
-                    continue
-            paths.append(os.path.join(self.path, p))
+        optimization, never a correctness dependency.
+
+        Pruning is two-level: bucket DIRECTORIES by their merged stats,
+        then individual FILES inside surviving directories when the
+        write recorded per-file stats (z-ordered multi-file buckets,
+        ``zorder_cols``) — a range on a second z column skips curve
+        segments inside every bucket, not just whole buckets."""
+        meta, _, _ = self._state(version)
+        paths = self._paths_for_range(col, lo, hi, version)
         if not paths:
             return self.spark.createDataFrame([], self._schema(meta))
         df = self.spark.read.schema(self._schema(meta)).parquet(*paths)
@@ -309,18 +403,28 @@ class TxnTable:
         granularity: a merge rewrites whole touched buckets, so carried
         rows of a rewritten bucket reappear alongside the actually-new
         ones — dedup downstream by key if exact row-level CDC is needed.
-        Compaction/vacuum commits move bytes, not data, and are skipped."""
+        Compaction/vacuum commits move bytes, not data, and are skipped.
+        A RESTORE commit in the range raises ``ValueError`` — it changes
+        table state (rows reappear and disappear) in a way this
+        file-granular feed cannot represent, so incremental consumers
+        must resync from a full snapshot (the same rule Delta's CDF
+        applies to non-CDC rewrites); ``row_changes(v)`` can diff the
+        restore exactly when the row images are needed (ADVICE r8)."""
         meta, _, latest = self._state(to_version)
         hi = latest if to_version is None else to_version
         schema = self._schema(meta)
         out = None
         for c in self._commits():
             v = c["version"]
-            if not (since_version < v <= hi) or c["op"] not in (
-                "append",
-                "merge",
-                "delete",
-            ):
+            if not (since_version < v <= hi):
+                continue
+            if c["op"] == "restore":
+                raise ValueError(
+                    f"commit {v} is a restore: the file-granular change "
+                    "feed cannot represent it — resync from snapshot() "
+                    f"or diff it exactly with row_changes({v})"
+                )
+            if c["op"] not in ("append", "merge", "delete"):
                 continue
             paths = [os.path.join(self.path, a["path"]) for a in c["adds"]]
             live = [p for p in paths if os.path.isdir(p)]
@@ -351,17 +455,21 @@ class TxnTable:
         against the prior version's state of the SAME touched buckets —
         carried rows (rewritten byte-identical because their bucket was
         touched) are excluded, unlike ``table_changes``'s file-granular
-        feed. Cost: one key-join over touched-bucket bytes; history
-        stays readable as long as vacuum hasn't dropped either side."""
+        feed. RESTORE commits diff the post-snapshot against the
+        pre-snapshot over the buckets whose file set changed (ROADMAP
+        4b): rows the restore brought back read as inserts, rows it
+        removed as deletes, rows it reverted as update pre/post pairs.
+        Cost: one key-join over touched-bucket bytes; history stays
+        readable as long as vacuum hasn't dropped either side."""
         commit = next(
             (c for c in self._commits() if c["version"] == version), None
         )
-        if commit is None or commit["op"] not in ("append", "merge", "delete"):
-            # create/compact/vacuum move no rows; restore's adds are only
-            # the REACTIVATED files, not the post-state of its buckets —
-            # diff restore via two snapshot() reads if ever needed
+        if commit is None or commit["op"] not in (
+            "append", "merge", "delete", "restore",
+        ):
+            # create/compact/vacuum move no rows
             raise ValueError(f"no row-diffable data commit at version {version}")
-        meta, _, _ = self._state(version)
+        meta, cur_active, _ = self._state(version)
         schema, keys = self._schema(meta), meta["keys"]
         cols = [f.name for f in schema.fields]
 
@@ -374,17 +482,32 @@ class TxnTable:
                 return self.spark.createDataFrame([], schema)
             return self.spark.read.schema(schema).parquet(*live)
 
-        after = read([a["path"] for a in commit["adds"]])
         ver0 = F.lit(version).cast("bigint").alias("_commit_version")
         if commit["op"] == "append":
             # appends remove nothing: every written row is an insert, and
             # pre-existing rows of the same buckets are untouched (the
             # merge/delete diff below would misread them as deletes)
-            return after.select(
+            return read([a["path"] for a in commit["adds"]]).select(
                 *cols, F.lit("insert").alias("_change_type"), ver0
             )
-        touched = set(commit["buckets"])
         _, prev_active, _ = self._state(version - 1)
+        if commit["op"] == "restore":
+            # restore's adds are only the REACTIVATED files, not the
+            # post-state of its buckets — diff the two snapshots over the
+            # buckets whose FILE SET actually changed (the commit's
+            # ``buckets`` field is all buckets, by conflict-semantics
+            # design, and would make this a whole-table diff)
+            touched = {a["bucket"] for a in commit["adds"]} | {
+                prev_active[p]["bucket"]
+                for p in commit["removes"]
+                if p in prev_active
+            }
+            after = read(
+                [p for p, a in cur_active.items() if a["bucket"] in touched]
+            )
+        else:
+            touched = set(commit["buckets"])
+            after = read([a["path"] for a in commit["adds"]])
         before = read(
             [p for p, a in prev_active.items() if a["bucket"] in touched]
         )
@@ -451,7 +574,8 @@ class TxnTable:
     # -- writes ------------------------------------------------------------
 
     def _bucketed(self, df: DataFrame, meta: dict) -> DataFrame:
-        cols = [f.name for f in self._schema(meta).fields]
+        schema = self._schema(meta)
+        cols = [f.name for f in schema.fields]
         extra = sorted(set(df.columns) - set(cols))
         missing = sorted(set(cols) - set(df.columns))
         if extra or missing:
@@ -460,6 +584,23 @@ class TxnTable:
             raise SchemaMismatchError(
                 f"write columns don't match table schema: extra={extra} "
                 f"missing={missing} (merge(..., evolve=True) to add columns)"
+            )
+        # TYPES too (ADVICE r8): a long written into an int column would
+        # commit fine and break every later snapshot() at read time
+        # (vectorized parquet type-convert error) far from the offending
+        # write — fail HERE instead. simpleString ignores nullability,
+        # which parquet doesn't encode per-file anyway.
+        wrote = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        mism = [
+            (f.name, wrote[f.name], f.dataType.simpleString())
+            for f in schema.fields
+            if wrote[f.name] != f.dataType.simpleString()
+        ]
+        if mism:
+            raise SchemaMismatchError(
+                "write column types don't match table schema: "
+                + ", ".join(f"{n}: wrote {w}, table has {t}" for n, w, t in mism)
+                + " (cast explicitly before writing)"
             )
         return df.select(*cols).withColumn(
             _BUCKET, F.pmod(F.xxhash64(*meta["keys"]), F.lit(meta["n_buckets"]))
@@ -488,9 +629,34 @@ class TxnTable:
         + compaction)."""
         rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         out = os.path.join(self.path, rel)
-        self._bucketed(df, meta).repartition(F.col(_BUCKET)).write.partitionBy(
-            _BUCKET
-        ).parquet(out)
+        bucketed = self._bucketed(df, meta).repartition(F.col(_BUCKET))
+        zcols = meta.get("zorder_cols") or []
+        if zcols:
+            # Morton-cluster within each bucket partition: the sort key
+            # interleaves the z-columns' rank bits (plans/zorder.py), so
+            # with target_file_rows the bucket splits into files covering
+            # tight ranges in EVERY z column — per-file footer stats then
+            # prune inside buckets (snapshot_where). Bounds come from the
+            # table contract when supplied (zorder_bounds at create());
+            # otherwise zorder_key runs one tiny min/max agg over the
+            # incoming batch (an extra pass over the write's input plan —
+            # supply static bounds for hot write paths).
+            from knightshift_spark.plans.zorder import zorder_key
+
+            bounds = meta.get("zorder_bounds") or None
+            bucketed = (
+                bucketed.withColumn(
+                    "__z", zorder_key(bucketed, zcols, bounds=bounds)
+                )
+                .sortWithinPartitions(_BUCKET, "__z")
+                .drop("__z")
+            )
+        writer = bucketed.write.partitionBy(_BUCKET)
+        if meta.get("target_file_rows"):
+            writer = writer.option(
+                "maxRecordsPerFile", int(meta["target_file_rows"])
+            )
+        writer.parquet(out)
         adds = []
         for name in sorted(os.listdir(out)):
             if name.startswith(f"{_BUCKET}="):
@@ -498,11 +664,15 @@ class TxnTable:
                     "path": os.path.join(rel, name),
                     "bucket": int(name.split("=", 1)[1]),
                 }
-                stats = _footer_stats(
+                stats, per_file = _footer_stats(
                     os.path.join(out, name), meta.get("stats_cols") or []
                 )
                 if stats:
                     entry["stats"] = stats
+                if len(per_file) > 1:  # 1-file dirs: dir stats suffice
+                    entry["files"] = [
+                        {"name": n, "stats": s} for n, s in per_file.items()
+                    ]
                 adds.append(entry)
         if not adds:  # empty write: nothing to publish, drop the dir
             shutil.rmtree(out)
@@ -536,30 +706,48 @@ class TxnTable:
             payload["txn"] = {"app_id": txn[0], "batch_id": txn[1]}
         while True:
             payload["version"] = v
-            if _atomic_publish(payload, _log_path(self.path, v)):
-                if v % _CHECKPOINT_EVERY == 0:
-                    meta, active, _ = self._state(v)
-                    _atomic_publish(
-                        {"meta": meta, "active": sorted(active.values(), key=lambda a: a["path"])},
-                        _ckpt_path(self.path, v),
-                    )
+            if _atomic_publish(payload, _log_path(self.path, v), self._backend):
+                self._maybe_checkpoint(v)
                 return v
             with open(_log_path(self.path, v)) as f:
                 other = json.load(f)
             # schema-changing commits never rebase (two racing evolutions
-            # could silently drop each other's columns); bucket-level
+            # could silently drop each other's columns); restore never
+            # rebases past a vacuum (the vacuum may be deleting the very
+            # files restore reactivates — ADVICE r8); bucket-level
             # conflicts keep the data-only rules
-            conflict = schema is not None or other.get("schema") is not None
+            conflict = (
+                schema is not None
+                or other.get("schema") is not None
+                or (op == "restore" and other.get("op") == "vacuum")
+            )
             if conflict or (
                 op != "append" and set(other.get("buckets", [])) & set(buckets)
             ):
-                for a in adds:
-                    shutil.rmtree(os.path.join(self.path, a["path"]), ignore_errors=True)
+                if op != "restore":
+                    # roll back freshly STAGED data; a restore's adds are
+                    # reactivated historical files — never delete those
+                    for a in adds:
+                        shutil.rmtree(
+                            os.path.join(self.path, a["path"]), ignore_errors=True
+                        )
                 raise ConcurrentWriteError(
                     f"buckets {sorted(set(other['buckets']) & set(buckets))} "
                     f"modified by commit {v} since read_version {read_version}"
                 )
             v += 1
+
+    def _maybe_checkpoint(self, v: int) -> None:
+        if v % _CHECKPOINT_EVERY == 0:
+            meta, active, _ = self._state(v)
+            _atomic_publish(
+                {
+                    "meta": meta,
+                    "active": sorted(active.values(), key=lambda a: a["path"]),
+                },
+                _ckpt_path(self.path, v),
+                self._backend,
+            )
 
     def append(self, df: DataFrame) -> int:
         """Blind insert (no key logic — dedup belongs to merge). Appends
@@ -711,8 +899,12 @@ class TxnTable:
         active again by reference — no data is rewritten, and the bad
         commits stay in history for audit. Fails with
         ``VacuumedVersionError`` if vacuum already dropped any of the
-        old files; conflicts with every concurrent writer (it touches
-        all buckets by definition, so it never rebases)."""
+        old files; conflicts with EVERY concurrent writer — the commit
+        declares all buckets touched (not just those whose files
+        changed), because its semantics reset the whole table: a
+        concurrent commit on any bucket rebasing past it would leave a
+        mixed state that is neither the target version nor anything the
+        restoring caller saw (ADVICE r8)."""
         meta, old_active, _ = self._state(version)
         for p in old_active:
             if not os.path.isdir(os.path.join(self.path, p)):
@@ -722,21 +914,51 @@ class TxnTable:
         removes = [p for p in cur_active if p not in old_active]
         if not adds and not removes:
             return read_v  # already at that state
-        buckets = sorted(
-            {a["bucket"] for a in adds}
-            | {cur_active[p]["bucket"] for p in removes}
+        return self._commit(
+            "restore", adds, removes, list(range(meta["n_buckets"])), read_v
         )
-        return self._commit("restore", adds, removes, buckets, read_v)
 
-    def vacuum(self) -> int:
-        """Physically delete data directories no live snapshot at the
-        CURRENT version references, and record the horizon: time travel
-        before it now raises ``VacuumedVersionError`` instead of
-        returning wrong answers."""
-        meta, active, read_v = self._state()
+    def vacuum(self, retention_s: float = 3600.0) -> int:
+        """Physically delete data directories that no live snapshot at
+        the current version references AND that are older than
+        ``retention_s`` seconds (directory mtime — Delta's
+        retention-hours rule), then record the horizon: time travel
+        before it raises ``VacuumedVersionError`` instead of returning
+        wrong answers.
+
+        Two rules close the concurrent-writer races (ADVICE r8):
+
+        - the vacuum COMMIT never rebases: losing the version race
+          re-reads the table state and recomputes the live set from
+          scratch, so the snapshot it certifies is exactly the one its
+          commit follows — a commit landing between a stale read and
+          the deletes can't have its files swept;
+        - deletion respects the retention window: writers stage data
+          BEFORE publishing their commit, so a young directory may
+          belong to an in-flight transaction invisible in the log.
+          ``retention_s=0`` (tests, stop-the-world maintenance windows)
+          disables that protection and must not run concurrently with
+          writers.
+        """
+        import time
+
+        while True:
+            _, active, read_v = self._state()
+            v = read_v + 1
+            payload = {
+                "op": "vacuum",
+                "adds": [],
+                "removes": [],
+                "buckets": [],
+                "read_version": read_v,
+                "version": v,
+            }
+            if _atomic_publish(payload, _log_path(self.path, v), self._backend):
+                break
+        self._maybe_checkpoint(v)
+        cutoff = time.time() - max(float(retention_s), 0.0)
         live = set(active)
         data_root = os.path.join(self.path, _DATA_DIR)
-        dropped = []
         for d in sorted(os.listdir(data_root)):
             base = os.path.join(_DATA_DIR, d)
             subs = [
@@ -744,13 +966,21 @@ class TxnTable:
                 for n in os.listdir(os.path.join(self.path, base))
                 if n.startswith(f"{_BUCKET}=")
             ]
-            dead = [s for s in subs if s not in live]
+            dead = []
+            for s in subs:
+                if s in live:
+                    continue
+                try:
+                    if os.path.getmtime(os.path.join(self.path, s)) > cutoff:
+                        continue  # young: possibly an in-flight writer's
+                except OSError:
+                    continue
+                dead.append(s)
             for s in dead:
                 shutil.rmtree(os.path.join(self.path, s))
-                dropped.append(s)
             if subs and len(dead) == len(subs):
                 shutil.rmtree(os.path.join(self.path, base), ignore_errors=True)
-        return self._commit("vacuum", [], [], [], read_v)
+        return v
 
 
 def txn_upsert_writer(

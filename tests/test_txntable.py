@@ -159,7 +159,7 @@ def test_vacuum_drops_dead_files_and_guards_time_travel(spark, table):
         p for p in table._state(1)[1] if p not in table._state()[1]
     ]
     assert dead
-    table.vacuum()
+    table.vacuum(retention_s=0)  # stop-the-world maintenance window
     for p in dead:
         assert not os.path.isdir(os.path.join(table.path, p))
     assert _rows(table.snapshot()) == {(1, "b", 2)}  # current unharmed
@@ -361,9 +361,29 @@ def test_row_changes_classifies_cdc_exactly(spark, table):
 
     with pytest.raises(ValueError):
         table.row_changes(0)  # create is not a data commit
+
+    # restore CDC (ROADMAP 4b): the v4→v1 rollback reads as the exact
+    # row diff of the two snapshots — reverted row as update pre/post,
+    # resurrected row as insert, rolled-back rows as deletes; carried
+    # rows (0,1,3,5 identical in both states) never appear
     table.restore(1)                                                  # v5
+    v5 = {
+        (r.id, r.val, r._change_type) for r in table.row_changes(5).collect()
+    }
+    assert v5 == {
+        (2, "UPD", "update_preimage"),
+        (2, "base", "update_postimage"),
+        (100, "NEW", "delete"),
+        (4, "base", "insert"),
+        (300, "app", "delete"),
+        (301, "app", "delete"),
+    }
+    # the file-granular feed refuses to span the restore (ADVICE r8):
+    # reappearing/disappearing rows aren't representable there
     with pytest.raises(ValueError):
-        table.row_changes(5)  # restore reactivates files, not a row diff
+        table.table_changes(0)
+    # ranges that avoid the restore commit still work
+    assert table.table_changes(0, to_version=4).count() > 0
 
 
 def test_restore_rolls_back_by_reference(spark, table):
@@ -384,7 +404,7 @@ def test_restore_rolls_back_by_reference(spark, table):
     assert table.restore(4) == 4
     # after vacuum, a rollback past the horizon refuses loudly
     table.merge(_df(spark, [(1, "new", 2)]), ["version"])  # v5
-    table.vacuum()                                         # v6
+    table.vacuum(retention_s=0)                            # v6
     with pytest.raises(VacuumedVersionError):
         table.restore(2)
 
@@ -526,3 +546,197 @@ def test_streaming_writer_app_id_is_exactly_once(spark, table):
     other(_df(spark, [(3, "c", 1)]), 0)
     assert table.version() == v + 1
     assert _rows(table.snapshot()) == {(1, "a", 1), (2, "b", 1), (3, "c", 1)}
+
+
+def test_vacuum_retention_protects_young_and_inflight_dirs(spark, table):
+    """ADVICE r8 (medium): data is staged BEFORE its commit publishes,
+    so vacuum must not sweep young directories — they may belong to an
+    in-flight writer. Default retention keeps them; retention_s=0 (a
+    stop-the-world maintenance window) reclaims them."""
+    table.append(_df(spark, [(1, "a", 1)]))              # v1
+    table.merge(_df(spark, [(1, "b", 2)]), ["version"])  # v2 (v1 file dead)
+    dead = [p for p in table._state(1)[1] if p not in table._state()[1]]
+    assert dead
+    # an in-flight writer's staged-but-uncommitted directory
+    meta, _, _ = table._state()
+    staged = table._write_data(_df(spark, [(7, "inflight", 1)]), meta)
+    table.vacuum()  # default retention: everything is younger than 1h
+    for p in dead + [a["path"] for a in staged]:
+        assert os.path.isdir(os.path.join(table.path, p))
+    # the in-flight writer can still commit (its files survived)
+    table._commit("merge", staged, [], [a["bucket"] for a in staged],
+                  table.version())
+    assert (7, "inflight", 1) in _rows(table.snapshot())
+    # stop-the-world pass reclaims the genuinely dead files only
+    table.vacuum(retention_s=0)
+    for p in dead:
+        assert not os.path.isdir(os.path.join(table.path, p))
+    assert (7, "inflight", 1) in _rows(table.snapshot())
+
+
+def test_vacuum_commit_never_rebases_past_concurrent_commits(spark, table):
+    """The vacuum commit re-reads state when it loses the version race,
+    so the live set it certifies is the one its commit follows — a merge
+    landing between vacuum's read and publish is honored, not swept."""
+    table.append(_df(spark, [(1, "a", 1)]))
+    real_state = table._state
+
+    def racing_state(version=None):
+        out = real_state(version)
+        # after vacuum's first read, land a merge (new files) once
+        if version is None and not getattr(racing_state, "_fired", False):
+            racing_state._fired = True
+            table.merge(_df(spark, [(1, "raced", 2)]), ["version"])
+        return out
+
+    table._state = racing_state
+    try:
+        v = table.vacuum(retention_s=0)
+    finally:
+        table._state = real_state
+    hist = table.history()
+    assert hist[-1]["op"] == "vacuum" and hist[-1]["version"] == v
+    # the raced merge's read_version precedes the vacuum commit, and its
+    # data survived retention_s=0 because vacuum RE-READ the live set
+    assert _rows(table.snapshot()) == {(1, "raced", 2)}
+
+
+def test_write_type_mismatch_fails_loudly(spark, table):
+    """ADVICE r8: a physically-mistyped column (int written into a long
+    column, string into int) must fail AT THE WRITE, not poison every
+    later snapshot() with a vectorized-reader error."""
+    from knightshift_spark.sources.txntable import SchemaMismatchError
+
+    bad = spark.createDataFrame([(1, "a", 1)], "id int, val string, version int")
+    with pytest.raises(SchemaMismatchError, match="id: wrote int"):
+        table.append(bad)
+    with pytest.raises(SchemaMismatchError, match="types"):
+        table.merge(
+            spark.createDataFrame([(1, 5, 1)], "id long, val int, version int"),
+            ["version"],
+        )
+    assert table.version() == 0  # nothing committed
+
+
+def test_restore_conflicts_with_any_concurrent_writer(spark, table):
+    """ADVICE r8: restore resets the WHOLE table, so its commit declares
+    every bucket touched — a concurrent commit on any bucket makes it
+    raise instead of rebasing into a mixed state."""
+    table.append(_df(spark, [(1, "good", 1)]))                        # v1
+    table.merge(_df(spark, [(1, "bad", 2)]), ["version"])             # v2
+    meta, old_active, _ = table._state(1)
+    _, cur_active, read_v = table._state()
+    # another writer lands a commit on SOME bucket after restore's read
+    table.merge(_df(spark, [(9, "other", 1)]), ["version"])           # v3
+    adds = [a for p, a in old_active.items() if p not in cur_active]
+    removes = [p for p in cur_active if p not in old_active]
+    with pytest.raises(ConcurrentWriteError):
+        table._commit(
+            "restore", adds, removes, list(range(meta["n_buckets"])), read_v
+        )
+    # the real entry point agrees with itself end-to-end
+    v = table.restore(1)
+    assert _rows(table.snapshot(v)) == {(1, "good", 1)}
+
+
+class _FakeConditionalPutStore:
+    """An object-store double: put-if-absent through a single lock (the
+    semantics S3 If-None-Match / GCS generation-match give), with an
+    injectable pre-commit delay to force real thread interleavings. Also
+    materializes the object as a local file so log READS keep working."""
+
+    def __init__(self, delay_s=0.0):
+        import threading
+
+        self._lock = threading.Lock()
+        self._keys = set()
+        self.delay_s = delay_s
+        self.puts = 0
+        self.losses = 0
+
+    def put_if_absent(self, dst: str, data: bytes) -> bool:
+        import time
+
+        time.sleep(self.delay_s)
+        with self._lock:
+            self.puts += 1
+            if dst in self._keys or os.path.exists(dst):
+                self.losses += 1
+                return False
+            self._keys.add(dst)
+            tmp = dst + ".staged"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, dst)
+            return True
+
+
+def test_conditional_put_backend_contention(spark, tmp_path):
+    """The durability seam (VERDICT r8 #5): with a conditional-PUT
+    backend injected, N threads merging concurrently race versions
+    through put_if_absent — every version is won exactly once, losers
+    rebase or raise, and the final state is consistent."""
+    import threading
+
+    store = _FakeConditionalPutStore(delay_s=0.01)
+    t = TxnTable.create(
+        spark, str(tmp_path / "os"), keys=["id"], schema=SCHEMA,
+        n_buckets=8, backend=store,
+    )
+    t.append(_df(spark, [(0, "seed", 1)]))
+    errs, ok = [], []
+
+    def writer(lo):
+        try:
+            t.merge(_df(spark, [(lo + j, f"w{lo}", 2) for j in range(3)]),
+                    ["version"])
+            ok.append(lo)
+        except ConcurrentWriteError:
+            errs.append(lo)
+
+    threads = [threading.Thread(target=writer, args=(100 * (i + 1),))
+               for i in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(120)
+    assert len(ok) + len(errs) == 3 and ok
+    got = {r.id for r in t.snapshot().collect()}
+    for lo in ok:
+        assert {lo, lo + 1, lo + 2} <= got
+    for lo in errs:  # losers rolled back completely
+        assert not ({lo, lo + 1, lo + 2} & got)
+    # the race actually exercised the conditional PUT path
+    assert store.puts >= t.version() + 1
+    # and every commit object in the log was created exactly once
+    vs = [h["version"] for h in t.history()]
+    assert vs == sorted(set(vs))
+
+
+def test_zorder_buckets_prune_files_on_second_column(spark, tmp_path):
+    """VERDICT r8 #8: zorder_cols clusters WITHIN buckets — a bucket's
+    write splits into curve-segment files whose per-file footer stats
+    are tight in every z column, so snapshot_where on the SECOND column
+    opens a fraction of the files (the test_zorder.py skip-count
+    pattern, applied through the TxnTable seam)."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "z"), keys=["id"],
+        schema="id long, x long, y long",
+        n_buckets=2, zorder_cols=["x", "y"],
+        zorder_bounds={"x": (0, 1023), "y": (0, 1023)},
+        target_file_rows=64,
+    )
+    rows = [(i, (i * 7) % 1024, (i * 13) % 1024) for i in range(1024)]
+    t.append(spark.createDataFrame(rows, "id long, x long, y long"))
+    _, active, _ = t._state()
+    n_files = sum(len(a.get("files") or [{}]) for a in active.values())
+    assert n_files > 4  # multi-file buckets with per-file stats
+    opened = t._paths_for_range("y", 100, 160)
+    assert 0 < len(opened) < n_files / 2  # second column prunes files
+    got = {r.id for r in t.snapshot_where("y", 100, 160).collect()}
+    expect = {i for i, _, y in rows if 100 <= y <= 160}
+    assert got == expect
+    # first z column prunes too, and results stay exact
+    assert len(t._paths_for_range("x", 0, 50)) < n_files
+    got_x = {r.id for r in t.snapshot_where("x", 0, 50).collect()}
+    assert got_x == {i for i, x, _ in rows if x <= 50}
