@@ -165,20 +165,46 @@ class PersistentMetricsLog:
     ``flush_every``. ``flush_every > 1`` buffers that many progress
     events per write (a crash loses at most the buffered tail — metrics
     only, never data), and ``compact_metrics_log`` rewrites the whole
-    log as one deduped file; schedule it like the corpus compaction
-    pass. Reads window over the full log, so compaction also bounds
-    ``load_metrics_log`` cost."""
+    log as one deduped file. ``compact_every=N`` schedules that
+    compaction automatically every N flushes on a daemon thread (the
+    listener thread never blocks on the rewrite; in-place compaction is
+    safe under concurrent flushes) — without it a long stream grows
+    unbounded tiny files until someone compacts (ADVICE r8). Reads
+    window over the full log, so compaction also bounds
+    ``load_metrics_log`` cost.
+
+    ``totals_view`` additionally maintains a matview-backed running
+    totals table (``MetricsTotalsView``): each flush merges its rows
+    into bucketed algebraic partials, so cross-restart totals are an
+    O(view) scan instead of a re-window over the whole log."""
 
     _SCHEMA = (
         "query_id string, batch_id bigint, ts string, input_rows bigint, "
         "duration_ms bigint, rows_per_sec double, observed string"
     )
 
-    def __init__(self, spark, path: str, flush_every: int = 1):
+    def __init__(
+        self,
+        spark,
+        path: str,
+        flush_every: int = 1,
+        compact_every: int | None = None,
+        totals_view: str | None = None,
+        totals_buckets: int = 16,
+    ):
         self._spark = spark
         self._path = path
         self._flush_every = max(int(flush_every), 1)
         self._buf: list[tuple] = []
+        self._compact_every = compact_every
+        self._n_flushes = 0
+        self._compacting = threading.Lock()  # at most one compactor
+        self.last_compaction: threading.Thread | None = None
+        self._totals = (
+            MetricsTotalsView(spark, totals_view, n_buckets=totals_buckets)
+            if totals_view
+            else None
+        )
 
     def record_progress(self, progress) -> None:
         import json as _json
@@ -211,45 +237,91 @@ class PersistentMetricsLog:
         if not self._buf:
             return
         rows, self._buf = self._buf, []
-        self._spark.createDataFrame(rows, self._SCHEMA).write.mode(
-            "append"
-        ).parquet(self._path)
+        df = self._spark.createDataFrame(rows, self._SCHEMA)
+        df.write.mode("append").parquet(self._path)
+        if self._totals is not None:
+            self._totals.merge(df)
+        self._n_flushes += 1
+        if self._compact_every and self._n_flushes % self._compact_every == 0:
+            self._schedule_compaction()
+
+    def _schedule_compaction(self) -> None:
+        """Compact on a daemon thread; skip if a compaction is already
+        running (the next eligible flush reschedules). Tests join
+        ``last_compaction`` for determinism."""
+        if not self._compacting.acquire(blocking=False):
+            return
+
+        def run() -> None:
+            try:
+                compact_metrics_log(self._spark, self._path)
+            finally:
+                self._compacting.release()
+
+        t = threading.Thread(target=run, name="metrics-log-compact", daemon=True)
+        self.last_compaction = t
+        t.start()
 
 
 def compact_metrics_log(spark, path: str) -> int:
-    """Rewrite the whole metrics log as ONE deduped parquet file and
-    return the surviving row count. Bounds the append-only file growth
-    (one tiny file per flush — ADVICE r7) and the read-side window
-    cost: compaction applies the same last-attempt-wins rule as
+    """Rewrite the metrics log as ONE deduped parquet file and return
+    the surviving row count. Bounds the append-only file growth (one
+    tiny file per flush — ADVICE r7) and the read-side window cost:
+    compaction applies the same last-attempt-wins rule as
     ``load_metrics_log``, so replayed-batch losers are dropped for good.
 
-    Stage-and-swap (write ``path.next``, rename over ``path``) so a
-    concurrent reader sees either the old log or the compacted one,
-    never a partial directory — the same commit discipline as the
-    corpus sinks. Run it from the maintenance schedule, not the
-    listener thread (the listener must never block on a full rewrite)."""
+    Atomicity is IN-PLACE, not stage-and-swap (ADVICE r8 — the old
+    two-rename dance left a window with no ``path`` at all, and
+    destroyed files appended between the snapshot and the swap):
+
+    1. snapshot the file list — concurrent flushes append NEW files
+       that are never part of the snapshot, so they are never deleted;
+    2. write the compacted file into the SAME directory under a fresh
+       name — ``path`` always exists and is always complete;
+    3. delete exactly the snapshot files. Between 2 and 3 a reader
+       sees every row twice, which ``load_metrics_log``'s
+       per-(query_id, batch_id) dedup collapses to identical output.
+
+    Safe to run concurrently with flushes (the auto-compaction hook
+    relies on this); two concurrent COMPACTIONS would duplicate work
+    but not lose rows — ``PersistentMetricsLog`` serializes its own."""
+    import glob as _glob
     import os
     import shutil
     import uuid
 
-    deduped = load_metrics_log(spark, path).coalesce(1)
-    nxt = f"{path}.next-{uuid.uuid4().hex[:6]}"
-    deduped.write.mode("overwrite").parquet(nxt)
-    n = spark.read.parquet(nxt).count()
-    old = f"{path}.old-{uuid.uuid4().hex[:6]}"
-    os.rename(path, old)
-    os.rename(nxt, path)
-    shutil.rmtree(old)
+    if not os.path.isdir(path):
+        return 0
+    snapshot = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    if not snapshot:
+        return 0
+    deduped = _dedupe_attempts(spark.read.parquet(*snapshot)).coalesce(1)
+    tmp = f"{path}.compact-{uuid.uuid4().hex[:6]}"
+    deduped.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    for i, part in enumerate(
+        p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
+    ):
+        os.replace(
+            os.path.join(tmp, part),
+            os.path.join(path, f"compacted-{uuid.uuid4().hex[:8]}-{i}.parquet"),
+        )
+    for p in snapshot:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass  # a concurrent compactor got it first
+    shutil.rmtree(tmp, ignore_errors=True)
     return n
 
 
-def load_metrics_log(spark, path: str) -> DataFrame:
-    """The metrics log deduped to one row per (query_id, batch_id) —
-    the LATEST attempt wins (max engine timestamp; replays of a batch
-    after restart supersede the partial first attempt)."""
+def _dedupe_attempts(raw: DataFrame) -> DataFrame:
+    """One row per (query_id, batch_id) — the LATEST attempt wins (max
+    engine timestamp; replays of a batch after restart supersede the
+    partial first attempt). Shared by reads and compaction so both
+    apply the identical rule."""
     from pyspark.sql.window import Window
 
-    raw = spark.read.parquet(path)
     w = Window.partitionBy("query_id", "batch_id").orderBy(
         F.col("ts").desc(), F.col("input_rows").desc()
     )
@@ -260,9 +332,23 @@ def load_metrics_log(spark, path: str) -> DataFrame:
     )
 
 
-def metrics_log_totals(spark, path: str) -> dict:
-    """Cross-restart totals over the deduped log — what the in-memory
-    ``StreamMetrics.totals()`` cannot give after a process bounce."""
+def load_metrics_log(spark, path: str) -> DataFrame:
+    """The metrics log deduped to one row per (query_id, batch_id) —
+    the LATEST attempt wins (``_dedupe_attempts``)."""
+    return _dedupe_attempts(spark.read.parquet(path))
+
+
+def metrics_log_totals(spark, path: str, view_path: str | None = None) -> dict:
+    """Cross-restart totals — what the in-memory
+    ``StreamMetrics.totals()`` cannot give after a process bounce.
+
+    Without ``view_path`` this re-windows and re-aggregates the WHOLE
+    deduped log — O(history) per call. With ``view_path`` (a
+    ``MetricsTotalsView`` maintained by ``PersistentMetricsLog``'s
+    ``totals_view=``) it reads the incrementally-merged partials view
+    instead: O(view) — the matview path (VERDICT r8 #7)."""
+    if view_path is not None:
+        return MetricsTotalsView(spark, view_path).totals()
     row = (
         load_metrics_log(spark, path)
         .agg(
@@ -277,3 +363,80 @@ def metrics_log_totals(spark, path: str) -> dict:
         "input_rows": row["input_rows"],
         "wall_ms": row["wall_ms"],
     }
+
+
+class MetricsTotalsView:
+    """Matview-backed running totals for the metrics log (ROADMAP r8 /
+    VERDICT r8 #7): each flush merges its rows into the bucketed
+    algebraic-partials view of ``streaming/matview.py``, keyed by
+    (query_id, batch_id, metric) in long form — so after any number of
+    restarts, totals are one scan of the view, never a re-window over
+    the whole log, and each merge rewrites only the buckets its keys
+    hash to.
+
+    Attempt semantics: a replayed (query_id, batch_id) merges into the
+    SAME group, and ``totals()`` reads each group's ``max`` partial —
+    one value per batch, deterministically, without storing attempt
+    order. That differs from ``load_metrics_log``'s latest-attempt rule
+    only when two attempts of one batch report different numbers (a
+    replay of a completed batch normally reports identical ones)."""
+
+    _METRICS = ("input_rows", "duration_ms")
+
+    def __init__(self, spark, view_path: str, n_buckets: int = 16):
+        self._spark = spark
+        self.view_path = view_path
+        self.n_buckets = n_buckets
+
+    def merge(self, flushed: DataFrame) -> None:
+        """Fold one flush's rows (``PersistentMetricsLog._SCHEMA``)
+        into the view. Long form: one row per (query, batch, metric),
+        so the single-value-column matview machinery serves several
+        counters without modification."""
+        from knightshift_spark.streaming.matview import merge_view_batch
+
+        long = flushed.select(
+            "query_id",
+            "batch_id",
+            F.explode(
+                F.map_from_arrays(
+                    F.array(*[F.lit(m) for m in self._METRICS]),
+                    F.array(
+                        F.col("input_rows").cast("double"),
+                        F.col("duration_ms").cast("double"),
+                    ),
+                )
+            ).alias("metric", "value"),
+        )
+        merge_view_batch(
+            long,
+            self.view_path,
+            keys=["query_id", "batch_id", "metric"],
+            value_col="value",
+            n_buckets=self.n_buckets,
+        )
+
+    def totals(self) -> dict:
+        import os
+
+        if not os.path.isdir(self.view_path):
+            return {"n_batches": 0, "input_rows": 0, "wall_ms": 0}
+        raw = self._spark.read.parquet(self.view_path)
+        row = raw.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("metric") == "input_rows", 1)), F.lit(0)
+            ).alias("n_batches"),
+            F.coalesce(
+                F.sum(F.when(F.col("metric") == "input_rows", F.col("max"))),
+                F.lit(0.0),
+            ).alias("input_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("metric") == "duration_ms", F.col("max"))),
+                F.lit(0.0),
+            ).alias("wall_ms"),
+        ).collect()[0]
+        return {
+            "n_batches": int(row["n_batches"]),
+            "input_rows": int(row["input_rows"]),
+            "wall_ms": int(row["wall_ms"]),
+        }

@@ -885,3 +885,109 @@ def test_sessionize_stream_gap_and_timeout_close(spark, tmp_path):
     # B's 11:00 run and C are still open — nothing emitted for them
     assert not any(r[0] == "C" for r in got)
     assert not any(r[0] == "B" and r[1].startswith("2025-05-01 11:") for r in got)
+
+
+def _fake_progress(batch_id, ts, rows, qid="q-1"):
+    from types import SimpleNamespace
+
+    return SimpleNamespace(
+        id=qid,
+        batchId=batch_id,
+        timestamp=ts,
+        numInputRows=rows,
+        durationMs={"triggerExecution": 10},
+        processedRowsPerSecond=float(rows),
+        observedMetrics={},
+    )
+
+
+def test_metrics_log_auto_compaction_bounds_files(spark, tmp_path):
+    """VERDICT r8 #6: with compact_every set, a long-running stream's
+    metrics log compacts itself every N flushes — file count stays
+    bounded with no caller-scheduled maintenance, and the in-place
+    compaction never loses rows or breaks readers mid-rewrite."""
+    import glob
+
+    from knightshift_spark.streaming.metrics import (
+        PersistentMetricsLog,
+        load_metrics_log,
+    )
+
+    log_path = str(tmp_path / "autolog")
+    log = PersistentMetricsLog(spark, log_path, compact_every=3)
+    for i in range(7):  # 7 flushes -> compactions after 3 and 6
+        log.record_progress(_fake_progress(i, f"2026-01-01T00:0{i}:00Z", i + 1))
+        if log.last_compaction is not None:
+            log.last_compaction.join(60)
+    if log.last_compaction is not None:
+        log.last_compaction.join(60)
+    files = glob.glob(f"{log_path}/*.parquet")
+    # compacted at flush 6 -> 1 file, plus the single post-compaction
+    # flush (7th); without auto-compaction there would be 7
+    assert len(files) <= 3
+    got = {
+        (r.batch_id, r.input_rows)
+        for r in load_metrics_log(spark, log_path).collect()
+    }
+    assert got == {(i, i + 1) for i in range(7)}  # nothing lost
+
+
+def test_metrics_totals_view_incremental_across_restart(spark, tmp_path):
+    """VERDICT r8 #7: totals_view maintains a matview of algebraic
+    partials per (query, batch, metric). Across a restart (a second
+    log instance), the view's totals equal the one-shot recompute over
+    the whole log, and the second flush rewrites ONLY the buckets its
+    keys hash to."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from knightshift_spark.streaming.metrics import (
+        PersistentMetricsLog,
+        metrics_log_totals,
+    )
+
+    log_path = str(tmp_path / "tlog")
+    view_path = str(tmp_path / "tview")
+
+    log = PersistentMetricsLog(spark, log_path, totals_view=view_path)
+    log.record_progress(_fake_progress(0, "2026-01-01T00:00:00Z", 5))
+    log.record_progress(_fake_progress(1, "2026-01-01T00:01:00Z", 7))
+    # "restart": a fresh instance over the same paths
+    log2 = PersistentMetricsLog(spark, log_path, totals_view=view_path)
+
+    before = {
+        d: sorted(os.listdir(os.path.join(view_path, d)))
+        for d in os.listdir(view_path)
+        if d.startswith("__bucket=")
+    }
+    log2.record_progress(_fake_progress(2, "2026-01-01T00:02:00Z", 11))
+
+    expected_touched = {
+        r.b
+        for r in spark.createDataFrame(
+            [("q-1", 2, "input_rows"), ("q-1", 2, "duration_ms")],
+            "query_id string, batch_id long, metric string",
+        )
+        .select(
+            F.pmod(
+                F.xxhash64("query_id", "batch_id", "metric"), F.lit(16)
+            ).cast("int").alias("b")
+        )
+        .collect()
+    }
+    after = {
+        d: sorted(os.listdir(os.path.join(view_path, d)))
+        for d in os.listdir(view_path)
+        if d.startswith("__bucket=")
+    }
+    changed = {
+        d for d in before if after.get(d) != before[d]
+    } | (set(after) - set(before))
+    assert changed == {f"__bucket={b}" for b in expected_touched}
+
+    # view totals == one-shot recompute over the full log
+    one_shot = metrics_log_totals(spark, log_path)
+    via_view = metrics_log_totals(spark, log_path, view_path=view_path)
+    assert via_view == one_shot
+    assert via_view["n_batches"] == 3 and via_view["input_rows"] == 23
