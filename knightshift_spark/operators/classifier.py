@@ -97,6 +97,38 @@ def train_quality_classifier(
     return lr.fit(data)
 
 
+def _summary_free(model):
+    """A copy of ``model`` with the training summary DETACHED.
+
+    The summary holds its SparkSession, and ``model.transform``'s
+    scoring lambda captures the model — so the session rides into every
+    scoring task closure. That is dead weight at best, and on Spark 4.1
+    it is a correctness trap: a session that has ever evaluated a
+    ``df.observe(Observation, ...)`` carries a non-serializable
+    ObservationManager, and scoring then dies with 'Task not
+    serializable' arbitrarily far from the cause. Persisted models drop
+    their summary by contract, so one write/read round-trip is the
+    supported detach; cached on the instance so it costs once."""
+    if not getattr(model, "hasSummary", False):
+        return model
+    cached = getattr(model, "_ks_summary_free", None)
+    if cached is not None:
+        return cached
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ks-clf-")
+    try:
+        path = os.path.join(d, "m")
+        model.write().overwrite().save(path)
+        clean = type(model).load(path)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    model._ks_summary_free = clean
+    return clean
+
+
 def score_docs(
     model,
     docs: DataFrame,
@@ -109,6 +141,7 @@ def score_docs(
     scoring 100 TB is embarrassingly parallel with zero shuffle."""
     from pyspark.ml.functions import vector_to_array
 
+    model = _summary_free(model)
     dim = model.numFeatures
     feats = featurize_docs(docs, text_col, dim, bigrams)
     scored = model.transform(feats)
