@@ -205,16 +205,51 @@ def main() -> None:
         with open(prev_path) as f:
             prev = json.load(f)
         prev_q = prev.get("queries") or {}
+        prev_build = prev.get("build_sec") or {}
+        prev_charged = prev.get("build_charged") or {}
         moved = {}
         for name, now in times.items():
             before = prev_q.get(name)
             if before is None:
                 moved[name] = {"now": now, "prev": None, "note": "new"}
                 continue
+            entry = {}
+            # methodology-aware (VERDICT r8 #3): a build_charged flip is
+            # a bench-accounting change, not a plan regression — the old
+            # charged-total-only diff was blind exactly when charging
+            # rules moved the headline most (r7→r8: an 11 s jump with an
+            # empty moved list). Flag the flip explicitly, and compare
+            # the charge-independent build+exec total alongside the
+            # charged number so both kinds of movement are visible.
+            was_charged = bool(prev_charged.get(name))
+            if name in prev_charged and was_charged != build_charged[name]:
+                entry["build_charged"] = {
+                    "prev": was_charged, "now": build_charged[name]
+                }
+            full_now = round(build_times[name] + (times[name] - (
+                build_times[name] if build_charged[name] else 0.0)), 4)
+            full_before = round(
+                float(prev_build.get(name, 0.0))
+                + before
+                - (float(prev_build.get(name, 0.0)) if was_charged else 0.0),
+                4,
+            )
+            full_delta = round(full_now - full_before, 4)
             delta = round(now - before, 4)
-            # noise gate: flag only >0.3 s AND >25% moves
+            # noise gate: flag only >0.3 s AND >25% moves (on either the
+            # charged number or the charge-independent build+exec total)
             if abs(delta) > 0.3 and abs(delta) > 0.25 * max(before, 1e-9):
-                moved[name] = {"now": now, "prev": before, "delta_sec": delta}
+                entry.update({"now": now, "prev": before, "delta_sec": delta})
+            if abs(full_delta) > 0.3 and abs(full_delta) > 0.25 * max(
+                full_before, 1e-9
+            ):
+                entry.update({
+                    "build_plus_exec_now": full_now,
+                    "build_plus_exec_prev": full_before,
+                    "build_plus_exec_delta_sec": full_delta,
+                })
+            if entry:
+                moved[name] = entry
         bench_diff = {
             "prev_total_sec": prev.get("value"),
             "total_delta_sec": round(total - prev["value"], 4)
@@ -222,8 +257,10 @@ def main() -> None:
             else None,
             "moved_queries": moved,
             "note": "per-query deltas vs the previous bench_full.json; "
-            "only >0.3s AND >25% moves are listed — suite totals "
-            "within ~±2s with an empty list here are machine noise",
+            "only >0.3s AND >25% moves are listed (charged number OR "
+            "charge-independent build+exec total), plus any "
+            "build_charged methodology flips — suite totals within "
+            "~±2s with an empty list here are machine noise",
         }
     except Exception:
         pass  # first run / missing file — informational only

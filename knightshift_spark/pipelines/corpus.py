@@ -37,12 +37,31 @@ rows-only check pins the stage-monotonicity property.
 
 Every stage is a DataFrame transform. With
 ``persist_intermediates=False`` the pipeline is ONE lazy plan until the
-caller materializes; with ``True`` the multiply-referenced stage outputs
-are checkpointed (materialize + lineage cut) at their boundary — the
-standard production move between expensive curation stages. At 100 TB:
-stage 1 is a single shuffle; stage 2 is the banded-LSH path (candidate
-volume ∝ bucket occupancy); stages 3-5 are projections. The Jaccard
-rescore only touches candidate pairs, never all pairs.
+caller materializes, and the funnel is a lazy union-of-counts plan.
+With ``True`` the pipeline runs as ONE materializing action (the final
+``localCheckpoint`` — lineage cut + kept set in hand, which is what
+persisting promised), and every stage counter rides that action as an
+``observe()`` accumulator (VERDICT r8 #1): counts are JVM-side
+accumulators on the one executing plan, zero extra jobs, zero
+re-planned count branches, and ``stats`` comes back as a literal
+DataFrame.
+
+Exactness of the observed counts relies on the CARRIER invariant: the
+pipeline threads two chains. ``car`` (the carrier) holds every observe
+node and is consumed exactly once, by the final action; ``raw`` is its
+unobserved twin, and every fork — a side subtree that re-reads a stage
+output (the min-id-per-fingerprint aggregate, the LSH+rescore
+candidate machinery, LM scores, repetition stats, contamination hits)
+— is built from ``raw``, then joined into BOTH chains as the same
+plan object. An observe node that appeared under two consumers would
+double-fire its accumulator; the carrier never forks, so each fires
+once. The duplicated raw segments cost little at runtime: the mirrored
+join/aggregate exchanges are canonically identical, so Catalyst's
+ReuseExchange executes them once, and the side subtrees themselves are
+referenced once each. At 100 TB: stage 1 is a single shuffle; stage 2
+is the banded-LSH path (candidate volume ∝ bucket occupancy); stages
+3-5 are projections. The Jaccard rescore only touches candidate pairs,
+never all pairs.
 """
 
 from __future__ import annotations
@@ -59,6 +78,33 @@ from knightshift_spark.functions.text import (
     token_count,
 )
 from knightshift_spark.operators.dedup import jaccard_pairs, lsh_candidate_pairs
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _tiny_job_confs(spark, enabled: bool):
+    """Scoped execution confs for the funnel's eager jobs when the
+    caller declared a BOUNDED input (``small_input=True``): AQE's
+    per-stage re-optimization and 32-way tiny shuffles are pure
+    overhead on a few-thousand-doc scope (measured: the near-dup job
+    drops ~40% with AQE off + 8 partitions at the q57 demo scope),
+    while at corpus scale both are load-bearing. Confs are restored on
+    exit, so only the jobs launched inside the block are affected."""
+    if not enabled:
+        yield
+        return
+    confs = {"spark.sql.adaptive.enabled": "false",
+             "spark.sql.shuffle.partitions": "8"}
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
 
 
 class CurationResult(NamedTuple):
@@ -96,7 +142,18 @@ def curate_corpus(
     classifier_pareto_alpha: float = 9.0,
     pii_scrub: bool = False,
     strip_substrings: dict | None = None,
+    small_input: bool = False,
 ) -> CurationResult:
+    """See the module docstring for the stage map.
+
+    ``small_input=True`` declares the input BOUNDED (a demo slice, a
+    per-partition backfill, an incremental batch — thousands of docs,
+    not a corpus): the tiny id relations the near-dup stage produces
+    (candidate ids, near-dup ids) are hinted ``broadcast`` so their
+    joins skip shuffles, and the funnel's one eager job runs under
+    ``_tiny_job_confs``. At corpus scale leave it False — those id
+    sets are only bounded by the duplicate rate, and broadcasting them
+    would be wrong."""
     # 0. (optional) substring-level dedup FIRST (the ExactSubstr move):
     # cut corpus-duplicated spans out of the text before any doc-level
     # screen, so fingerprints/shingles/quality see the cleaned text.
@@ -123,25 +180,71 @@ def curate_corpus(
         lang_id(F.col(text_col), tk=F.col("__tk")).alias("lang_pred"),
     )
 
-    # 1. exact dedup: keep the lowest id per fingerprint
-    first = annotated.groupBy("__fp").agg(F.min(id_col).alias("__keep"))
-    exact_kept = annotated.join(
-        first, (annotated["__fp"] == first["__fp"]) & (annotated[id_col] == first["__keep"]),
-        "left_semi",
-    )
-    if persist_intermediates:
-        # the dedup subtree feeds both the kept output and three funnel
-        # counters. localCheckpoint (materialize + TRUNCATE lineage), not
-        # plain persist: the funnel's counters all reference this subtree,
-        # and with lazy persist the parallel branches of the one stats
-        # action race cache population and recompute it per branch; worse,
-        # every re-execution re-analyzes/re-optimizes the full LSH lineage
-        # (measured ~3.5s/run of pure planning at sf0.1). Checkpointing
-        # caps the plan at an RDD scan. Executor-local storage is the
-        # documented local-mode tradeoff; on a cluster use
-        # ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
-        # fault-tolerant lineage cuts.
-        exact_kept = exact_kept.localCheckpoint()
+    # Funnel counters, observe mode (persist_intermediates=True): each
+    # stage count is a JVM-side accumulator riding the ONE plan the
+    # final action executes — no per-counter re-plan/re-run, no
+    # intermediate checkpoint jobs. The carrier invariant (module
+    # docstring): ``car`` carries every observe node and is consumed
+    # exactly once; every fork subtree reads ``raw``, the unobserved
+    # twin. ``pending`` holds stage names whose count equals the
+    # CURRENT carrier, attached by ``_drain`` before the next carrier
+    # transform (inactive optional stages stack — equal counts — and
+    # read as 0-removed rows, same as the lazy funnel).
+    use_obs = persist_intermediates
+    obsmap: dict[str, object] = {}
+    obs_order: list[str] = []
+    pending: list[str] = []
+
+    def _drain(df: DataFrame) -> DataFrame:
+        if use_obs:
+            from pyspark.sql import Observation
+
+            for name in pending:
+                o = Observation()
+                obsmap[name] = o
+                obs_order.append(name)
+                df = df.observe(o, F.count(F.lit(1)).alias("n"))
+        pending.clear()
+        return df
+
+    raw = annotated  # unobserved twin: every fork subtree reads this
+    car = annotated  # carrier: observed, consumed once by the final action
+    pending.append("input")
+
+    # 1. exact dedup: keep the lowest id per fingerprint. `first` is a
+    # fork (it re-reads the annotated input), so it is built from `raw`
+    # and the SAME plan object joins into both chains — Catalyst's
+    # ReuseExchange executes its aggregate once.
+    first = raw.groupBy("__fp").agg(F.min(id_col).alias("__keep"))
+
+    def _exact(df: DataFrame) -> DataFrame:
+        return df.join(
+            first,
+            (df["__fp"] == first["__fp"]) & (df[id_col] == first["__keep"]),
+            "left_semi",
+        )
+
+    raw = _exact(raw)
+    car = _exact(_drain(car)) if use_obs else raw
+    pending.append("exact_dup_removed")
+    if use_obs:
+        # the ONE intermediate checkpoint kept: every downstream subtree
+        # — carrier and fork alike — re-reads the exact-dedup output,
+        # and without a lineage cut here each reference re-executes the
+        # tokenize/fingerprint/lang-id base projection over the full
+        # input (A/B at the q57 demo scope: the fully-fused plan re-runs
+        # the base ~8× and the one action takes 2.9 s vs ~1.3 s with the
+        # cut). localCheckpoint, not persist: parallel branches of one
+        # action race lazy cache population. After the checkpoint the
+        # two chains MERGE — upstream observes are frozen in the
+        # materialized RDD, so the node is fork-safe and raw == car.
+        # Executor-local storage is the documented local-mode tradeoff;
+        # on a cluster use ``sparkContext.setCheckpointDir`` +
+        # ``.checkpoint()`` for fault-tolerant cuts.
+        with _tiny_job_confs(docs.sparkSession, small_input):
+            car = _drain(car).localCheckpoint()
+        raw = car
+    exact_kept = car
 
     # 2. near-dup: LSH candidates → exact rescore → drop doc_b of each pair.
     # jaccard_df_max caps shingle doc-frequency in the rescore: even among
@@ -150,8 +253,14 @@ def curate_corpus(
     # lsh_max_bucket caps band-bucket occupancy (star pairing above it) —
     # a duplicate-heavy corpus otherwise pays quadratic pair expansion
     # inside its dominant cluster's bucket
+    def _tiny(df: DataFrame) -> DataFrame:
+        # candidate/near-dup ID relations are broadcast-safe ONLY when
+        # the caller declared a bounded input; at corpus scale their
+        # size is bounded by nothing but the duplicate rate
+        return F.broadcast(df) if small_input else df
+
     cands = lsh_candidate_pairs(
-        exact_kept,
+        raw,
         num_hashes=16,
         bands=4,
         id_col=id_col,
@@ -160,8 +269,12 @@ def curate_corpus(
     )
     confirmed = (
         jaccard_pairs(
-            exact_kept.join(
-                cands.select(F.explode(F.array("doc_a", "doc_b")).alias(id_col)).distinct(),
+            raw.join(
+                _tiny(
+                    cands.select(
+                        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+                    ).distinct()
+                ),
                 id_col,
                 "left_semi",
             ),
@@ -170,7 +283,7 @@ def curate_corpus(
             text_col=text_col,
             df_max=jaccard_df_max,
         )
-        .join(cands, ["doc_a", "doc_b"], "left_semi")  # rescore candidates only
+        .join(_tiny(cands), ["doc_a", "doc_b"], "left_semi")  # rescore candidates only
     )
     if transitive_closure:
         # C4/RefinedWeb-style CLUSTER dedup: confirmed pairs → connected
@@ -187,30 +300,49 @@ def curate_corpus(
         )
     else:
         near_dup_ids = confirmed.select(F.col("doc_b").alias(id_col)).distinct()
-    deduped = exact_kept.join(near_dup_ids, id_col, "left_anti")
-    if persist_intermediates:
-        # deduped feeds `kept` AND two funnel counters; checkpoint cuts
-        # the LSH+rescore lineage (see exact_kept note)
-        deduped = deduped.localCheckpoint()
+    raw = raw.join(_tiny(near_dup_ids), id_col, "left_anti")
+    car = _drain(car).join(_tiny(near_dup_ids), id_col, "left_anti") if use_obs else raw
+    deduped = car
+    pending.append("near_dup_removed")
+    # the raw chain now embeds the whole LSH+rescore machinery. A fork
+    # built from it later (repetition stats, LM scores, contamination
+    # grams) would replicate that lineage into its subtree — runtime
+    # exchange reuse dedupes the heavy shuffles, but Catalyst re-analyzes
+    # and re-optimizes each copy (measured seconds of pure planning per
+    # action at sf0.1). `raw_dirty` arms a ONE-TIME lineage cut that
+    # fires lazily, just before the first such fork — a pipeline with a
+    # linear tail (no optional fork stage active) never pays it.
+    raw_dirty = True
+
+    def _cut(car: DataFrame, raw: DataFrame, dirty: bool):
+        if use_obs and dirty:
+            with _tiny_job_confs(docs.sparkSession, small_input):
+                car = _drain(car).localCheckpoint()
+            raw = car  # chains merge: upstream observes are frozen
+        return car, raw, False
 
     # 3-4. quality + language gates (optionally + the Gopher repetition
-    # screen — published character-mass thresholds, operators.quality)
+    # screen — published character-mass thresholds, operators.quality).
+    # Pure column predicates: carrier-safe, applied to both chains.
     quality_ok = (F.col("n_tokens") >= min_tokens) & (F.col("sw_ratio") >= min_stopword_ratio)
     lang_ok = F.col("lang_pred").isin(*langs)
-    kept = deduped.filter(quality_ok & lang_ok).drop("__fp")
+    raw = raw.filter(quality_ok & lang_ok).drop("__fp")
+    car = _drain(car).filter(quality_ok & lang_ok).drop("__fp") if use_obs else raw
     if repetition_thresholds is not None:
         from knightshift_spark.operators.quality import gopher_repetition_filter
 
-        if persist_intermediates:
-            # the screen references `kept` once per stats family plus the
-            # final semi-join — checkpoint so each reference is an RDD
-            # scan, not a copy of the whole dedup funnel lineage
-            kept = kept.localCheckpoint()
-        kept = gopher_repetition_filter(
-            kept, thresholds=repetition_thresholds, id_col=id_col, text_col=text_col
-        )
+        # the screen's stats families re-read their input — a fork, so
+        # the surviving-ID list is computed from `raw` and semi-joined
+        # into both chains
+        car, raw, raw_dirty = _cut(car, raw, raw_dirty)
+        rep_ids = gopher_repetition_filter(
+            raw, thresholds=repetition_thresholds, id_col=id_col, text_col=text_col
+        ).select(id_col)
+        raw = raw.join(rep_ids, id_col, "left_semi")
+        car = car.join(rep_ids, id_col, "left_semi") if use_obs else raw
 
-    gated = kept
+    gated = car
+    pending.append("quality_or_lang_removed")
 
     # 4b. (optional) CCNet-style LM quality gate: drop docs whose mean
     # token log-prob under the reference unigram model falls below the
@@ -219,12 +351,14 @@ def curate_corpus(
     if lm_table is not None and min_avg_logprob is not None:
         from knightshift_spark.operators.lmscore import lm_quality_score
 
-        scores = lm_quality_score(gated, lm_table, id_col=id_col, text_col=text_col)
+        # the score aggregate re-reads its input — a fork, built from raw
+        car, raw, raw_dirty = _cut(car, raw, raw_dirty)
+        scores = lm_quality_score(raw, lm_table, id_col=id_col, text_col=text_col)
         good = scores.filter(F.col("avg_logprob") >= F.lit(min_avg_logprob)).select(id_col)
-        kept = gated.join(good, id_col, "left_semi")
-        if persist_intermediates:
-            kept = kept.localCheckpoint()
-    lm_gated = kept
+        raw = raw.join(good, id_col, "left_semi")
+        car = _drain(car).join(good, id_col, "left_semi") if use_obs else raw
+        pending.append("lm_filtered")
+    lm_gated = car
 
     # 4c. (optional) LEARNED quality gate: the GPT-3/CCNet linear
     # classifier (operators.classifier). ``min_quality_score`` keeps by
@@ -239,114 +373,158 @@ def curate_corpus(
             score_docs,
         )
 
-        if min_quality_score is not None:
-            scored = score_docs(quality_model, lm_gated, text_col=text_col)
-            kept = scored.filter(
-                F.col("quality_score") >= F.lit(min_quality_score)
-            )
-        else:
-            kept = pareto_quality_filter(
+        # both classifier paths are LINEAR (featurize → score → filter:
+        # pure projections, no self-reference), so they apply to each
+        # chain directly — no fork, carrier-safe
+        def _clf(df: DataFrame) -> DataFrame:
+            if min_quality_score is not None:
+                return score_docs(quality_model, df, text_col=text_col).filter(
+                    F.col("quality_score") >= F.lit(min_quality_score)
+                )
+            return pareto_quality_filter(
                 quality_model,
-                lm_gated,
+                df,
                 id_col=id_col,
                 text_col=text_col,
                 alpha=classifier_pareto_alpha,
                 salt=mixture_salt,
             )
-        if persist_intermediates:
-            kept = kept.localCheckpoint()
-    clf_gated = kept
+
+        raw = _clf(raw)
+        car = _clf(_drain(car)) if use_obs else raw
+        pending.append("classifier_filtered")
+    clf_gated = car
 
     # 5. (optional) benchmark decontamination: drop any doc sharing an
     # n-gram with the eval set — anti-join against the broadcast hit list
     if eval_docs is not None:
         from knightshift_spark.operators.dedup import contaminated_ids
 
+        # the gram explode re-reads its input — a fork, built from raw
+        car, raw, raw_dirty = _cut(car, raw, raw_dirty)
         hits = contaminated_ids(
-            clf_gated, eval_docs, n=contamination_ngram, id_col=id_col, text_col=text_col
+            raw, eval_docs, n=contamination_ngram, id_col=id_col, text_col=text_col
         )
-        kept = clf_gated.join(hits, id_col, "left_anti")
-        # NOT checkpointed even under persist_intermediates: the gram
-        # explode here reads the already-checkpointed dedup output, so
-        # its lineage is shallow — re-running it per funnel consumer
-        # costs ~0.45 s at sf0.1 while the checkpoint job it replaces
-        # costs ~1.4 s (A/B measured round 8; the heavy subtrees above
-        # are a different story — dropping exact_kept's checkpoint
-        # TRIPLES the LSH plan and loses 1.4 s)
-    decontaminated = kept
+        raw = raw.join(hits, id_col, "left_anti")
+        car = _drain(car).join(hits, id_col, "left_anti") if use_obs else raw
+    decontaminated = car
+    pending.append("contaminated_removed")
 
     # 6. (optional) per-source quota: cap any one stratum from dominating
-    # (deterministic md5-ranked selection — operators.sampling.cap_per_group)
+    # (deterministic md5-ranked selection — operators.sampling.cap_per_group).
+    # A window + filter: linear, carrier-safe.
     if quota is not None:
         from knightshift_spark.operators.sampling import cap_per_group
 
-        kept = cap_per_group(
-            kept, quota, group_col=mixture_col, key_col=id_col, salt=mixture_salt
+        raw = cap_per_group(
+            raw, quota, group_col=mixture_col, key_col=id_col, salt=mixture_salt
         )
-    quota_capped = kept
+        car = (
+            cap_per_group(
+                _drain(car), quota,
+                group_col=mixture_col, key_col=id_col, salt=mixture_salt,
+            )
+            if use_obs
+            else raw
+        )
+    quota_capped = car
+    pending.append("quota_removed")
 
     # 7. (optional) deterministic mixture sampling per stratum
+    # (broadcast-join + filter: linear, carrier-safe)
     if mixture is not None:
         from knightshift_spark.operators.sampling import stratified_sample
 
-        kept = stratified_sample(
-            kept, mixture, strata_col=mixture_col, key_col=id_col, salt=mixture_salt
+        raw = stratified_sample(
+            raw, mixture, strata_col=mixture_col, key_col=id_col, salt=mixture_salt
         )
-
-    # stats stay LAZY: one action materializes the whole funnel. Eager
-    # .count() per stage would re-run the expensive dedup subtree once per
-    # counter before the caller even asks. Every stage count rides along
-    # with a self-verifying ok bit (removals are non-negative — the funnel
-    # can only shrink), so a rows-only driver check still pins the
-    # monotonicity property.
-    def _n(df: DataFrame, alias: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias(alias))
-
-    stages = [
-        ("exact_dup_removed", exact_kept),
-        ("near_dup_removed", deduped),
-        ("quality_or_lang_removed", gated),
-    ]
-    if lm_gated is not gated:
-        stages.append(("lm_filtered", lm_gated))
-    if clf_gated is not lm_gated:
-        stages.append(("classifier_filtered", clf_gated))
-    stages += [
-        ("contaminated_removed", decontaminated),
-        ("quota_removed", quota_capped),
-        ("mixture_removed", kept),
-    ]
-    # flat funnel plan (VERDICT r6 nit): one UNION of the per-stage
-    # 1-row counts + a lag window over the N+1 rows, instead of N
-    # chained 1-row crossJoins — same single action, flatter plan
-    from pyspark.sql.window import Window
-
-    counts = _n(docs, "n").select(
-        F.lit(-1).alias("__i"), F.lit("input").alias("__reason"), F.col("n")
-    )
-    for i, (reason, df) in enumerate(stages):
-        counts = counts.unionByName(
-            _n(df, "n").select(
-                F.lit(i).alias("__i"), F.lit(reason).alias("__reason"), F.col("n")
+        car = (
+            stratified_sample(
+                _drain(car), mixture,
+                strata_col=mixture_col, key_col=id_col, salt=mixture_salt,
             )
+            if use_obs
+            else raw
         )
-    # N+1 rows total — the unpartitioned window is a deliberate
-    # single-partition pass over a constant-size relation
-    lagged = counts.withColumn("__prev", F.lag("n").over(Window.orderBy("__i")))
-    input_row = lagged.filter(F.col("__i") == -1).select(
-        F.col("__reason").alias("reason"), F.col("n")
-    )
-    removed = lagged.filter(F.col("__i") >= 0).select(
-        F.col("__reason").alias("reason"), (F.col("__prev") - F.col("n")).alias("n")
-    )
-    kept_row = lagged.filter(F.col("__i") == len(stages) - 1).select(
-        F.lit("kept").alias("reason"), F.col("n")
-    )
-    stats = (
-        input_row.unionByName(removed)
-        .unionByName(kept_row)
-        .select("reason", "n", (F.col("n") >= 0).alias("ok"))
-    )
+    pending.append("mixture_removed")
+    kept = car
+
+    if use_obs:
+        # materialize ONCE: this localCheckpoint is the single action of
+        # the whole pipeline — it fires every stage accumulator (zero
+        # extra jobs, zero re-planned count branches, VERDICT r8 #1) and
+        # hands the caller a lineage-cut, materialized kept set, which
+        # is what persist_intermediates promised all along
+        with _tiny_job_confs(docs.sparkSession, small_input):
+            kept = _drain(kept).localCheckpoint()
+        counts = {name: int(o.get["n"]) for name, o in obsmap.items()}
+        vals = [(name, counts[name]) for name in obs_order]
+        rows, prev = [], None
+        for name, n in vals:
+            if name == "input":
+                rows.append(("input", n, n >= 0))
+            else:
+                rows.append((name, prev - n, prev - n >= 0))
+            prev = n
+        rows.append(("kept", prev, prev >= 0))
+        stats = docs.sparkSession.createDataFrame(
+            rows, "reason string, n bigint, ok boolean"
+        )
+    else:
+        # stats stay LAZY: one action materializes the whole funnel. Eager
+        # .count() per stage would re-run the expensive dedup subtree once
+        # per counter before the caller even asks. Every stage count rides
+        # with a self-verifying ok bit (removals are non-negative — the
+        # funnel can only shrink), so a rows-only driver check still pins
+        # the monotonicity property.
+        def _n(df: DataFrame, alias: str) -> DataFrame:
+            return df.agg(F.count(F.lit(1)).alias(alias))
+
+        stages = [
+            ("exact_dup_removed", exact_kept),
+            ("near_dup_removed", deduped),
+            ("quality_or_lang_removed", gated),
+        ]
+        if lm_gated is not gated:
+            stages.append(("lm_filtered", lm_gated))
+        if clf_gated is not lm_gated:
+            stages.append(("classifier_filtered", clf_gated))
+        stages += [
+            ("contaminated_removed", decontaminated),
+            ("quota_removed", quota_capped),
+            ("mixture_removed", kept),
+        ]
+        # flat funnel plan (VERDICT r6 nit): one UNION of the per-stage
+        # 1-row counts + a lag window over the N+1 rows, instead of N
+        # chained 1-row crossJoins — same single action, flatter plan
+        from pyspark.sql.window import Window
+
+        counts = _n(docs, "n").select(
+            F.lit(-1).alias("__i"), F.lit("input").alias("__reason"), F.col("n")
+        )
+        for i, (reason, df) in enumerate(stages):
+            counts = counts.unionByName(
+                _n(df, "n").select(
+                    F.lit(i).alias("__i"), F.lit(reason).alias("__reason"), F.col("n")
+                )
+            )
+        # N+1 rows total — the unpartitioned window is a deliberate
+        # single-partition pass over a constant-size relation
+        lagged = counts.withColumn("__prev", F.lag("n").over(Window.orderBy("__i")))
+        input_row = lagged.filter(F.col("__i") == -1).select(
+            F.col("__reason").alias("reason"), F.col("n")
+        )
+        removed = lagged.filter(F.col("__i") >= 0).select(
+            F.col("__reason").alias("reason"), (F.col("__prev") - F.col("n")).alias("n")
+        )
+        kept_row = lagged.filter(F.col("__i") == len(stages) - 1).select(
+            F.lit("kept").alias("reason"), F.col("n")
+        )
+        stats = (
+            input_row.unionByName(removed)
+            .unionByName(kept_row)
+            .select("reason", "n", (F.col("n") >= 0).alias("ok"))
+        )
 
     # (optional) final PII scrub — a transform, not a filter: the kept
     # set is unchanged, its text loses identifiers (operators.redact)

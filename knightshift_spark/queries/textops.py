@@ -226,7 +226,7 @@ def _q57_oracle() -> str:
     return rf"""
       WITH input AS (
         SELECT doc_id, text, source FROM documents
-        WHERE doc_id < 1000 AND doc_id % 25 <> 7),
+        WHERE doc_id % 25 <> 7),
       -- stage 1: exact dedup — keep the min id per normalized-text md5 (q29)
       ek AS MATERIALIZED (
         SELECT MIN(doc_id) AS doc_id
@@ -350,23 +350,32 @@ def _q57_oracle() -> str:
         "per-source quota (deterministic cap_per_group) → deterministic "
         "mixture sampling (md5-keyed per-source fractions); returns the "
         "per-stage removal funnel, each row with an ok bit (n ≥ 0 — the "
-        "funnel only shrinks). Scoped to 1000 docs — the demo slice; the "
-        "pipeline itself is unbounded",
+        "funnel only shrinks). Runs over the whole documents table "
+        "(non-eval slice) so the bench measures curation work, not "
+        "Spark's fixed per-job floor",
 )
 def q57(spark: SparkSession, sf: str) -> DataFrame:
     from knightshift_spark.pipelines.corpus import curate_corpus
 
     docs = t(spark, sf, "documents")
+    # the documents table at bench scale is BOUNDED (thousands of docs),
+    # so the scale caps are vacuous (oracle argument above) — pass None
+    # to skip their plan stages — and small_input=True broadcasts the
+    # tiny id relations + runs the funnel's one eager action under
+    # _tiny_job_confs (the capped branches stay oracle-exercised by q31b)
     return curate_corpus(
-        docs.filter((F.col("doc_id") < 1000) & (F.col("doc_id") % 25 != 7)),
+        docs.filter(F.col("doc_id") % 25 != 7),
         jaccard_threshold=0.5, min_tokens=5,
         min_stopword_ratio=0.0, langs=("en", "und"),
         persist_intermediates=True,
+        jaccard_df_max=None,
+        lsh_max_bucket=None,
         eval_docs=docs.filter(F.col("doc_id") % 25 == 7),
         contamination_ngram=5,
         quota=40,
         mixture={f"src{i}": 0.5 + 0.05 * i for i in range(10)},
         mixture_col="source",
+        small_input=True,
     ).stats
 
 
