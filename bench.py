@@ -655,16 +655,26 @@ def sf1_section(spark, specs, sf_dir: str) -> dict:
         "lineitem_rows": spark.read.parquet(f"{sf1_dir}/lineitem.parquet").count(),
         "note": "crossover point: scan/join-heavy queries (q01/q13/q60) "
                 "already run under DuckDB; small-output shuffle aggs "
-                "(q10/q52) stay Spark-floor-bound (~0.3-0.5s flat "
-                "regardless of input) while DuckDB finishes in ms — "
-                "their ratio shrinks with every further scale-up; q15's "
-                "percentiles are the value-histogram exact form (r6): "
-                "bounded state, no per-group value multiset. q15 floor "
-                "decomposition at this SF (measured): bare scan+count "
-                "0.23s, + exact money sums 0.30s, + the histogram's "
-                "extra grouping key 0.52s vs DuckDB 0.16s — the "
-                "residual is per-row key-hash CPU (scale-neutral), not "
-                "a state blow-up",
+                "(q10/q52) are bound by ONE shuffle exchange whose cost "
+                "is flat (~0.2s on this build) regardless of input, "
+                "while DuckDB needs no exchange in-process — measured "
+                "decomposition at this SF (r9, best-of-5 noop runs): "
+                "noop floor 0.05s; orders 1.5M-row scan+project 0.07s; "
+                "+distinct exchange 0.27s; +semi join 0.32s; +anti "
+                "union 0.34s (q10 full, after the r9 shared "
+                "distinct+not-null build side cut it from 0.61s); q52 "
+                "groupBy agg 0.22s of which the exchange is ~0.15s. "
+                "The exchange is irreducible without a storage-layout "
+                "change (bucketing orders on the key would make both "
+                "shuffle-free, but the bench reads the driver's "
+                "files), and it is scale-neutral: the ratio shrinks "
+                "with every further scale-up. q15's percentiles are "
+                "the value-histogram exact form (r6): bounded state, "
+                "no per-group value multiset; its floor decomposition "
+                "(measured): bare scan+count 0.23s, + exact money sums "
+                "0.30s, + the histogram's extra grouping key 0.52s vs "
+                "DuckDB 0.16s — per-row key-hash CPU (scale-neutral), "
+                "not a state blow-up",
         "queries": out,
         "spark_total_sec": round(spark_total, 4),
         "duckdb_total_sec": round(duck_total, 4),
