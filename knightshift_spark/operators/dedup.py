@@ -101,10 +101,24 @@ def _gram_table(
     ``word_tokens`` (a regex split) into every ``element_at`` inside the
     lambda re-runs the split per gram element — measured ~30× slower than
     binding the array once.
-    """
-    return docs.select(id_col, word_tokens(F.col(text_col)).alias("__tk")).select(
-        F.col(id_col), F.explode(word_ngrams(F.col("__tk"), n)).alias(out_col)
+
+    Built with ``selectExpr`` strings, not Column composition: this is
+    the single hottest plan-construction path in the engine (every
+    dedup/contamination/fuzzy-join query builds 1-4 gram tables), and
+    each Column operator is a py4j round-trip — one parsed expression
+    string is ONE round-trip for the whole lambda tree (identical
+    analyzed plan, parity-checked)."""
+    parts = ", ".join(f"element_at(__tk, i + {j})" for j in range(n))
+    gram_expr = (
+        f"CASE WHEN size(__tk) < {n} THEN array() "
+        f"ELSE array_distinct(transform(sequence(1, size(__tk) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts}))) END"
     )
+    return docs.selectExpr(
+        f"`{id_col}`",
+        f"CASE WHEN trim(lower(`{text_col}`)) = '' THEN array() "
+        f"ELSE split(trim(lower(`{text_col}`)), '\\\\s+') END AS __tk",
+    ).selectExpr(f"`{id_col}`", f"explode({gram_expr}) AS `{out_col}`")
 
 
 def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -297,9 +311,21 @@ def minhash_wide(
     k× the shuffle rows and an extra exchange.)
     """
     sh = shingle_table(docs, id_col, text_col)
-    h = stable_hash32(F.col("shingle"))
-    return sh.groupBy(id_col).agg(
-        *[F.min(minhash_j(h, j)).alias(f"mh_{j}") for j in range(num_hashes)]
+    # expr-string aggregates (one py4j round-trip each) — same
+    # stable_hash32/minhash_j arithmetic, hash bound once in a
+    # projection so the md5 computes once per shingle row, not per j
+    hs = sh.selectExpr(
+        f"`{id_col}`",
+        "cast(conv(substring(md5(cast(shingle AS binary)), 1, 8), 16, 10) "
+        "AS bigint) AS __h",
+    )
+    return hs.groupBy(id_col).agg(
+        *[
+            F.expr(
+                f"min(({2 * j + 1} * __h + {1000003 * j}) % {MERSENNE_P})"
+            ).alias(f"mh_{j}")
+            for j in range(num_hashes)
+        ]
     )
 
 
@@ -352,24 +378,22 @@ def lsh_band_buckets(
     map-side."""
     rows_per_band = num_hashes // bands
     wide = minhash_wide(docs, num_hashes, id_col, text_col)
-    band_structs = [
-        F.struct(
-            F.lit(bd).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh_{j}").cast("string")
-                        for j in range(bd * rows_per_band, (bd + 1) * rows_per_band)
-                    ],
-                ).cast("binary")
-            ).alias("bucket"),
+    # one expr string for the whole band-struct array (py4j round-trip
+    # economy; identical analyzed plan to the Column-composed form)
+    band_structs = ", ".join(
+        "named_struct('band', {bd}, 'bucket', "
+        "md5(cast(concat_ws(',', {cols}) AS binary)))".format(
+            bd=bd,
+            cols=", ".join(
+                f"cast(mh_{j} AS string)"
+                for j in range(bd * rows_per_band, (bd + 1) * rows_per_band)
+            ),
         )
         for bd in range(bands)
-    ]
-    return wide.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    return wide.selectExpr(
+        f"`{id_col}`", f"explode(array({band_structs})) AS bb"
+    ).selectExpr(f"`{id_col}`", "bb.band AS band", "bb.bucket AS bucket")
 
 
 def lsh_candidate_pairs(
