@@ -515,14 +515,29 @@ def connected_components(
         )
         # pointer jump: comp := label(comp) — path halving
         jump = labels.select(F.col("id").alias("comp"), F.col("comp").alias("__cc"))
-        new = stepped.join(jump, "comp", "left").select(
-            "id", F.least("comp", F.coalesce("__cc", F.col("comp"))).alias("comp")
-        ).localCheckpoint()
-        changed = (
-            new.join(labels.withColumnRenamed("comp", "__old"), "id")
-            .filter(F.col("comp") != F.col("__old"))
-            .count()
+        # convergence check rides the round's OWN checkpoint job as an
+        # observe() accumulator (the q57 funnel move): the old-label
+        # join costs a map-side lookup inside the job that runs anyway,
+        # where the former separate join+count was a whole extra job
+        # per round — at fixpoint-iteration cadence that is the
+        # difference between 2 and 3 jobs per round.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new = (
+            stepped.join(jump, "comp", "left")
+            .select(
+                "id", F.least("comp", F.coalesce("__cc", F.col("comp"))).alias("comp")
+            )
+            .join(labels.withColumnRenamed("comp", "__old"), "id")
+            .observe(
+                obs,
+                F.sum((F.col("comp") != F.col("__old")).cast("long")).alias("changed"),
+            )
+            .select("id", "comp")
+            .localCheckpoint()
         )
+        changed = int(obs.get["changed"] or 0)
         # the superseded round's checkpoint blocks are dead once
         # `changed` is counted; DataFrame.unpersist() cannot reach a
         # localCheckpoint's storage, so release works by dropping the
