@@ -971,6 +971,35 @@ def _ivfpq_topk(
     )
 
 
+def _encode_with(
+    cu: DataFrame, coarse: list[list[float]], books: list[list[list[float]]]
+) -> DataFrame:
+    """(neighbor_id, cid, code, __rv) for a normalized (neighbor_id, __cv)
+    relation under FIXED codebooks — the shared encode step of the index
+    build and the incremental append (broadcast codebooks, narrow
+    projections, no shuffle)."""
+    c_res = cu.select(
+        "neighbor_id",
+        assign_ivf_cluster(F.col("__cv"), coarse).alias("cid"),
+        "__cv",
+    ).select(
+        "neighbor_id", "cid", _residual(F.col("__cv"), F.col("cid"), coarse).alias("__rv")
+    )
+    return c_res.select(
+        "neighbor_id", "cid", pq_encode(F.col("__rv"), books).alias("code"), "__rv"
+    )
+
+
+def _pq_reconstruction(books: list[list[list[float]]]) -> Column:
+    """The decoded PQ vector of ``code``: per-subspace codebook rows
+    concatenated back to full residual dimension."""
+    parts = []
+    for j, book in enumerate(books):
+        bookj = F.array(*[F.array(*[F.lit(float(x)) for x in cent]) for cent in book])
+        parts.append(F.element_at(bookj, F.element_at(F.col("code"), j + 1) + 1))
+    return F.concat(*parts)
+
+
 def write_ann_index(
     candidates: DataFrame,
     path: str,
@@ -982,16 +1011,47 @@ def write_ann_index(
     vec_col: str = "embedding",
 ) -> None:
     """Persist an IVF-PQ index: the (id, cid, code) relation as parquet
-    PARTITIONED BY cid, plus a JSON sidecar with the codebooks and
-    parameters. Build once, query many — the raw embedding column is not
-    needed at query time, and the cid partitioning means a probe touches
-    only its cells' files (partition pruning on the index scan)."""
+    PARTITIONED BY (__batch, cid), plus a JSON sidecar with the codebooks
+    and parameters. Build once, query many — the raw embedding column is
+    not needed at query time, and the cid partitioning means a probe
+    touches only its cells' files (partition pruning on the index scan).
+    The extra ``__batch`` partition level is the incremental-append seam
+    (``append_ann_index``): each append lands in its own directory, so
+    replays overwrite themselves instead of duplicating codes.
+
+    The sidecar also records the build-time mean PQ reconstruction error
+    (``quant_error_base``) — the yardstick ``append_ann_index`` compares
+    each new batch against to signal codebook staleness."""
     import json
     import os
 
     cu = _unit(candidates, id_col, vec_col, "neighbor_id", "__cv")
-    c, coarse, books = _ivfpq_index(cu, n_clusters, m, ksub)
-    c.write.mode("overwrite").partitionBy("cid").parquet(os.path.join(path, "codes"))
+    coarse = ivf_centroids(cu, n_clusters, "neighbor_id", "__cv")
+    books = pq_codebooks(
+        cu.select(
+            "neighbor_id",
+            assign_ivf_cluster(F.col("__cv"), coarse).alias("cid"),
+            "__cv",
+        ).select(
+            "neighbor_id",
+            _residual(F.col("__cv"), F.col("cid"), coarse).alias("__rv"),
+        ),
+        m=m,
+        ksub=ksub,
+        id_col="neighbor_id",
+        vec_col="__rv",
+    )
+    enc = _encode_with(cu, coarse, books)
+    # the error aggregate rides the write job as an observe() accumulator
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    enc.observe(
+        obs, F.avg(_sq_l2(F.col("__rv"), _pq_reconstruction(books))).alias("e")
+    ).select("neighbor_id", "cid", "code").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(os.path.join(path, "codes", "__batch=__base__"))
+    base_err = obs.get["e"]
     meta = {
         "coarse": coarse,
         "books": books,
@@ -999,9 +1059,74 @@ def write_ann_index(
         "ksub": ksub,
         "n_clusters": n_clusters,
         "n_probe_default": n_probe_default,
+        "quant_error_base": None if base_err is None else float(base_err),
     }
     with open(os.path.join(path, "codebooks.json"), "w") as f:
         json.dump(meta, f)
+
+
+def append_ann_index(
+    new_vectors: DataFrame,
+    path: str,
+    batch_id: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally add vectors to a persisted IVF-PQ index WITHOUT
+    retraining (the FAISS ``add`` pattern): encode the batch with the
+    index's frozen codebooks — broadcast centroids + narrow projections,
+    no shuffle, no reread of history — and land its codes under
+    ``codes/__batch=<batch_id>/``. Replaying a batch id OVERWRITES its
+    own directory, so at-least-once upstream delivery yields
+    exactly-once index contents (the same per-batch-directory rule as
+    the corpus sinks).
+
+    Returns ``{rows, quant_error, quant_error_base, drift_ratio}``.
+    ``drift_ratio`` is the batch's mean PQ reconstruction error over the
+    build-time base error: frozen codebooks quantize a drifted embedding
+    distribution badly, so a sustained ratio well above 1 is the retrain
+    signal (rebuild with ``write_ann_index``); in-distribution appends
+    sit near 1. At 100 TB the append is the only per-batch cost — the
+    O(corpus) retrain runs on the drift signal, not on a schedule."""
+    import json
+    import os
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_.-]+", batch_id) or batch_id == "__base__":
+        raise ValueError(
+            f"batch_id must be filesystem-safe ([A-Za-z0-9_.-]+, not "
+            f"'__base__'): {batch_id!r}"
+        )
+    with open(os.path.join(path, "codebooks.json")) as f:
+        meta = json.load(f)
+    cu = _unit(new_vectors, id_col, vec_col, "neighbor_id", "__cv")
+    enc = _encode_with(cu, meta["coarse"], meta["books"])
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    enc.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.avg(_sq_l2(F.col("__rv"), _pq_reconstruction(meta["books"]))).alias("e"),
+    ).select("neighbor_id", "cid", "code").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(os.path.join(path, "codes", f"__batch={batch_id}"))
+    got = obs.get
+    err = None if got["e"] is None else float(got["e"])
+    base = meta.get("quant_error_base")
+    report = {
+        "rows": int(got["n"]),
+        "quant_error": err,
+        "quant_error_base": base,
+        "drift_ratio": (
+            round(err / base, 4) if err is not None and base else None
+        ),
+    }
+    audit_dir = os.path.join(path, "_batches")
+    os.makedirs(audit_dir, exist_ok=True)
+    with open(os.path.join(audit_dir, f"{batch_id}.json"), "w") as f:
+        json.dump(report, f)
+    return report
 
 
 def query_ann_index(

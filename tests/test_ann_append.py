@@ -1,0 +1,138 @@
+"""Incremental ANN-index append (operators.similarity.append_ann_index).
+
+The persisted IVF-PQ index accepts new vectors WITHOUT retraining —
+encoded with the frozen codebooks, landed under a per-batch partition
+directory — and each append reports its PQ reconstruction error against
+the build-time baseline (the retrain signal). Pins:
+
+- appended vectors are queryable and win top-1 for their own queries;
+- encoding equivalence: appended codes are exactly what the sidecar
+  codebooks produce (no hidden re-quantization);
+- replaying a batch id overwrites itself (exactly-once contents under
+  at-least-once delivery);
+- in-distribution appends report drift ~1, a shifted distribution
+  reports drift >> in-distribution.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from knightshift_spark.operators.similarity import (
+    append_ann_index,
+    query_ann_index,
+    write_ann_index,
+)
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture()
+def index_dir(spark, tmp_path):
+    emb = spark.read.parquet(EMB)
+    base = emb.filter(F.col("vec_id") >= 20)
+    path = str(tmp_path / "ann")
+    write_ann_index(base, path, n_clusters=2, n_probe_default=2, m=2, ksub=4)
+    return path
+
+
+def test_appended_vectors_are_queryable_and_exact_for_self(spark, index_dir):
+    emb = spark.read.parquet(EMB)
+    batch = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    report = append_ann_index(batch, index_dir, "b1")
+    assert report["rows"] == batch.count()
+    # query WITH an appended vector: PQ self-distance is the cell minimum
+    # for the vector's own code, so it must appear in its top-k
+    q = emb.filter(F.col("vec_id") == 12)
+    out = query_ann_index(spark, index_dir, q, k=3, n_probe=2).collect()
+    assert 12 in {r["neighbor_id"] for r in out}
+
+
+def test_append_encoding_matches_sidecar_codebooks(spark, index_dir):
+    import json
+    import os
+
+    from knightshift_spark.operators.similarity import _encode_with, _unit
+
+    emb = spark.read.parquet(EMB)
+    batch = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    append_ann_index(batch, index_dir, "b1")
+    with open(os.path.join(index_dir, "codebooks.json")) as f:
+        meta = json.load(f)
+    expect = {
+        (r["neighbor_id"], r["cid"], tuple(r["code"]))
+        for r in _encode_with(
+            _unit(batch, "vec_id", "embedding", "neighbor_id", "__cv"),
+            meta["coarse"],
+            meta["books"],
+        ).collect()
+    }
+    stored = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
+        F.col("__batch") == "b1"
+    )
+    got = {
+        (r["neighbor_id"], r["cid"], tuple(r["code"])) for r in stored.collect()
+    }
+    assert got == expect
+
+
+def test_replayed_batch_overwrites_itself(spark, index_dir):
+    import os
+
+    emb = spark.read.parquet(EMB)
+    batch = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    r1 = append_ann_index(batch, index_dir, "b1")
+    r2 = append_ann_index(batch, index_dir, "b1")  # at-least-once replay
+    assert r1["rows"] == r2["rows"]
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    n_b1 = codes.filter(F.col("__batch") == "b1").count()
+    assert n_b1 == r1["rows"]  # not doubled
+    total = codes.count()
+    base_n = codes.filter(F.col("__batch") == "__base__").count()
+    assert total == base_n + n_b1
+
+
+def test_drift_signal_separates_shifted_batch(spark, tmp_path):
+    """Drift needs QUANTIZABLE data to be visible: the uniform-random
+    test embeddings have ~no cluster structure, so PQ explains almost
+    nothing even on its own training set (base error ≈ the residual
+    energy) and no shift can move the ratio. Real embedding spaces are
+    clustered; model that: base vectors sit near 4 prototypes (small
+    in-cluster noise — base error small), the shifted batch sits near
+    NEW prototypes the frozen codebooks never saw."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    protos = rng.normal(size=(4, 64))
+    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+    new_protos = rng.normal(size=(4, 64))
+    new_protos /= np.linalg.norm(new_protos, axis=1, keepdims=True)
+
+    def rows(cents, n, id0):
+        out = []
+        for i in range(n):
+            v = cents[i % len(cents)] + 0.02 * rng.normal(size=64)
+            out.append((id0 + i, [float(x) for x in v]))
+        return out
+
+    schema = "vec_id long, embedding array<float>"
+    base = spark.createDataFrame(rows(protos, 80, 0), schema)
+    in_dist = spark.createDataFrame(rows(protos, 20, 1000), schema)
+    shifted = spark.createDataFrame(rows(new_protos, 20, 2000), schema)
+
+    path = str(tmp_path / "ann_clustered")
+    write_ann_index(base, path, n_clusters=4, n_probe_default=2, m=2, ksub=4)
+    r_in = append_ann_index(in_dist, path, "indist")
+    r_out = append_ann_index(shifted, path, "shifted")
+    assert r_in["drift_ratio"] is not None and r_out["drift_ratio"] is not None
+    # in-distribution stays near the build-time error; the shifted batch
+    # quantizes far worse under the frozen codebooks
+    assert r_in["drift_ratio"] < 2.0
+    assert r_out["drift_ratio"] > 3 * r_in["drift_ratio"]
+
+
+def test_batch_id_is_validated(spark, index_dir):
+    emb = spark.read.parquet(EMB).limit(1)
+    with pytest.raises(ValueError):
+        append_ann_index(emb, index_dir, "__base__")
+    with pytest.raises(ValueError):
+        append_ann_index(emb, index_dir, "evil/../path")
