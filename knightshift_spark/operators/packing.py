@@ -57,12 +57,21 @@ def _range_buckets(
 
 
 def _with_prefix(
-    docs: DataFrame, order_col: str, tokens_col: str, n_buckets: int
+    docs: DataFrame,
+    order_col: str,
+    tokens_col: str,
+    n_buckets: int,
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exclusive global running sum of ``tokens_col`` in ``order_col``
-    order, as ``__start`` — two-phase prefix sum (see module docstring)."""
+    order, as ``__start`` — two-phase prefix sum (see module docstring).
+
+    ``tiebreak_cols`` extend the within-bucket sort for callers whose
+    primary key is non-unique (e.g. a 32-bit shuffle hash): rows with
+    equal primary keys share a range bucket by construction, so the
+    tiebreak makes the GLOBAL order total and the prefix deterministic."""
     bucketed, bkt = _range_buckets(docs, order_col, n_buckets)
-    w = Window.partitionBy(bkt).orderBy(order_col)
+    w = Window.partitionBy(bkt).orderBy(order_col, *tiebreak_cols)
     local = bucketed.withColumn(
         "__local_end", F.sum(F.col(tokens_col).cast("bigint")).over(w)
     )
