@@ -215,12 +215,14 @@ def curate_corpus(
     # fork (it re-reads the annotated input), so it is built from `raw`
     # and the SAME plan object joins into both chains — Catalyst's
     # ReuseExchange executes its aggregate once.
-    first = raw.groupBy("__fp").agg(F.min(id_col).alias("__keep"))
+    first = raw.groupBy("__fp").agg(F.min(id_col).alias("__keep")).select(
+        F.col("__fp").alias("__fp_k"), "__keep"
+    )
 
     def _exact(df: DataFrame) -> DataFrame:
         return df.join(
             first,
-            (df["__fp"] == first["__fp"]) & (df[id_col] == first["__keep"]),
+            (df["__fp"] == first["__fp_k"]) & (df[id_col] == first["__keep"]),
             "left_semi",
         )
 
