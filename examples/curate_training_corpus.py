@@ -126,7 +126,9 @@ def main() -> None:
         )
     )
 
-    # 3. ANN index over the survivors' embeddings (build once, query many)
+    # 3. ANN index over the survivors' embeddings (build once, query many;
+    # later arrivals go through append_ann_index — no retrain until its
+    # drift signal says the codebooks went stale)
     kept_ids = spark.read.parquet(f"{out_dir}/documents").select(
         F.col("doc_id").alias("vec_id")
     )
@@ -137,7 +139,22 @@ def main() -> None:
         m=4,
         ksub=8,
     )
-    print(f"curated corpus + ANN index written under {out_dir}")
+
+    # 4. the output stage: token-balanced, deterministic training shards
+    # with a verifiable manifest — what the training run actually reads
+    from knightshift_spark.functions.text import token_count
+    from knightshift_spark.operators.sharding import (
+        verify_shards,
+        write_training_shards,
+    )
+
+    kept = spark.read.parquet(f"{out_dir}/documents_compacted").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    print(write_training_shards(kept, f"{out_dir}/shards", shard_tokens=2_000))
+    drift = verify_shards(spark, f"{out_dir}/shards")
+    assert drift.count() == 0, "shard manifest drift detected"
+    print(f"curated corpus + ANN index + shards written under {out_dir}")
 
 
 if __name__ == "__main__":
