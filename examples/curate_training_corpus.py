@@ -6,7 +6,7 @@ DataFrame transform designed for 100 TB (see SCALE.md):
   paragraph dedup → doc-level curation (exact dedup → MinHash-LSH
   near-dup → quality/lang gates → benchmark decontamination →
   deterministic mixture sampling) → ANN index build for the survivors'
-  embeddings.
+  embeddings → token-balanced training shards with a verified manifest.
 
 Runnable against the driver testdata:
 
