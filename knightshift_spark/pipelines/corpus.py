@@ -142,6 +142,7 @@ def curate_corpus(
     classifier_pareto_alpha: float = 9.0,
     pii_scrub: bool = False,
     strip_substrings: dict | None = None,
+    normalize: dict | None = None,
     small_input: bool = False,
 ) -> CurationResult:
     """See the module docstring for the stage map.
@@ -154,6 +155,17 @@ def curate_corpus(
     ``_tiny_job_confs``. At corpus scale leave it False — those id
     sets are only bounded by the duplicate rate, and broadcasting them
     would be wrong."""
+    # 0a. (optional) unicode normalization FIRST of all — every later
+    # stage keys on exact bytes (fingerprints, shingle hashes, gram
+    # joins), so normalization-form variants of the same text must fold
+    # before any hashing. A transform, not a filter — no funnel row.
+    # kwargs pass through (form/collapse_spaces), e.g.
+    # normalize={"form": "NFKC"}; form=None keeps it pure-codegen.
+    if normalize is not None:
+        from knightshift_spark.operators.textnorm import normalize_text
+
+        docs = normalize_text(docs, text_col=text_col, **normalize)
+
     # 0. (optional) substring-level dedup FIRST (the ExactSubstr move):
     # cut corpus-duplicated spans out of the text before any doc-level
     # screen, so fingerprints/shingles/quality see the cleaned text.

@@ -87,3 +87,28 @@ def test_bad_form_raises(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         nfkc_normalize(docs, form="NFX")
+
+
+def test_normalize_stage_in_curation_funnel(spark):
+    """normalize={'form': 'NFKC'} folds form-variant duplicates BEFORE
+    the exact-dedup fingerprint, so they leave through the funnel's
+    exact_dup_removed row instead of surviving as distinct docs."""
+    from knightshift_spark.pipelines.corpus import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "five fine fish figure the final fight", "s"),
+            (2, "five fine fish figure the final fight".replace("fi", "ﬁ"), "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    # the two texts differ (fi ligature) without normalization...
+    raw = curate_corpus(docs, min_tokens=0, langs=("en", "und"))
+    assert raw.kept.count() == 2
+    # ...and fold into one with it
+    norm = curate_corpus(
+        docs, min_tokens=0, langs=("en", "und"), normalize={"form": "NFKC"}
+    )
+    assert sorted(r["doc_id"] for r in norm.kept.collect()) == [1]
+    stats = {r["reason"]: r["n"] for r in norm.stats.collect()}
+    assert stats["exact_dup_removed"] == 1
