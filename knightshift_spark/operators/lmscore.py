@@ -127,3 +127,55 @@ def lm_quality_score(
             F.lit(None).cast("double").alias("avg_logprob"),
         )
     )
+
+
+def ppl_bucket(
+    docs: DataFrame,
+    table: DataFrame,
+    edges: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    unseen_logp: float | None = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: bucket documents by their LM
+    score's position in the corpus distribution — ``head`` is the most
+    reference-like (highest avg log-prob / lowest perplexity), ``tail``
+    the least. CCNet keeps head+middle for pretraining and samples the
+    tail; the buckets here feed exactly that policy.
+
+    ``edges`` are the (upper-tail, upper-head... ) quantile FRACTIONS of
+    ``avg_logprob``: a doc below the ``edges[0]`` quantile is ``tail``,
+    above ``edges[1]`` is ``head``, between is ``middle``. With
+    ``group_col`` (CCNet buckets per language) the quantiles compute per
+    group — one ``percentile_approx`` aggregate (bounded sketch state,
+    group-count-sized output, broadcast back), so the corpus side is one
+    scoring pass + a map-side join at any scale. Zero-token docs score
+    NULL and bucket NULL (the token-count gate owns them).
+
+    Output: (id, [group], n_tokens, avg_logprob, ppl_bucket).
+    """
+    if not (0.0 < edges[0] < edges[1] < 1.0):
+        raise ValueError(f"edges must satisfy 0 < lo < hi < 1, got {edges}")
+    keep = [id_col] + ([group_col] if group_col else [])
+    scored = lm_quality_score(
+        docs, table, unseen_logp=unseen_logp, id_col=id_col, text_col=text_col
+    )
+    if group_col:
+        scored = scored.join(docs.select(id_col, group_col), id_col)
+    q = F.percentile_approx(
+        "avg_logprob", F.array(F.lit(edges[0]), F.lit(edges[1])), accuracy
+    )
+    if group_col:
+        cuts = scored.groupBy(group_col).agg(q.alias("__q"))
+        both = scored.join(F.broadcast(cuts), group_col, "left")
+    else:
+        both = scored.crossJoin(F.broadcast(scored.agg(q.alias("__q"))))
+    bucket = (
+        F.when(F.col("avg_logprob").isNull(), F.lit(None).cast("string"))
+        .when(F.col("avg_logprob") < F.element_at("__q", 1), F.lit("tail"))
+        .when(F.col("avg_logprob") >= F.element_at("__q", 2), F.lit("head"))
+        .otherwise(F.lit("middle"))
+    )
+    return both.select(*keep, "n_tokens", "avg_logprob", bucket.alias("ppl_bucket"))

@@ -102,3 +102,69 @@ def test_min_count_prunes_tail(spark):
     # only tokens appearing >= 2 times survive
     kept = {r["token"] for r in pruned.collect()}
     assert "the" in kept and "weather" not in kept
+
+
+def test_ppl_bucket_head_middle_tail(spark):
+    """Reference-like docs land in head, gibberish in tail; buckets are
+    quantile-sized; zero-token docs bucket NULL."""
+    from knightshift_spark.operators.lmscore import ppl_bucket, unigram_logprob_table
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog sat too") for i in range(20)],
+        "doc_id long, text string",
+    )
+    table = unigram_logprob_table(ref)
+    # doc i mixes (30-i) reference tokens with i OOV tokens: scores are
+    # DISTINCT and monotonically decreasing in i, so the quantile split
+    # is exact thirds (ties would legitimately skew quantile buckets)
+    rows = [
+        (i, " ".join(["the"] * (30 - i) + [f"xqzzy{j}" for j in range(i)]))
+        for i in range(30)
+    ] + [(30, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["ppl_bucket"] for r in ppl_bucket(docs, table).collect()}
+    assert all(out[i] == "head" for i in range(10))
+    assert all(out[i] == "middle" for i in range(11, 20))
+    assert all(out[i] == "tail" for i in range(21, 30))
+    # the two quantile-boundary docs may fall either side
+    assert out[10] in ("head", "middle") and out[20] in ("middle", "tail")
+    assert out[30] is None
+
+
+def test_ppl_bucket_per_group_quantiles(spark):
+    """group_col computes quantiles per group: identical scores can land
+    in different buckets when their groups' distributions differ."""
+    from knightshift_spark.operators.lmscore import ppl_bucket, unigram_logprob_table
+
+    ref = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(5)], "doc_id long, text string"
+    )
+    table = unigram_logprob_table(ref)
+    # group A: mostly reference-like; group B: mostly junk. The shared
+    # middling doc text scores the same in both groups but ranks LOW in
+    # A and HIGH in B.
+    shared = "alpha beta zz yy"
+    rows = (
+        [(i, "alpha beta gamma delta", "A") for i in range(8)]
+        + [(100, shared, "A")]
+        + [(200 + i, f"zz{i} qq ww ee", "B") for i in range(8)]
+        + [(300, shared, "B")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in ppl_bucket(docs, table, group_col="lang").collect()
+    }
+    assert out[100] == "tail"  # worst of group A
+    assert out[300] == "head"  # best of group B
+
+
+def test_ppl_bucket_bad_edges(spark):
+    from knightshift_spark.operators.lmscore import ppl_bucket, unigram_logprob_table
+
+    ref = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    docs = ref
+    import pytest
+
+    with pytest.raises(ValueError):
+        ppl_bucket(docs, unigram_logprob_table(ref), edges=(0.7, 0.3))
