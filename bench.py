@@ -832,11 +832,18 @@ def curation_section(spark, sf_dir: str) -> dict:
     ).collect()[0]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
+    from knightshift_spark.operators.lmscore import ppl_bucket
+    from knightshift_spark.operators.textnorm import clean_text
+
     lm = unigram_logprob_table(docs.limit(1000))
     entries = {
         "pii_redact": redact_pii(docs),
         "c4_clean": c4_clean(docs, sep=" a "),  # single-line corpus: q66's separator
         "lm_score": lm_quality_score(docs, lm),
+        # r9 ops: codegen byte-hygiene tier of unicode normalization;
+        # CCNet head/middle/tail bucketing (scoring + one quantile sketch)
+        "textnorm_jvm": clean_text(docs, collapse_spaces=True),
+        "ppl_bucket": ppl_bucket(docs, lm),
     }
     out: dict[str, dict] = {}
     for name, df in entries.items():
@@ -884,6 +891,37 @@ def curation_section(spark, sf_dir: str) -> dict:
         "input_vectors": dup_heavy.count(),
         "planted_twins": 100,
         "pairs": sem.count(),
+    }
+    # r9: the shard writer end-to-end (assign + partitioned write +
+    # manifest + verify) — the output stage a training run reads
+    import shutil
+    import tempfile
+
+    from knightshift_spark.functions.text import token_count
+    from knightshift_spark.operators.sharding import (
+        verify_shards,
+        write_training_shards,
+    )
+
+    shard_in = docs.select("doc_id", F.col("text")).withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    shard_dir = tempfile.mkdtemp(prefix="ks-bench-shards-")
+    try:
+        t0 = time.perf_counter()
+        summary = write_training_shards(shard_in, shard_dir, shard_tokens=20_000)
+        write_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        drift_rows = verify_shards(spark, shard_dir).count()
+        verify_sec = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(shard_dir, ignore_errors=True)
+    out["training_shards"] = {
+        "write_sec": round(write_sec, 4),
+        "verify_sec": round(verify_sec, 4),
+        "n_shards": summary["n_shards"],
+        "n_tokens": summary["n_tokens"],
+        "verify_drift_rows": drift_rows,
     }
     return {
         "note": "curation operators over the full sf tables on "
