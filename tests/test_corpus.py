@@ -50,10 +50,13 @@ def test_curate_corpus_end_to_end(spark):
 
 def test_curate_corpus_empty_input(spark):
     empty = spark.createDataFrame([], "doc_id int, text string")
-    res = curate_corpus(empty)
-    assert res.kept.count() == 0
-    stats = {r["reason"]: r["n"] for r in res.stats.collect()}
-    assert stats["input"] == 0 and stats["kept"] == 0
+    # BOTH stats paths must survive an empty corpus: the default
+    # observe-instrumented action and the lazy union-of-counts plan
+    for persist in (True, False):
+        res = curate_corpus(empty, persist_intermediates=persist)
+        assert res.kept.count() == 0
+        stats = {r["reason"]: r["n"] for r in res.stats.collect()}
+        assert stats["input"] == 0 and stats["kept"] == 0
 
 
 def test_dedup_ops_empty_input(spark):
@@ -267,13 +270,19 @@ def test_lm_gate_and_pii_scrub_stages(spark):
 def test_default_funnel_rows_unchanged_by_new_stages(spark):
     """The dynamic stats builder must emit the EXACT same reasons in the
     same order as round 5 when no new stage is active (q57 contract)."""
-    res = curate_corpus(_docs(spark), jaccard_threshold=0.5, min_tokens=5)
-    reasons = [r["reason"] for r in res.stats.collect()]
-    assert reasons == [
+    expected = [
         "input", "exact_dup_removed", "near_dup_removed",
         "quality_or_lang_removed", "contaminated_removed",
         "quota_removed", "mixture_removed", "kept",
     ]
+    # both stats builders (observe default + lazy opt-in) keep the shape
+    for persist in (True, False):
+        res = curate_corpus(
+            _docs(spark), jaccard_threshold=0.5, min_tokens=5,
+            persist_intermediates=persist,
+        )
+        reasons = [r["reason"] for r in res.stats.collect()]
+        assert reasons == expected
 
 
 def test_classifier_gate_stage(spark):
