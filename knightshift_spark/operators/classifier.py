@@ -108,7 +108,13 @@ def _summary_free(model):
     ObservationManager, and scoring then dies with 'Task not
     serializable' arbitrarily far from the cause. Persisted models drop
     their summary by contract, so one write/read round-trip is the
-    supported detach; cached on the instance so it costs once."""
+    supported detach; cached on the instance so it costs once.
+
+    The round-trip path defaults to a driver tempdir, which is only
+    correct when driver and executors share a filesystem (local mode —
+    ML writers run Spark jobs, so executors do the writing). On a
+    multi-node cluster set ``KNIGHTSHIFT_SCRATCH`` to a shared-FS/DFS
+    URI; the detach then round-trips through storage every node sees."""
     if not getattr(model, "hasSummary", False):
         return model
     cached = getattr(model, "_ks_summary_free", None)
@@ -117,14 +123,23 @@ def _summary_free(model):
     import os
     import shutil
     import tempfile
+    import uuid
 
-    d = tempfile.mkdtemp(prefix="ks-clf-")
+    scratch = os.environ.get("KNIGHTSHIFT_SCRATCH")
+    d = (
+        f"{scratch.rstrip('/')}/ks-clf-{uuid.uuid4().hex}"
+        if scratch
+        else tempfile.mkdtemp(prefix="ks-clf-")
+    )
     try:
-        path = os.path.join(d, "m")
+        path = os.path.join(d, "m") if not scratch else f"{d}/m"
         model.write().overwrite().save(path)
         clean = type(model).load(path)
     finally:
-        shutil.rmtree(d, ignore_errors=True)
+        if not scratch:
+            shutil.rmtree(d, ignore_errors=True)
+        # shared-FS scratch: best-effort cleanup through the JVM Hadoop FS
+        # would add a config dependency here; callers own scratch GC.
     model._ks_summary_free = clean
     return clean
 

@@ -152,7 +152,8 @@ def ppl_bucket(
     group — one ``percentile_approx`` aggregate (bounded sketch state,
     group-count-sized output, broadcast back), so the corpus side is one
     scoring pass + a map-side join at any scale. Zero-token docs score
-    NULL and bucket NULL (the token-count gate owns them).
+    NULL and bucket NULL (the token-count gate owns them); NULL-group
+    docs also bucket NULL (no distribution of their own to rank in).
 
     Output: (id, [group], n_tokens, avg_logprob, ppl_bucket).
     """
@@ -173,7 +174,13 @@ def ppl_bucket(
     else:
         both = scored.crossJoin(F.broadcast(scored.agg(q.alias("__q"))))
     bucket = (
-        F.when(F.col("avg_logprob").isNull(), F.lit(None).cast("string"))
+        # NULL cuts happen when the doc's group is NULL (it can never
+        # equi-join its own cuts row back) — bucket NULL, don't let the
+        # NULL comparisons fall through to 'middle'
+        F.when(
+            F.col("avg_logprob").isNull() | F.col("__q").isNull(),
+            F.lit(None).cast("string"),
+        )
         .when(F.col("avg_logprob") < F.element_at("__q", 1), F.lit("tail"))
         .when(F.col("avg_logprob") >= F.element_at("__q", 2), F.lit("head"))
         .otherwise(F.lit("middle"))

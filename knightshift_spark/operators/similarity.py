@@ -1021,10 +1021,18 @@ def write_ann_index(
 
     The sidecar also records the build-time mean PQ reconstruction error
     (``quant_error_base``) — the yardstick ``append_ann_index`` compares
-    each new batch against to signal codebook staleness."""
+    each new batch against to signal codebook staleness.
+
+    A REBUILD (write over an existing path) clears the whole ``codes``
+    tree and the append audit first: batches appended under the OLD
+    codebooks would otherwise survive next to the new sidecar and
+    ADC-decode garbage at query time."""
     import json
     import os
+    import shutil
 
+    shutil.rmtree(os.path.join(path, "codes"), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "_batches"), ignore_errors=True)
     cu = _unit(candidates, id_col, vec_col, "neighbor_id", "__cv")
     coarse = ivf_centroids(cu, n_clusters, "neighbor_id", "__cv")
     books = pq_codebooks(
@@ -1097,6 +1105,18 @@ def append_ann_index(
             f"batch_id must be filesystem-safe ([A-Za-z0-9_.-]+, not "
             f"'__base__'): {batch_id!r}"
         )
+    # migrate a pre-append-era index in place: its codes/cid=N dirs sit
+    # one level up, and mixing partition depths breaks Spark's partition
+    # discovery ('Conflicting directory structures') on the next read
+    codes_root = os.path.join(path, "codes")
+    legacy = [
+        d for d in os.listdir(codes_root) if d.startswith("cid=")
+    ] if os.path.isdir(codes_root) else []
+    if legacy:
+        base_dir = os.path.join(codes_root, "__batch=__base__")
+        os.makedirs(base_dir, exist_ok=True)
+        for d in legacy:
+            os.rename(os.path.join(codes_root, d), os.path.join(base_dir, d))
     with open(os.path.join(path, "codebooks.json")) as f:
         meta = json.load(f)
     cu = _unit(new_vectors, id_col, vec_col, "neighbor_id", "__cv")

@@ -483,16 +483,21 @@ def curate_corpus(
         def _count_of(o) -> int:
             try:
                 return int(o.get["n"])
-            except Exception:
+            except Exception as e:
                 # a CollectMetrics node inside a provably-EMPTY subtree
                 # is removed by the empty-relation propagation rules
                 # (classic PropagateEmptyRelation and its AQE twin), so
-                # its observation never fires and the JVM row conversion
-                # raises. Emptiness is the only condition under which
-                # Spark drops an observe node, so the true count at that
-                # chain point is 0 — and the funnel's ok bits would flag
-                # any inconsistent reconstruction anyway.
-                return 0
+                # its observation never fires and the JVM-side row
+                # conversion (toPyRow) trips an assertion. Emptiness is
+                # the only condition under which Spark drops an observe
+                # node, so the true count at that chain point is 0.
+                # ONLY that signature is absorbed — any other failure
+                # (connection loss, interrupted job, changed semantics)
+                # must stay loud rather than fabricate a 0 count.
+                msg = str(e)
+                if "toPyRow" in msg or "assertion failed" in msg:
+                    return 0
+                raise
 
         counts = {name: _count_of(o) for name, o in obsmap.items()}
         vals = [(name, counts[name]) for name in obs_order]

@@ -907,8 +907,17 @@ class TxnTable:
         restoring caller saw (ADVICE r8)."""
         meta, old_active, _ = self._state(version)
         for p in old_active:
-            if not os.path.isdir(os.path.join(self.path, p)):
+            full = os.path.join(self.path, p)
+            if not os.path.isdir(full):
                 raise VacuumedVersionError(f"restore target file vacuumed: {p}")
+            # freshen the reactivated directories BEFORE committing: a
+            # vacuum whose commit already landed is past its conflict
+            # check and about to delete anything old and not live at ITS
+            # version — the retention window is the only guard left, and
+            # it keys on mtime. Touching makes these dirs 'young', the
+            # same protection an in-flight writer's staged data gets
+            # (ADVICE r8 follow-up: vacuum-vs-restore deletion race).
+            os.utime(full)
         _, cur_active, read_v = self._state()
         adds = [a for p, a in old_active.items() if p not in cur_active]
         removes = [p for p in cur_active if p not in old_active]
@@ -926,7 +935,11 @@ class TxnTable:
         before it raises ``VacuumedVersionError`` instead of returning
         wrong answers.
 
-        Two rules close the concurrent-writer races (ADVICE r8):
+        Three rules close the concurrent-writer races (ADVICE r8 + the
+        r9 vacuum-vs-restore follow-up: liveness is re-resolved at the
+        LATEST version right before deletion, and restore() freshens the
+        mtimes of the directories it reactivates, so a restore landing
+        after the vacuum commit is protected from both sides):
 
         - the vacuum COMMIT never rebases: losing the version race
           re-reads the table state and recomputes the live set from
@@ -957,7 +970,13 @@ class TxnTable:
                 break
         self._maybe_checkpoint(v)
         cutoff = time.time() - max(float(retention_s), 0.0)
-        live = set(active)
+        # re-resolve liveness at the LATEST version right before
+        # deleting: a restore committed after the vacuum commit may have
+        # reactivated historical files (their mtimes are old, so the
+        # retention guard alone doesn't cover them — restore also
+        # freshens them, so either side closes the window)
+        _, latest_active, _ = self._state()
+        live = set(active) | set(latest_active)
         data_root = os.path.join(self.path, _DATA_DIR)
         for d in sorted(os.listdir(data_root)):
             base = os.path.join(_DATA_DIR, d)

@@ -440,3 +440,23 @@ class MetricsTotalsView:
             "input_rows": int(row["input_rows"]),
             "wall_ms": int(row["wall_ms"]),
         }
+
+    def rebuild(self, log_path: str) -> dict:
+        """Recompute the view FROM the log — the repair path for the
+        non-atomic append+merge seam: ``flush()`` writes the log row
+        first and merges the view second, so a crash between the two
+        (or a failed merge) leaves the view permanently behind with no
+        replay watermark to heal it. One full-log merge replaces the
+        view; the max-partial attempt semantics make it exactly what
+        incremental merges of every flush would have produced, so
+        ``rebuild`` is also the cheap way to adopt a view for a
+        pre-existing log. Returns the rebuilt ``totals()``."""
+        import os
+        import shutil
+
+        shutil.rmtree(self.view_path, ignore_errors=True)
+        if os.path.isdir(log_path):
+            raw = self._spark.read.parquet(log_path)
+            if raw.take(1):
+                self.merge(raw)
+        return self.totals()

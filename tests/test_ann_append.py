@@ -136,3 +136,43 @@ def test_batch_id_is_validated(spark, index_dir):
         append_ann_index(emb, index_dir, "__base__")
     with pytest.raises(ValueError):
         append_ann_index(emb, index_dir, "evil/../path")
+
+
+def test_rebuild_clears_stale_appends(spark, index_dir, tmp_path):
+    """Retrain (write over an existing path) must drop batches encoded
+    with the OLD codebooks — stale codes would ADC-decode garbage."""
+    import os
+
+    emb = spark.read.parquet(EMB)
+    append_ann_index(emb.filter(F.col("vec_id") < 10), index_dir, "old-batch")
+    write_ann_index(
+        emb.filter(F.col("vec_id") >= 20), index_dir,
+        n_clusters=2, n_probe_default=2, m=2, ksub=4,
+    )
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    batches = {r["__batch"] for r in codes.select("__batch").distinct().collect()}
+    assert batches == {"__base__"}
+    assert not os.path.exists(os.path.join(index_dir, "_batches"))
+
+
+def test_append_migrates_legacy_flat_layout(spark, index_dir):
+    """An index written before the __batch level gains it on first
+    append instead of bricking partition discovery."""
+    import os
+    import shutil
+
+    codes = os.path.join(index_dir, "codes")
+    base = os.path.join(codes, "__batch=__base__")
+    # fabricate the legacy flat layout: cid dirs at the top level
+    for d in os.listdir(base):
+        os.rename(os.path.join(base, d), os.path.join(codes, d))
+    shutil.rmtree(base)
+    emb = spark.read.parquet(EMB)
+    report = append_ann_index(
+        emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
+        index_dir, "b1",
+    )
+    out = query_ann_index(
+        spark, index_dir, emb.filter(F.col("vec_id") == 12), k=3, n_probe=2
+    ).collect()
+    assert report["rows"] == 10 and 12 in {r["neighbor_id"] for r in out}

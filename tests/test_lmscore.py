@@ -168,3 +168,24 @@ def test_ppl_bucket_bad_edges(spark):
 
     with pytest.raises(ValueError):
         ppl_bucket(docs, unigram_logprob_table(ref), edges=(0.7, 0.3))
+
+
+def test_ppl_bucket_null_group_buckets_null(spark):
+    """A NULL group has no quantile row to join back — its docs must
+    bucket NULL, not fall through the NULL comparisons into 'middle'."""
+    from knightshift_spark.operators.lmscore import ppl_bucket, unigram_logprob_table
+
+    ref = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(5)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma", "A") for i in range(4)]
+        + [(10, "alpha beta gamma", None)],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in ppl_bucket(docs, unigram_logprob_table(ref), group_col="lang").collect()
+    }
+    assert out[10] is None
+    assert all(out[i] is not None for i in range(4))

@@ -991,3 +991,29 @@ def test_metrics_totals_view_incremental_across_restart(spark, tmp_path):
     via_view = metrics_log_totals(spark, log_path, view_path=view_path)
     assert via_view == one_shot
     assert via_view["n_batches"] == 3 and via_view["input_rows"] == 23
+
+
+def test_metrics_totals_view_rebuild_heals_divergence(spark, tmp_path):
+    """r9 (review finding): flush() appends the log row THEN merges the
+    view — a crash between the two leaves the view behind forever (no
+    replay watermark covers it). rebuild() recomputes the view from the
+    log and must equal both the log-side totals and what uninterrupted
+    incremental merges would have produced."""
+    from knightshift_spark.streaming.metrics import (
+        MetricsTotalsView,
+        PersistentMetricsLog,
+        metrics_log_totals,
+    )
+
+    log_path = str(tmp_path / "rlog")
+    view_path = str(tmp_path / "rview")
+    log = PersistentMetricsLog(spark, log_path, totals_view=view_path)
+    log.record_progress(_fake_progress(0, "2026-01-01T00:00:00Z", 5))
+    # simulate the crash window: a flush whose view merge never ran
+    broken = PersistentMetricsLog(spark, log_path)  # no totals_view wired
+    broken.record_progress(_fake_progress(1, "2026-01-01T00:01:00Z", 7))
+    view = MetricsTotalsView(spark, view_path)
+    assert view.totals()["n_batches"] == 1  # diverged: log has 2 batches
+    rebuilt = view.rebuild(log_path)
+    assert rebuilt == metrics_log_totals(spark, log_path)
+    assert rebuilt["n_batches"] == 2 and rebuilt["input_rows"] == 12

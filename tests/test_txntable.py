@@ -740,3 +740,35 @@ def test_zorder_buckets_prune_files_on_second_column(spark, tmp_path):
     assert len(t._paths_for_range("x", 0, 50)) < n_files
     got_x = {r.id for r in t.snapshot_where("x", 0, 50).collect()}
     assert got_x == {i for i, x, _ in rows if x <= 50}
+
+
+def test_vacuum_respects_restore_landing_after_its_commit(spark, table):
+    """r9 (review finding): a restore that commits AFTER the vacuum
+    commit reactivates historical files whose mtimes are old — the
+    retention window alone doesn't shield them. Vacuum re-resolves
+    liveness at the LATEST version right before deleting (and restore
+    freshens the reactivated dirs), so the restored head stays readable."""
+    table.append(_df(spark, [(1, "a", 1)]))              # v1
+    table.merge(_df(spark, [(1, "b", 2)]), ["version"])  # v2 (v1 file dead)
+    # make the historical files look old (beyond any retention window)
+    for p in table._state(1)[1]:
+        os.utime(os.path.join(table.path, p), (0, 0))
+    # land the restore in the window BETWEEN the vacuum commit and its
+    # delete loop (hooked via _maybe_checkpoint, which runs right after
+    # the commit publishes): the restore reads state AFTER the vacuum
+    # commit, so no conflict rule fires on either side
+    real_ckpt = table._maybe_checkpoint
+
+    def racing_ckpt(v):
+        real_ckpt(v)
+        if not getattr(racing_ckpt, "_fired", False):
+            racing_ckpt._fired = True
+            table.restore(1)
+
+    table._maybe_checkpoint = racing_ckpt
+    try:
+        table.vacuum(retention_s=0)
+    finally:
+        table._maybe_checkpoint = real_ckpt
+    # the restored head must still read (v1's files survived deletion)
+    assert _rows(table.snapshot()) == {(1, "a", 1)}
