@@ -97,3 +97,16 @@ def test_empty_input(spark, tmp_path):
 def test_bad_budget_raises(spark):
     with pytest.raises(ValueError):
         assign_shards(_docs(spark), 0)
+
+
+def test_assignment_invariant_to_physical_partitioning(spark):
+    """The two-phase prefix sum keys on the logical order only: the same
+    corpus arriving in different physical layouts (partition counts,
+    orders) must shard identically — reshuffling inputs is routine at
+    ingest and must never move shard boundaries."""
+    docs = _docs(spark, n=150)
+    base = {(r["doc_id"], r["shard"]) for r in assign_shards(docs, 120).collect()}
+    for layout in (docs.repartition(7), docs.repartition(1),
+                   docs.orderBy(F.col("doc_id").desc())):
+        got = {(r["doc_id"], r["shard"]) for r in assign_shards(layout, 120).collect()}
+        assert got == base
