@@ -3,9 +3,11 @@
 Oracles reproduce the exact same arithmetic in DuckDB: the portable
 md5-based 32-bit hash (``stable_hash32``) makes MinHash/SimHash
 engine-independent — integer math end-to-end, no float drift.
-``q30``/``q31`` scope to ``doc_id < 60`` because all-pairs exact Jaccard
+``q31`` scopes to ``doc_id < 60`` because all-pairs exact Jaccard
 is the *oracle baseline*; the scale path is ``lsh_candidate_pairs``
-(banded MinHash, q31b) which never materializes all pairs.
+(banded MinHash, q31b) which never materializes all pairs. ``q30``
+scopes to ``doc_id < 600`` — wide enough that both engines do real
+transitive-closure work, bounded by DuckDB's superlinear recursive CTE.
 """
 
 from __future__ import annotations
@@ -76,7 +78,7 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q30_ngram_jaccard",
-    oracle=_SHINGLES_CTE.format(scope="WHERE doc_id < 60").replace(
+    oracle=_SHINGLES_CTE.format(scope="WHERE doc_id < 600").replace(
         "WITH toks", "WITH RECURSIVE toks", 1
     )
     + """,
@@ -116,9 +118,13 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
 def q30(spark: SparkSession, sf: str) -> DataFrame:
     from knightshift_spark.operators.dedup import connected_components
 
-    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    # 600-doc scope (r9, up from 60): Spark's CC fixpoint cost is flat
+    # here (job floor), so the wider scope measures real closure work on
+    # both sides — DuckDB's recursive closure grows superlinearly and
+    # caps the honest comparison (< 1200 blows it past 30 s)
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 600)
     # checkpoint: the pair relation feeds BOTH the output and the CC
-    # iteration — 205 rows here; at scale the funnel persists it anyway
+    # iteration (~24k pair rows here); at scale the funnel persists it anyway
     pairs = lint_checkpoint(jaccard_pairs(docs, threshold=0.05), "q30.pairs")
     comps = connected_components(pairs)
     ca = comps.select(F.col("id").alias("doc_a"), F.col("comp").alias("comp_a"))

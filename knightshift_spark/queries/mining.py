@@ -34,11 +34,13 @@ def _q69_oracle() -> str:
     """Banded-candidate ∩ exact-Jaccard, BOTH relations banded with the
     index's minhash family — the LSH path itself is what gets checked
     (not the all-pairs baseline), mirroring q31b's argument: max_bucket
-    (500) and df_max (10 000) exceed any occupancy/df possible at the
-    150-doc scopes, so the capped operator runs its exact branches."""
+    (500) and df_max (10 000) exceed any occupancy/df possible at this
+    table's scale (bench-verified: identical row counts capped vs the
+    oracle's uncapped replay), so the capped operator runs its exact
+    branches."""
     h32 = hash32_sql("shingle")
     sides = []
-    for tag, scope in (("l", "doc_id < 150"), ("r", "doc_id >= 150 AND doc_id < 300")):
+    for tag, scope in (("l", "doc_id % 2 = 0"), ("r", "doc_id % 2 = 1")):
         sides.append(f"""
       {tag}tk AS (SELECT doc_id, {_TK} AS tk FROM documents WHERE {scope}),
       {tag}sh AS MATERIALIZED (
@@ -79,16 +81,18 @@ def _q69_oracle() -> str:
         "sides — the scale generalization of the reference's exact "
         "enrichment equi-join (backfill_user_profiles.py:169-175) to "
         "dirty keys. The oracle reproduces banding AND rescore; the "
-        "bucket/df caps (500/10000) provably exceed any occupancy at "
-        "this scope, so the capped production operator runs its exact "
-        "branches (the q31b argument)",
+        "bucket/df caps (500/10000) exceed any occupancy at this "
+        "table's scale, so the capped production operator runs its "
+        "exact branches (the q31b argument). Splits the WHOLE table "
+        "even/odd so the bench measures the join, not the per-job "
+        "floor (the q57 scope rule)",
 )
 def q69(spark: SparkSession, sf: str) -> DataFrame:
     from knightshift_spark.operators.fuzzyjoin import fuzzy_join
 
     docs = t(spark, sf, "documents")
-    left = docs.filter(F.col("doc_id") < 150)
-    right = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+    left = docs.filter(F.col("doc_id") % 2 == 0)
+    right = docs.filter(F.col("doc_id") % 2 == 1)
     return fuzzy_join(
         left, right, threshold=0.5, num_hashes=16, bands=4, max_bucket=500
     )
