@@ -97,6 +97,16 @@ def train_quality_classifier(
     return lr.fit(data)
 
 
+import threading
+import weakref
+
+# keyed by the model OBJECT, not stored on it (ADVICE r9: mutating the
+# caller's model was a surprising side effect and racy for concurrent
+# first scores); weak keys let discarded models free their clones
+_SUMMARY_FREE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_SUMMARY_FREE_LOCK = threading.Lock()
+
+
 def _summary_free(model):
     """A copy of ``model`` with the training summary DETACHED.
 
@@ -114,34 +124,56 @@ def _summary_free(model):
     correct when driver and executors share a filesystem (local mode —
     ML writers run Spark jobs, so executors do the writing). On a
     multi-node cluster set ``KNIGHTSHIFT_SCRATCH`` to a shared-FS/DFS
-    URI; the detach then round-trips through storage every node sees."""
+    URI; the detach then round-trips through storage every node sees —
+    a non-local master WITHOUT scratch set fails fast here with the
+    remedy, instead of dying inside executor-side ML writer tasks
+    (ADVICE r9). The clone is cached in a lock-guarded module-level
+    weak map, so concurrent first scores detach once and the caller's
+    model object is never mutated."""
     if not getattr(model, "hasSummary", False):
         return model
-    cached = getattr(model, "_ks_summary_free", None)
-    if cached is not None:
-        return cached
-    import os
-    import shutil
-    import tempfile
-    import uuid
+    with _SUMMARY_FREE_LOCK:
+        cached = _SUMMARY_FREE_CACHE.get(model)
+        if cached is not None:
+            return cached
+        import os
+        import shutil
+        import tempfile
+        import uuid
 
-    scratch = os.environ.get("KNIGHTSHIFT_SCRATCH")
-    d = (
-        f"{scratch.rstrip('/')}/ks-clf-{uuid.uuid4().hex}"
-        if scratch
-        else tempfile.mkdtemp(prefix="ks-clf-")
-    )
-    try:
-        path = os.path.join(d, "m") if not scratch else f"{d}/m"
-        model.write().overwrite().save(path)
-        clean = type(model).load(path)
-    finally:
+        scratch = os.environ.get("KNIGHTSHIFT_SCRATCH")
         if not scratch:
-            shutil.rmtree(d, ignore_errors=True)
-        # shared-FS scratch: best-effort cleanup through the JVM Hadoop FS
-        # would add a config dependency here; callers own scratch GC.
-    model._ks_summary_free = clean
-    return clean
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            master = spark.sparkContext.master if spark is not None else ""
+            if master and not master.startswith("local"):
+                raise RuntimeError(
+                    "score_docs needs to detach the model's training "
+                    "summary via a save/load round-trip, and the default "
+                    "driver tempdir is not visible to executors on "
+                    f"master={master!r}. Set KNIGHTSHIFT_SCRATCH to a "
+                    "shared-FS/DFS URI (e.g. hdfs:///tmp or s3a://...), "
+                    "or score with a model loaded from disk (persisted "
+                    "models carry no summary)."
+                )
+        d = (
+            f"{scratch.rstrip('/')}/ks-clf-{uuid.uuid4().hex}"
+            if scratch
+            else tempfile.mkdtemp(prefix="ks-clf-")
+        )
+        try:
+            path = os.path.join(d, "m") if not scratch else f"{d}/m"
+            model.write().overwrite().save(path)
+            clean = type(model).load(path)
+        finally:
+            if not scratch:
+                shutil.rmtree(d, ignore_errors=True)
+            # shared-FS scratch: best-effort cleanup through the JVM
+            # Hadoop FS would add a config dependency here; callers own
+            # scratch GC.
+        _SUMMARY_FREE_CACHE[model] = clean
+        return clean
 
 
 def score_docs(

@@ -1023,16 +1023,27 @@ def write_ann_index(
     (``quant_error_base``) — the yardstick ``append_ann_index`` compares
     each new batch against to signal codebook staleness.
 
-    A REBUILD (write over an existing path) clears the whole ``codes``
-    tree and the append audit first: batches appended under the OLD
-    codebooks would otherwise survive next to the new sidecar and
-    ADC-decode garbage at query time."""
+    A REBUILD (write over an existing path) is STAGED (ADVICE r9): the
+    new codes land under a temp subtree while the old index keeps
+    serving; only after the whole build succeeds are the old trees
+    swapped out (codes rename + atomic sidecar replace, then the stale
+    append audit last). A k-means failure or an interrupted job leaves
+    the previous index fully intact — the unreadable window shrinks
+    from the entire rebuild to two directory renames. Old-codebook
+    append batches are cleared in the swap because they would
+    ADC-decode garbage against the new sidecar."""
     import json
     import os
     import shutil
+    import uuid as _uuid
 
-    shutil.rmtree(os.path.join(path, "codes"), ignore_errors=True)
-    shutil.rmtree(os.path.join(path, "_batches"), ignore_errors=True)
+    # sweep litter from previously CRASHED rebuilds (readers never look
+    # at these; concurrent rebuilds of one index are not supported)
+    if os.path.isdir(path):
+        for d in os.listdir(path):
+            if d.startswith(("_rebuild-", "_old-")):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    stage = os.path.join(path, f"_rebuild-{_uuid.uuid4().hex}")
     cu = _unit(candidates, id_col, vec_col, "neighbor_id", "__cv")
     coarse = ivf_centroids(cu, n_clusters, "neighbor_id", "__cv")
     books = pq_codebooks(
@@ -1054,23 +1065,43 @@ def write_ann_index(
     from pyspark.sql import Observation
 
     obs = Observation()
-    enc.observe(
-        obs, F.avg(_sq_l2(F.col("__rv"), _pq_reconstruction(books))).alias("e")
-    ).select("neighbor_id", "cid", "code").write.mode("overwrite").partitionBy(
-        "cid"
-    ).parquet(os.path.join(path, "codes", "__batch=__base__"))
-    base_err = obs.get["e"]
-    meta = {
-        "coarse": coarse,
-        "books": books,
-        "m": m,
-        "ksub": ksub,
-        "n_clusters": n_clusters,
-        "n_probe_default": n_probe_default,
-        "quant_error_base": None if base_err is None else float(base_err),
-    }
-    with open(os.path.join(path, "codebooks.json"), "w") as f:
-        json.dump(meta, f)
+    try:
+        enc.observe(
+            obs, F.avg(_sq_l2(F.col("__rv"), _pq_reconstruction(books))).alias("e")
+        ).select("neighbor_id", "cid", "code").write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(os.path.join(stage, "codes", "__batch=__base__"))
+        base_err = obs.get["e"]
+        meta = {
+            "coarse": coarse,
+            "books": books,
+            "m": m,
+            "ksub": ksub,
+            "n_clusters": n_clusters,
+            "n_probe_default": n_probe_default,
+            "quant_error_base": None if base_err is None else float(base_err),
+        }
+        with open(os.path.join(stage, "codebooks.json"), "w") as f:
+            json.dump(meta, f)
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    # the build succeeded — swap the staged index in. Two renames plus an
+    # atomic os.replace of the sidecar; the old append audit goes LAST
+    # (a crash before that line leaves only ignorable stale audit rows,
+    # never a sidecar pointing at missing codes).
+    os.makedirs(path, exist_ok=True)
+    old = os.path.join(path, f"_old-{_uuid.uuid4().hex}")
+    if os.path.isdir(os.path.join(path, "codes")):
+        os.rename(os.path.join(path, "codes"), old)
+    os.rename(os.path.join(stage, "codes"), os.path.join(path, "codes"))
+    os.replace(
+        os.path.join(stage, "codebooks.json"),
+        os.path.join(path, "codebooks.json"),
+    )
+    shutil.rmtree(os.path.join(path, "_batches"), ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
 
 
 def append_ann_index(

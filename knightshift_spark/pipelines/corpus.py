@@ -214,13 +214,23 @@ def curate_corpus(
     obsmap: dict[str, object] = {}
     obs_order: list[str] = []
     pending: list[str] = []
+    # observations are NAMED (unique per run) so the failure path of
+    # _count_of can check the EXECUTED plan for the matching
+    # CollectMetrics node instead of pattern-matching exception text
+    # (ADVICE r9)
+    import uuid as _uuid
+
+    run_tag = _uuid.uuid4().hex[:8]
+
+    def _obs_name(name: str) -> str:
+        return f"funnel_{run_tag}_{name}"
 
     def _drain(df: DataFrame) -> DataFrame:
         if use_obs:
             from pyspark.sql import Observation
 
             for name in pending:
-                o = Observation()
+                o = Observation(_obs_name(name))
                 obsmap[name] = o
                 obs_order.append(name)
                 df = df.observe(o, F.count(F.lit(1)).alias("n"))
@@ -477,29 +487,39 @@ def curate_corpus(
         # extra jobs, zero re-planned count branches, VERDICT r8 #1) and
         # hands the caller a lineage-cut, materialized kept set, which
         # is what persist_intermediates promised all along
+        final_car = _drain(kept)
         with _tiny_job_confs(docs.sparkSession, small_input):
-            kept = _drain(kept).localCheckpoint()
+            kept = final_car.localCheckpoint()
 
-        def _count_of(o) -> int:
+        # the plan the action ACTUALLY executed (same QueryExecution the
+        # checkpoint consumed; with AQE this is the final adaptive plan)
+        try:
+            executed_plan = (
+                final_car._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception:
+            executed_plan = None  # introspection unavailable: stay loud
+
+        def _count_of(name: str, o) -> int:
             try:
                 return int(o.get["n"])
-            except Exception as e:
+            except Exception:
                 # a CollectMetrics node inside a provably-EMPTY subtree
                 # is removed by the empty-relation propagation rules
                 # (classic PropagateEmptyRelation and its AQE twin), so
-                # its observation never fires and the JVM-side row
-                # conversion (toPyRow) trips an assertion. Emptiness is
-                # the only condition under which Spark drops an observe
-                # node, so the true count at that chain point is 0.
-                # ONLY that signature is absorbed — any other failure
-                # (connection loss, interrupted job, changed semantics)
-                # must stay loud rather than fabricate a 0 count.
-                msg = str(e)
-                if "toPyRow" in msg or "assertion failed" in msg:
+                # its observation never fires. Emptiness is the only
+                # condition under which Spark drops an observe node, so
+                # the true count at that chain point is 0 — but verify
+                # it against the EXECUTED plan (the node named
+                # funnel_<run>_<stage> must be absent) instead of
+                # matching exception text: a generic JVM assertion from
+                # an unrelated failure must stay loud, never fabricate
+                # a 0 with ok=True (ADVICE r9).
+                if executed_plan is not None and _obs_name(name) not in executed_plan:
                     return 0
                 raise
 
-        counts = {name: _count_of(o) for name, o in obsmap.items()}
+        counts = {name: _count_of(name, o) for name, o in obsmap.items()}
         vals = [(name, counts[name]) for name in obs_order]
         rows, prev = [], None
         for name, n in vals:

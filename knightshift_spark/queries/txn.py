@@ -119,11 +119,15 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
         os.path.join(tempfile.mkdtemp(prefix="q72_txn_"), "t"),
         keys=["c_custkey"],
         schema=_SCHEMA,
-        n_buckets=4,
+        n_buckets=8,  # 8 buckets = merge/delete sort-and-write tasks; the
+        # r10 sweep (4/8/16 at sf0.1, local[32]) bottoms out here
     )
     table.append(cur)                                           # v1
     table.merge(upd_existing.unionByName(upd_new), ["version"])  # v2
-    table.delete_where(F.col("bal_e2") % 7 == 0)                # v3
+    # broad sweep: bal_e2 % 7 statistically hits every bucket, so the
+    # single-pass plan (one scan, observe-discovered touched buckets)
+    # beats two-phase discovery+rewrite — the validate-and-delete shape
+    table.delete_where(F.col("bal_e2") % 7 == 0, rewrite_all=True)  # v3
 
     return (
         table.snapshot()

@@ -43,15 +43,15 @@ import shutil
 import uuid
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
-
-from knightshift_spark.operators.merge import upsert
+from pyspark.sql.types import LongType, StructField, StructType
 
 _LOG_DIR = "_txnlog"
 _DATA_DIR = "data"
+_STAGING_DIR = "_staging"
 _BUCKET = "__bucket"
+_SRC = "__src"
 _CHECKPOINT_EVERY = 20
 
 
@@ -296,12 +296,13 @@ class TxnTable:
             for a in c.get("adds", []):
                 active[a["path"]] = a
             if c["op"] == "vacuum":
+                # DIAGNOSTIC only (ADVICE r9): the horizon marks where a
+                # vacuum ran, but whether time travel works is decided by
+                # PHYSICAL file availability at each read path — a vacuum
+                # whose retention window deleted nothing leaves all
+                # history readable. Readers raise VacuumedVersionError
+                # precisely when a referenced file is actually gone.
                 meta["vacuum_horizon"] = c["read_version"]
-        if version is not None and meta.get("vacuum_horizon", -1) > version:
-            raise VacuumedVersionError(
-                f"version {version} predates vacuum horizon "
-                f"{meta['vacuum_horizon']}"
-            )
         return meta, active, latest
 
     def version(self) -> int:
@@ -352,7 +353,9 @@ class TxnTable:
         paths: list[str] = []
         for p, a in active.items():
             if not overlaps((a.get("stats") or {}).get(col)):
-                continue
+                continue  # pruned: never opened, may even be gone
+            if not os.path.isdir(os.path.join(self.path, p)):
+                raise VacuumedVersionError(f"snapshot files vacuumed: {p}")
             files = a.get("files")
             if files:
                 for fe in files:
@@ -561,6 +564,9 @@ class TxnTable:
             for p, a in active.items()
             if a["bucket"] == bucket
         ]
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing:
+            raise VacuumedVersionError(f"lookup files vacuumed: {missing[:3]}")
         if not paths:
             return self.spark.createDataFrame([], self._schema(meta))
         cond = None
@@ -619,39 +625,36 @@ class TxnTable:
                 schema = schema.add(f.name, f.dataType, nullable=True)
         return {**meta, "schema": schema.json()}
 
-    def _write_data(self, df: DataFrame, meta: dict) -> list[dict]:
-        """One job, partitioned by bucket; returns add entries (one per
-        bucket directory actually produced). The pre-write repartition
-        co-locates each bucket so a W-partition input writes ~1 file per
-        bucket instead of W×buckets tiny files (write parallelism is
-        then ≤ n_buckets tasks — at scale n_buckets is thousands, and
-        buckets needing more parallelism split naturally across commits
-        + compaction)."""
+    def _zordered(self, bucketed: DataFrame, meta: dict) -> DataFrame:
+        """Morton-cluster within each bucket partition: the sort key
+        interleaves the z-columns' rank bits (plans/zorder.py), so
+        with target_file_rows the bucket splits into files covering
+        tight ranges in EVERY z column — per-file footer stats then
+        prune inside buckets (snapshot_where). Bounds come from the
+        table contract when supplied (zorder_bounds at create());
+        otherwise zorder_key runs one tiny min/max agg over the
+        incoming batch (an extra pass over the write's input plan —
+        supply static bounds for hot write paths)."""
+        zcols = meta.get("zorder_cols") or []
+        if not zcols:
+            return bucketed
+        from knightshift_spark.plans.zorder import zorder_key
+
+        bounds = meta.get("zorder_bounds") or None
+        return (
+            bucketed.withColumn("__z", zorder_key(bucketed, zcols, bounds=bounds))
+            .sortWithinPartitions(_BUCKET, "__z")
+            .drop("__z")
+        )
+
+    def _write_bucket_dirs(self, df: DataFrame, meta: dict) -> list[dict]:
+        """Run the write (partitionBy bucket) and return add entries, one
+        per bucket directory actually produced. Footer min/max stats ride
+        the post-write listing (driver-side pyarrow on the files just
+        written — no Spark job)."""
         rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         out = os.path.join(self.path, rel)
-        bucketed = self._bucketed(df, meta).repartition(F.col(_BUCKET))
-        zcols = meta.get("zorder_cols") or []
-        if zcols:
-            # Morton-cluster within each bucket partition: the sort key
-            # interleaves the z-columns' rank bits (plans/zorder.py), so
-            # with target_file_rows the bucket splits into files covering
-            # tight ranges in EVERY z column — per-file footer stats then
-            # prune inside buckets (snapshot_where). Bounds come from the
-            # table contract when supplied (zorder_bounds at create());
-            # otherwise zorder_key runs one tiny min/max agg over the
-            # incoming batch (an extra pass over the write's input plan —
-            # supply static bounds for hot write paths).
-            from knightshift_spark.plans.zorder import zorder_key
-
-            bounds = meta.get("zorder_bounds") or None
-            bucketed = (
-                bucketed.withColumn(
-                    "__z", zorder_key(bucketed, zcols, bounds=bounds)
-                )
-                .sortWithinPartitions(_BUCKET, "__z")
-                .drop("__z")
-            )
-        writer = bucketed.write.partitionBy(_BUCKET)
+        writer = df.write.partitionBy(_BUCKET)
         if meta.get("target_file_rows"):
             writer = writer.option(
                 "maxRecordsPerFile", int(meta["target_file_rows"])
@@ -677,6 +680,76 @@ class TxnTable:
         if not adds:  # empty write: nothing to publish, drop the dir
             shutil.rmtree(out)
         return adds
+
+    def _write_data(
+        self, df: DataFrame, meta: dict, shuffle: bool = True
+    ) -> list[dict]:
+        """One job, partitioned by bucket; returns add entries. The
+        pre-write repartition co-locates each bucket so a W-partition
+        input writes ~1 file per bucket instead of W×buckets tiny files
+        (write parallelism is then ≤ n_buckets tasks — at scale
+        n_buckets is thousands, and buckets needing more parallelism
+        split naturally across commits + compaction).
+
+        ``shuffle=False`` skips that exchange — correct always (the
+        partitionBy write splits mixed partitions per bucket), used by
+        rewrite paths whose input is a SMALL set of already-per-bucket
+        files: the scan's partitions each hold a handful of buckets, so
+        the file count stays bounded without paying a shuffle."""
+        bucketed = self._bucketed(df, meta)
+        if shuffle:
+            bucketed = bucketed.repartition(F.col(_BUCKET))
+        return self._write_bucket_dirs(self._zordered(bucketed, meta), meta)
+
+    def _stage_updates(self, df: DataFrame, meta: dict) -> tuple[str, list[int]]:
+        """Materialize the bucketed update batch ONCE under
+        ``_staging/<uuid>`` partitioned by bucket, and read the touched
+        buckets off the directory listing — no discovery job, and the
+        (possibly expensive) update plan is never evaluated twice. The
+        staged parquet is what the rewrite joins against; the caller
+        deletes it after the commit (vacuum sweeps crash leftovers).
+        Returns (relative staging dir, sorted touched buckets). The
+        bucket id is a stored column (NOT a partition directory): the
+        write needs no shuffle and no dir fan-out — an ``observe()``
+        metric riding the same job collects the distinct buckets."""
+        from pyspark.sql import Observation
+
+        rel = os.path.join(_STAGING_DIR, uuid.uuid4().hex)
+        out = os.path.join(self.path, rel)
+        os.makedirs(os.path.join(self.path, _STAGING_DIR), exist_ok=True)
+        obs = Observation()
+        self._bucketed(df, meta).observe(
+            obs, F.collect_set(F.col(_BUCKET)).alias("touched")
+        ).write.parquet(out)
+        return rel, sorted(int(b) for b in obs.get["touched"])
+
+    def _write_merged(
+        self, df: DataFrame, meta: dict, order_by: Sequence[str]
+    ) -> list[dict]:
+        """MERGE rewrite in ONE job with ONE shuffle: cluster on the
+        bucket, sort each bucket by (key, order_by DESC NULLS LAST,
+        __src DESC), keep the first row of every key run (``lag`` of the
+        key struct changes), and write ``partitionBy(bucket)`` straight
+        from the bucket-clustered partitions — the window's clustering
+        requirement IS the write layout, so Catalyst inserts no second
+        exchange (the generic ``operators.merge.upsert`` shuffles on the
+        key and would need a second bucket shuffle before the write).
+        Same semantics: updates (__src=1) beat stored rows on order_by
+        ties."""
+        keys = meta["keys"]
+        key_struct = F.struct(*[F.col(k) for k in keys])
+        w = Window.partitionBy(_BUCKET).orderBy(
+            *[F.col(k).asc() for k in keys],
+            *[F.col(c).desc_nulls_last() for c in order_by],
+            F.col(_SRC).desc(),
+        )
+        merged = (
+            df.repartition(int(meta["n_buckets"]), F.col(_BUCKET))
+            .withColumn("__prev_key", F.lag(key_struct).over(w))
+            .filter(~F.col("__prev_key").eqNullSafe(key_struct))
+            .drop("__prev_key", _SRC)
+        )
+        return self._write_bucket_dirs(self._zordered(merged, meta), meta)
 
     def _commit(
         self,
@@ -785,7 +858,17 @@ class TxnTable:
         ``evolve=True`` appends the update's NEW columns to the table
         schema in the same commit (existing files read NULL for them);
         updates must still carry every existing column — evolution adds,
-        it never silently drops."""
+        it never silently drops.
+
+        Cost shape (r10): exactly TWO jobs per commit. Job 1 evaluates
+        the update plan ONCE, staging it bucket-partitioned under
+        ``_staging/`` — touched buckets come off the directory listing,
+        replacing the round-9 distinct-collect discovery job that
+        re-ran the whole update plan a second time inside the rewrite.
+        Job 2 reads (touched base files ∪ staged parquet) and rewrites
+        them with the single-shuffle bucket-aligned dedup of
+        ``_write_merged``. Footer stats are a driver-side pyarrow pass
+        over the files job 2 just wrote — no job."""
         meta, active, read_v = self._state()
         new_schema = None
         if evolve:
@@ -794,37 +877,121 @@ class TxnTable:
                 new_schema = evolved["schema"]
                 meta = evolved
         keys = meta["keys"]
-        upd = self._bucketed(updates, meta)
-        touched = sorted(
-            r[_BUCKET] for r in upd.select(_BUCKET).distinct().collect()
-        )
-        if not touched:
-            return read_v
-        base_paths = [
-            os.path.join(self.path, p)
-            for p, a in active.items()
-            if a["bucket"] in set(touched)
-        ]
-        base = (
-            self.spark.read.schema(self._schema(meta)).parquet(*base_paths)
-            if base_paths
-            else self.spark.createDataFrame([], self._schema(meta))
-        )
-        merged = upsert(base, upd.drop(_BUCKET), keys, list(order_by))
-        adds = self._write_data(merged, meta)
-        removes = [p for p, a in active.items() if a["bucket"] in set(touched)]
-        return self._commit(
-            "merge", adds, removes, touched, read_v, schema=new_schema, txn=txn
-        )
+        schema = self._schema(meta)
+        staging_rel, touched = self._stage_updates(updates, meta)
+        try:
+            if not touched:
+                return read_v
+            bucket_expr = F.pmod(
+                F.xxhash64(*keys), F.lit(meta["n_buckets"])
+            ).cast("long")
+            staged_schema = StructType(
+                list(schema.fields) + [StructField(_BUCKET, LongType())]
+            )
+            upd = (
+                self.spark.read.schema(staged_schema)
+                .parquet(os.path.join(self.path, staging_rel))
+                .withColumn(_SRC, F.lit(1))
+            )  # _BUCKET is a stored column in the staged files
+            base_paths = [
+                os.path.join(self.path, p)
+                for p, a in active.items()
+                if a["bucket"] in set(touched)
+            ]
+            if base_paths:
+                base = (
+                    self.spark.read.schema(schema)
+                    .parquet(*base_paths)
+                    .withColumn(_BUCKET, bucket_expr)
+                    .withColumn(_SRC, F.lit(0))
+                )
+                both = base.unionByName(upd)
+            else:
+                both = upd
+            adds = self._write_merged(both, meta, list(order_by))
+            removes = [
+                p for p, a in active.items() if a["bucket"] in set(touched)
+            ]
+            return self._commit(
+                "merge", adds, removes, touched, read_v, schema=new_schema, txn=txn
+            )
+        finally:
+            shutil.rmtree(
+                os.path.join(self.path, staging_rel), ignore_errors=True
+            )
 
-    def delete_where(self, cond) -> int:
+    def delete_where(self, cond, rewrite_all: bool = False) -> int:
         """Conditional DELETE (reference OP-07): buckets holding matching
-        rows are rewritten without them; untouched buckets carry over."""
+        rows are rewritten without them; untouched buckets carry over.
+
+        Two plans, chosen by the caller's knowledge of the delete shape
+        (writes cost ~3× reads, so with touched-bucket fraction r the
+        crossover is r ≈ 0.75):
+
+        - two-phase (default, scale-safe): a discovery scan finds the
+          buckets with matches, then ONLY those are read again and
+          rewritten. Reads matching buckets twice, writes touched only —
+          right for bucket-sparse deletes (targeted purges) and the only
+          sane plan when the table dwarfs the delete.
+        - single-pass (``rewrite_all=True``): ONE scan writes every
+          bucket's kept rows while an ``observe()`` metric collects the
+          buckets that actually lost rows; only those are committed and
+          the rest of the output is discarded. Reads once, writes the
+          whole table — right for broad revalidation sweeps (the
+          reference's validate-and-delete pass,
+          ``validate_tv_channel_games.py:113``, deletes invalid rows
+          across the entire table) where nearly every bucket is hit
+          anyway."""
         meta, active, read_v = self._state()
-        snap = self.snapshot()
-        hit = snap.filter(cond).withColumn(
-            _BUCKET, F.pmod(F.xxhash64(*meta["keys"]), F.lit(meta["n_buckets"]))
+        if not active:
+            return read_v
+        schema = self._schema(meta)
+        bucket_expr = F.pmod(
+            F.xxhash64(*meta["keys"]), F.lit(meta["n_buckets"])
         )
+        keep_pred = ~F.coalesce(cond, F.lit(False))
+        if rewrite_all:
+            from pyspark.sql import Observation
+
+            paths = [os.path.join(self.path, p) for p in active]
+            obs = Observation()
+            kept = (
+                self.spark.read.schema(schema)
+                .parquet(*paths)
+                .withColumn(_BUCKET, bucket_expr)
+                .observe(
+                    obs,
+                    F.collect_set(
+                        F.when(F.coalesce(cond, F.lit(False)), F.col(_BUCKET))
+                    ).alias("hit_buckets"),
+                )
+                .filter(keep_pred)
+                .drop(_BUCKET)
+            )
+            adds_all = self._write_data(kept, meta, shuffle=len(paths) > 32)
+            touched = sorted(int(b) for b in (obs.get["hit_buckets"] or []))
+            keep_set = set(touched)
+            if not touched:  # no matches anywhere: discard the rewrite
+                if adds_all:
+                    shutil.rmtree(
+                        os.path.join(
+                            self.path, os.path.dirname(adds_all[0]["path"])
+                        ),
+                        ignore_errors=True,
+                    )
+                return read_v
+            for a in adds_all:
+                if a["bucket"] not in keep_set:
+                    shutil.rmtree(
+                        os.path.join(self.path, a["path"]), ignore_errors=True
+                    )
+            adds = [a for a in adds_all if a["bucket"] in keep_set]
+            removes = [
+                p for p, a in active.items() if a["bucket"] in keep_set
+            ]
+            return self._commit("delete", adds, removes, touched, read_v)
+        snap = self.snapshot()
+        hit = snap.filter(cond).withColumn(_BUCKET, bucket_expr)
         touched = sorted(r[_BUCKET] for r in hit.select(_BUCKET).distinct().collect())
         if not touched:
             return read_v
@@ -834,11 +1001,11 @@ class TxnTable:
             if a["bucket"] in set(touched)
         ]
         kept = (
-            self.spark.read.schema(self._schema(meta))
+            self.spark.read.schema(schema)
             .parquet(*base_paths)
-            .filter(~F.coalesce(cond, F.lit(False)))
+            .filter(keep_pred)
         )
-        adds = self._write_data(kept, meta)
+        adds = self._write_data(kept, meta, shuffle=len(base_paths) > 32)
         removes = [p for p, a in active.items() if a["bucket"] in set(touched)]
         return self._commit("delete", adds, removes, touched, read_v)
 
@@ -850,27 +1017,52 @@ class TxnTable:
         touched-bucket bytes, like merge."""
         meta, active, read_v = self._state()
         keys = meta["keys"]
+        schema = self._schema(meta)
         kd = keys_df.select(*keys).dropDuplicates(list(keys)).withColumn(
             _BUCKET, F.pmod(F.xxhash64(*keys), F.lit(meta["n_buckets"]))
         )
-        touched = sorted(r[_BUCKET] for r in kd.select(_BUCKET).distinct().collect())
-        if not touched:
-            return read_v
-        base_paths = [
-            os.path.join(self.path, p)
-            for p, a in active.items()
-            if a["bucket"] in set(touched)
-        ]
-        if not base_paths:
-            return read_v
-        kept = (
-            self.spark.read.schema(self._schema(meta))
-            .parquet(*base_paths)
-            .join(kd.drop(_BUCKET), list(keys), "left_anti")
+        # stage the key list once (same pattern as merge): touched
+        # buckets come off the listing, and the anti-join build side is
+        # a cheap parquet re-read instead of a second evaluation of the
+        # caller's key plan
+        from pyspark.sql import Observation
+
+        rel = os.path.join(_STAGING_DIR, uuid.uuid4().hex)
+        out = os.path.join(self.path, rel)
+        os.makedirs(os.path.join(self.path, _STAGING_DIR), exist_ok=True)
+        obs = Observation()
+        kd.observe(obs, F.collect_set(F.col(_BUCKET)).alias("touched")).write.parquet(
+            out
         )
-        adds = self._write_data(kept, meta)
-        removes = [p for p, a in active.items() if a["bucket"] in set(touched)]
-        return self._commit("delete", adds, removes, touched, read_v)
+        try:
+            touched = sorted(int(b) for b in obs.get["touched"])
+            if not touched:
+                return read_v
+            base_paths = [
+                os.path.join(self.path, p)
+                for p, a in active.items()
+                if a["bucket"] in set(touched)
+            ]
+            if not base_paths:
+                return read_v
+            key_schema = StructType(
+                [schema[k] for k in keys] + [StructField(_BUCKET, LongType())]
+            )
+            staged_kd = (
+                self.spark.read.schema(key_schema).parquet(out).drop(_BUCKET)
+            )  # _BUCKET is a stored column in the staged files
+            kept = (
+                self.spark.read.schema(schema)
+                .parquet(*base_paths)
+                .join(staged_kd, list(keys), "left_anti")
+            )
+            adds = self._write_data(kept, meta, shuffle=len(base_paths) > 32)
+            removes = [
+                p for p, a in active.items() if a["bucket"] in set(touched)
+            ]
+            return self._commit("delete", adds, removes, touched, read_v)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
 
     def compact(self, min_files: int = 2) -> int:
         """Rewrite every bucket fragmented across ≥ ``min_files`` data
@@ -931,9 +1123,12 @@ class TxnTable:
         """Physically delete data directories that no live snapshot at
         the current version references AND that are older than
         ``retention_s`` seconds (directory mtime — Delta's
-        retention-hours rule), then record the horizon: time travel
-        before it raises ``VacuumedVersionError`` instead of returning
-        wrong answers.
+        retention-hours rule), plus crash-leftover ``_staging/`` trees
+        past the same window. The recorded horizon is DIAGNOSTIC
+        (ADVICE r9): time travel fails with ``VacuumedVersionError``
+        exactly when a referenced file is physically gone — a vacuum
+        whose retention window deleted nothing leaves all history
+        readable.
 
         Three rules close the concurrent-writer races (ADVICE r8 + the
         r9 vacuum-vs-restore follow-up: liveness is re-resolved at the
@@ -999,6 +1194,19 @@ class TxnTable:
                 shutil.rmtree(os.path.join(self.path, s))
             if subs and len(dead) == len(subs):
                 shutil.rmtree(os.path.join(self.path, base), ignore_errors=True)
+        # crash-leftover staging trees (merge/delete_keys delete theirs
+        # on every normal exit): same retention guard — a young staging
+        # dir may belong to an in-flight writer
+        staging_root = os.path.join(self.path, _STAGING_DIR)
+        if os.path.isdir(staging_root):
+            for d in sorted(os.listdir(staging_root)):
+                full = os.path.join(staging_root, d)
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue
+                except OSError:
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
         return v
 
 

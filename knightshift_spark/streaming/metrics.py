@@ -334,8 +334,33 @@ def _dedupe_attempts(raw: DataFrame) -> DataFrame:
 
 def load_metrics_log(spark, path: str) -> DataFrame:
     """The metrics log deduped to one row per (query_id, batch_id) —
-    the LATEST attempt wins (``_dedupe_attempts``)."""
+    the LATEST attempt wins (``_dedupe_attempts``).
+
+    Concurrency (ADVICE r9): an in-place compaction deletes its
+    snapshot files AFTER their rows land in a compacted file in the
+    same directory, so a reader that listed the directory just before
+    the deletes can hit ``FileNotFoundException`` mid-scan. The
+    returned DataFrame is lazy, so the retry has to wrap the ACTION:
+    use ``collect_metrics_log_rows`` / ``metrics_log_totals`` (which
+    retry with a fresh listing — the fresh list always contains the
+    compacted file, making the second attempt complete and exact), or
+    re-call this function on that error. ``ignoreMissingFiles`` is
+    deliberately NOT used: it would silently drop the deleted file's
+    rows from a read whose listing predates the compacted file."""
     return _dedupe_attempts(spark.read.parquet(path))
+
+
+def collect_metrics_log_rows(spark, path: str) -> list:
+    """``load_metrics_log(...).collect()`` with the compaction-race
+    retry: on a missing-file failure, re-list and re-run once — the
+    second listing includes the compacted replacement file, so the
+    retry is complete and exact (see ``load_metrics_log``)."""
+    try:
+        return load_metrics_log(spark, path).collect()
+    except Exception as e:  # Py4J wraps java.io.FileNotFoundException
+        if "FileNotFoundException" not in str(e):
+            raise
+        return load_metrics_log(spark, path).collect()
 
 
 def metrics_log_totals(spark, path: str, view_path: str | None = None) -> dict:
@@ -349,15 +374,24 @@ def metrics_log_totals(spark, path: str, view_path: str | None = None) -> dict:
     instead: O(view) — the matview path (VERDICT r8 #7)."""
     if view_path is not None:
         return MetricsTotalsView(spark, view_path).totals()
-    row = (
-        load_metrics_log(spark, path)
-        .agg(
-            F.count(F.lit(1)).alias("n_batches"),
-            F.coalesce(F.sum("input_rows"), F.lit(0)).alias("input_rows"),
-            F.coalesce(F.sum("duration_ms"), F.lit(0)).alias("wall_ms"),
+
+    def _agg_once():
+        return (
+            load_metrics_log(spark, path)
+            .agg(
+                F.count(F.lit(1)).alias("n_batches"),
+                F.coalesce(F.sum("input_rows"), F.lit(0)).alias("input_rows"),
+                F.coalesce(F.sum("duration_ms"), F.lit(0)).alias("wall_ms"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
+
+    try:
+        row = _agg_once()
+    except Exception as e:  # compaction race: see load_metrics_log
+        if "FileNotFoundException" not in str(e):
+            raise
+        row = _agg_once()
     return {
         "n_batches": row["n_batches"],
         "input_rows": row["input_rows"],

@@ -176,3 +176,45 @@ def test_append_migrates_legacy_flat_layout(spark, index_dir):
         spark, index_dir, emb.filter(F.col("vec_id") == 12), k=3, n_probe=2
     ).collect()
     assert report["rows"] == 10 and 12 in {r["neighbor_id"] for r in out}
+
+
+def test_failed_rebuild_leaves_old_index_intact(spark, index_dir, monkeypatch):
+    """ADVICE r9: a rebuild is staged — if it dies anywhere before the
+    final swap, the previous codes + sidecar keep serving and no litter
+    survives the next successful rebuild."""
+    import json
+    import os
+
+    from knightshift_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(EMB)
+    with open(os.path.join(index_dir, "codebooks.json")) as f:
+        before_meta = json.load(f)
+
+    def boom(*a, **k):
+        raise RuntimeError("kmeans died")
+
+    monkeypatch.setattr(sim, "pq_codebooks", boom)
+    with pytest.raises(RuntimeError):
+        write_ann_index(emb, index_dir, n_clusters=2, m=2, ksub=4)
+    monkeypatch.undo()
+
+    # old index fully intact: same sidecar, queries still answer
+    with open(os.path.join(index_dir, "codebooks.json")) as f:
+        assert json.load(f) == before_meta
+    q = emb.filter(F.col("vec_id") == 25)
+    out = query_ann_index(spark, index_dir, q, k=3, n_probe=2).collect()
+    assert len(out) > 0
+
+    # a later successful rebuild sweeps any crash litter and clears the
+    # stale append audit
+    append_ann_index(emb.filter(F.col("vec_id") < 10), index_dir, "b9")
+    os.makedirs(os.path.join(index_dir, "_rebuild-dead"), exist_ok=True)
+    write_ann_index(emb, index_dir, n_clusters=2, m=2, ksub=4)
+    leftover = [
+        d for d in os.listdir(index_dir)
+        if d.startswith(("_rebuild-", "_old-", "_batches"))
+    ]
+    assert leftover == []
+    out2 = query_ann_index(spark, index_dir, q, k=3, n_probe=2).collect()
+    assert len(out2) > 0

@@ -772,3 +772,81 @@ def test_vacuum_respects_restore_landing_after_its_commit(spark, table):
         table._maybe_checkpoint = real_ckpt
     # the restored head must still read (v1's files survived deletion)
     assert _rows(table.snapshot()) == {(1, "a", 1)}
+
+
+def test_vacuum_with_retention_keeps_time_travel_readable(spark, table):
+    """ADVICE r9: a vacuum whose retention window deleted nothing must
+    not poison time travel — the horizon is diagnostic; readability is
+    decided by physical file availability."""
+    table.append(_df(spark, [(1, "a", 1)]))              # v1
+    table.merge(_df(spark, [(1, "b", 2)]), ["version"])  # v2
+    table.vacuum(retention_s=3600)                       # deletes nothing
+    assert _rows(table.snapshot(1)) == {(1, "a", 1)}     # still readable
+    assert _rows(table.snapshot()) == {(1, "b", 2)}
+    v = table.restore(1)                                 # still restorable
+    assert _rows(table.snapshot()) == {(1, "a", 1)}
+    # once the files are actually gone, the same reads refuse loudly
+    table.merge(_df(spark, [(1, "c", 3)]), ["version"])
+    table.vacuum(retention_s=0)
+    with pytest.raises(VacuumedVersionError):
+        table.snapshot(2).collect()
+    assert v >= 3
+
+
+def test_delete_where_single_pass_matches_two_phase(spark, tmp_path):
+    """rewrite_all=True (one scan, observe-discovered touched buckets)
+    must produce the same state AND the same untouched-bucket physical
+    carry-over as the default two-phase plan."""
+    rows = [(i, f"v{i}", 1) for i in range(40)]
+    tables = {}
+    for mode in ("two", "one"):
+        t = TxnTable.create(
+            spark, str(tmp_path / mode), keys=["id"], schema=SCHEMA, n_buckets=4
+        )
+        t.append(_df(spark, rows))
+        tables[mode] = t
+    # id==5 hits exactly one bucket: single-pass must still commit ONLY
+    # that bucket (untouched buckets keep their physical paths)
+    before = {m: dict(t._state()[1]) for m, t in tables.items()}
+    tables["two"].delete_where(F.col("id") == 5)
+    tables["one"].delete_where(F.col("id") == 5, rewrite_all=True)
+    assert _rows(tables["one"].snapshot()) == _rows(tables["two"].snapshot())
+    for m, t in tables.items():
+        after = set(t._state()[1])
+        carried = set(before[m]) & after
+        assert carried, f"{m}: untouched buckets should carry over"
+    # broad predicate: parity again
+    tables["two"].delete_where(F.col("id") % 2 == 0)
+    tables["one"].delete_where(F.col("id") % 2 == 0, rewrite_all=True)
+    assert _rows(tables["one"].snapshot()) == _rows(tables["two"].snapshot())
+    # no-match predicate: no commit, no leftover data dirs
+    v_before = tables["one"].version()
+    n_dirs = len(os.listdir(os.path.join(tables["one"].path, "data")))
+    assert tables["one"].delete_where(F.col("id") == 10**9, rewrite_all=True) == v_before
+    assert len(os.listdir(os.path.join(tables["one"].path, "data"))) == n_dirs
+
+
+def test_merge_cleans_staging_and_vacuum_sweeps_leftovers(spark, table):
+    table.append(_df(spark, [(1, "a", 1)]))
+    table.merge(_df(spark, [(1, "b", 2)]), ["version"])
+    staging = os.path.join(table.path, "_staging")
+    assert os.listdir(staging) == []  # normal exit deletes its tree
+    # a crash leftover is swept by vacuum once past the retention window
+    leftover = os.path.join(staging, "deadbeef")
+    os.makedirs(leftover)
+    table.vacuum(retention_s=3600)
+    assert os.path.isdir(leftover)  # young: protected
+    os.utime(leftover, (0, 0))
+    table.vacuum(retention_s=3600)
+    assert not os.path.isdir(leftover)
+
+
+def test_merge_in_batch_duplicate_keys_keep_highest_order(spark, table):
+    """The bucket-aligned single-shuffle merge keeps exactly one row per
+    key with the highest order_by (updates beating stored ties)."""
+    table.append(_df(spark, [(1, "old", 5)]))
+    table.merge(
+        _df(spark, [(1, "low", 3), (1, "high", 9), (2, "x", 1), (2, "y", 2)]),
+        ["version"],
+    )
+    assert _rows(table.snapshot()) == {(1, "high", 9), (2, "y", 2)}
