@@ -923,6 +923,39 @@ def curation_section(spark, sf_dir: str) -> dict:
         "n_tokens": summary["n_tokens"],
         "verify_drift_rows": drift_rows,
     }
+    # VERDICT r9 #2: the funnel's occupancy-cap stages as a MEASURED
+    # overhead — the q57 whole-table funnel with production caps (the
+    # headline plan since r10) vs caps disabled. At this scale the caps
+    # are vacuous by construction (docs < both caps), so outputs are
+    # identical and the delta is pure cap-stage plan cost (the per-band
+    # occupancy windows + df counts).
+    from knightshift_spark.pipelines.corpus import curate_corpus
+
+    raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _funnel(df_max, max_bucket):
+        def go():
+            res = curate_corpus(
+                raw_docs.filter(F.col("doc_id") % 25 != 7),
+                jaccard_threshold=0.5, min_tokens=5, min_stopword_ratio=0.0,
+                langs=("en", "und"), persist_intermediates=True,
+                jaccard_df_max=df_max, lsh_max_bucket=max_bucket,
+                eval_docs=raw_docs.filter(F.col("doc_id") % 25 == 7),
+                contamination_ngram=5, quota=40,
+                mixture={f"src{i}": 0.5 + 0.05 * i for i in range(10)},
+                mixture_col="source", small_input=True,
+            )
+            _run(res.stats)
+
+        return go
+
+    capped_sec = _best_of(_funnel(10_000, 10_000), runs)
+    uncapped_sec = _best_of(_funnel(None, None), runs)
+    out["curation_funnel_caps"] = {
+        "capped_sec": round(capped_sec, 4),
+        "uncapped_sec": round(uncapped_sec, 4),
+        "cap_stage_overhead_sec": round(capped_sec - uncapped_sec, 4),
+    }
     return {
         "note": "curation operators over the full sf tables on "
                 "local[32]; all JVM-side except the k-means build's "
@@ -1161,8 +1194,10 @@ def mining_section(spark, sf_dir: str) -> dict:
     min_count = max(int(n_grams / (cap + 1)) + 1, 10)
 
     def two_phase():
+        # forced: the r10 adaptive gate would pick naive at this size —
+        # this entry measures the 100 TB branch explicitly
         return frequent_ngrams(
-            docs, 2, cap=cap, min_count=min_count
+            docs, 2, cap=cap, min_count=min_count, mode="two_phase"
         ).collect()
 
     hh_sec = _best_of(lambda: two_phase(), runs)
@@ -1219,13 +1254,14 @@ def mining_section(spark, sf_dir: str) -> dict:
 
     return {
         "note": "heavy hitters: identical exact answer both paths. The "
-                "two-phase path pays three fixed jobs to make the "
-                "shuffle O(candidates) instead of O(distinct grams); at "
-                "bench SF the naive single shuffle is cheaper (the "
-                "distinct universe fits one box) — the crossover is the "
-                "100 TB regime where the gram universe dwarfs the "
-                "candidate cap. classifier: HashingTF+LR scoring as a "
-                "shuffle-free map",
+                "two-phase path (forced here) pays three fixed jobs to "
+                "make the shuffle O(candidates) instead of O(distinct "
+                "grams); since r10 the operator gates adaptively on "
+                "Catalyst's plan-size estimate, so q71 and small inputs "
+                "take the naive single shuffle automatically and the "
+                "crossover (the 100 TB regime where the gram universe "
+                "dwarfs the candidate cap) flips to two-phase. "
+                "classifier: HashingTF+LR scoring as a shuffle-free map",
         "docs": int(n_docs),
         "heavy_hitters": {
             "gram_occurrences": int(n_grams),

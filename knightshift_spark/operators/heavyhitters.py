@@ -35,6 +35,15 @@ The same recipe is how distributed frequent-items is done in practice
 (e.g. Spark's own ``freqItems`` runs a lossy-count variant but without
 the exact recount, so its output may contain false positives; this
 operator's two-phase form is exact).
+
+Adaptive path selection (VERDICT r9 #4): the two-phase plan pays three
+fixed jobs; below a few GiB of input the naive single-shuffle groupBy is
+both exact and cheaper (the distinct universe fits one box). ``heavy_
+hitters`` therefore gates on Catalyst's optimized-plan size estimate —
+free, no extra job, conservative (stats unavailable → two-phase) — and
+runs the naive plan under ``naive_max_bytes``, the two-phase plan above
+it. Both paths return the identical exact answer; tests pin that and
+force each branch explicitly.
 """
 
 from __future__ import annotations
@@ -46,7 +55,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from knightshift_spark.operators.dedup import word_ngrams_all, word_tokens
-from knightshift_spark.plans.partitioning import lint_checkpoint
+from knightshift_spark.plans.partitioning import lint_checkpoint, plan_size_bytes
 
 _CAND_SCHEMA = "item string, floor long, part_total long"
 
@@ -102,27 +111,77 @@ def heavy_hitters(
     min_count: int | None = None,
     min_frac: float | None = None,
     k: int | None = None,
+    mode: str = "auto",
+    naive_max_bytes: int = 8 << 30,
 ) -> DataFrame:
     """Exact global counts of every item occurring ``>= min_count``
-    times (or ``>= min_frac`` of all occurrences), mined with bounded
-    shuffle. Returns (item, n) sorted by (n desc, item) — deterministic —
-    optionally truncated to the top ``k``.
+    times (or ``>= min_frac`` of all occurrences). Returns (item, n)
+    sorted by (n desc, item) — deterministic — optionally truncated to
+    the top ``k``.
 
-    Exactness premise: ``min_count > N/(cap+1)`` where N is the total
-    occurrence count. Violations raise ``ValueError`` (a silent pass
-    would return a non-exhaustive item set). Give exactly one of
-    ``min_count`` / ``min_frac``; with ``min_frac`` the premise becomes
-    ``min_frac > 1/(cap+1)``, checkable before any job runs.
+    ``mode`` picks the plan (both EXACT, identical output):
+
+    - ``"naive"``: one shuffle, ``groupBy(item).count()`` — cheapest
+      whenever the distinct universe is shuffle-affordable.
+    - ``"two_phase"``: Misra-Gries candidates → broadcast semi-join
+      recount — shuffle O(candidates) instead of O(distinct items),
+      the 100 TB plan. Exactness premise: ``min_count > N/(cap+1)``
+      (with ``min_frac``: ``min_frac > 1/(cap+1)``); violations raise
+      ``ValueError`` — a silent pass would return a non-exhaustive set.
+      The premise binds THIS path only (the naive plan is exact at any
+      threshold).
+    - ``"auto"`` (default): naive when Catalyst's optimized-plan size
+      estimate for the input is ≤ ``naive_max_bytes`` (free — no job),
+      two-phase above it or when the estimate is unavailable
+      (conservative: the scale-safe plan).
     """
     if (min_count is None) == (min_frac is None):
         raise ValueError("give exactly one of min_count / min_frac")
+    if mode not in ("auto", "naive", "two_phase"):
+        raise ValueError(f"mode must be auto|naive|two_phase: {mode!r}")
+    src = items.select(F.col(item_col).cast("string").alias("item"))
+    if mode == "auto":
+        est = plan_size_bytes(src)
+        mode = "naive" if est is not None and est <= naive_max_bytes else "two_phase"
+    if mode == "naive":
+        counts = (
+            src.filter(F.col("item").isNotNull())
+            .groupBy("item")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        if min_count is not None:
+            kept = counts.filter(F.col("n") >= F.lit(int(min_count)))
+        else:
+            # in-plan threshold: ceil(N * min_frac) in IEEE double, the
+            # same arithmetic the two-phase path and the SQL oracles use.
+            # The total rides an UNORDERED global window over the counts
+            # relation (already one groupBy output, orders of magnitude
+            # smaller than the occurrences) — one pass, no second scan
+            # of the input; a broadcast-total subplan here measurably
+            # re-ran the whole scan+explode because the exchange never
+            # got reused.
+            from pyspark.sql.window import Window
+
+            tot = F.sum("n").over(Window.partitionBy())
+            kept = (
+                counts.withColumn(
+                    "__min",
+                    F.greatest(
+                        F.lit(1).cast("long"),
+                        F.ceil(tot * F.lit(float(min_frac))).cast("long"),
+                    ),
+                )
+                .filter(F.col("n") >= F.col("__min"))
+                .drop("__min")
+            )
+        kept = kept.orderBy(F.col("n").desc(), F.col("item"))
+        return kept.limit(k) if k is not None else kept
     if min_frac is not None and min_frac <= 1.0 / (cap + 1):
         raise ValueError(
             f"min_frac={min_frac} <= 1/(cap+1)={1.0/(cap+1):.2e}: the "
             f"Misra-Gries candidate set is only exhaustive above that "
             f"frequency — raise min_frac or cap"
         )
-    src = items.select(F.col(item_col).cast("string").alias("item"))
     # summaries are ≤ cap rows per partition + one total row; checkpoint
     # so the totals aggregate and the candidate broadcast read the SAME
     # materialized pass (and the driver never round-trips candidate
@@ -165,13 +224,14 @@ def frequent_ngrams(
     min_count: int | None = None,
     min_frac: float | None = None,
     k: int | None = None,
+    mode: str = "auto",
 ) -> DataFrame:
     """Corpus-wide frequent word ``n``-grams (with multiplicity): the
     boilerplate-phrase detector. Explodes each document's n-gram
     occurrences (tokenization identical to the repetition filters) and
-    runs ``heavy_hitters`` over them; all occurrence counting happens
-    in the two bounded phases — nothing per-doc ever reaches the
-    driver."""
+    runs ``heavy_hitters`` over them (``mode`` passes through: auto
+    picks the naive single-shuffle plan below the size gate); nothing
+    per-doc ever reaches the driver on either path."""
     # bind the token array BEFORE the n-gram lambda (HOF-CSE rule,
     # SCALE.md): inlining word_tokens into the transform re-ran the
     # regex split once per emitted gram — measured 10.1s -> 0.7s for
@@ -180,7 +240,8 @@ def frequent_ngrams(
         F.explode(word_ngrams_all(F.col("__tk"), n)).alias("item")
     )
     return heavy_hitters(
-        grams, "item", cap=cap, min_count=min_count, min_frac=min_frac, k=k
+        grams, "item", cap=cap, min_count=min_count, min_frac=min_frac, k=k,
+        mode=mode,
     )
 
 

@@ -17,10 +17,16 @@ and writes them with a manifest:
   (the concat-and-split discipline is ``packing.chunk_pack``).
 - **Scale shape**: the running total is the two-phase distributed
   prefix sum shared with ``operators.packing`` (range-bucket → local
-  cumsum → broadcast bucket offsets) — no single-task global window.
-  The write is one shuffle-free partitioned parquet write; the manifest
-  is one small groupBy over the WRITTEN files (verifying what actually
-  landed, not what was planned).
+  cumsum → broadcast bucket offsets) above the adaptive size gate — no
+  single-task global window. The assignment plan is evaluated ONCE
+  (``localCheckpoint`` + an ``observe()`` for global totals); the data
+  write and the per-shard manifest both read the materialized blocks,
+  and integrity against what physically landed is reconciled from
+  parquet FOOTER row counts (metadata-only) instead of the round-9
+  second full scan of the output. The reconcile maps are driver-side
+  dicts here (one int per shard); at manifest cardinalities in the
+  millions both sides become a distributed metadata join — same
+  contract, bigger join.
 - **Verification**: each manifest row carries the shard's doc count,
   token sum, and an order-independent checksum (``bit_xor`` of per-doc
   ``xxhash64(id, n_tokens)``). ``verify_shards`` recomputes all three
@@ -84,6 +90,28 @@ def _shard_stats(data: DataFrame, id_col: str, tokens_col: str) -> DataFrame:
     )
 
 
+def _footer_doc_counts(data_dir: str) -> dict[int, int]:
+    """Per-shard row counts read off the parquet FOOTERS of the written
+    files — metadata only, no data scan. The reconcile half of the
+    one-pass manifest: what physically landed, independent of the rows
+    the manifest was computed from."""
+    import pyarrow.parquet as pq
+
+    out: dict[int, int] = {}
+    if not os.path.isdir(data_dir):
+        return out
+    for d in os.listdir(data_dir):
+        if not d.startswith("shard="):
+            continue
+        shard = int(d.split("=", 1)[1])
+        n = 0
+        for f in os.listdir(os.path.join(data_dir, d)):
+            if f.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(data_dir, d, f)).metadata.num_rows
+        out[shard] = n
+    return out
+
+
 def write_training_shards(
     docs: DataFrame,
     path: str,
@@ -94,22 +122,44 @@ def write_training_shards(
     n_buckets: int = 256,
 ) -> dict:
     """Materialize the sharded corpus + manifest (module docstring).
-    Returns the driver-sized summary also written to ``manifest.json``."""
-    spark = docs.sparkSession
+    Returns the driver-sized summary also written to ``manifest.json``.
+
+    One-pass shape (VERDICT r9 #5): the assignment plan (keyed shuffle +
+    prefix sum) is evaluated EXACTLY once — ``localCheckpoint``
+    materializes it while an ``observe()`` collects the global totals on
+    the same action; the data write and the per-shard manifest both read
+    the materialized blocks, never re-running the input plan and never
+    re-scanning the written output (the round-9 writer's second full
+    pass). Integrity is reconciled from METADATA instead: per-shard
+    parquet footer row counts must equal the manifest's n_docs and the
+    observe totals must equal the manifest sums — a mismatch raises
+    instead of publishing a lying manifest. ``verify_shards`` remains
+    the independent full audit (it re-aggregates the data files
+    themselves)."""
+    from pyspark.sql import Observation
+
     assigned = assign_shards(
         docs, shard_tokens, id_col, tokens_col, salt, n_buckets
     )
-    assigned.write.mode("overwrite").partitionBy("shard").parquet(
+    obs = Observation()
+    observed = assigned.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.col(tokens_col).cast("bigint")), F.lit(0)).alias(
+            "n_tokens"
+        ),
+    )
+    cp = observed.localCheckpoint()  # the ONE evaluation of the input plan
+    totals = obs.get
+    cp.write.mode("overwrite").partitionBy("shard").parquet(
         os.path.join(path, "data")
     )
-    # manifest from the WRITTEN files — verifies what landed. Explicit
-    # schema: an EMPTY corpus writes no parquet footers to infer from,
-    # and readers of a manifest should never re-infer anyway.
-    data = spark.read.schema(assigned.schema).parquet(os.path.join(path, "data"))
-    stats = _shard_stats(data, id_col, tokens_col)
+    stats = _shard_stats(cp, id_col, tokens_col)
     stats.write.mode("overwrite").parquet(os.path.join(path, "manifest"))
+    spark = docs.sparkSession
+    manifest = spark.read.parquet(os.path.join(path, "manifest"))
     row = (
-        stats.agg(
+        manifest.agg(
             F.count(F.lit(1)).alias("n_shards"),
             F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
             F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
@@ -118,6 +168,34 @@ def write_training_shards(
         .first()
         .asDict()
     )
+    # reconcile 1: manifest totals vs the observe() totals from the
+    # single evaluation — catches a stats pass reading something other
+    # than what was materialized
+    if int(row["n_docs"]) != int(totals["n_docs"]) or int(
+        row["n_tokens"]
+    ) != int(totals["n_tokens"]):
+        raise RuntimeError(
+            f"shard manifest totals {row} disagree with the write-pass "
+            f"observe totals {totals} — refusing to publish"
+        )
+    # reconcile 2: per-shard parquet footer row counts vs the manifest —
+    # catches a write fault (metadata-only, no data scan)
+    footer_counts = _footer_doc_counts(os.path.join(path, "data"))
+    manifest_counts = {
+        int(r["shard"]): int(r["n_docs"])
+        for r in manifest.select("shard", "n_docs").collect()
+    }
+    if footer_counts != manifest_counts:
+        drift = {
+            s: (manifest_counts.get(s), footer_counts.get(s))
+            for s in set(footer_counts) | set(manifest_counts)
+            if footer_counts.get(s) != manifest_counts.get(s)
+        }
+        raise RuntimeError(
+            f"written shard files disagree with the manifest "
+            f"(shard: (manifest_docs, footer_docs)): {drift} — refusing "
+            f"to publish"
+        )
     summary = {
         **{k: int(v) for k, v in row.items()},
         "shard_tokens": int(shard_tokens),

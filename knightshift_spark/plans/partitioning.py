@@ -110,6 +110,21 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate for ``df`` — read off the
+    plan statistics, costs NO job. The adaptive-path gates (heavy
+    hitters, chunk packing) use it to pick the cheap small-input plan
+    below a byte threshold and the scale plan above it. None when
+    introspection fails — callers must then choose the scale-safe
+    path."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
+
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     """Capture ``df.explain(mode)`` as a string (it prints to stdout)."""
     buf = io.StringIO()

@@ -358,18 +358,21 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
     from knightshift_spark.pipelines.corpus import curate_corpus
 
     docs = t(spark, sf, "documents")
-    # the documents table at bench scale is BOUNDED (thousands of docs),
-    # so the scale caps are vacuous (oracle argument above) — pass None
-    # to skip their plan stages — and small_input=True broadcasts the
-    # tiny id relations + runs the funnel's one eager action under
-    # _tiny_job_confs (the capped branches stay oracle-exercised by q31b)
+    # PRODUCTION plan (VERDICT r9): the occupancy caps run at their
+    # defaults (jaccard_df_max=10k, lsh_max_bucket=10k) so the headline
+    # number includes the cap stages a 100 TB run would pay. At bench
+    # scale the caps are vacuous BY CONSTRUCTION (documents ≤ 5k rows <
+    # both caps, so no bucket/df can exceed them) — the funnel output is
+    # identical to the uncapped oracle above, while the cap stages'
+    # window/count work is real and measured (bench.py's curation_ops
+    # section reports the caps-on vs caps-off delta explicitly).
+    # small_input=True broadcasts the tiny id relations + runs the
+    # funnel's one eager action under _tiny_job_confs.
     return curate_corpus(
         docs.filter(F.col("doc_id") % 25 != 7),
         jaccard_threshold=0.5, min_tokens=5,
         min_stopword_ratio=0.0, langs=("en", "und"),
         persist_intermediates=True,
-        jaccard_df_max=None,
-        lsh_max_bucket=None,
         eval_docs=docs.filter(F.col("doc_id") % 25 == 7),
         contamination_ngram=5,
         quota=40,

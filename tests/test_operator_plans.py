@@ -39,7 +39,7 @@ def test_heavy_hitters_recount_broadcasts_candidates(spark):
     from knightshift_spark.operators.heavyhitters import heavy_hitters
 
     items = spark.createDataFrame([("x",)] * 30 + [("y",)], "item string")
-    out = heavy_hitters(items, cap=8, min_count=10)
+    out = heavy_hitters(items, cap=8, min_count=10, mode="two_phase")
     p = _plan(out)
     assert p.count("MapInPandas") == 0  # phase 1 already materialized
     assert "BroadcastHashJoin" in p and "LeftSemi" in p

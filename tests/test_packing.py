@@ -51,9 +51,13 @@ def _greedy_reference(order, budget):
 
 @pytest.mark.parametrize("n_buckets", [1, 3, 256])
 def test_chunk_pack_matches_serial_reference(spark, n_buckets):
+    # force the two-phase branch: the adaptive gate (r10) would pick the
+    # single-window plan at this size and ignore n_buckets entirely
     got = {
         r.doc_id: (r.tok_start, r.chunk_first, r.chunk_last, r.n_chunks_spanned)
-        for r in chunk_pack(_docs_df(spark), BUDGET, n_buckets=n_buckets).collect()
+        for r in chunk_pack(
+            _docs_df(spark), BUDGET, n_buckets=n_buckets, mode="two_phase"
+        ).collect()
     }
     assert got == _chunk_reference()
 
@@ -202,3 +206,34 @@ def test_sliding_windows_rejects_gappy_stride(spark):
         sliding_windows(docs, window=8, stride=9)
     with pytest.raises(ValueError, match=">= 1"):
         sliding_windows(docs, window=0)
+
+
+def test_chunk_pack_single_and_auto_match_two_phase(spark):
+    """VERDICT r9 #4: all three prefix-sum modes produce the identical
+    packing; auto picks the single-window plan at this size (no bucket
+    exchange in its physical plan)."""
+    from knightshift_spark.plans.partitioning import explain_str
+
+    def rows(mode):
+        return {
+            r.doc_id: (r.tok_start, r.chunk_first, r.chunk_last, r.n_chunks_spanned)
+            for r in chunk_pack(_docs_df(spark), BUDGET, mode=mode).collect()
+        }
+
+    assert rows("single") == rows("two_phase") == rows("auto") == _chunk_reference()
+    # driver-local DataFrames report UNKNOWN plan size (Long.Max), so
+    # auto stays on the scale-safe two-phase branch there; a parquet
+    # scan has a real estimate and flips to the single-window plan
+    assert "hashpartitioning(__bkt" in explain_str(
+        chunk_pack(_docs_df(spark), BUDGET, mode="auto")
+    )
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    pq_docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", F.length("text").alias("n_tokens"))
+    )
+    assert "hashpartitioning(__bkt" not in explain_str(
+        chunk_pack(pq_docs, BUDGET, mode="auto")
+    )

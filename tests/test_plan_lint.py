@@ -39,6 +39,17 @@ def plans(spark):
     with capture_checkpoint_plans() as pre:
         for name, spec in sorted(load_all().items()):
             out[name] = explain_str(spec.spark_fn(spark, SF_SMOKE))
+        # q71 resolves to the naive single-shuffle path at smoke scale
+        # (adaptive size gate, r10); build the forced two-phase branch
+        # too so its Arrow Misra-Gries pass stays captured and linted
+        from knightshift_spark.operators.heavyhitters import frequent_ngrams
+
+        out["q71_heavy_hitters__two_phase"] = explain_str(
+            frequent_ngrams(
+                spark.read.parquet(f"{SF_SMOKE}/documents.parquet"),
+                2, min_frac=0.001, cap=4096, mode="two_phase",
+            )
+        )
     # plan segments truncated by localCheckpoint during the builds above,
     # keyed "__pre__<label>#<i>" so the same lints cover them — without
     # this the checkpointed stages (q69 candidates, q71 Misra-Gries) are
@@ -146,16 +157,47 @@ def test_capped_lsh_occupancy_is_a_window_not_a_join(spark):
     assert joins(emb_cap) == joins(emb_un) + 2
 
 
-def test_chunk_pack_has_no_global_window_over_data(plans):
-    """q68's prefix sum must stay two-phase: the only partition-less
-    window runs over the n_buckets offset rows, so the full-data window
-    (which would serialize 100 TB through one task) must not appear —
-    pinned by requiring the bucket-partitioned window to be present."""
-    plan = plans["q68_chunk_pack"]
+def test_chunk_pack_two_phase_has_no_global_window_over_data(spark):
+    """The prefix sum's SCALE branch must stay two-phase: the only
+    partition-less window runs over the n_buckets offset rows, so the
+    full-data window (which would serialize 100 TB through one task)
+    must not appear — pinned by requiring the bucket-partitioned window.
+    (q68 itself resolves to the single-window plan at smoke scale via
+    the r10 adaptive size gate — asserted separately below — so the
+    two-phase branch is built here at its forced threshold.)"""
+    from pyspark.sql import functions as F
+
+    from knightshift_spark.operators.packing import chunk_pack
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", F.length("text").alias("n_tokens"))
+    )
+    plan = explain_str(chunk_pack(docs, budget=512, mode="two_phase"))
     # both window operators exist and an Exchange hash-partitions on the
     # bucket column before the big-side window
     assert plan.count("Window") >= 2
     assert "hashpartitioning(__bkt" in plan
+
+
+def test_chunk_pack_auto_picks_single_window_at_smoke_scale(spark):
+    """The adaptive gate (VERDICT r9 #4): below the size gate the
+    chunk_pack prefix sum is the one-task single window — no
+    range-bucket exchange, no broadcast offset ladder. (q68's full plan
+    still shows __bkt partitioning from greedy_pack's per-bucket Arrow
+    walk, which is bucketed by design at every scale, so the assertion
+    targets chunk_pack alone on the same parquet input.)"""
+    from pyspark.sql import functions as F
+
+    from knightshift_spark.operators.packing import chunk_pack
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", F.length("text").alias("n_tokens"))
+    )
+    assert "hashpartitioning(__bkt" not in explain_str(
+        chunk_pack(docs, budget=256)
+    )
 
 
 def test_q36_gopher_families_share_one_explode(plans):
