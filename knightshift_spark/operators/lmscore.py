@@ -186,3 +186,66 @@ def ppl_bucket(
         .otherwise(F.lit("middle"))
     )
     return both.select(*keep, "n_tokens", "avg_logprob", bucket.alias("ppl_bucket"))
+
+
+def ppl_cuts(
+    docs: DataFrame,
+    table: DataFrame,
+    edges: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unseen_logp: float | None = None,
+    accuracy: int = 10_000,
+) -> tuple[float, float] | None:
+    """The (lo, hi) ``avg_logprob`` cut VALUES at the ``edges`` quantiles
+    of a REFERENCE corpus — CCNet's train-once side of the bucketing.
+    Driver-sized (two floats); apply them to any later batch with
+    ``ppl_bucket_with_cuts``. This is the split that makes the head/
+    middle/tail policy streaming-safe: the corpus-global quantile runs
+    once over the reference, incremental batches pay one scoring pass
+    each and compare against constants. None on an empty/unscorable
+    reference (no distribution to cut)."""
+    if not (0.0 < edges[0] < edges[1] < 1.0):
+        raise ValueError(f"edges must satisfy 0 < lo < hi < 1, got {edges}")
+    scored = lm_quality_score(
+        docs, table, unseen_logp=unseen_logp, id_col=id_col, text_col=text_col
+    )
+    row = scored.agg(
+        F.percentile_approx(
+            "avg_logprob", F.array(F.lit(edges[0]), F.lit(edges[1])), accuracy
+        ).alias("__q")
+    ).first()
+    if row is None or row["__q"] is None:
+        return None
+    return float(row["__q"][0]), float(row["__q"][1])
+
+
+def ppl_bucket_with_cuts(
+    docs: DataFrame,
+    table: DataFrame,
+    cuts: tuple[float, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unseen_logp: float | None = None,
+) -> DataFrame:
+    """CCNet bucketing against PRECOMPUTED cut values (``ppl_cuts`` over
+    a reference corpus): score each document and compare to constants —
+    no corpus-global aggregate, so this is the form the incremental
+    ingestion path runs per micro-batch. Same bucket rule as
+    ``ppl_bucket``: below lo → ``tail``, at/above hi → ``head``,
+    between → ``middle``; NULL score (zero tokens) buckets NULL.
+
+    Output: (id, n_tokens, avg_logprob, ppl_bucket)."""
+    lo, hi = float(cuts[0]), float(cuts[1])
+    scored = lm_quality_score(
+        docs, table, unseen_logp=unseen_logp, id_col=id_col, text_col=text_col
+    )
+    bucket = (
+        F.when(F.col("avg_logprob").isNull(), F.lit(None).cast("string"))
+        .when(F.col("avg_logprob") < F.lit(lo), F.lit("tail"))
+        .when(F.col("avg_logprob") >= F.lit(hi), F.lit("head"))
+        .otherwise(F.lit("middle"))
+    )
+    return scored.select(
+        id_col, "n_tokens", "avg_logprob", bucket.alias("ppl_bucket")
+    )

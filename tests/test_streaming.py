@@ -1017,3 +1017,97 @@ def test_metrics_totals_view_rebuild_heals_divergence(spark, tmp_path):
     rebuilt = view.rebuild(log_path)
     assert rebuilt == metrics_log_totals(spark, log_path)
     assert rebuilt["n_batches"] == 2 and rebuilt["input_rows"] == 12
+
+
+def test_document_stream_lm_gate_with_textnorm_replay(spark, tmp_path):
+    """VERDICT r9 #6: the incremental crawl path runs the round-9 batch
+    stages — textnorm stage 0a + CCNet ppl bucketing against FROZEN
+    reference cuts — per micro-batch. Reference-like docs land with
+    their bucket; gibberish (unseen tokens → low avg logprob) buckets
+    tail and is dropped; a replayed spool adds nothing (state-store
+    dedup + checkpoint), and textnorm's idempotence means the replayed
+    bytes renormalize identically."""
+    import json
+
+    from knightshift_spark.operators.lmscore import (
+        ppl_cuts,
+        unigram_logprob_table,
+    )
+    from knightshift_spark.streaming.corpus_stream import (
+        run_document_stream_with_lm_gate,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "for the hounds to run far in the open field"
+    )
+    # reference corpus: the distribution the cuts are trained on — a
+    # family of base-like docs plus a few junk docs so the lower-third
+    # cut separates them
+    # the low tier is HALF junk (scores between pure gibberish and the
+    # good family), so the lower-third cut lands strictly above the
+    # all-unseen score and a pure-gibberish batch doc buckets tail
+    ref_rows = [(i, base + f" extra word number {i}") for i in range(8)] + [
+        (100 + i, "zxqv gblorp wug fneep quux " + base) for i in range(4)
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    lm = unigram_logprob_table(ref.filter(F.col("doc_id") < 100))
+    cuts = ppl_cuts(ref, lm)
+    assert cuts is not None and cuts[0] < cuts[1]
+
+    spool = tmp_path / "docs"
+    spool.mkdir()
+    f1, f2 = spool / "a.jsonl", spool / "b.jsonl"
+    gibberish = "zxqv gblorp wug fneep quux snarf blivet " * 3
+    f1.write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                # \x00 + double spaces: textnorm must scrub before the
+                # fingerprint (stage 0a ordering, same as batch)
+                {"doc_id": 1, "text": base.replace(" ", "  ") + "\x00", "source": "web"},
+                {"doc_id": 2, "text": gibberish, "source": "web"},
+            ]
+        )
+    )
+    f2.write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 10, "text": base, "source": "crawl"},  # dup of 1 after textnorm
+                {"doc_id": 11, "text": base + " but about the sea", "source": "crawl"},
+            ]
+        )
+    )
+    now = os.stat(f1).st_mtime
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now + 60, now + 60))
+
+    kw = dict(
+        lm_table=lm, cuts=cuts, keep_buckets=("head", "middle"),
+        normalize=True, trigger={"availableNow": True},
+        min_tokens=5, langs=("en", "und"),
+    )
+    q = run_document_stream_with_lm_gate(
+        spark, str(spool), str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, **kw,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "corpus"))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 1 survives (normalized, reference-like); doc 2 = tail (gone);
+    # doc 10 = exact dup of 1 after textnorm (state store); 11 survives
+    assert sorted(rows) == [1, 11]
+    assert "\x00" not in rows[1]["text"] and "  " not in rows[1]["text"]
+    assert {rows[i]["ppl_bucket"] for i in rows} <= {"head", "middle"}
+    assert all(rows[i]["avg_logprob"] is not None for i in rows)
+
+    # replayed spool: checkpoint + fingerprint store emit nothing new
+    q2 = run_document_stream_with_lm_gate(
+        spark, str(spool), str(tmp_path / "corpus"), str(tmp_path / "ckpt"), **kw,
+    )
+    q2.awaitTermination(120)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    ) == [1, 11]
