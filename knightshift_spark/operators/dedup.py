@@ -146,15 +146,21 @@ def jaccard_pairs(
     """
     sh = shingle_table(docs, id_col, text_col)
     if df_max is not None:
-        # one extra groupBy on shingle; the semi-join prunes high-df
-        # shingles before the quadratic pair expansion
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
+        # fold the df count into the exchange the pair join needs anyway
+        # (the same occupancy-window lesson as the capped LSH paths,
+        # r10): ONE hash(shingle) shuffle serves the cap filter AND both
+        # self-join sides via exchange reuse, replacing the former
+        # groupBy + semi-join that moved the whole shingle table through
+        # a second string-keyed join (~1 s of the q57 cap overhead at
+        # sf0.1)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(w))
             .filter(F.col("__df") <= df_max)
-            .select("shingle")
+            .drop("__df")
         )
-        sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")

@@ -93,6 +93,8 @@ def _with_prefix(
     the GLOBAL order total and the prefix deterministic."""
     from knightshift_spark.plans.partitioning import plan_size_bytes
 
+    if mode not in ("auto", "single", "two_phase"):
+        raise ValueError(f"mode must be auto|single|two_phase: {mode!r}")
     if mode == "auto":
         est = plan_size_bytes(docs)
         mode = (
@@ -105,7 +107,14 @@ def _with_prefix(
         tok = F.col(tokens_col).cast("bigint")
         return docs.withColumn("__start", F.sum(tok).over(w) - tok)
     bucketed, bkt = _range_buckets(docs, order_col, n_buckets)
-    w = Window.partitionBy(bkt).orderBy(order_col, *tiebreak_cols)
+    # ROWS frame, not the default RANGE: RANGE makes rows TIED on the
+    # whole sort key share one cumulative sum (overlapping spans), so
+    # the two branches would diverge exactly when a caller violates the
+    # ordering-uniqueness contract — same frame keeps them byte-equal
+    # on every input (r10 review finding, reproduced)
+    w = Window.partitionBy(bkt).orderBy(order_col, *tiebreak_cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     local = bucketed.withColumn(
         "__local_end", F.sum(F.col(tokens_col).cast("bigint")).over(w)
     )

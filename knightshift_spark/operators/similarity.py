@@ -1000,6 +1000,20 @@ def _pq_reconstruction(books: list[list[list[float]]]) -> Column:
     return F.concat(*parts)
 
 
+def _read_index_sidecar(path: str) -> dict:
+    """The index sidecar, preferring the CANONICAL in-tree copy
+    (``codes/_codebooks.json`` — swapped atomically with the codes,
+    r10) over the legacy top-level ``codebooks.json`` (pre-r10 indexes,
+    and the compatibility copy the writer still maintains)."""
+    import json
+    import os
+
+    canonical = os.path.join(path, "codes", "_codebooks.json")
+    legacy = os.path.join(path, "codebooks.json")
+    with open(canonical if os.path.isfile(canonical) else legacy) as f:
+        return json.load(f)
+
+
 def write_ann_index(
     candidates: DataFrame,
     path: str,
@@ -1026,11 +1040,16 @@ def write_ann_index(
     A REBUILD (write over an existing path) is STAGED (ADVICE r9): the
     new codes land under a temp subtree while the old index keeps
     serving; only after the whole build succeeds are the old trees
-    swapped out (codes rename + atomic sidecar replace, then the stale
-    append audit last). A k-means failure or an interrupted job leaves
-    the previous index fully intact — the unreadable window shrinks
-    from the entire rebuild to two directory renames. Old-codebook
-    append batches are cleared in the swap because they would
+    swapped out. The sidecar's CANONICAL copy lives INSIDE the codes
+    tree (``codes/_codebooks.json`` — the ``_`` prefix makes Spark's
+    parquet discovery ignore it), so codes and codebooks swap in ONE
+    directory rename and can never be observed mismatched (r10 review:
+    a crash between a codes rename and a separate sidecar replace would
+    have ADC-decoded new codes against old codebooks SILENTLY). A crash
+    between the two renames leaves no ``codes`` dir at all — readers
+    fail loudly, never wrong. A top-level ``codebooks.json`` copy is
+    kept for compatibility (readers prefer the canonical one). Old-
+    codebook append batches are cleared in the swap because they would
     ADC-decode garbage against the new sidecar."""
     import json
     import os
@@ -1081,24 +1100,29 @@ def write_ann_index(
             "n_probe_default": n_probe_default,
             "quant_error_base": None if base_err is None else float(base_err),
         }
-        with open(os.path.join(stage, "codebooks.json"), "w") as f:
+        # canonical sidecar INSIDE the staged codes tree: it travels
+        # with the codes in one rename (Spark ignores _-prefixed files)
+        with open(os.path.join(stage, "codes", "_codebooks.json"), "w") as f:
             json.dump(meta, f)
     except BaseException:
         shutil.rmtree(stage, ignore_errors=True)
         raise
-    # the build succeeded — swap the staged index in. Two renames plus an
-    # atomic os.replace of the sidecar; the old append audit goes LAST
+    # the build succeeded — swap the staged index in. One rename moves
+    # codes AND their sidecar together; the old append audit goes LAST
     # (a crash before that line leaves only ignorable stale audit rows,
-    # never a sidecar pointing at missing codes).
+    # never codes paired with the wrong codebooks).
     os.makedirs(path, exist_ok=True)
     old = os.path.join(path, f"_old-{_uuid.uuid4().hex}")
     if os.path.isdir(os.path.join(path, "codes")):
         os.rename(os.path.join(path, "codes"), old)
     os.rename(os.path.join(stage, "codes"), os.path.join(path, "codes"))
-    os.replace(
-        os.path.join(stage, "codebooks.json"),
-        os.path.join(path, "codebooks.json"),
-    )
+    # compatibility copy at the legacy top-level location (readers
+    # prefer the canonical in-tree sidecar; pre-r10 indexes have only
+    # this one)
+    tmp_side = os.path.join(path, f".codebooks-{_uuid.uuid4().hex}.json")
+    with open(tmp_side, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp_side, os.path.join(path, "codebooks.json"))
     shutil.rmtree(os.path.join(path, "_batches"), ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(stage, ignore_errors=True)
@@ -1148,8 +1172,7 @@ def append_ann_index(
         os.makedirs(base_dir, exist_ok=True)
         for d in legacy:
             os.rename(os.path.join(codes_root, d), os.path.join(base_dir, d))
-    with open(os.path.join(path, "codebooks.json")) as f:
-        meta = json.load(f)
+    meta = _read_index_sidecar(path)
     cu = _unit(new_vectors, id_col, vec_col, "neighbor_id", "__cv")
     enc = _encode_with(cu, meta["coarse"], meta["books"])
     from pyspark.sql import Observation
@@ -1194,8 +1217,7 @@ def query_ann_index(
     import json
     import os
 
-    with open(os.path.join(path, "codebooks.json")) as f:
-        meta = json.load(f)
+    meta = _read_index_sidecar(path)
     codes = spark.read.parquet(os.path.join(path, "codes"))
     qu = _unit(queries, id_col, vec_col, "query_id", "__qv")
     return _ivfpq_topk(
