@@ -128,8 +128,10 @@ def heavy_hitters(
       the 100 TB plan. Exactness premise: ``min_count > N/(cap+1)``
       (with ``min_frac``: ``min_frac > 1/(cap+1)``); violations raise
       ``ValueError`` — a silent pass would return a non-exhaustive set.
-      The premise binds THIS path only (the naive plan is exact at any
-      threshold).
+      The ``min_frac`` premise is checked up front for BOTH auto and
+      two_phase (ADVICE r10: it must not depend on which plan the input
+      size picks); only an explicit ``mode="naive"`` — exact at any
+      threshold — is exempt.
     - ``"auto"`` (default): naive when Catalyst's optimized-plan size
       estimate for the input is ≤ ``naive_max_bytes`` (free — no job),
       two-phase above it or when the estimate is unavailable
@@ -139,6 +141,18 @@ def heavy_hitters(
         raise ValueError("give exactly one of min_count / min_frac")
     if mode not in ("auto", "naive", "two_phase"):
         raise ValueError(f"mode must be auto|naive|two_phase: {mode!r}")
+    # the min_frac exactness premise is validated BEFORE the auto gate
+    # (ADVICE r10): it must not depend on which plan the input size
+    # happens to pick — only an EXPLICIT mode="naive" (exact at any
+    # threshold) is exempt. The min_count premise stays two-phase-only
+    # below: it needs N, which the naive plan never computes.
+    if mode != "naive" and min_frac is not None and min_frac <= 1.0 / (cap + 1):
+        raise ValueError(
+            f"min_frac={min_frac} <= 1/(cap+1)={1.0/(cap+1):.2e}: the "
+            f"Misra-Gries candidate set is only exhaustive above that "
+            f"frequency — raise min_frac or cap (or force mode='naive', "
+            f"which is exact at any threshold)"
+        )
     src = items.select(F.col(item_col).cast("string").alias("item"))
     if mode == "auto":
         est = plan_size_bytes(src)
@@ -176,12 +190,6 @@ def heavy_hitters(
             )
         kept = kept.orderBy(F.col("n").desc(), F.col("item"))
         return kept.limit(k) if k is not None else kept
-    if min_frac is not None and min_frac <= 1.0 / (cap + 1):
-        raise ValueError(
-            f"min_frac={min_frac} <= 1/(cap+1)={1.0/(cap+1):.2e}: the "
-            f"Misra-Gries candidate set is only exhaustive above that "
-            f"frequency — raise min_frac or cap"
-        )
     # summaries are ≤ cap rows per partition + one total row; checkpoint
     # so the totals aggregate and the candidate broadcast read the SAME
     # materialized pass (and the driver never round-trips candidate

@@ -79,9 +79,12 @@ def _e2(col) -> F.Column:
 @query(
     "q72_txn_merge",
     oracle=_ORACLE,
-    doc="ACID MERGE INTO + conditional DELETE via the TxnTable commit "
-    "log (OP-06/07/08 with snapshot isolation); oracle replays the "
-    "last-writer-wins algebra in SQL and checks the final table state.",
+    doc="ACID MERGE INTO + conditional DELETE landed as ONE "
+    "multi-statement transaction (OP-06/07/08 with snapshot isolation; "
+    "the reference commits its whole cleaning batch once) — the two "
+    "statements fuse into a single rewrite job and a single commit; "
+    "oracle replays the last-writer-wins algebra in SQL and checks the "
+    "final table state.",
 )
 def q72(spark: SparkSession, sf: str) -> DataFrame:
     cust = t(spark, sf, "customer")
@@ -122,12 +125,16 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
         n_buckets=8,  # 8 buckets = merge/delete sort-and-write tasks; the
         # r10 sweep (4/8/16 at sf0.1, local[32]) bottoms out here
     )
-    table.append(cur)                                           # v1
-    table.merge(upd_existing.unionByName(upd_new), ["version"])  # v2
-    # broad sweep: bal_e2 % 7 statistically hits every bucket, so the
-    # single-pass plan (one scan, observe-discovered touched buckets)
-    # beats two-phase discovery+rewrite — the validate-and-delete shape
-    table.delete_where(F.col("bal_e2") % 7 == 0, rewrite_all=True)  # v3
+    table.append(cur)  # v1
+    # ONE transaction = ONE commit, like the reference's cleaning pass
+    # landing its whole update+delete batch under a single session
+    # commit (validate_tv_channel_games.py:189). The merge window and
+    # the delete filter fuse into one rewrite job — deleted rows are
+    # never written; bal_e2 % 7 statistically hits every bucket, so the
+    # single-pass (rewrite_all) delete shape applies inside the fusion
+    with table.transaction():  # v2
+        table.merge(upd_existing.unionByName(upd_new), ["version"])
+        table.delete_where(F.col("bal_e2") % 7 == 0, rewrite_all=True)
 
     return (
         table.snapshot()

@@ -42,6 +42,7 @@ import os
 import shutil
 import uuid
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -53,6 +54,13 @@ _STAGING_DIR = "_staging"
 _BUCKET = "__bucket"
 _SRC = "__src"
 _CHECKPOINT_EVERY = 20
+
+# staging dirs a live writer in THIS process is still reading: vacuum's
+# staging sweep skips them even past the retention window (ADVICE r10 —
+# a rewrite job outliving retention_s must not lose its input mid-job).
+# Writers in other processes remain covered by the mtime freshen each
+# rewrite applies when it starts reading (plus the retention window).
+_INFLIGHT_STAGING: set[str] = set()
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -170,6 +178,25 @@ def _footer_stats(bucket_dir: str, cols: Sequence[str]) -> tuple[dict, dict]:
     return dir_stats, per_file
 
 
+class _TxnState:
+    """Open multi-statement transaction: the snapshot it read, the
+    statements recorded so far (merges/delete_keys stage their inputs
+    eagerly — the caller's plan is evaluated exactly once — while the
+    rewrite itself is deferred), and the evolving schema. Committed as
+    ONE log entry by ``TxnTable.transaction``; ``version`` is filled in
+    after the commit lands."""
+
+    def __init__(self, meta: dict, active: dict[str, dict], read_v: int):
+        self.meta = meta
+        self.active = active
+        self.read_v = read_v
+        self.stmts: list[tuple] = []
+        self.staging: list[str] = []  # relative staging dirs to sweep
+        self.schema_changed = False
+        self.txn: tuple[str, int] | None = None
+        self.version: int | None = None
+
+
 class TxnTable:
     """A keyed, bucketed, log-structured parquet table with snapshot
     isolation, optimistic concurrency, MERGE/DELETE/compaction, and
@@ -181,6 +208,7 @@ class TxnTable:
         self.spark = spark
         self.path = path
         self._backend = backend or LinkCommitBackend()
+        self._txn: _TxnState | None = None
         if not os.path.isdir(os.path.join(path, _LOG_DIR)):
             raise FileNotFoundError(f"not a TxnTable (no {_LOG_DIR}): {path}")
 
@@ -322,7 +350,14 @@ class TxnTable:
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         """The table as of ``version`` (default: latest). Reads exactly
-        the live files of that snapshot — writers never disturb it."""
+        the live files of that snapshot — writers never disturb it.
+
+        The vacuumed-file check here is a driver-side probe at
+        CONSTRUCTION time; the Spark read is lazy, so a vacuum landing
+        between construction and the action surfaces as Spark's own
+        missing-file error rather than ``VacuumedVersionError`` —
+        acceptable TOCTOU: never a wrong answer, always a loud one
+        (ADVICE r10)."""
         meta, active, _ = self._state(version)
         if not active:
             return self.spark.createDataFrame([], self._schema(meta))
@@ -427,7 +462,7 @@ class TxnTable:
                     "feed cannot represent it — resync from snapshot() "
                     f"or diff it exactly with row_changes({v})"
                 )
-            if c["op"] not in ("append", "merge", "delete"):
+            if c["op"] not in ("append", "merge", "delete", "txn"):
                 continue
             paths = [os.path.join(self.path, a["path"]) for a in c["adds"]]
             live = [p for p in paths if os.path.isdir(p)]
@@ -468,7 +503,7 @@ class TxnTable:
             (c for c in self._commits() if c["version"] == version), None
         )
         if commit is None or commit["op"] not in (
-            "append", "merge", "delete", "restore",
+            "append", "merge", "delete", "restore", "txn",
         ):
             # create/compact/vacuum move no rows
             raise ValueError(f"no row-diffable data commit at version {version}")
@@ -509,7 +544,11 @@ class TxnTable:
                 [p for p, a in cur_active.items() if a["bucket"] in touched]
             )
         else:
-            touched = set(commit["buckets"])
+            # merge/delete rewrite every bucket they list; a txn commit's
+            # conflict set ("buckets") is the READ set — the rewritten
+            # buckets (whose post-state is exactly its adds) ride the
+            # "rewritten" field
+            touched = set(commit.get("rewritten", commit["buckets"]))
             after = read([a["path"] for a in commit["adds"]])
         before = read(
             [p for p, a in prev_active.items() if a["bucket"] in touched]
@@ -736,6 +775,20 @@ class TxnTable:
         key and would need a second bucket shuffle before the write).
         Same semantics: updates (__src=1) beat stored rows on order_by
         ties."""
+        merged = self._dedup_window(
+            df.repartition(int(meta["n_buckets"]), F.col(_BUCKET)),
+            meta,
+            order_by,
+        )
+        return self._write_bucket_dirs(self._zordered(merged, meta), meta)
+
+    @staticmethod
+    def _dedup_window(df: DataFrame, meta: dict, order_by: Sequence[str]) -> DataFrame:
+        """Last-writer-wins dedup over an already bucket-clustered frame:
+        sort each bucket by (key, order_by DESC NULLS LAST, __src DESC)
+        and keep the first row of every key run. No exchange of its own —
+        the caller owns the clustering, so consecutive merge statements
+        in a transaction chain as sorts over ONE shuffle."""
         keys = meta["keys"]
         key_struct = F.struct(*[F.col(k) for k in keys])
         w = Window.partitionBy(_BUCKET).orderBy(
@@ -743,13 +796,11 @@ class TxnTable:
             *[F.col(c).desc_nulls_last() for c in order_by],
             F.col(_SRC).desc(),
         )
-        merged = (
-            df.repartition(int(meta["n_buckets"]), F.col(_BUCKET))
-            .withColumn("__prev_key", F.lag(key_struct).over(w))
+        return (
+            df.withColumn("__prev_key", F.lag(key_struct).over(w))
             .filter(~F.col("__prev_key").eqNullSafe(key_struct))
             .drop("__prev_key", _SRC)
         )
-        return self._write_bucket_dirs(self._zordered(merged, meta), meta)
 
     def _commit(
         self,
@@ -760,6 +811,7 @@ class TxnTable:
         read_version: int,
         schema: str | None = None,
         txn: tuple[str, int] | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Optimistic commit. Losing the version race re-validates: if
         every intervening commit touched disjoint buckets, rebase onto
@@ -772,6 +824,7 @@ class TxnTable:
             "removes": removes,
             "buckets": sorted(buckets),
             "read_version": read_version,
+            **(extra or {}),
         }
         if schema is not None:
             payload["schema"] = schema
@@ -825,6 +878,11 @@ class TxnTable:
     def append(self, df: DataFrame) -> int:
         """Blind insert (no key logic — dedup belongs to merge). Appends
         never conflict: version races just rebase."""
+        if self._txn is not None:
+            raise RuntimeError(
+                "append() is not a transaction statement — use merge() "
+                "(last-writer-wins upsert) inside transaction()"
+            )
         meta, _, read_v = self._state()
         adds = self._write_data(df, meta)
         if not adds:
@@ -841,6 +899,254 @@ class TxnTable:
             if t and t.get("app_id") == app_id:
                 hi = max(hi, int(t["batch_id"]))
         return hi
+
+    # -- multi-statement transactions ---------------------------------------
+
+    @contextmanager
+    def transaction(self):
+        """Group several MERGE / DELETE statements into ONE atomic commit
+        — the reference lands its whole cleaning batch (updates + the
+        validation deletes) under a single session commit
+        (``knightshift/cleaning/validate_tv_channel_games.py:189``), so a
+        reader never sees the updates without the deletes.
+
+        ::
+
+            with table.transaction() as txn:
+                table.merge(updates, ["version"])
+                table.delete_where(F.col("bad"), rewrite_all=True)
+            txn.version  # the single committed version
+
+        Statements inside the block are RECORDED, not committed: merges
+        and delete_keys stage their inputs eagerly (the caller's plan is
+        evaluated exactly once, same as standalone), then the exit
+        composes every statement — in order — into ONE bucket-clustered
+        rewrite job over the union of touched buckets and publishes ONE
+        log entry (``op="txn"``). Cost shape: a merge+delete transaction
+        pays staging + one fused rewrite instead of two full rewrites —
+        the deleted rows are never written at all.
+
+        Semantics:
+
+        - statements see prior statements' effects (they compose in the
+          fused plan); ad-hoc reads (``snapshot()`` etc.) inside the
+          block see the PRE-transaction state — the transaction is
+          invisible until its single commit lands;
+        - the commit's conflict set is the WHOLE read set: every bucket
+          any statement read (ALL buckets when a ``rewrite_all`` or
+          predicate delete scans the table), so a concurrent writer on
+          any bucket this transaction's outcome depended on raises
+          ``ConcurrentWriteError`` and the staged data rolls back;
+        - ``append``/``compact``/``restore``/``vacuum`` are not
+          statements (append inside an upsert batch is ``merge``;
+          maintenance ops take the whole table) and raise inside a
+          transaction;
+        - schema evolution (``merge(evolve=True)``) applies to the
+          transaction's later statements and rides the single commit.
+
+        CDC: ``table_changes``/``row_changes`` treat the commit as one
+        version; the log entry records the conflict set in ``buckets``
+        and the actually-rewritten set in ``rewritten``.
+        """
+        if self._txn is not None:
+            raise RuntimeError("nested transaction() is not supported")
+        meta, active, read_v = self._state()
+        st = _TxnState(meta, active, read_v)
+        self._txn = st
+        try:
+            yield st
+        except BaseException:
+            self._txn = None
+            for rel in st.staging:
+                _INFLIGHT_STAGING.discard(os.path.join(self.path, rel))
+                shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+            raise
+        self._txn = None
+        st.version = self._commit_txn(st)
+
+    def _record_merge(
+        self,
+        updates: DataFrame,
+        order_by: list[str],
+        evolve: bool,
+        txn: tuple[str, int] | None,
+    ) -> int:
+        st = self._txn
+        if evolve:
+            evolved = self._evolved_meta(updates, st.meta)
+            if evolved["schema"] != st.meta["schema"]:
+                st.meta = evolved
+                st.schema_changed = True
+        staging_rel, touched = self._stage_updates(updates, st.meta)
+        st.staging.append(staging_rel)
+        _INFLIGHT_STAGING.add(os.path.join(self.path, staging_rel))
+        if touched:
+            st.stmts.append(("merge", staging_rel, touched, order_by))
+        if txn is not None:
+            st.txn = txn
+        return st.read_v
+
+    def _commit_txn(self, st: "_TxnState") -> int:
+        """Compose the recorded statements into one rewrite + one commit.
+        Plan: read the union of touched buckets once, then chain each
+        statement in order — merge = union staged + last-writer-wins
+        window (one shuffle per merge statement), delete = filter /
+        anti-join (no shuffle) — and write the surviving rows
+        ``partitionBy(bucket)`` in ONE job. With a ``rewrite_all``
+        delete, ``observe()`` metrics riding that same job collect which
+        buckets each predicate actually hit, and only hit-or-merged
+        buckets are committed (the single-pass ``delete_where`` rule,
+        fused)."""
+        try:
+            if not st.stmts:
+                return st.read_v
+            meta, active = st.meta, st.active
+            schema = self._schema(meta)
+            keys, n_buckets = meta["keys"], int(meta["n_buckets"])
+            bucket_expr = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("long")
+            merge_touched: set[int] = set()
+            for s in st.stmts:
+                if s[0] in ("merge", "delete_keys"):
+                    merge_touched.update(s[2])
+            deletes = [s for s in st.stmts if s[0] == "delete_where"]
+            any_ra = any(s[2] for s in deletes)
+            if any_ra:
+                bucket_set = {a["bucket"] for a in active.values()} | merge_touched
+            else:
+                bucket_set = set(merge_touched)
+                conds = [s[1] for s in deletes]
+                if conds and active:
+                    # discovery job over the PRE-txn state: rows a prior
+                    # merge creates or modifies live in merge-touched
+                    # buckets, already in the set — pre-state discovery
+                    # is exact for everything else
+                    pred = conds[0]
+                    for c in conds[1:]:
+                        pred = pred | c
+                    hit = (
+                        self.spark.read.schema(schema)
+                        .parquet(*[os.path.join(self.path, p) for p in active])
+                        .filter(pred)
+                        .select(bucket_expr.alias(_BUCKET))
+                        .distinct()
+                        .collect()
+                    )
+                    bucket_set |= {int(r[_BUCKET]) for r in hit}
+            if not bucket_set:
+                return st.read_v
+            for rel in st.staging:
+                # freshen before the rewrite reads them: vacuum's
+                # staging sweep keys on mtime (ADVICE r10)
+                os.utime(os.path.join(self.path, rel))
+            base_paths = [
+                os.path.join(self.path, p)
+                for p, a in active.items()
+                if a["bucket"] in bucket_set
+            ]
+            if base_paths:
+                plan = (
+                    self.spark.read.schema(schema)
+                    .parquet(*base_paths)
+                    .withColumn(_BUCKET, bucket_expr)
+                )
+            else:
+                plan = self.spark.createDataFrame([], schema).withColumn(
+                    _BUCKET, bucket_expr
+                )
+            staged_schema = StructType(
+                list(schema.fields) + [StructField(_BUCKET, LongType())]
+            )
+            from pyspark.sql import Observation
+
+            observations: list = []
+            shuffled = False
+            for s in st.stmts:
+                if s[0] == "merge":
+                    _, rel, _, order_by = s
+                    upd = (
+                        self.spark.read.schema(staged_schema)
+                        .parquet(os.path.join(self.path, rel))
+                        .withColumn(_SRC, F.lit(1))
+                    )
+                    plan = self._dedup_window(
+                        plan.withColumn(_SRC, F.lit(0))
+                        .unionByName(upd)
+                        .repartition(n_buckets, F.col(_BUCKET)),
+                        meta,
+                        order_by,
+                    )
+                    shuffled = True
+                elif s[0] == "delete_keys":
+                    _, rel, _ = s
+                    key_schema = StructType(
+                        [schema[k] for k in keys]
+                        + [StructField(_BUCKET, LongType())]
+                    )
+                    kd = (
+                        self.spark.read.schema(key_schema)
+                        .parquet(os.path.join(self.path, rel))
+                        .drop(_BUCKET)
+                    )
+                    plan = plan.join(kd, list(keys), "left_anti")
+                else:  # delete_where
+                    _, cond, _ = s
+                    if any_ra:
+                        obs = Observation()
+                        plan = plan.observe(
+                            obs,
+                            F.collect_set(
+                                F.when(
+                                    F.coalesce(cond, F.lit(False)),
+                                    F.col(_BUCKET),
+                                )
+                            ).alias("hit"),
+                        )
+                        observations.append(obs)
+                    plan = plan.filter(~F.coalesce(cond, F.lit(False)))
+            if not shuffled and len(base_paths) > 32:
+                plan = plan.repartition(F.col(_BUCKET))
+            adds = self._write_bucket_dirs(self._zordered(plan, meta), meta)
+            if any_ra:
+                hit = set(merge_touched)
+                for obs in observations:
+                    hit |= {int(b) for b in (obs.get["hit"] or [])}
+                committed = sorted(hit)
+                keep = set(committed)
+                for a in adds:
+                    if a["bucket"] not in keep:
+                        shutil.rmtree(
+                            os.path.join(self.path, a["path"]),
+                            ignore_errors=True,
+                        )
+                if adds and not any(a["bucket"] in keep for a in adds):
+                    shutil.rmtree(
+                        os.path.join(
+                            self.path, os.path.dirname(adds[0]["path"])
+                        ),
+                        ignore_errors=True,
+                    )
+                adds = [a for a in adds if a["bucket"] in keep]
+                if not committed:
+                    return st.read_v
+            else:
+                committed = sorted(bucket_set)
+            removes = [
+                p for p, a in active.items() if a["bucket"] in set(committed)
+            ]
+            return self._commit(
+                "txn",
+                adds,
+                removes,
+                sorted(bucket_set),  # conflict set = the whole READ set
+                st.read_v,
+                schema=meta["schema"] if st.schema_changed else None,
+                txn=st.txn,
+                extra={"rewritten": committed},
+            )
+        finally:
+            for rel in st.staging:
+                _INFLIGHT_STAGING.discard(os.path.join(self.path, rel))
+                shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
 
     def merge(
         self,
@@ -868,7 +1174,13 @@ class TxnTable:
         Job 2 reads (touched base files ∪ staged parquet) and rewrites
         them with the single-shuffle bucket-aligned dedup of
         ``_write_merged``. Footer stats are a driver-side pyarrow pass
-        over the files job 2 just wrote — no job."""
+        over the files job 2 just wrote — no job.
+
+        Inside ``transaction()``, the merge stages its input (job 1)
+        immediately but defers the rewrite to the transaction's single
+        fused commit."""
+        if self._txn is not None:
+            return self._record_merge(updates, list(order_by), evolve, txn)
         meta, active, read_v = self._state()
         new_schema = None
         if evolve:
@@ -879,6 +1191,9 @@ class TxnTable:
         keys = meta["keys"]
         schema = self._schema(meta)
         staging_rel, touched = self._stage_updates(updates, meta)
+        staging_abs = os.path.join(self.path, staging_rel)
+        _INFLIGHT_STAGING.add(staging_abs)
+        os.utime(staging_abs)  # rewrite begins reading: freshen for vacuum
         try:
             if not touched:
                 return read_v
@@ -916,23 +1231,64 @@ class TxnTable:
                 "merge", adds, removes, touched, read_v, schema=new_schema, txn=txn
             )
         finally:
-            shutil.rmtree(
-                os.path.join(self.path, staging_rel), ignore_errors=True
+            _INFLIGHT_STAGING.discard(staging_abs)
+            shutil.rmtree(staging_abs, ignore_errors=True)
+
+    def _no_txn(self, op: str) -> None:
+        if self._txn is not None:
+            raise RuntimeError(
+                f"{op}() is not a transaction statement — maintenance "
+                "ops take the whole table; run it outside transaction()"
             )
 
-    def delete_where(self, cond, rewrite_all: bool = False) -> int:
+    @staticmethod
+    def _resolve_rewrite_all(
+        rewrite_all: bool | None, range_hint: tuple | None, active: dict
+    ) -> bool:
+        """Auto plan choice for ``delete_where`` (VERDICT r10 #5): with a
+        ``(col, lo, hi)`` range hint, count the buckets whose footer
+        min/max COULD intersect it (the stats are already in the commit
+        log — no job, no file reads) and take the single-pass plan when
+        that candidate fraction reaches the documented r ≈ 0.75
+        crossover. Entries without stats for ``col`` count as candidates
+        (never-wrong rule). Explicit ``rewrite_all`` always wins; no
+        hint → two-phase (scale-safe)."""
+        if rewrite_all is not None:
+            return bool(rewrite_all)
+        if range_hint is None or not active:
+            return False
+        col, lo, hi = range_hint
+        all_buckets: set[int] = set()
+        cand: set[int] = set()
+        for a in active.values():
+            all_buckets.add(a["bucket"])
+            st = (a.get("stats") or {}).get(col)
+            could_match = st is None or not (
+                (hi is not None and st[0] > hi)
+                or (lo is not None and st[1] < lo)
+            )
+            if could_match:
+                cand.add(a["bucket"])
+        return len(cand) / len(all_buckets) >= 0.75
+
+    def delete_where(
+        self,
+        cond,
+        rewrite_all: bool | None = None,
+        range_hint: tuple | None = None,
+    ) -> int:
         """Conditional DELETE (reference OP-07): buckets holding matching
         rows are rewritten without them; untouched buckets carry over.
 
-        Two plans, chosen by the caller's knowledge of the delete shape
-        (writes cost ~3× reads, so with touched-bucket fraction r the
-        crossover is r ≈ 0.75):
+        Two plans (writes cost ~3× reads, so with touched-bucket
+        fraction r the crossover is r ≈ 0.75):
 
-        - two-phase (default, scale-safe): a discovery scan finds the
-          buckets with matches, then ONLY those are read again and
-          rewritten. Reads matching buckets twice, writes touched only —
-          right for bucket-sparse deletes (targeted purges) and the only
-          sane plan when the table dwarfs the delete.
+        - two-phase (``rewrite_all=False``, scale-safe): a discovery
+          scan finds the buckets with matches, then ONLY those are read
+          again and rewritten. Reads matching buckets twice, writes
+          touched only — right for bucket-sparse deletes (targeted
+          purges) and the only sane plan when the table dwarfs the
+          delete.
         - single-pass (``rewrite_all=True``): ONE scan writes every
           bucket's kept rows while an ``observe()`` metric collects the
           buckets that actually lost rows; only those are committed and
@@ -941,10 +1297,26 @@ class TxnTable:
           reference's validate-and-delete pass,
           ``validate_tv_channel_games.py:113``, deletes invalid rows
           across the entire table) where nearly every bucket is hit
-          anyway."""
+          anyway.
+
+        ``rewrite_all=None`` (default) picks AUTOMATICALLY from the
+        footer stats already in the commit log: pass
+        ``range_hint=(col, lo, hi)`` — a superset range the matching
+        rows are known to lie in, pruning-only, never a correctness
+        input — and the candidate-bucket fraction decides (≥ 0.75 →
+        single-pass). Without a hint, auto is the scale-safe two-phase
+        plan."""
+        if self._txn is not None:
+            meta = self._txn.meta
+            ra = self._resolve_rewrite_all(
+                rewrite_all, range_hint, self._txn.active
+            )
+            self._txn.stmts.append(("delete_where", cond, ra))
+            return self._txn.read_v
         meta, active, read_v = self._state()
         if not active:
             return read_v
+        rewrite_all = self._resolve_rewrite_all(rewrite_all, range_hint, active)
         schema = self._schema(meta)
         bucket_expr = F.pmod(
             F.xxhash64(*meta["keys"]), F.lit(meta["n_buckets"])
@@ -1009,24 +1381,18 @@ class TxnTable:
         removes = [p for p, a in active.items() if a["bucket"] in set(touched)]
         return self._commit("delete", adds, removes, touched, read_v)
 
-    def delete_keys(self, keys_df: DataFrame) -> int:
-        """DELETE by key LIST (the takedown/GDPR primitive — and the
-        pipeline's validation-deletion sink): buckets containing any of
-        the given keys are rewritten without those rows, everything else
-        carries over by reference. One shuffle on the key, bounded by
-        touched-bucket bytes, like merge."""
-        meta, active, read_v = self._state()
+    def _stage_keys(self, keys_df: DataFrame, meta: dict) -> tuple[str, list[int]]:
+        """Stage a deduplicated key list once (same pattern as merge's
+        ``_stage_updates``): touched buckets ride an ``observe()`` on the
+        staging write, and the anti-join build side is a cheap parquet
+        re-read instead of a second evaluation of the caller's key
+        plan."""
+        from pyspark.sql import Observation
+
         keys = meta["keys"]
-        schema = self._schema(meta)
         kd = keys_df.select(*keys).dropDuplicates(list(keys)).withColumn(
             _BUCKET, F.pmod(F.xxhash64(*keys), F.lit(meta["n_buckets"]))
         )
-        # stage the key list once (same pattern as merge): touched
-        # buckets come off the listing, and the anti-join build side is
-        # a cheap parquet re-read instead of a second evaluation of the
-        # caller's key plan
-        from pyspark.sql import Observation
-
         rel = os.path.join(_STAGING_DIR, uuid.uuid4().hex)
         out = os.path.join(self.path, rel)
         os.makedirs(os.path.join(self.path, _STAGING_DIR), exist_ok=True)
@@ -1034,8 +1400,28 @@ class TxnTable:
         kd.observe(obs, F.collect_set(F.col(_BUCKET)).alias("touched")).write.parquet(
             out
         )
+        return rel, sorted(int(b) for b in obs.get["touched"])
+
+    def delete_keys(self, keys_df: DataFrame) -> int:
+        """DELETE by key LIST (the takedown/GDPR primitive — and the
+        pipeline's validation-deletion sink): buckets containing any of
+        the given keys are rewritten without those rows, everything else
+        carries over by reference. One shuffle on the key, bounded by
+        touched-bucket bytes, like merge."""
+        if self._txn is not None:
+            st = self._txn
+            rel, touched = self._stage_keys(keys_df, st.meta)
+            st.staging.append(rel)
+            _INFLIGHT_STAGING.add(os.path.join(self.path, rel))
+            if touched:
+                st.stmts.append(("delete_keys", rel, touched))
+            return st.read_v
+        meta, active, read_v = self._state()
+        keys = meta["keys"]
+        schema = self._schema(meta)
+        rel, touched = self._stage_keys(keys_df, meta)
+        out = os.path.join(self.path, rel)
         try:
-            touched = sorted(int(b) for b in obs.get["touched"])
             if not touched:
                 return read_v
             base_paths = [
@@ -1068,6 +1454,7 @@ class TxnTable:
         """Rewrite every bucket fragmented across ≥ ``min_files`` data
         directories into one — bin-packing for the small-file problem
         appends create. Same conflict rules as merge."""
+        self._no_txn("compact")
         meta, active, read_v = self._state()
         by_bucket: dict[int, list[str]] = {}
         for p, a in active.items():
@@ -1097,6 +1484,7 @@ class TxnTable:
         concurrent commit on any bucket rebasing past it would leave a
         mixed state that is neither the target version nor anything the
         restoring caller saw (ADVICE r8)."""
+        self._no_txn("restore")
         meta, old_active, _ = self._state(version)
         for p in old_active:
             full = os.path.join(self.path, p)
@@ -1148,6 +1536,7 @@ class TxnTable:
           disables that protection and must not run concurrently with
           writers.
         """
+        self._no_txn("vacuum")
         import time
 
         while True:
@@ -1201,6 +1590,8 @@ class TxnTable:
         if os.path.isdir(staging_root):
             for d in sorted(os.listdir(staging_root)):
                 full = os.path.join(staging_root, d)
+                if full in _INFLIGHT_STAGING:
+                    continue  # a live writer in this process reads it
                 try:
                     if os.path.getmtime(full) > cutoff:
                         continue
