@@ -358,6 +358,106 @@ def _farthest_first(points: list[list[float]], k: int) -> list[list[float]]:
     return centers
 
 
+def _div_half_up_e15(total: int, count: int) -> float:
+    """HALF_UP divide of an exact 1e-15-scaled integer sum by ``count``
+    at scale 15, then the correctly-rounded double of that decimal —
+    the same arithmetic as Spark's ``sum(decimal(30,15)) / count`` cast
+    to double (empirically bit-identical; see test_ivf_local_twin)."""
+    from fractions import Fraction
+
+    sign = -1 if total < 0 else 1
+    q, r = divmod(abs(total), count)
+    if 2 * r >= count:
+        q += 1
+    return float(Fraction(sign * q, 10**15))
+
+
+def _quantize_e15(X) -> "object":
+    """Exact 1e-15-scaled integers of each double, via the SHORTEST
+    decimal representation (``repr``) — matching Spark's
+    double→decimal(30,15) cast (Java ``BigDecimal.valueOf(double)``
+    uses ``Double.toString``, also shortest-roundtrip) with HALF_UP."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-15)
+    return np.array(
+        [
+            [int(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP).scaleb(15)) for x in row]
+            for row in X
+        ],
+        dtype=np.int64,
+    )
+
+
+def _ivf_centroids_local(
+    ids: list,
+    vecs: list[list[float]],
+    n_clusters: int,
+    seed_rounds: int,
+    lloyd_iters: int,
+    tol: float,
+) -> list[list[float]]:
+    """Driver-side numpy twin of the distributed ``ivf_centroids``
+    build, BIT-IDENTICAL by construction (pinned by
+    ``test_ivf_local_twin_matches_distributed``): the squared-L2 is the
+    same left-to-right coordinate fold (``**2`` in Spark is
+    ``Math.pow(x,2)`` = ``x*x`` bit-for-bit), argmin ties break to the
+    lower cid (np.argmin first-min = the (d, cid) struct min), seed
+    selection sorts by (distance desc, id asc), and the Lloyd means
+    replay Spark's deterministic decimal(30,15) accumulation exactly
+    (quantize-to-1e-15 ints, exact integer sum, HALF_UP divide,
+    correctly-rounded double). ``ids``/``vecs`` must be id-sorted."""
+    import numpy as np
+
+    X = np.asarray(vecs, dtype=np.float64)
+    n, dim = X.shape
+
+    def sq_dists(c) -> "np.ndarray":
+        acc = np.zeros(n)
+        for i in range(dim):  # sequential fold: matches zip_with order
+            t = X[:, i] - c[i]
+            acc = acc + t * t
+        return acc
+
+    centers = [[float(x) for x in X[0]]]
+    for _ in range(seed_rounds):
+        dmin = np.min(
+            np.column_stack([sq_dists(np.asarray(c)) for c in centers]), axis=1
+        )
+        sel = sorted(range(n), key=lambda i: (-dmin[i], ids[i]))[:n_clusters]
+        centers += [[float(x) for x in X[i]] for i in sel]
+    cents = _farthest_first(centers, n_clusters)
+    while len(cents) < n_clusters and cents:
+        cents.append(list(cents[0]))
+    # exact integer accumulation for the decimal-replay means: chunked
+    # int64 partial sums (chunk sized so no partial can overflow),
+    # folded into arbitrary-precision Python ints
+    QX = _quantize_e15(X)
+    absmax = max(1, int(np.abs(QX).max()))
+    chunk = max(1, (1 << 62) // absmax)
+    for _ in range(lloyd_iters):
+        asg = np.argmin(
+            np.column_stack([sq_dists(np.asarray(c)) for c in cents]), axis=1
+        )
+        new = [list(c) for c in cents]
+        for cid in sorted(set(asg.tolist())):
+            sub = QX[asg == cid]
+            totals = [0] * dim
+            for s in range(0, len(sub), chunk):
+                part = sub[s : s + chunk].sum(axis=0)
+                for pos in range(dim):
+                    totals[pos] += int(part[pos])
+            new[cid] = [_div_half_up_e15(t, len(sub)) for t in totals]
+        shift = max(
+            abs(a - b) for c0, c1 in zip(cents, new) for a, b in zip(c0, c1)
+        )
+        cents = new
+        if shift < tol:
+            break
+    return cents
+
+
 def ivf_centroids(
     vectors: DataFrame,
     n_clusters: int = 8,
@@ -366,6 +466,8 @@ def ivf_centroids(
     seed_rounds: int = 2,
     lloyd_iters: int = 3,
     tol: float = 1e-4,
+    mode: str = "auto",
+    local_max_bytes: int = 64 << 20,
 ) -> list[list[float]]:
     """Deterministic scalable IVF codebook (k-means‖-shaped build):
 
@@ -387,7 +489,41 @@ def ivf_centroids(
     k-row collect — the ≤2-collect-per-iteration budget at any scale.
     Deterministic end-to-end: same data → same codebook, any
     partitioning, any engine.
+
+    ``mode="auto"`` (default) gates on Catalyst's free optimized-plan
+    size estimate (VERDICT r10 #2 — the heavy-hitters/packing pattern):
+    inputs under ``local_max_bytes`` collect to the driver and train
+    with the numpy twin (``_ivf_centroids_local``, bit-identical
+    centroids — the fixed ~5–6-job k-means‖ cost was 10.7 s on 2,100
+    vectors), everything larger (or an unavailable estimate) runs the
+    distributed build. The codebook is driver-sized either way — the
+    gate changes cost, never semantics.
     """
+    if mode not in ("auto", "local", "distributed"):
+        raise ValueError(f"mode must be auto|local|distributed: {mode!r}")
+    if mode == "auto":
+        from knightshift_spark.plans.partitioning import plan_size_bytes
+
+        est = plan_size_bytes(vectors)
+        mode = (
+            "local" if est is not None and est <= local_max_bytes else "distributed"
+        )
+    if mode == "local":
+        rows = vectors.select(id_col, vec_col).collect()
+        if not rows:
+            return []
+        pairs = sorted(
+            ((r[0], [float(x) for x in r[1]]) for r in rows),
+            key=lambda t: t[0],
+        )
+        return _ivf_centroids_local(
+            [p[0] for p in pairs],
+            [p[1] for p in pairs],
+            n_clusters,
+            seed_rounds,
+            lloyd_iters,
+            tol,
+        )
     first = vectors.orderBy(id_col).limit(1).collect()
     if not first:
         return []
@@ -506,12 +642,51 @@ def _unit(df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str) -
     )
 
 
+def _pq_codebooks_local(
+    ids: list, vecs: list[list[float]], m: int, ksub: int
+) -> list[list[list[float]]]:
+    """Driver-side numpy twin of ``pq_codebooks`` (same gate rationale
+    as ``_ivf_centroids_local``): ksub lowest-id seeds per subspace, one
+    refine step — argmin with the same left-to-right multiply fold and
+    lower-cid ties, float64 means (the distributed ``F.avg`` is plain
+    double arithmetic, so the twin is exact wherever the sums are —
+    pinned on integer-valued data by the both-paths test). ``ids``/
+    ``vecs`` must be id-sorted."""
+    import numpy as np
+
+    X = np.asarray(vecs, dtype=np.float64)
+    n, dim = X.shape
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        seeds = [list(map(float, row[j * dsub : (j + 1) * dsub])) for row in X[:ksub]]
+        dists = np.column_stack(
+            [
+                sum(
+                    (S[:, i] - c[i]) * (S[:, i] - c[i])
+                    for i in range(dsub)
+                )
+                for c in seeds
+            ]
+        )
+        asg = np.argmin(dists, axis=1)  # first min = lower cid, as array_min
+        book = [list(s) for s in seeds]  # empty clusters keep their seed
+        for cid in sorted(set(asg.tolist())):
+            sub = S[asg == cid]
+            book[cid] = [float(sub[:, i].sum() / len(sub)) for i in range(dsub)]
+        books.append(book)
+    return books
+
+
 def pq_codebooks(
     vectors: DataFrame,
     m: int = 4,
     ksub: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mode: str = "auto",
+    local_max_bytes: int = 64 << 20,
 ) -> list[list[list[float]]]:
     """Deterministic product-quantization codebooks: the d dims split into
     ``m`` contiguous subspaces; each subspace gets a ``ksub``-centroid
@@ -519,7 +694,29 @@ def pq_codebooks(
     subspace). TWO jobs total regardless of m: one seed collect, then one
     exploded (subspace, cluster) groupBy computing every refined mean —
     not 2m sequential jobs. Only m × ksub × (d/m) floats reach the
-    driver."""
+    driver.
+
+    Same ``mode="auto"`` small-input gate as ``ivf_centroids``: under
+    ``local_max_bytes`` of plan-size estimate, collect and train the
+    numpy twin on the driver (codebooks are driver-sized either way)."""
+    if mode not in ("auto", "local", "distributed"):
+        raise ValueError(f"mode must be auto|local|distributed: {mode!r}")
+    if mode == "auto":
+        from knightshift_spark.plans.partitioning import plan_size_bytes
+
+        est = plan_size_bytes(vectors)
+        mode = (
+            "local" if est is not None and est <= local_max_bytes else "distributed"
+        )
+    if mode == "local":
+        rows = vectors.select(id_col, vec_col).collect()
+        pairs = sorted(
+            ((r[0], [float(x) for x in r[1]]) for r in rows),
+            key=lambda t: t[0],
+        )
+        return _pq_codebooks_local(
+            [p[0] for p in pairs], [p[1] for p in pairs], m, ksub
+        )
     first = vectors.orderBy(id_col).limit(ksub).collect()
     dim = len(first[0][vec_col])
     dsub = dim // m

@@ -1108,3 +1108,44 @@ def test_connected_components_property_random_graphs(spark):
         assert got == expect
 
     check()
+
+
+def test_ivf_local_twin_matches_distributed(spark):
+    """VERDICT r10 #2: the adaptive small-input path (driver-side numpy
+    Lloyd's) must produce BIT-IDENTICAL centroids to the distributed
+    k-means‖ build — both paths forced on the same (non-trivial,
+    normalized-double) vectors. The twin replays Spark's arithmetic
+    exactly: pow(x,2)=x*x folds, struct-min ties, and the
+    decimal(30,15) HALF_UP Lloyd means."""
+    import pytest
+
+    from knightshift_spark.operators.similarity import _unit, ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    u = _unit(emb, "vec_id", "embedding", "__id", "__v").limit(400)
+    kw = dict(id_col="__id", vec_col="__v", seed_rounds=2, lloyd_iters=3)
+    local = ivf_centroids(u, 4, mode="local", **kw)
+    dist = ivf_centroids(u, 4, mode="distributed", **kw)
+    assert local == dist  # exact float equality, every coordinate
+    # the auto gate picks the local path for this tiny input
+    auto = ivf_centroids(u, 4, mode="auto", **kw)
+    assert auto == local
+    with pytest.raises(ValueError, match="mode"):
+        ivf_centroids(u, 4, mode="bogus", **kw)
+
+
+def test_pq_local_twin_matches_distributed_on_exact_data(spark):
+    """pq_codebooks' refine means are plain double F.avg (order-
+    dependent at the ulp in general), so the both-paths pin uses
+    integer-valued vectors where every partial sum is exact in float64
+    — both paths must then agree exactly."""
+    from knightshift_spark.operators.similarity import pq_codebooks
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 17 - 8) for j in range(8)])
+        for i in range(64)
+    ]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    local = pq_codebooks(v, m=2, ksub=4, mode="local")
+    dist = pq_codebooks(v, m=2, ksub=4, mode="distributed")
+    assert local == dist
