@@ -65,10 +65,11 @@ def main() -> None:
         load_table(spark, sf_dir, name)
     _run(specs["q08_isin_count"].spark_fn(spark, sf_dir))
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     build_times: dict[str, float] = {}
     build_charged: dict[str, bool] = {}
+    exec_spread: dict[str, dict] = {}
     sc = spark.sparkContext
     for name, spec in sorted(specs.items()):
         # build the plan once (clients reuse prepared queries). If the
@@ -93,14 +94,25 @@ def main() -> None:
             df = spec.spark_fn(spark, sf_dir)
             build = min(build, time.perf_counter() - t0)
         sc.setJobGroup(f"bench-exec-{name}", f"exec: {name}")
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
             _run(df)
-            best = min(best, time.perf_counter() - t0)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        best = samples[0]
         build_times[name] = round(build, 4)
         build_charged[name] = eager
         times[name] = round((build if eager else 0.0) + best, 4)
+        # per-query measured band (VERDICT r10 #4): this machine's
+        # run-to-run spread is 1.5-3x per query on identical code, so
+        # the regression diff compares BANDS, not point samples
+        exec_spread[name] = {
+            "min": round(samples[0], 4),
+            "med": round(samples[len(samples) // 2], 4),
+            "max": round(samples[-1], 4),
+            "n": runs,
+        }
 
     total = round(sum(times.values()), 4)
 
@@ -193,6 +205,12 @@ def main() -> None:
     except Exception:
         pass  # informational; never fail the bench
 
+    lm_gate = None
+    try:
+        lm_gate = streaming_lm_gate_section(spark, sf_dir)
+    except Exception:
+        pass  # informational; never fail the bench
+
     # per-query delta vs the PREVIOUS bench_full.json (VERDICT r6 #9):
     # suite-level ±1-2 s jitter is machine noise (memory: 14.9-17.9 s
     # band) — only a per-query plan regression is actionable, so name
@@ -208,6 +226,7 @@ def main() -> None:
         prev_build = prev.get("build_sec") or {}
         prev_charged = prev.get("build_charged") or {}
         moved = {}
+        suppressed: list[str] = []
         for name, now in times.items():
             before = prev_q.get(name)
             if before is None:
@@ -248,6 +267,27 @@ def main() -> None:
                     "build_plus_exec_prev": full_before,
                     "build_plus_exec_delta_sec": full_delta,
                 })
+            # band gate (VERDICT r10 #4): a "move" whose exec band
+            # overlaps the previous run's recorded band is machine
+            # noise, not a plan change — suppress it (methodology
+            # flips above still report). Charged builds ride the band
+            # as a constant offset so charged queries stay comparable.
+            prev_sp = (prev.get("exec_spread") or {}).get(name)
+            has_delta = "delta_sec" in entry or "build_plus_exec_delta_sec" in entry
+            if has_delta and prev_sp:
+                b_now = build_times[name] if build_charged[name] else 0.0
+                b_prev = float(prev_build.get(name, 0.0)) if was_charged else 0.0
+                now_lo = exec_spread[name]["min"] + b_now
+                now_hi = exec_spread[name]["max"] + b_now
+                prev_lo = float(prev_sp["min"]) + b_prev
+                prev_hi = float(prev_sp["max"]) + b_prev
+                if now_lo <= prev_hi and prev_lo <= now_hi:
+                    suppressed.append(name)
+                    for k in (
+                        "now", "prev", "delta_sec", "build_plus_exec_now",
+                        "build_plus_exec_prev", "build_plus_exec_delta_sec",
+                    ):
+                        entry.pop(k, None)
             if entry:
                 moved[name] = entry
         bench_diff = {
@@ -256,11 +296,14 @@ def main() -> None:
             if isinstance(prev.get("value"), (int, float))
             else None,
             "moved_queries": moved,
+            "suppressed_in_band": suppressed,
             "note": "per-query deltas vs the previous bench_full.json; "
-            "only >0.3s AND >25% moves are listed (charged number OR "
-            "charge-independent build+exec total), plus any "
-            "build_charged methodology flips — suite totals within "
-            "~±2s with an empty list here are machine noise",
+            "only >0.3s AND >25% moves whose best-of-N exec band does "
+            "NOT overlap the previous run's recorded band are listed "
+            "(charged number OR charge-independent build+exec total), "
+            "plus any build_charged methodology flips — "
+            "suppressed_in_band names moves the band gate classified "
+            "as machine noise",
         }
     except Exception:
         pass  # first run / missing file — informational only
@@ -272,6 +315,7 @@ def main() -> None:
         "queries": times,
         "build_sec": build_times,
         "build_charged": build_charged,
+        "exec_spread": exec_spread,
         "duckdb_queries": duck_times,
         "diff_vs_prev": bench_diff,
         "sf": sf,
@@ -286,6 +330,7 @@ def main() -> None:
         "incremental_lsh_index": inc_index,
         "mining_ops": mining,
         "txn_table": txn,
+        "streaming_lm_gate": lm_gate,
     }
     print(json.dumps(full))
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
@@ -923,6 +968,36 @@ def curation_section(spark, sf_dir: str) -> dict:
         "n_tokens": summary["n_tokens"],
         "verify_drift_rows": drift_rows,
     }
+    # VERDICT r10 #3: the manifest's footer reconcile at >=1k shard
+    # files — serial vs thread-pooled driver-side metadata reads on a
+    # synthetic 1,500-file tree (the bench corpus itself yields only a
+    # handful of shards)
+    from knightshift_spark.operators.sharding import _footer_doc_counts
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    synth = tempfile.mkdtemp(prefix="ks-bench-footers-")
+    try:
+        tbl = pa.table({"doc_id": list(range(8))})
+        for s in range(1500):
+            d = os.path.join(synth, f"shard={s}")
+            os.makedirs(d)
+            pq.write_table(tbl, os.path.join(d, "part-0.parquet"))
+        t0 = time.perf_counter()
+        serial = _footer_doc_counts(synth, max_workers=1)
+        serial_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pooled = _footer_doc_counts(synth)
+        pooled_sec = time.perf_counter() - t0
+        assert serial == pooled and len(pooled) == 1500
+    finally:
+        shutil.rmtree(synth, ignore_errors=True)
+    out["footer_reconcile_1500_files"] = {
+        "serial_sec": round(serial_sec, 4),
+        "pooled_sec": round(pooled_sec, 4),
+        "speedup": round(serial_sec / max(pooled_sec, 1e-9), 2),
+    }
     # VERDICT r9 #2: the funnel's occupancy-cap stages as a MEASURED
     # overhead — the q57 whole-table funnel with production caps (the
     # headline plan since r10) vs caps disabled. At this scale the caps
@@ -1013,6 +1088,100 @@ def incremental_index_section(spark, sf_dir: str) -> dict:
         "full_recompute_sec": round(full_sec, 4),
         "speedup": round(full_sec / inc_sec, 2) if inc_sec else None,
     }
+
+
+def streaming_lm_gate_section(spark, sf_dir: str) -> dict:
+    """Recorded throughput baseline for the exactly-once streaming
+    ingestion path (VERDICT r10 #6): spool real sf documents as 3
+    jsonl micro-batches (with planted cross-batch exact duplicates),
+    run ``run_document_stream_with_lm_gate`` — textnorm 0a → screens →
+    state-store exact dedup → frozen-cuts CCNet gate → parquet append —
+    and report docs/s across the batches plus the dedup hit rate."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from knightshift_spark.operators.lmscore import (
+        ppl_cuts,
+        unigram_logprob_table,
+    )
+    from knightshift_spark.streaming.corpus_stream import (
+        run_document_stream_with_lm_gate,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(3000)
+        .collect()
+    )
+    ref = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in docs[:500]], "doc_id long, text string"
+    )
+    lm = unigram_logprob_table(ref)
+    cuts = ppl_cuts(ref, lm)
+    root = tempfile.mkdtemp(prefix="ks-bench-lmgate-")
+    try:
+        spool = os.path.join(root, "spool")
+        os.makedirs(spool)
+        third = max(1, len(docs) // 3)
+        batches = [docs[0:third], docs[third : 2 * third], docs[2 * third :]]
+        planted = 0
+        now = time.time()
+        for i, batch in enumerate(batches):
+            rows = [
+                {"doc_id": int(r["doc_id"]), "text": r["text"], "source": "bench"}
+                for r in batch
+            ]
+            n_dup = max(1, third // 10)
+            if i > 0:  # plant cross-batch exact duplicates (~10%)
+                for j, r in enumerate(batches[0][:n_dup]):
+                    rows.append(
+                        {
+                            "doc_id": 10_000_000 + i * 1000 + j,
+                            "text": r["text"],
+                            "source": "bench-dup",
+                        }
+                    )
+                planted += n_dup
+            p = os.path.join(spool, f"batch-{i}.jsonl")
+            with open(p, "w") as f:
+                f.write("\n".join(_json.dumps(d) for d in rows))
+            os.utime(p, (now + i * 60, now + i * 60))
+        target = os.path.join(root, "corpus")
+        t0 = time.perf_counter()
+        q = run_document_stream_with_lm_gate(
+            spark,
+            spool,
+            target,
+            os.path.join(root, "ckpt"),
+            lm_table=lm,
+            cuts=cuts,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+        out = spark.read.parquet(target)
+        rows_out = out.count()
+        planted_alive = out.filter(F.col("doc_id") >= 10_000_000).count()
+        docs_in = len(docs) + planted
+        return {
+            "docs_in": docs_in,
+            "batches": len(batches),
+            "wall_sec": round(wall, 4),
+            "docs_per_s": round(docs_in / wall, 1),
+            "rows_out": rows_out,
+            "planted_dups": planted,
+            "dups_dropped": planted - planted_alive,
+            "dedup_hit_rate": round((planted - planted_alive) / planted, 4)
+            if planted
+            else None,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def txn_table_section(spark, sf_dir: str) -> dict:

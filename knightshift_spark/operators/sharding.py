@@ -90,25 +90,42 @@ def _shard_stats(data: DataFrame, id_col: str, tokens_col: str) -> DataFrame:
     )
 
 
-def _footer_doc_counts(data_dir: str) -> dict[int, int]:
+def _footer_doc_counts(data_dir: str, max_workers: int = 32) -> dict[int, int]:
     """Per-shard row counts read off the parquet FOOTERS of the written
     files — metadata only, no data scan. The reconcile half of the
     one-pass manifest: what physically landed, independent of the rows
-    the manifest was computed from."""
+    the manifest was computed from.
+
+    Footer reads run on a THREAD POOL (VERDICT r10 #3): pyarrow releases
+    the GIL during the read, and at 100 TB output (10⁴–10⁵ shard files)
+    a serial per-file loop is minutes of driver time for what is
+    embarrassingly parallel metadata I/O. The listing stays serial
+    (one readdir per shard dir is cheap); only the per-file footer
+    opens fan out."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
     out: dict[int, int] = {}
     if not os.path.isdir(data_dir):
         return out
+    work: list[tuple[int, str]] = []
     for d in os.listdir(data_dir):
         if not d.startswith("shard="):
             continue
         shard = int(d.split("=", 1)[1])
-        n = 0
+        out[shard] = 0  # shards whose dir holds no parquet stay 0
         for f in os.listdir(os.path.join(data_dir, d)):
             if f.endswith(".parquet"):
-                n += pq.ParquetFile(os.path.join(data_dir, d, f)).metadata.num_rows
-        out[shard] = n
+                work.append((shard, os.path.join(data_dir, d, f)))
+    if not work:
+        return out
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(work))) as ex:
+        counts = ex.map(
+            lambda w: (w[0], pq.ParquetFile(w[1]).metadata.num_rows), work
+        )
+        for shard, n in counts:
+            out[shard] += n
     return out
 
 
