@@ -1197,15 +1197,33 @@ def _pq_reconstruction(books: list[list[list[float]]]) -> Column:
     return F.concat(*parts)
 
 
+def _codes_dir(path: str) -> str:
+    """The LIVE codes tree of a persisted ANN index. Since r11 the
+    index is versioned: codes live under ``codes-<uuid>/`` and a tiny
+    ``CURRENT`` pointer file names the live one — a rebuild stages its
+    whole tree, then retargets the pointer with ONE atomic
+    ``os.replace`` (ADVICE r10: the previous rename-pair left a window
+    where no codes directory existed and concurrent readers failed).
+    Pre-r11 indexes (no pointer) resolve to the legacy ``codes/``
+    directory."""
+    import os
+
+    cur = os.path.join(path, "CURRENT")
+    if os.path.isfile(cur):
+        with open(cur) as f:
+            return os.path.join(path, f.read().strip())
+    return os.path.join(path, "codes")
+
+
 def _read_index_sidecar(path: str) -> dict:
     """The index sidecar, preferring the CANONICAL in-tree copy
-    (``codes/_codebooks.json`` — swapped atomically with the codes,
-    r10) over the legacy top-level ``codebooks.json`` (pre-r10 indexes,
-    and the compatibility copy the writer still maintains)."""
+    (``<codes>/_codebooks.json`` — versioned with the codes) over the
+    legacy top-level ``codebooks.json`` (pre-r10 indexes, and the
+    compatibility copy the writer still maintains)."""
     import json
     import os
 
-    canonical = os.path.join(path, "codes", "_codebooks.json")
+    canonical = os.path.join(_codes_dir(path), "_codebooks.json")
     legacy = os.path.join(path, "codebooks.json")
     with open(canonical if os.path.isfile(canonical) else legacy) as f:
         return json.load(f)
@@ -1234,32 +1252,39 @@ def write_ann_index(
     (``quant_error_base``) — the yardstick ``append_ann_index`` compares
     each new batch against to signal codebook staleness.
 
-    A REBUILD (write over an existing path) is STAGED (ADVICE r9): the
-    new codes land under a temp subtree while the old index keeps
-    serving; only after the whole build succeeds are the old trees
-    swapped out. The sidecar's CANONICAL copy lives INSIDE the codes
-    tree (``codes/_codebooks.json`` — the ``_`` prefix makes Spark's
-    parquet discovery ignore it), so codes and codebooks swap in ONE
-    directory rename and can never be observed mismatched (r10 review:
-    a crash between a codes rename and a separate sidecar replace would
-    have ADC-decoded new codes against old codebooks SILENTLY). A crash
-    between the two renames leaves no ``codes`` dir at all — readers
-    fail loudly, never wrong. A top-level ``codebooks.json`` copy is
-    kept for compatibility (readers prefer the canonical one). Old-
-    codebook append batches are cleared in the swap because they would
-    ADC-decode garbage against the new sidecar."""
+    A REBUILD (write over an existing path) is STAGED and VERSIONED
+    (ADVICE r9 + r10): the new codes land under a fresh
+    ``codes-<uuid>/`` tree while the old index keeps serving, and the
+    swap is ONE atomic ``os.replace`` of the tiny ``CURRENT`` pointer
+    file — zero-downtime reads, no window where no codes directory
+    exists (the r10 rename-pair had one). The sidecar's CANONICAL copy
+    lives INSIDE the codes tree (``_codebooks.json`` — the ``_`` prefix
+    makes Spark's parquet discovery ignore it), so codes and codebooks
+    version together and can never be observed mismatched. A crash
+    anywhere before the pointer flip leaves the OLD index serving and
+    the staged tree as litter (swept on the next rebuild); a crash
+    after it leaves the new index serving and the old tree as litter.
+    A top-level ``codebooks.json`` copy is kept for compatibility
+    (readers prefer the canonical one). Old-codebook append batches are
+    cleared in the swap because they would ADC-decode garbage against
+    the new sidecar."""
     import json
     import os
     import shutil
     import uuid as _uuid
 
-    # sweep litter from previously CRASHED rebuilds (readers never look
-    # at these; concurrent rebuilds of one index are not supported)
-    if os.path.isdir(path):
-        for d in os.listdir(path):
-            if d.startswith(("_rebuild-", "_old-")):
-                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-    stage = os.path.join(path, f"_rebuild-{_uuid.uuid4().hex}")
+    os.makedirs(path, exist_ok=True)
+    live = _codes_dir(path)
+    # sweep litter: crashed-rebuild staging trees (legacy prefixes) and
+    # any versioned codes tree the pointer does not name (readers only
+    # follow the pointer; concurrent rebuilds are not supported)
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        if d.startswith(("_rebuild-", "_old-")) or (
+            d.startswith("codes-") and full != live and os.path.isdir(full)
+        ):
+            shutil.rmtree(full, ignore_errors=True)
+    stage = os.path.join(path, f"codes-{_uuid.uuid4().hex}")
     cu = _unit(candidates, id_col, vec_col, "neighbor_id", "__cv")
     coarse = ivf_centroids(cu, n_clusters, "neighbor_id", "__cv")
     books = pq_codebooks(
@@ -1286,7 +1311,7 @@ def write_ann_index(
             obs, F.avg(_sq_l2(F.col("__rv"), _pq_reconstruction(books))).alias("e")
         ).select("neighbor_id", "cid", "code").write.mode("overwrite").partitionBy(
             "cid"
-        ).parquet(os.path.join(stage, "codes", "__batch=__base__"))
+        ).parquet(os.path.join(stage, "__batch=__base__"))
         base_err = obs.get["e"]
         meta = {
             "coarse": coarse,
@@ -1297,22 +1322,21 @@ def write_ann_index(
             "n_probe_default": n_probe_default,
             "quant_error_base": None if base_err is None else float(base_err),
         }
-        # canonical sidecar INSIDE the staged codes tree: it travels
-        # with the codes in one rename (Spark ignores _-prefixed files)
-        with open(os.path.join(stage, "codes", "_codebooks.json"), "w") as f:
+        # canonical sidecar INSIDE the staged codes tree: it versions
+        # with the codes (Spark ignores _-prefixed files)
+        with open(os.path.join(stage, "_codebooks.json"), "w") as f:
             json.dump(meta, f)
     except BaseException:
         shutil.rmtree(stage, ignore_errors=True)
         raise
-    # the build succeeded — swap the staged index in. One rename moves
-    # codes AND their sidecar together; the old append audit goes LAST
-    # (a crash before that line leaves only ignorable stale audit rows,
-    # never codes paired with the wrong codebooks).
-    os.makedirs(path, exist_ok=True)
-    old = os.path.join(path, f"_old-{_uuid.uuid4().hex}")
-    if os.path.isdir(os.path.join(path, "codes")):
-        os.rename(os.path.join(path, "codes"), old)
-    os.rename(os.path.join(stage, "codes"), os.path.join(path, "codes"))
+    # the build succeeded — flip the pointer. ONE atomic replace makes
+    # the staged tree (codes + sidecar together) the live index; a
+    # reader holds whichever tree its pointer read named, so there is
+    # no moment with no codes directory (ADVICE r10).
+    tmp_ptr = os.path.join(path, f".current-{_uuid.uuid4().hex}")
+    with open(tmp_ptr, "w") as f:
+        f.write(os.path.basename(stage))
+    os.replace(tmp_ptr, os.path.join(path, "CURRENT"))
     # compatibility copy at the legacy top-level location (readers
     # prefer the canonical in-tree sidecar; pre-r10 indexes have only
     # this one)
@@ -1321,8 +1345,10 @@ def write_ann_index(
         json.dump(meta, f)
     os.replace(tmp_side, os.path.join(path, "codebooks.json"))
     shutil.rmtree(os.path.join(path, "_batches"), ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(stage, ignore_errors=True)
+    # the previously live tree is NOT deleted here: an in-flight reader
+    # that resolved the pointer before the flip may still be scanning
+    # it. It becomes unreferenced litter the NEXT rebuild's sweep
+    # removes — bounded at one stale tree per index.
 
 
 def append_ann_index(
@@ -1360,7 +1386,7 @@ def append_ann_index(
     # migrate a pre-append-era index in place: its codes/cid=N dirs sit
     # one level up, and mixing partition depths breaks Spark's partition
     # discovery ('Conflicting directory structures') on the next read
-    codes_root = os.path.join(path, "codes")
+    codes_root = _codes_dir(path)
     legacy = [
         d for d in os.listdir(codes_root) if d.startswith("cid=")
     ] if os.path.isdir(codes_root) else []
@@ -1381,7 +1407,7 @@ def append_ann_index(
         F.avg(_sq_l2(F.col("__rv"), _pq_reconstruction(meta["books"]))).alias("e"),
     ).select("neighbor_id", "cid", "code").write.mode("overwrite").partitionBy(
         "cid"
-    ).parquet(os.path.join(path, "codes", f"__batch={batch_id}"))
+    ).parquet(os.path.join(_codes_dir(path), f"__batch={batch_id}"))
     got = obs.get
     err = None if got["e"] is None else float(got["e"])
     base = meta.get("quant_error_base")
@@ -1415,7 +1441,7 @@ def query_ann_index(
     import os
 
     meta = _read_index_sidecar(path)
-    codes = spark.read.parquet(os.path.join(path, "codes"))
+    codes = spark.read.parquet(_codes_dir(path))
     qu = _unit(queries, id_col, vec_col, "query_id", "__qv")
     return _ivfpq_topk(
         qu,

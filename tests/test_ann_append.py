@@ -66,7 +66,9 @@ def test_append_encoding_matches_sidecar_codebooks(spark, index_dir):
             meta["books"],
         ).collect()
     }
-    stored = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
+    from knightshift_spark.operators.similarity import _codes_dir
+
+    stored = spark.read.parquet(_codes_dir(index_dir)).filter(
         F.col("__batch") == "b1"
     )
     got = {
@@ -83,7 +85,9 @@ def test_replayed_batch_overwrites_itself(spark, index_dir):
     r1 = append_ann_index(batch, index_dir, "b1")
     r2 = append_ann_index(batch, index_dir, "b1")  # at-least-once replay
     assert r1["rows"] == r2["rows"]
-    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    from knightshift_spark.operators.similarity import _codes_dir
+
+    codes = spark.read.parquet(_codes_dir(index_dir))
     n_b1 = codes.filter(F.col("__batch") == "b1").count()
     assert n_b1 == r1["rows"]  # not doubled
     total = codes.count()
@@ -149,7 +153,9 @@ def test_rebuild_clears_stale_appends(spark, index_dir, tmp_path):
         emb.filter(F.col("vec_id") >= 20), index_dir,
         n_clusters=2, n_probe_default=2, m=2, ksub=4,
     )
-    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    from knightshift_spark.operators.similarity import _codes_dir
+
+    codes = spark.read.parquet(_codes_dir(index_dir))
     batches = {r["__batch"] for r in codes.select("__batch").distinct().collect()}
     assert batches == {"__base__"}
     assert not os.path.exists(os.path.join(index_dir, "_batches"))
@@ -161,7 +167,9 @@ def test_append_migrates_legacy_flat_layout(spark, index_dir):
     import os
     import shutil
 
-    codes = os.path.join(index_dir, "codes")
+    from knightshift_spark.operators.similarity import _codes_dir
+
+    codes = _codes_dir(index_dir)
     base = os.path.join(codes, "__batch=__base__")
     # fabricate the legacy flat layout: cid dirs at the top level
     for d in os.listdir(base):
@@ -211,10 +219,27 @@ def test_failed_rebuild_leaves_old_index_intact(spark, index_dir, monkeypatch):
     append_ann_index(emb.filter(F.col("vec_id") < 10), index_dir, "b9")
     os.makedirs(os.path.join(index_dir, "_rebuild-dead"), exist_ok=True)
     write_ann_index(emb, index_dir, n_clusters=2, m=2, ksub=4)
-    leftover = [
-        d for d in os.listdir(index_dir)
-        if d.startswith(("_rebuild-", "_old-", "_batches"))
-    ]
-    assert leftover == []
+    from knightshift_spark.operators.similarity import _codes_dir
+
+    def stale():
+        live = os.path.basename(_codes_dir(index_dir))
+        hard = [
+            d for d in os.listdir(index_dir)
+            if d.startswith(("_rebuild-", "_old-", "_batches"))
+        ]
+        trees = [
+            d for d in os.listdir(index_dir)
+            if d.startswith("codes-") and d != live
+        ]
+        return hard, trees
+
+    hard, trees = stale()
+    # crash litter and the stale audit are gone; the PREVIOUS live tree
+    # is retained (in-flight readers may still scan it) — bounded at one
+    assert hard == [] and len(trees) <= 1
+    # ... and it stays bounded: another rebuild sweeps the old one
+    write_ann_index(emb, index_dir, n_clusters=2, m=2, ksub=4)
+    hard, trees = stale()
+    assert hard == [] and len(trees) <= 1
     out2 = query_ann_index(spark, index_dir, q, k=3, n_probe=2).collect()
     assert len(out2) > 0
