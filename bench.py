@@ -985,18 +985,25 @@ def curation_section(spark, sf_dir: str) -> dict:
             os.makedirs(d)
             pq.write_table(tbl, os.path.join(d, "part-0.parquet"))
         t0 = time.perf_counter()
-        serial = _footer_doc_counts(synth, max_workers=1)
+        serial = _footer_doc_counts(synth, mode="serial")
         serial_sec = time.perf_counter() - t0
         t0 = time.perf_counter()
-        pooled = _footer_doc_counts(synth)
+        pooled = _footer_doc_counts(synth, mode="pool")
         pooled_sec = time.perf_counter() - t0
-        assert serial == pooled and len(pooled) == 1500
+        t0 = time.perf_counter()
+        auto = _footer_doc_counts(synth)  # probe: local sub-ms → serial
+        auto_sec = time.perf_counter() - t0
+        assert serial == pooled == auto and len(auto) == 1500
     finally:
         shutil.rmtree(synth, ignore_errors=True)
     out["footer_reconcile_1500_files"] = {
         "serial_sec": round(serial_sec, 4),
-        "pooled_sec": round(pooled_sec, 4),
-        "speedup": round(serial_sec / max(pooled_sec, 1e-9), 2),
+        "forced_pool_sec": round(pooled_sec, 4),
+        "auto_sec": round(auto_sec, 4),
+        "note": "local SSD: sub-ms CPU-bound footer parses — the pool "
+                "LOSES to thread churn here and auto's latency probe "
+                "stays serial; the pool pays off at object-store GET "
+                "latency (>2ms/footer), which auto detects per run",
     }
     # VERDICT r9 #2: the funnel's occupancy-cap stages as a MEASURED
     # overhead — the q57 whole-table funnel with production caps (the

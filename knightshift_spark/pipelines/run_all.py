@@ -67,11 +67,13 @@ def run_pipeline(
 
     ``transactional=True`` keeps the games table in a commit-log
     ``TxnTable`` at ``{warehouse}/games_txn`` instead of stage-and-swap
-    parquet: the ingest merge and the validation deletion land as two
-    ACID commits (bucket-pruned rewrites, snapshot-isolated readers,
-    history/time travel) — the closest engine analog of the reference's
-    per-transaction Postgres upsert+delete loop. Same end state as the
-    default path (tested), different durability contract.
+    parquet: the ingest merge is one ACID commit and the whole cleaning
+    batch (validation deletes + normalize-merge) is ONE more — a
+    multi-statement ``transaction()`` matching the reference's session
+    commit boundary (``validate_tv_channel_games.py:189``). Bucket-
+    pruned rewrites, snapshot-isolated readers, history/time travel.
+    Same end state as the default path (tested), different durability
+    contract.
     """
     if transactional:
         return _run_pipeline_txn(spark, pgn_source_dir, warehouse_dir, fetch_profile)
@@ -167,8 +169,13 @@ def _run_pipeline_txn(
         "append" if os.path.isdir(rejected_dir) else "overwrite"
     ).parquet(rejected_dir)
     deleted_count = deleted.count()
-    table.delete_keys(deleted.select("id_game"))             # commit: clean/delete
-    table.merge(cleaned, ["tm_ingested"])                    # commit: clean/update
+    # ONE commit for the whole cleaning batch (delete + normalize-merge),
+    # exactly the reference's session-commit boundary
+    # (validate_tv_channel_games.py:189) — readers never see the deletes
+    # without the normalizations; the statements fuse into one rewrite
+    with table.transaction():                                # commit: clean
+        table.delete_keys(deleted.select("id_game"))
+        table.merge(cleaned, ["tm_ingested"])
     valid = table.snapshot()
 
     users_added = 0

@@ -100,6 +100,15 @@ def test_exhaustiveness_guard(spark):
         heavy_hitters(items, cap=4, min_count=2, mode="two_phase").collect()
     with pytest.raises(ValueError, match="min_frac"):
         heavy_hitters(items, cap=4, min_frac=0.1, mode="two_phase")
+    # ADVICE r10: the min_frac premise binds auto too — it must not
+    # depend on which plan the input size happens to pick
+    with pytest.raises(ValueError, match="min_frac"):
+        heavy_hitters(items, cap=4, min_frac=0.1)
+    # explicit naive is exact at any threshold: no premise, answers
+    got = {r["item"] for r in heavy_hitters(
+        items, cap=4, min_frac=0.1, mode="naive"
+    ).collect()}
+    assert got == {str(i) for i in range(7)}
     with pytest.raises(ValueError, match="exactly one"):
         heavy_hitters(items, cap=4)
 

@@ -93,10 +93,13 @@ def test_transactional_pipeline_matches_swap_pipeline(spark, tmp_path):
     table = TxnTable(spark, f"{wh_txn}/games_txn")
     assert rows(table.snapshot()) == rows(spark.read.parquet(f"{wh_swap}/games"))
     ops = [h["op"] for h in table.history()]
-    # run 1: ingest merge, validation delete (2 invalid), clean-update
-    # merge, flag merge; run 2: same minus the delete (nothing invalid)
-    assert ops == ["create", "merge", "delete", "merge", "merge",
-                   "merge", "merge", "merge"]
+    # run 1: ingest merge, then the WHOLE cleaning batch (validation
+    # delete of 2 invalid + clean-update merge) as ONE txn commit —
+    # the reference's session-commit boundary — then the flag merge;
+    # run 2: same shape (its txn carries only the clean-update; nothing
+    # is invalid so delete_keys records no statement)
+    assert ops == ["create", "merge", "txn", "merge",
+                   "merge", "txn", "merge"]
     # time travel: before run 1's validation delete, the invalid rows exist
     assert table.snapshot(1).count() == 5  # all ingested rows, pre-clean
 

@@ -136,3 +136,57 @@ def test_writer_evaluates_input_plan_exactly_once(spark, tmp_path):
     summary = write_training_shards(docs, str(tmp_path / "s"), shard_tokens=20)
     assert summary["n_docs"] == 50
     assert acc.value == 50, f"input plan evaluated {acc.value / 50:.1f}x"
+
+
+def test_footer_reconcile_modes_agree_and_auto_probes(tmp_path, monkeypatch):
+    """VERDICT r10 #3: serial / pooled / auto footer reads return the
+    same counts; auto's latency probe stays serial on sub-ms local
+    reads and switches to the pool when per-file latency says I/O-bound
+    (object-store regime, simulated with a slowed reader)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from knightshift_spark.operators import sharding
+
+    root = tmp_path / "codes"
+    root.mkdir()
+    for s in range(40):
+        d = root / f"shard={s}"
+        d.mkdir()
+        pq.write_table(pa.table({"x": list(range(s % 5))}), str(d / "p.parquet"))
+    expect = {s: s % 5 for s in range(40)}
+    assert sharding._footer_doc_counts(str(root), mode="serial") == expect
+    assert sharding._footer_doc_counts(str(root), mode="pool") == expect
+    assert sharding._footer_doc_counts(str(root)) == expect
+    with pytest.raises(ValueError, match="mode"):
+        sharding._footer_doc_counts(str(root), mode="bogus")
+
+    calls = {"pooled": 0}
+    real_pf = pq.ParquetFile
+
+    class SlowPF:
+        def __init__(self, path):
+            time.sleep(0.004)  # object-store-ish footer latency
+            self._pf = real_pf(path)
+
+        @property
+        def metadata(self):
+            return self._pf.metadata
+
+    from concurrent import futures
+
+    class SpyPool(futures.ThreadPoolExecutor):
+        def __init__(self, *a, **k):
+            calls["pooled"] += 1
+            super().__init__(*a, **k)
+
+    monkeypatch.setattr(pq, "ParquetFile", SlowPF)
+    monkeypatch.setattr(futures, "ThreadPoolExecutor", SpyPool)
+    monkeypatch.setattr(
+        "concurrent.futures.ThreadPoolExecutor", SpyPool
+    )
+    got = sharding._footer_doc_counts(str(root))
+    assert got == expect
+    assert calls["pooled"] == 1  # the probe measured >2ms and pooled
