@@ -1113,3 +1113,23 @@ def test_concurrent_writer_stress_matches_serial_replay(spark, tmp_path):
                 model.pop(r.id, None)
     got = {r.id: (r.val, r.version) for r in t.snapshot().collect()}
     assert got == model
+
+
+def test_transaction_delete_only_and_exactly_once_stamp(spark, table):
+    """A transaction with only delete statements still lands one commit
+    (no merge shuffle in the fused plan); a merge carrying an
+    (app_id, batch_id) stamp inside a transaction advances the
+    exactly-once watermark through the txn commit."""
+    table.append(_df(spark, [(i, "x" if i % 3 else "bad", 1) for i in range(9)]))
+    v0 = table.version()
+    with table.transaction() as txn:
+        table.delete_where(F.col("val") == "bad")
+        table.delete_keys(spark.createDataFrame([(4,)], "id long"))
+    assert txn.version == v0 + 1
+    assert _rows(table.snapshot()) == {
+        (i, "x", 1) for i in range(9) if i % 3 and i != 4
+    }
+    assert table.streaming_watermark("appA") == -1
+    with table.transaction():
+        table.merge(_df(spark, [(1, "y", 2)]), ["version"], txn=("appA", 7))
+    assert table.streaming_watermark("appA") == 7
