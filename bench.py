@@ -1169,7 +1169,12 @@ def streaming_lm_gate_section(spark, sf_dir: str) -> dict:
             cuts=cuts,
             max_files_per_trigger=1,
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            # timed out: stop the query BEFORE the finally-rmtree and
+            # record nothing — partial output would fabricate a baseline
+            q.stop()
+            q.awaitTermination(60)
+            raise RuntimeError("streaming LM gate exceeded 600s")
         wall = time.perf_counter() - t0
         out = spark.read.parquet(target)
         rows_out = out.count()

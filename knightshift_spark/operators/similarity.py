@@ -516,14 +516,26 @@ def ivf_centroids(
             ((r[0], [float(x) for x in r[1]]) for r in rows),
             key=lambda t: t[0],
         )
-        return _ivf_centroids_local(
-            [p[0] for p in pairs],
-            [p[1] for p in pairs],
-            n_clusters,
-            seed_rounds,
-            lloyd_iters,
-            tol,
-        )
+        ids = [p[0] for p in pairs]
+        # twin-validity guards (r11 review): the distributed build's
+        # _nearest_center groupBys by id (duplicate ids collapse to one
+        # min-struct row — the twin keeps every row), and the decimal
+        # replay scales by 1e15 into int64 (coordinates beyond ~9e3
+        # overflow where decimal(30,15) does not). Either case falls
+        # back to the distributed path: correct over fast.
+        if len(ids) != len(set(ids)) or any(
+            abs(x) > 9000.0 for p in pairs for x in p[1]
+        ):
+            mode = "distributed"
+        else:
+            return _ivf_centroids_local(
+                ids,
+                [p[1] for p in pairs],
+                n_clusters,
+                seed_rounds,
+                lloyd_iters,
+                tol,
+            )
     first = vectors.orderBy(id_col).limit(1).collect()
     if not first:
         return []
@@ -1215,15 +1227,18 @@ def _codes_dir(path: str) -> str:
     return os.path.join(path, "codes")
 
 
-def _read_index_sidecar(path: str) -> dict:
+def _read_index_sidecar(path: str, codes_root: str | None = None) -> dict:
     """The index sidecar, preferring the CANONICAL in-tree copy
     (``<codes>/_codebooks.json`` — versioned with the codes) over the
     legacy top-level ``codebooks.json`` (pre-r10 indexes, and the
-    compatibility copy the writer still maintains)."""
+    compatibility copy the writer still maintains). Callers that also
+    read the codes MUST resolve ``_codes_dir`` ONCE and pass it here —
+    resolving twice races a concurrent rebuild's pointer flip and pairs
+    one version's codebooks with the other's codes (r11 review)."""
     import json
     import os
 
-    canonical = os.path.join(_codes_dir(path), "_codebooks.json")
+    canonical = os.path.join(codes_root or _codes_dir(path), "_codebooks.json")
     legacy = os.path.join(path, "codebooks.json")
     with open(canonical if os.path.isfile(canonical) else legacy) as f:
         return json.load(f)
@@ -1281,7 +1296,12 @@ def write_ann_index(
     for d in os.listdir(path):
         full = os.path.join(path, d)
         if d.startswith(("_rebuild-", "_old-")) or (
-            d.startswith("codes-") and full != live and os.path.isdir(full)
+            # stale versioned trees AND a no-longer-live legacy codes/
+            # (a migrated pre-pointer index — r11 review: 'codes' does
+            # not match the 'codes-' prefix, so it leaked forever)
+            (d.startswith("codes-") or d == "codes")
+            and full != live
+            and os.path.isdir(full)
         ):
             shutil.rmtree(full, ignore_errors=True)
     stage = os.path.join(path, f"codes-{_uuid.uuid4().hex}")
@@ -1395,7 +1415,9 @@ def append_ann_index(
         os.makedirs(base_dir, exist_ok=True)
         for d in legacy:
             os.rename(os.path.join(codes_root, d), os.path.join(base_dir, d))
-    meta = _read_index_sidecar(path)
+    # ONE pointer resolution for sidecar + write: resolving again for
+    # the write would race a concurrent rebuild's flip (r11 review)
+    meta = _read_index_sidecar(path, codes_root)
     cu = _unit(new_vectors, id_col, vec_col, "neighbor_id", "__cv")
     enc = _encode_with(cu, meta["coarse"], meta["books"])
     from pyspark.sql import Observation
@@ -1407,7 +1429,7 @@ def append_ann_index(
         F.avg(_sq_l2(F.col("__rv"), _pq_reconstruction(meta["books"]))).alias("e"),
     ).select("neighbor_id", "cid", "code").write.mode("overwrite").partitionBy(
         "cid"
-    ).parquet(os.path.join(_codes_dir(path), f"__batch={batch_id}"))
+    ).parquet(os.path.join(codes_root, f"__batch={batch_id}"))
     got = obs.get
     err = None if got["e"] is None else float(got["e"])
     base = meta.get("quant_error_base")
@@ -1440,8 +1462,10 @@ def query_ann_index(
     import json
     import os
 
-    meta = _read_index_sidecar(path)
-    codes = spark.read.parquet(_codes_dir(path))
+    codes_root = _codes_dir(path)  # ONE resolution: sidecar + codes must
+    # come from the SAME version even if a rebuild flips the pointer now
+    meta = _read_index_sidecar(path, codes_root)
+    codes = spark.read.parquet(codes_root)
     qu = _unit(queries, id_col, vec_col, "query_id", "__qv")
     return _ivfpq_topk(
         qu,

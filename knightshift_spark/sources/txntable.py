@@ -1133,11 +1133,21 @@ class TxnTable:
             removes = [
                 p for p, a in active.items() if a["bucket"] in set(committed)
             ]
+            # conflict set = the whole READ set: any delete_where's
+            # discovery (or single-pass) scan reads EVERY active bucket,
+            # so predicate deletes widen the set to the full table even
+            # when only a few buckets get rewritten (r11 review: the
+            # two-phase branch previously declared hit buckets only,
+            # weaker than the documented guarantee)
+            if deletes:
+                read_set = {a["bucket"] for a in active.values()} | merge_touched
+            else:
+                read_set = bucket_set
             return self._commit(
                 "txn",
                 adds,
                 removes,
-                sorted(bucket_set),  # conflict set = the whole READ set
+                sorted(read_set),
                 st.read_v,
                 schema=meta["schema"] if st.schema_changed else None,
                 txn=st.txn,
@@ -1307,7 +1317,6 @@ class TxnTable:
         single-pass). Without a hint, auto is the scale-safe two-phase
         plan."""
         if self._txn is not None:
-            meta = self._txn.meta
             ra = self._resolve_rewrite_all(
                 rewrite_all, range_hint, self._txn.active
             )
@@ -1421,6 +1430,8 @@ class TxnTable:
         schema = self._schema(meta)
         rel, touched = self._stage_keys(keys_df, meta)
         out = os.path.join(self.path, rel)
+        _INFLIGHT_STAGING.add(out)
+        os.utime(out)  # rewrite reads it next: freshen for vacuum (r11)
         try:
             if not touched:
                 return read_v
@@ -1448,6 +1459,7 @@ class TxnTable:
             ]
             return self._commit("delete", adds, removes, touched, read_v)
         finally:
+            _INFLIGHT_STAGING.discard(out)
             shutil.rmtree(out, ignore_errors=True)
 
     def compact(self, min_files: int = 2) -> int:

@@ -243,3 +243,35 @@ def test_failed_rebuild_leaves_old_index_intact(spark, index_dir, monkeypatch):
     assert hard == [] and len(trees) <= 1
     out2 = query_ann_index(spark, index_dir, q, k=3, n_probe=2).collect()
     assert len(out2) > 0
+
+
+def test_rebuild_sweeps_migrated_legacy_codes_tree(spark, index_dir):
+    """r11 review: a pre-pointer index (legacy codes/ dir) that gets
+    rebuilt must not leak the old tree forever — the sweep matches the
+    bare 'codes' name too, once it is no longer the live tree."""
+    import os
+    import shutil
+
+    from knightshift_spark.operators.similarity import _codes_dir
+
+    # fabricate the pre-r11 layout: live tree at codes/, no pointer
+    live = _codes_dir(index_dir)
+    legacy = os.path.join(index_dir, "codes")
+    os.rename(live, legacy)
+    os.remove(os.path.join(index_dir, "CURRENT"))
+    assert _codes_dir(index_dir) == legacy  # resolver falls back
+
+    emb = spark.read.parquet(EMB)
+    # rebuild #1: points at a new codes-<uuid>; legacy stays one round
+    # (in-flight readers may still scan it)
+    write_ann_index(emb.filter(F.col("vec_id") < 20), index_dir,
+                    n_clusters=2, m=2, ksub=4)
+    assert os.path.basename(_codes_dir(index_dir)).startswith("codes-")
+    # rebuild #2: the no-longer-live legacy tree is swept
+    write_ann_index(emb.filter(F.col("vec_id") < 20), index_dir,
+                    n_clusters=2, m=2, ksub=4)
+    assert not os.path.isdir(legacy)
+    out = query_ann_index(
+        spark, index_dir, emb.filter(F.col("vec_id") == 5), k=3, n_probe=2
+    ).collect()
+    assert len(out) > 0

@@ -1149,3 +1149,28 @@ def test_pq_local_twin_matches_distributed_on_exact_data(spark):
     local = pq_codebooks(v, m=2, ksub=4, mode="local")
     dist = pq_codebooks(v, m=2, ksub=4, mode="distributed")
     assert local == dist
+
+
+def test_ivf_local_gate_falls_back_on_twin_invalid_input(spark):
+    """r11 review: the driver-side twin is only bit-faithful when ids
+    are unique (the distributed argmin groupBys by id) and coordinates
+    fit the 1e15-scaled int64 replay — duplicate ids or huge magnitudes
+    must fall back to the distributed build, not diverge or crash."""
+    from knightshift_spark.operators.similarity import ivf_centroids
+
+    # duplicate ids (NOT at the minimum id, so the distributed path's
+    # own first-center pick stays deterministic)
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (1, [0.0, 2.0]), (2, [3.0, 3.0])]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(id_col="vec_id", vec_col="embedding", seed_rounds=1, lloyd_iters=1)
+    assert ivf_centroids(v, 2, mode="local", **kw) == ivf_centroids(
+        v, 2, mode="distributed", **kw
+    )
+    # coordinate beyond the int64 decimal replay (|x| * 1e15 > 2^63)
+    big = spark.createDataFrame(
+        [(i, [float(10000 + i), 0.5]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    assert ivf_centroids(big, 2, mode="local", **kw) == ivf_centroids(
+        big, 2, mode="distributed", **kw
+    )

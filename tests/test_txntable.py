@@ -1133,3 +1133,45 @@ def test_transaction_delete_only_and_exactly_once_stamp(spark, table):
     with table.transaction():
         table.merge(_df(spark, [(1, "y", 2)]), ["version"], txn=("appA", 7))
     assert table.streaming_watermark("appA") == 7
+
+
+def test_transaction_two_phase_delete_conflicts_on_read_set(spark, table):
+    """r11 review: a PREDICATE delete's discovery scan reads every
+    bucket, so even the two-phase (non-rewrite_all) transaction must
+    conflict with a concurrent commit on a bucket it did not rewrite."""
+    table.append(_df(spark, [(i, "x", 1) for i in range(8)]))
+    with pytest.raises(ConcurrentWriteError):
+        with table.transaction():
+            table.delete_where(F.col("id") == 0)  # two-phase, hits ≤1 bucket
+            TxnTable(spark, table.path).merge(
+                _df(spark, [(7, "z", 2)]), ["version"]
+            )
+    assert (7, "z", 2) in _rows(table.snapshot())
+    assert os.listdir(os.path.join(table.path, "_staging")) == []
+
+
+def test_vacuum_skips_inflight_staging_registry(spark, table):
+    """r11 review: delete_keys (and merge/txn) register their staging
+    dirs in the process-local in-flight registry; vacuum must skip a
+    registered dir even past the retention window."""
+    table.append(_df(spark, [(1, "a", 1)]))
+    staging_root = os.path.join(table.path, "_staging")
+    os.makedirs(staging_root, exist_ok=True)
+    live = os.path.join(staging_root, "live-rewrite")
+    os.makedirs(live)
+    os.utime(live, (0, 0))  # ancient mtime: only the registry saves it
+    txntable._INFLIGHT_STAGING.add(live)
+    try:
+        table.vacuum(retention_s=3600)
+        assert os.path.isdir(live)
+    finally:
+        txntable._INFLIGHT_STAGING.discard(live)
+    table.vacuum(retention_s=3600)
+    assert not os.path.isdir(live)  # deregistered + old: swept
+
+
+def test_delete_keys_clears_inflight_registry(spark, table):
+    table.append(_df(spark, [(1, "a", 1), (2, "b", 1)]))
+    table.delete_keys(spark.createDataFrame([(1,)], "id long"))
+    assert not txntable._INFLIGHT_STAGING
+    assert _rows(table.snapshot()) == {(2, "b", 1)}
