@@ -1175,3 +1175,39 @@ def test_delete_keys_clears_inflight_registry(spark, table):
     table.delete_keys(spark.createDataFrame([(1,)], "id long"))
     assert not txntable._INFLIGHT_STAGING
     assert _rows(table.snapshot()) == {(2, "b", 1)}
+
+
+def test_transaction_job_count_is_stage_plus_one_rewrite(spark, table):
+    """The fused-commit cost claim (SCALE.md r11): a merge + rewrite_all
+    delete transaction runs exactly TWO actions — the update staging
+    write and the single fused rewrite (the delete adds no scan of its
+    own); the two-phase predicate delete adds exactly one discovery
+    job. AQE is disabled for the count (it materializes each query
+    stage as its own job id, which is sub-action scheduling, not an
+    extra pass over the data)."""
+    table.append(_df(spark, [(i, "x", 1) for i in range(12)]))
+    sc = spark.sparkContext
+
+    def jobs_in(group, fn):
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup(None, None)
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    def ra_txn():
+        with table.transaction():
+            table.merge(_df(spark, [(1, "y", 2)]), ["version"])
+            table.delete_where(F.col("id") == 5, rewrite_all=True)
+
+    def two_phase_txn():
+        with table.transaction():
+            table.merge(_df(spark, [(2, "z", 2)]), ["version"])
+            table.delete_where(F.col("id") == 6)
+
+    assert jobs_in("txn-ra", ra_txn) == 2
+    assert jobs_in("txn-2p", two_phase_txn) == 3
