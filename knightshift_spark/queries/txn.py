@@ -122,8 +122,9 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
         os.path.join(tempfile.mkdtemp(prefix="q72_txn_"), "t"),
         keys=["c_custkey"],
         schema=_SCHEMA,
-        n_buckets=8,  # 8 buckets = merge/delete sort-and-write tasks; the
-        # r10 sweep (4/8/16 at sf0.1, local[32]) bottoms out here
+        n_buckets=8,  # 8 buckets = merge/delete sort-and-write tasks;
+        # re-swept r11 under the fused-txn shape (2/4/8/16 at sf0.1,
+        # local[32], best-of-3): 1.16/1.05/0.94/1.08 s — still 8
     )
     table.append(cur)  # v1
     # ONE transaction = ONE commit, like the reference's cleaning pass

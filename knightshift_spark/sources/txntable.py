@@ -1060,18 +1060,39 @@ class TxnTable:
 
             observations: list = []
             shuffled = False
+            # maximal RUNS of consecutive same-order_by merges fuse into
+            # ONE window: (order_by, __src) lexicographic max is
+            # associative, so the fused multiset max over {base(src 0),
+            # batch1(src 1), ..., batchN(src N)} equals applying the
+            # merges sequentially — an N-batch transaction pays one
+            # shuffle, not N (pinned by
+            # test_transaction_fuses_consecutive_merges)
+            groups: list[list[tuple]] = []
             for s in st.stmts:
+                if (
+                    s[0] == "merge"
+                    and groups
+                    and groups[-1][0][0] == "merge"
+                    and groups[-1][0][3] == s[3]
+                ):
+                    groups[-1].append(s)
+                else:
+                    groups.append([s])
+            for grp in groups:
+                s = grp[0]
                 if s[0] == "merge":
-                    _, rel, _, order_by = s
-                    upd = (
+                    order_by = s[3]
+                    upds = [
                         self.spark.read.schema(staged_schema)
-                        .parquet(os.path.join(self.path, rel))
-                        .withColumn(_SRC, F.lit(1))
-                    )
+                        .parquet(os.path.join(self.path, g[1]))
+                        .withColumn(_SRC, F.lit(i + 1))
+                        for i, g in enumerate(grp)
+                    ]
+                    both = plan.withColumn(_SRC, F.lit(0))
+                    for u in upds:
+                        both = both.unionByName(u)
                     plan = self._dedup_window(
-                        plan.withColumn(_SRC, F.lit(0))
-                        .unionByName(upd)
-                        .repartition(n_buckets, F.col(_BUCKET)),
+                        both.repartition(n_buckets, F.col(_BUCKET)),
                         meta,
                         order_by,
                     )

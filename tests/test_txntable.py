@@ -1211,3 +1211,57 @@ def test_transaction_job_count_is_stage_plus_one_rewrite(spark, table):
 
     assert jobs_in("txn-ra", ra_txn) == 2
     assert jobs_in("txn-2p", two_phase_txn) == 3
+
+
+def test_transaction_fuses_consecutive_merges(spark, table):
+    """Consecutive same-order_by merges in one transaction fuse into ONE
+    window/shuffle and must equal sequential standalone merges: later
+    statements beat earlier ones on order_by ties ((order_by, src) max
+    is associative). Jobs = one staging write per merge + one rewrite."""
+    table.append(_df(spark, [(1, "base", 5), (2, "b", 1)]))
+    # sequential reference on a second table
+    import tempfile
+
+    ref = TxnTable.create(
+        spark, tempfile.mkdtemp() + "/ref", keys=["id"], schema=SCHEMA, n_buckets=4
+    )
+    ref.append(_df(spark, [(1, "base", 5), (2, "b", 1)]))
+    b1 = [(1, "m1", 5), (2, "m1", 2), (3, "m1", 1)]   # ties base on id=1
+    b2 = [(1, "m2", 5), (3, "m2", 1), (4, "m2", 1)]   # ties m1 on id=1,3
+    b3 = [(2, "m3", 1)]                                # loses to m1 (2<2? no: 1<2)
+    ref.merge(_df(spark, b1), ["version"])
+    ref.merge(_df(spark, b2), ["version"])
+    ref.merge(_df(spark, b3), ["version"])
+    sc = spark.sparkContext
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("fused-merges", "fused-merges")
+    try:
+        with table.transaction() as txn:
+            table.merge(_df(spark, b1), ["version"])
+            table.merge(_df(spark, b2), ["version"])
+            table.merge(_df(spark, b3), ["version"])
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert _rows(table.snapshot()) == _rows(ref.snapshot())
+    assert table.version() == 2 and txn.version == 2
+    # 3 staging writes + ONE fused rewrite
+    assert len(sc.statusTracker().getJobIdsForGroup("fused-merges")) == 4
+
+
+def test_transaction_merge_runs_split_by_order_by_and_deletes(spark, table):
+    """A delete between merges (or a different order_by) breaks the
+    fusion run — statements still apply strictly in order."""
+    table.append(_df(spark, [(1, "a", 1)]))
+    with table.transaction():
+        table.merge(_df(spark, [(1, "m1", 9)]), ["version"])
+        table.delete_keys(spark.createDataFrame([(1,)], "id long"))
+        # resurrect AFTER the delete — must not fuse past it (a fused
+        # window would let version 9 beat this row before the delete)
+        table.merge(_df(spark, [(1, "m2", 2)]), ["version"])
+    assert _rows(table.snapshot()) == {(1, "m2", 2)}
+    with table.transaction():
+        table.merge(_df(spark, [(1, "x", 3)]), ["version"])
+        table.merge(_df(spark, [(1, "y", 3)]), ["id"])  # different order_by
+    assert _rows(table.snapshot()) == {(1, "y", 3)}
