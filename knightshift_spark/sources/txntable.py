@@ -1634,6 +1634,37 @@ class TxnTable:
         return v
 
 
+def run_transaction(
+    table: TxnTable,
+    body,
+    max_retries: int = 10,
+    backoff_s: float = 0.1,
+) -> int:
+    """Run ``body(table)`` inside ``table.transaction()``, retrying the
+    WHOLE transaction on ``ConcurrentWriteError`` with jittered
+    exponential backoff — the standard optimistic-concurrency loop
+    (Delta's commit-retry shape; the N-writer stress test hand-rolled
+    exactly this). Each retry re-reads the head and re-stages, so the
+    body must be re-runnable (pure plan construction — true of
+    merge/delete statements by design). Returns the committed version.
+    Raises the final ``ConcurrentWriteError`` after ``max_retries``
+    exhausted — bounded, never a livelock loop."""
+    import random
+    import time as _time
+
+    rng = random.Random()
+    for attempt in range(max_retries):
+        try:
+            with table.transaction() as txn:
+                body(table)
+            return txn.version if txn.version is not None else table.version()
+        except ConcurrentWriteError:
+            if attempt == max_retries - 1:
+                raise
+            _time.sleep(rng.uniform(0.5, 1.5) * backoff_s * (2**attempt))
+    raise AssertionError("unreachable")
+
+
 def txn_upsert_writer(
     table: TxnTable, order_by: Sequence[str], app_id: str | None = None
 ):

@@ -1265,3 +1265,36 @@ def test_transaction_merge_runs_split_by_order_by_and_deletes(spark, table):
         table.merge(_df(spark, [(1, "x", 3)]), ["version"])
         table.merge(_df(spark, [(1, "y", 3)]), ["id"])  # different order_by
     assert _rows(table.snapshot()) == {(1, "y", 3)}
+
+
+def test_run_transaction_retries_past_conflicts(spark, table):
+    """run_transaction: the optimistic-concurrency retry loop — a body
+    that loses its first commit race re-runs against the new head and
+    lands; retries are bounded."""
+    from knightshift_spark.sources.txntable import run_transaction
+
+    table.append(_df(spark, [(i, "x", 1) for i in range(8)]))
+    fired = {"n": 0}
+
+    def body(t):
+        fired["n"] += 1
+        if fired["n"] == 1:  # interloper lands between our read & commit
+            TxnTable(spark, t.path).merge(
+                _df(spark, [(3, "thief", 2)]), ["version"]
+            )
+        t.merge(_df(spark, [(1, "mine", 3)]), ["version"])
+        t.delete_where(F.col("id") == 7, rewrite_all=True)
+
+    v = run_transaction(table, body, max_retries=3, backoff_s=0.01)
+    assert fired["n"] == 2 and v == table.version()
+    got = _rows(table.snapshot())
+    assert (1, "mine", 3) in got and (3, "thief", 2) in got
+    assert not any(r[0] == 7 for r in got)
+
+    def always_loses(t):
+        TxnTable(spark, t.path).merge(_df(spark, [(2, "z", 9)]), ["version"])
+        t.merge(_df(spark, [(2, "never", 1)]), ["version"])
+        t.delete_where(F.lit(False), rewrite_all=True)
+
+    with pytest.raises(ConcurrentWriteError):
+        run_transaction(table, always_loses, max_retries=2, backoff_s=0.01)
