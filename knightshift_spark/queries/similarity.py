@@ -58,6 +58,95 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """The knn_* ranking tail over a (query_id, neighbor_id, __sim)
+    relation — identical window, tie-break, and rounding, so variants
+    derived from one shared scored relation stay bit-identical to the
+    standalone operators."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("__sim", 4).alias("sim"), "rank")
+    )
+
+
+def _lsh_variant_pair(
+    queries: DataFrame, c_lsh: DataFrame, k: int, bits: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(exact-bucket top-k, Hamming-1-probed top-k) from ONE persisted
+    scored relation: the widening variant's candidate set strictly
+    contains the base's (probe index 0 = the query's own sketch), so the
+    base is a pre-window filter instead of a second codegen-heavy
+    scoring plan. The caller owns unpersisting the returned relation
+    via the third element."""
+    from knightshift_spark.operators.similarity import dot, norm, srp_sketch
+
+    sk = srp_sketch(F.col("embedding"), bits, 64)
+    probes = F.array(sk, *[sk.bitwiseXOR(F.lit(1 << b)) for b in range(bits)])
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        norm("embedding", 64).alias("__qn"),
+        F.posexplode(probes).alias("__pi", "__sk"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c_lsh.select("neighbor_id", "__cv", "__cn", "__sk"), "__sk")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "__pi",
+            (dot("__qv", "__cv", 64) / (F.col("__qn") * F.col("__cn"))).alias(
+                "__sim"
+            ),
+        )
+        .persist()
+    )
+    return _topk(scored.filter(F.col("__pi") == 0), k), _topk(scored, k), scored
+
+
+def _ivf_variant_pair(
+    queries: DataFrame, c_ivf: DataFrame, cents: list, k: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(1-probe top-k, 2-probe top-k) from ONE persisted scored relation
+    — probe rank 0 is the nearest centroid, exactly ``knn_ivf``'s
+    ``n_probe=1`` candidate set (clusters are disjoint, so each pair
+    appears once and no dedup is needed)."""
+    from knightshift_spark.operators.similarity import (
+        assign_ivf_clusters,
+        dot,
+        norm,
+    )
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        norm("embedding", 64).alias("__qn"),
+        F.posexplode(
+            assign_ivf_clusters(F.col("embedding"), cents, 2)
+        ).alias("__pr", "__cid"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c_ivf.select("neighbor_id", "__cv", "__cn", "__cid"), "__cid")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "__pr",
+            (dot("__qv", "__cv", 64) / (F.col("__qn") * F.col("__cn"))).alias(
+                "__sim"
+            ),
+        )
+        .persist()
+    )
+    return _topk(scored.filter(F.col("__pr") == 0), k), _topk(scored, k), scored
+
+
 def ann_recall_harness(
     spark: SparkSession,
     variants: dict[str, DataFrame],
@@ -363,16 +452,22 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
     # probe setting — the in-memory form of the persisted-index path
     c_lsh = prepare_lsh_candidates(c, bits=4).persist()
     c_ivf = prepare_ivf_candidates(c, cents).persist()
+    # r11: each index family scores ONCE (persisted pair relation) and
+    # both probe settings are windows over it — the widening variant's
+    # candidate set strictly contains the base's, so the base is a
+    # pre-window filter instead of a second codegen-heavy scoring plan
+    # (the harness's charged build had 4 such plans; now 2). Outputs
+    # stay bit-identical to knn_lsh/knn_ivf (pinned in pytest).
+    lsh_b4, lsh_b4_h1, s_lsh = _lsh_variant_pair(q, c_lsh, k=3, bits=4)
+    ivf_p1, ivf_p2, s_ivf = _ivf_variant_pair(q, c_ivf, cents, k=3)
     variants = {
-        "lsh_b4": knn_lsh(q, c_lsh, k=3, bits=4),
-        "lsh_b4_h1": knn_lsh(q, c_lsh, k=3, bits=4, hamming_probe=1),
-        "ivf_seed4": knn_ivf(q, c_ivf, k=3, n_clusters=4, centroids=cents),
-        "ivf_seed4_p2": knn_ivf(
-            q, c_ivf, k=3, n_clusters=4, n_probe=2, centroids=cents
-        ),
+        "lsh_b4": lsh_b4,
+        "lsh_b4_h1": lsh_b4_h1,
+        "ivf_seed4": ivf_p1,
+        "ivf_seed4_p2": ivf_p2,
     }
     widens = {"lsh_b4_h1": "lsh_b4", "ivf_seed4_p2": "ivf_seed4"}
     out = ann_recall_harness(spark, variants, truth, widens)
-    for cached in (c, c_lsh, c_ivf):  # harness materialized → safe to drop
+    for cached in (c, c_lsh, c_ivf, s_lsh, s_ivf):  # harness materialized
         cached.unpersist()
     return out

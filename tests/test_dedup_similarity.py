@@ -1174,3 +1174,48 @@ def test_ivf_local_gate_falls_back_on_twin_invalid_input(spark):
     assert ivf_centroids(big, 2, mode="local", **kw) == ivf_centroids(
         big, 2, mode="distributed", **kw
     )
+
+
+def test_q59_shared_scored_variants_match_knn_operators(spark):
+    """r11: q59 derives each probe pair from ONE persisted scored
+    relation; outputs must be BIT-IDENTICAL to the standalone
+    knn_lsh/knn_ivf operators (same folds, window, rounding)."""
+    from knightshift_spark.operators.similarity import (
+        knn_ivf,
+        knn_lsh,
+        prepare_ivf_candidates,
+        prepare_lsh_candidates,
+    )
+    from knightshift_spark.queries.similarity import (
+        _ivf_variant_pair,
+        _lsh_variant_pair,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q, c = emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10)
+    c_lsh = prepare_lsh_candidates(c, bits=4)
+    b4, b4h1, s1 = _lsh_variant_pair(q, c_lsh, k=3, bits=4)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(b4) == rows(knn_lsh(q, c_lsh, k=3, bits=4))
+    assert rows(b4h1) == rows(knn_lsh(q, c_lsh, k=3, bits=4, hamming_probe=1))
+    s1.unpersist()
+
+    from knightshift_spark.operators.dedup import stable_hash32
+
+    seeds = (
+        c.select("vec_id", "embedding", stable_hash32(
+            F.concat(F.col("vec_id").cast("string"), F.lit("|ivfseed"))
+        ).alias("__h"))
+        .orderBy("__h", "vec_id").limit(4).collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in seeds]
+    c_ivf = prepare_ivf_candidates(c, cents)
+    p1, p2, s2 = _ivf_variant_pair(q, c_ivf, cents, k=3)
+    assert rows(p1) == rows(knn_ivf(q, c_ivf, k=3, n_clusters=4, centroids=cents))
+    assert rows(p2) == rows(
+        knn_ivf(q, c_ivf, k=3, n_clusters=4, n_probe=2, centroids=cents)
+    )
+    s2.unpersist()
