@@ -61,6 +61,39 @@ def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def topk_by_sim(scored: DataFrame, k: int) -> DataFrame:
+    """The shared ranking tail of every cosine knn_* operator (and of
+    q59's shared-scored variant derivation): per-query ``row_number``
+    over (sim desc, neighbor_id), rank <= k, sim rounded to 4 decimals.
+    ONE definition so the tie-break/rounding contract cannot silently
+    fork between the operators and the harness (r11 review)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("__sim", 4).alias("sim"), "rank")
+    )
+
+
+def srp_probe_array(vec: Column, bits: int, dim: int, hamming_probe: int) -> Column:
+    """The probe-sketch array of a query vector: its own SRP sketch,
+    plus every sketch at Hamming distance 1 when ``hamming_probe=1``
+    (index 0 is ALWAYS the exact sketch — q59's shared-scored variants
+    depend on that to derive the unprobed base by filtering probe
+    index 0). Shared by ``knn_lsh`` and the harness for the same
+    no-fork reason as ``topk_by_sim``."""
+    sk = srp_sketch(vec, bits, dim)
+    if hamming_probe == 0:
+        return F.array(sk)
+    if hamming_probe == 1:
+        return F.array(sk, *[sk.bitwiseXOR(F.lit(1 << b)) for b in range(bits)])
+    raise ValueError("hamming_probe supports 0 or 1 (cost grows as C(bits,r))")
+
+
 def knn_bruteforce(
     queries: DataFrame,
     candidates: DataFrame,
@@ -100,16 +133,7 @@ def knn_bruteforce(
             ).alias("__sim"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("__sim", 4).alias("sim"), "rank")
-    )
+    return topk_by_sim(scored, k)
 
 
 def srp_sketch(vec: Column, bits: int = 16, dim: int = 64) -> Column:
@@ -630,14 +654,7 @@ def knn_ivf(
             ).alias("__sim"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("__sim", 4).alias("sim"), "rank")
-    )
+    return topk_by_sim(scored, k)
 
 
 def _unit(df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str) -> DataFrame:
@@ -1540,13 +1557,7 @@ def knn_lsh(
     cost, still bucket-local. Probe sketches are distinct, so each
     candidate pairs at most once (no dedup needed).
     """
-    sk = srp_sketch(F.col(vec_col), bits, dim)
-    if hamming_probe == 0:
-        probes = F.array(sk)
-    elif hamming_probe == 1:
-        probes = F.array(sk, *[sk.bitwiseXOR(F.lit(1 << b)) for b in range(bits)])
-    else:
-        raise ValueError("hamming_probe supports 0 or 1 (cost grows as C(bits,r))")
+    probes = srp_probe_array(F.col(vec_col), bits, dim, hamming_probe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -1578,14 +1589,7 @@ def knn_lsh(
             ).alias("__sim"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("__sim", 4).alias("sim"), "rank")
-    )
+    return topk_by_sim(scored, k)
 
 
 def neardup_pairs_lsh(

@@ -58,23 +58,6 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _topk(scored: DataFrame, k: int) -> DataFrame:
-    """The knn_* ranking tail over a (query_id, neighbor_id, __sim)
-    relation — identical window, tie-break, and rounding, so variants
-    derived from one shared scored relation stay bit-identical to the
-    standalone operators."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("__sim", 4).alias("sim"), "rank")
-    )
-
-
 def _lsh_variant_pair(
     queries: DataFrame, c_lsh: DataFrame, k: int, bits: int
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -84,10 +67,14 @@ def _lsh_variant_pair(
     base is a pre-window filter instead of a second codegen-heavy
     scoring plan. The caller owns unpersisting the returned relation
     via the third element."""
-    from knightshift_spark.operators.similarity import dot, norm, srp_sketch
+    from knightshift_spark.operators.similarity import (
+        dot,
+        norm,
+        srp_probe_array,
+        topk_by_sim,
+    )
 
-    sk = srp_sketch(F.col("embedding"), bits, 64)
-    probes = F.array(sk, *[sk.bitwiseXOR(F.lit(1 << b)) for b in range(bits)])
+    probes = srp_probe_array(F.col("embedding"), bits, 64, hamming_probe=1)
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qv"),
@@ -107,7 +94,11 @@ def _lsh_variant_pair(
         )
         .persist()
     )
-    return _topk(scored.filter(F.col("__pi") == 0), k), _topk(scored, k), scored
+    return (
+        topk_by_sim(scored.filter(F.col("__pi") == 0), k),
+        topk_by_sim(scored, k),
+        scored,
+    )
 
 
 def _ivf_variant_pair(
@@ -121,6 +112,7 @@ def _ivf_variant_pair(
         assign_ivf_clusters,
         dot,
         norm,
+        topk_by_sim,
     )
 
     q = queries.select(
@@ -144,7 +136,11 @@ def _ivf_variant_pair(
         )
         .persist()
     )
-    return _topk(scored.filter(F.col("__pr") == 0), k), _topk(scored, k), scored
+    return (
+        topk_by_sim(scored.filter(F.col("__pr") == 0), k),
+        topk_by_sim(scored, k),
+        scored,
+    )
 
 
 def ann_recall_harness(
@@ -450,8 +446,11 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
     # shared index tables: the sketch / cluster-assignment projections
     # (the per-candidate codegen cost) run once per index, not once per
     # probe setting — the in-memory form of the persisted-index path
-    c_lsh = prepare_lsh_candidates(c, bits=4).persist()
-    c_ivf = prepare_ivf_candidates(c, cents).persist()
+    # NOT persisted (r11 review): each prepared table now feeds exactly
+    # one consumer — the persisted scored relation — so caching them was
+    # pure materialization cost (c itself stays persisted above)
+    c_lsh = prepare_lsh_candidates(c, bits=4)
+    c_ivf = prepare_ivf_candidates(c, cents)
     # r11: each index family scores ONCE (persisted pair relation) and
     # both probe settings are windows over it — the widening variant's
     # candidate set strictly contains the base's, so the base is a
@@ -468,6 +467,6 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
     }
     widens = {"lsh_b4_h1": "lsh_b4", "ivf_seed4_p2": "ivf_seed4"}
     out = ann_recall_harness(spark, variants, truth, widens)
-    for cached in (c, c_lsh, c_ivf, s_lsh, s_ivf):  # harness materialized
+    for cached in (c, s_lsh, s_ivf):  # harness materialized -> drop
         cached.unpersist()
     return out

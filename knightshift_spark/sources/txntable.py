@@ -1652,17 +1652,24 @@ def run_transaction(
     import random
     import time as _time
 
+    if max_retries < 1:
+        raise ValueError(f"max_retries must be >= 1, got {max_retries}")
     rng = random.Random()
     for attempt in range(max_retries):
         try:
             with table.transaction() as txn:
                 body(table)
-            return txn.version if txn.version is not None else table.version()
+            # a successful exit always sets txn.version (_commit_txn
+            # returns read_v for an empty body, a commit version
+            # otherwise) — never re-read table.version() here: a
+            # concurrent writer may have advanced the head past us
+            assert txn.version is not None
+            return txn.version
         except ConcurrentWriteError:
             if attempt == max_retries - 1:
                 raise
             _time.sleep(rng.uniform(0.5, 1.5) * backoff_s * (2**attempt))
-    raise AssertionError("unreachable")
+    raise AssertionError("unreachable")  # loop always returns or raises
 
 
 def txn_upsert_writer(
