@@ -1252,6 +1252,54 @@ def txn_table_section(spark, sf_dir: str) -> dict:
         for p in set(active_after) - set(active_before)
     )
 
+    # r11: THREE update batches landed as one fused transaction vs as
+    # three sequential merge commits — same final state; the fusion
+    # claim is one staged-union window rewrite (touched buckets written
+    # ONCE) instead of three rewrites of overlapping bucket sets
+    def _three_batches(seedv):
+        return [
+            corpus.filter(F.col("doc_id") % 977 == (11 + i)).limit(24).select(
+                "doc_id",
+                F.concat(F.lit(f"b{i}: "), F.col("text")).alias("text"),
+                F.lit(seedv + i).cast("int").alias("version"),
+            ).localCheckpoint()
+            for i in range(3)
+        ]
+
+    seq_tbl = os.path.join(base, "txn_table_seq")
+    shutil.rmtree(seq_tbl, ignore_errors=True)
+    seq = TxnTable.create(
+        spark, seq_tbl, keys=["doc_id"],
+        schema="doc_id long, text string, version int", n_buckets=256,
+    )
+    seq.append(corpus)
+    batches = _three_batches(3)
+    _, seq_before, _ = seq._state()
+    t0 = time.perf_counter()
+    for b in batches:
+        seq.merge(b, order_by=["version"])
+    seq_sec = time.perf_counter() - t0
+    _, seq_after, _ = seq._state()
+    t0 = time.perf_counter()
+    with table.transaction():
+        for b in batches:
+            table.merge(b, order_by=["version"])
+    fused_sec = time.perf_counter() - t0
+    _, fused_after, _ = table._state()
+    fused_bytes = sum(
+        _dir_bytes(os.path.join(tbl_path, p))
+        for p in set(fused_after) - set(active_after)
+    )
+    fused_txn = {
+        "batches": 3,
+        "rows_per_batch": 24,
+        "three_commits_sec": round(seq_sec, 4),
+        "one_fused_txn_sec": round(fused_sec, 4),
+        "fused_rewritten_mb": round(fused_bytes / 1e6, 2),
+        "commits": {"sequential": 3, "fused": 1},
+    }
+    shutil.rmtree(seq_tbl, ignore_errors=True)
+
     # the old path: full-table algebraic upsert + whole-table rewrite
     swap_dir = os.path.join(base, "txn_naive")
     shutil.rmtree(swap_dir, ignore_errors=True)
@@ -1283,6 +1331,7 @@ def txn_table_section(spark, sf_dir: str) -> dict:
         "merge_rewritten_mb": round(merge_bytes / 1e6, 2),
         "full_rewritten_mb": round(naive_bytes / 1e6, 2),
         "bytes_ratio": round(naive_bytes / merge_bytes, 1) if merge_bytes else None,
+        "fused_txn": fused_txn,
     }
 
 
