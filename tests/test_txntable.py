@@ -411,10 +411,11 @@ def test_restore_rolls_back_by_reference(spark, table):
 
 def test_random_op_sequence_matches_dict_model(spark, tmp_path):
     """Model-based check: a seeded random sequence of append / merge /
-    delete_keys / compact / snapshot-at-version ops replayed against a
-    plain dict model (key -> (val, version), LWW on version then
-    arrival). The table must agree with the model after every op, and
-    every recorded historical version must replay exactly."""
+    delete_keys / compact / multi-statement TRANSACTION ops replayed
+    against a plain dict model (key -> (val, version), LWW on version
+    then arrival; txn statements apply in order, atomically). The table
+    must agree with the model after every op, and every recorded
+    historical version must replay exactly."""
     import random
 
     rng = random.Random(77)
@@ -431,8 +432,20 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
             if cur is None or ver >= cur[1]:
                 model[i] = (val, ver)
 
-    for step in range(10):
-        op = rng.choice(["append", "merge", "merge", "delete", "compact"])
+    def random_merge_rows(step):
+        rows = [
+            (rng.randrange(12), f"m{step}", rng.randrange(1, 4))
+            for _ in range(rng.randrange(1, 4))
+        ]
+        batch: dict[int, tuple[str, int]] = {}
+        for i, val, ver in rows:
+            if i not in batch or ver >= batch[i][1]:
+                batch[i] = (val, ver)
+        return [(i, v, ver) for i, (v, ver) in batch.items()]
+
+    for step in range(14):
+        op = rng.choice(["append", "merge", "merge", "delete", "compact",
+                         "txn", "txn"])
         before_v = t.version()
         if op == "append":
             rows = [
@@ -452,19 +465,49 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
             for i, val, ver in rows:
                 model[i] = (val, ver)
         elif op == "merge":
-            rows = [
-                (rng.randrange(12), f"m{step}", rng.randrange(1, 4))
-                for _ in range(rng.randrange(1, 4))
-            ]
             # in-batch dedup: last-writer-wins keeps ONE row per key —
             # mirror upsert's tie-break (highest version wins) per batch
-            batch: dict[int, tuple[str, int]] = {}
-            for i, val, ver in rows:
-                if i not in batch or ver >= batch[i][1]:
-                    batch[i] = (val, ver)
-            t.merge(_df(spark, [(i, v, ver) for i, (v, ver) in batch.items()]),
-                    ["version"])
-            lww([(i, v, ver) for i, (v, ver) in batch.items()])
+            batch = random_merge_rows(step)
+            t.merge(_df(spark, batch), ["version"])
+            lww(batch)
+        elif op == "txn":
+            # multi-statement transaction: random merge / delete_keys /
+            # delete_where statements applied IN ORDER, one commit; the
+            # model applies the same sequence eagerly
+            n_stmts = rng.randrange(1, 4)
+            stmts = []
+            for s in range(n_stmts):
+                kind = rng.choice(["merge", "merge", "del_keys", "del_where"])
+                if kind == "merge":
+                    stmts.append(("merge", random_merge_rows(f"{step}t{s}")))
+                elif kind == "del_keys":
+                    stmts.append(
+                        ("del_keys", [rng.randrange(12) for _ in range(2)])
+                    )
+                else:
+                    m, r = rng.choice([(2, 0), (3, 1), (4, 2)]), None
+                    stmts.append(("del_where", m[0], m[1], rng.random() < 0.5))
+            with t.transaction():
+                for st in stmts:
+                    if st[0] == "merge":
+                        t.merge(_df(spark, st[1]), ["version"])
+                    elif st[0] == "del_keys":
+                        t.delete_keys(spark.createDataFrame(
+                            [(i,) for i in st[1]], "id long"
+                        ))
+                    else:
+                        _, m, r, ra = st
+                        t.delete_where(F.col("id") % m == r, rewrite_all=ra)
+            for st in stmts:
+                if st[0] == "merge":
+                    lww(st[1])
+                elif st[0] == "del_keys":
+                    for i in st[1]:
+                        model.pop(i, None)
+                else:
+                    _, m, r, _ = st
+                    for i in [k for k in model if k % m == r]:
+                        model.pop(i)
         elif op == "delete":
             ids = [rng.randrange(12) for _ in range(2)]
             t.delete_keys(spark.createDataFrame([(i,) for i in ids], "id long"))
