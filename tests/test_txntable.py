@@ -485,8 +485,8 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
                         ("del_keys", [rng.randrange(12) for _ in range(2)])
                     )
                 else:
-                    m, r = rng.choice([(2, 0), (3, 1), (4, 2)]), None
-                    stmts.append(("del_where", m[0], m[1], rng.random() < 0.5))
+                    m, r = rng.choice([(2, 0), (3, 1), (4, 2)])
+                    stmts.append(("del_where", m, r, rng.random() < 0.5))
             with t.transaction():
                 for st in stmts:
                     if st[0] == "merge":
