@@ -319,6 +319,11 @@ class TxnTable:
                 meta["target_file_rows"] = c.get("target_file_rows")
             elif c.get("schema"):  # schema evolution rides its commit
                 meta["schema"] = c["schema"]
+            elif c.get("n_buckets") is not None and c["op"] in (
+                "rebucket",
+                "restore",  # a restore across a rebucket reverts the modulus
+            ):  # bucket respec rides its commit, like schema evolution
+                meta["n_buckets"] = int(c["n_buckets"])
             for p in c.get("removes", []):
                 active.pop(p, None)
             for a in c.get("adds", []):
@@ -838,13 +843,21 @@ class TxnTable:
             with open(_log_path(self.path, v)) as f:
                 other = json.load(f)
             # schema-changing commits never rebase (two racing evolutions
-            # could silently drop each other's columns); restore never
-            # rebases past a vacuum (the vacuum may be deleting the very
-            # files restore reactivates — ADVICE r8); bucket-level
-            # conflicts keep the data-only rules
+            # could silently drop each other's columns); a modulus change
+            # (rebucket, or a restore across one) conflicts in BOTH
+            # directions — any racer's staged bucket ids were computed
+            # under a different modulus, and an append rebasing past a
+            # rebucket would publish files whose bucket column no longer
+            # matches the table's hash→bucket map, so lookup() pruning
+            # would silently miss its rows; restore never rebases past a
+            # vacuum (the vacuum may be deleting the very files restore
+            # reactivates — ADVICE r8); bucket-level conflicts keep the
+            # data-only rules
             conflict = (
                 schema is not None
                 or other.get("schema") is not None
+                or payload.get("n_buckets") is not None
+                or other.get("n_buckets") is not None
                 or (op == "restore" and other.get("op") == "vacuum")
             )
             if conflict or (
@@ -1505,6 +1518,79 @@ class TxnTable:
         removes = [p for b in touched for p in by_bucket[b]]
         return self._commit("compact", adds, removes, touched, read_v)
 
+    def live_bytes(self) -> int:
+        """Bytes in the CURRENT snapshot's data files — a driver-side
+        os.walk over the active directories (pure metadata, no job).
+        On an object store this is one LIST per active prefix."""
+        _, active, _ = self._state()
+        total = 0
+        for p in active:
+            full = os.path.join(self.path, p)
+            for root, _dirs, files in os.walk(full):
+                for name in files:
+                    total += os.path.getsize(os.path.join(root, name))
+        return total
+
+    def suggest_n_buckets(self, target_bucket_mb: float = 256.0) -> int:
+        """Power-of-two bucket count sizing each bucket at ≤
+        ``target_bucket_mb`` of CURRENT live data — the input to
+        ``rebucket()`` when growth has made the create()-time count
+        stale. Power of two keeps the suggestion stable under noise
+        (only a ≥2× size change moves it) and makes successive rebuckets
+        split/merge buckets evenly. Never suggests below the current
+        count's floor of 1."""
+        if target_bucket_mb <= 0:
+            raise ValueError("target_bucket_mb must be positive")
+        n = 1
+        target = target_bucket_mb * 1024 * 1024
+        while self.live_bytes() / n > target:
+            n *= 2
+        return n
+
+    def rebucket(self, n_buckets: int) -> int:
+        """Online partition evolution (the Iceberg bucket-respec shape):
+        rewrite the table under a NEW bucket count as ONE commit.
+
+        ``n_buckets`` is fixed at ``create()`` and sized to the data
+        seen then; at 100 TB growth makes it stale in both directions —
+        too few buckets and every merge rewrites giant buckets, too many
+        and appends scatter small files. ``rebucket()`` re-hashes every
+        key under the new modulus (one shuffle + partitioned write, the
+        same job shape as ``compact``) and publishes the swap
+        atomically. It conflicts with EVERY concurrent writer in BOTH
+        directions — see ``_commit``: a racer's staged bucket ids were
+        computed under the old modulus, so rebasing either side past the
+        other would break ``lookup()``/``snapshot_where()`` pruning
+        silently. History stays time-travelable: snapshots before the
+        rebucket read through their own per-version meta (``_state``
+        replays ``n_buckets`` off the rebucket commit exactly like a
+        schema evolution), and the old files remain until ``vacuum``.
+        Rows never change, so ``row_changes()`` treats a rebucket like
+        ``compact`` (no row-diffable data)."""
+        self._no_txn("rebucket")
+        n_buckets = int(n_buckets)
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        meta, active, read_v = self._state()
+        if n_buckets == int(meta["n_buckets"]):
+            return read_v
+        new_meta = {**meta, "n_buckets": n_buckets}
+        if active:
+            rows = self.spark.read.schema(self._schema(meta)).parquet(
+                *[os.path.join(self.path, p) for p in active]
+            )
+            adds = self._write_data(rows, new_meta)
+        else:
+            adds = []
+        return self._commit(
+            "rebucket",
+            adds,
+            list(active),
+            sorted(set(range(n_buckets)) | set(range(int(meta["n_buckets"])))),
+            read_v,
+            extra={"n_buckets": n_buckets},
+        )
+
     def restore(self, version: int) -> int:
         """Roll the table BACK to ``version`` as a NEW commit (the undo
         for a bad merge/delete): the old snapshot's file set becomes
@@ -1531,13 +1617,31 @@ class TxnTable:
             # same protection an in-flight writer's staged data gets
             # (ADVICE r8 follow-up: vacuum-vs-restore deletion race).
             os.utime(full)
-        _, cur_active, read_v = self._state()
+        cur_meta, cur_active, read_v = self._state()
         adds = [a for p, a in old_active.items() if p not in cur_active]
         removes = [p for p in cur_active if p not in old_active]
-        if not adds and not removes:
+        # a restore across a rebucket reverts the modulus too: the
+        # reactivated files' bucket column was computed under the TARGET
+        # version's n_buckets, so meta must follow them or lookup()'s
+        # hash→bucket pruning silently misses rows (the commit carries
+        # n_buckets exactly like rebucket does, and _state replays it)
+        respec = (
+            {"n_buckets": int(meta["n_buckets"])}
+            if int(meta["n_buckets"]) != int(cur_meta["n_buckets"])
+            else None
+        )
+        if not adds and not removes and respec is None:
             return read_v  # already at that state
         return self._commit(
-            "restore", adds, removes, list(range(meta["n_buckets"])), read_v
+            "restore",
+            adds,
+            removes,
+            sorted(
+                set(range(int(meta["n_buckets"])))
+                | set(range(int(cur_meta["n_buckets"])))
+            ),
+            read_v,
+            extra=respec,
         )
 
     def vacuum(self, retention_s: float = 3600.0) -> int:

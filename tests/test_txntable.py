@@ -445,7 +445,7 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
 
     for step in range(14):
         op = rng.choice(["append", "merge", "merge", "delete", "compact",
-                         "txn", "txn"])
+                         "txn", "txn", "rebucket"])
         before_v = t.version()
         if op == "append":
             rows = [
@@ -513,6 +513,10 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
             t.delete_keys(spark.createDataFrame([(i,) for i in ids], "id long"))
             for i in ids:
                 model.pop(i, None)
+        elif op == "rebucket":
+            # partition evolution moves bytes, never rows — the model
+            # is untouched; no-op respecs (same count) commit nothing
+            t.rebucket(rng.choice([2, 3, 5, 8]))
         else:
             t.compact()
         got = {r.id: (r.val, r.version) for r in t.snapshot().collect()}
@@ -1341,3 +1345,157 @@ def test_run_transaction_retries_past_conflicts(spark, table):
 
     with pytest.raises(ConcurrentWriteError):
         run_transaction(table, always_loses, max_retries=2, backoff_s=0.01)
+
+
+# -- rebucket: online partition evolution (round 11) -----------------------
+
+
+def test_rebucket_preserves_rows_and_remaps_buckets(spark, table):
+    rows = [(i, f"v{i}", 1) for i in range(40)]
+    table.append(_df(spark, rows))                       # v1
+    table.merge(_df(spark, [(3, "V3", 2)]), ["version"])  # v2
+    before = _rows(table.snapshot())
+    v = table.rebucket(8)                                 # v3: ONE commit
+    assert v == 3 == table.version()
+    assert _rows(table.snapshot()) == before
+    # meta follows the commit; every active file is bucketed mod 8
+    meta, active, _ = table._state()
+    assert meta["n_buckets"] == 8
+    assert {a["bucket"] for a in active.values()} <= set(range(8))
+    assert len({a["bucket"] for a in active.values()}) > 4  # really remapped
+    # point lookups prune with the NEW modulus and still hit
+    assert _rows(table.lookup([3])) == {(3, "V3", 2)}
+    # history records the respec; a fresh handle replays it identically
+    assert [h["op"] for h in table.history()] == [
+        "create", "append", "merge", "rebucket",
+    ]
+    reopened = TxnTable(spark, table.path)
+    assert reopened._state()[0]["n_buckets"] == 8
+    # later writes bucket under the new modulus
+    reopened.merge(_df(spark, [(100, "new", 1)]), ["version"])
+    assert _rows(reopened.lookup([100])) == {(100, "new", 1)}
+    # no-op respec commits nothing
+    assert reopened.rebucket(8) == reopened.version()
+
+
+def test_rebucket_time_travel_and_change_feeds(spark, table):
+    table.append(_df(spark, [(1, "a", 1), (2, "b", 1)]))  # v1
+    v_before = table.version()
+    table.rebucket(16)                                    # v2
+    # old snapshots read through their own per-version meta
+    assert _rows(table.snapshot(v_before)) == {(1, "a", 1), (2, "b", 1)}
+    assert _rows(table.lookup([1], version=v_before)) == {(1, "a", 1)}
+    # rebucket moves bytes, not rows: row-level CDC refuses it and the
+    # file-granular feed skips it (same class as compact)
+    with pytest.raises(ValueError, match="no row-diffable data commit"):
+        table.row_changes(2)
+    assert table.table_changes(since_version=v_before).count() == 0
+
+
+def test_rebucket_conflicts_with_concurrent_writers_both_directions(
+    spark, table, monkeypatch
+):
+    from knightshift_spark.sources.txntable import _atomic_publish, _log_path
+
+    table.append(_df(spark, [(i, "x", 1) for i in range(8)]))
+    # direction 1: a writer whose read preceded a rebucket must NOT
+    # rebase past it — its staged bucket ids use the old modulus.
+    # (appends skip the bucket-set check, so they are the sharp case)
+    meta, _, read_v = table._state()
+    adds = table._write_data(_df(spark, [(50, "stale", 1)]), meta)
+    _atomic_publish(
+        {
+            "version": read_v + 1, "op": "rebucket", "n_buckets": 8,
+            "adds": [], "removes": [], "buckets": list(range(8)),
+            "read_version": read_v,
+        },
+        _log_path(table.path, read_v + 1),
+    )
+    with pytest.raises(ConcurrentWriteError):
+        table._commit("append", adds, [], [a["bucket"] for a in adds], read_v)
+    os.remove(_log_path(table.path, read_v + 1))  # undo the fake commit
+
+    # direction 2: a rebucket that lost the version race to ANY data
+    # commit re-reads — never rebases (the snapshot it rewrote is stale)
+    real_write = table._write_data
+
+    def write_and_interlope(df, meta, shuffle=True):
+        out = real_write(df, meta)
+        TxnTable(spark, table.path).merge(
+            _df(spark, [(2, "interloper", 9)]), ["version"]
+        )
+        return out
+
+    monkeypatch.setattr(table, "_write_data", write_and_interlope)
+    with pytest.raises(ConcurrentWriteError):
+        table.rebucket(8)
+    monkeypatch.undo()
+    # the failed rebucket rolled back its staged files and left state sane
+    assert table._state()[0]["n_buckets"] == 4
+    assert (2, "interloper", 9) in _rows(table.snapshot())
+
+
+def test_restore_across_rebucket_reverts_modulus(spark, table):
+    table.append(_df(spark, [(i, "a", 1) for i in range(20)]))  # v1
+    v_target = table.version()
+    table.rebucket(8)                                            # v2
+    table.merge(_df(spark, [(0, "post", 2)]), ["version"])       # v3
+    v = table.restore(v_target)                                  # v4
+    meta, active, _ = table._state()
+    # meta followed the reactivated files back to the old modulus —
+    # without this, lookup() would hash mod 8 against files bucketed
+    # mod 4 and silently miss keys
+    assert meta["n_buckets"] == 4
+    assert {a["bucket"] for a in active.values()} <= set(range(4))
+    assert _rows(table.snapshot()) == _rows(table.snapshot(v_target))
+    for k in (0, 7, 19):
+        assert _rows(table.lookup([k])) == {(k, "a", 1)}
+    # row-level CDC diffs the restore exactly: the post-rebucket merge
+    # row reads as an update back to its old image
+    changes = table.row_changes(v)
+    kinds = {
+        (r.id, r._change_type) for r in changes.collect() if r.id == 0
+    }
+    assert kinds == {(0, "update_preimage"), (0, "update_postimage")}
+    # and the table keeps working under the reverted modulus
+    table.merge(_df(spark, [(5, "after", 3)]), ["version"])
+    assert _rows(table.lookup([5])) == {(5, "after", 3)}
+
+
+def test_rebucket_survives_checkpoint_replay(spark, tmp_path):
+    t = TxnTable.create(
+        spark, str(tmp_path / "ck"), keys=["id"], schema=SCHEMA, n_buckets=2
+    )
+    t.append(_df(spark, [(i, "x", 1) for i in range(10)]))
+    t.rebucket(4)
+    # drive past the checkpoint cadence so a reopen replays FROM the
+    # checkpoint (meta must carry the respec through it)
+    while t.version() % txntable._CHECKPOINT_EVERY != 0:
+        t.merge(_df(spark, [(1, "y", t.version())]), ["version"])
+    names = os.listdir(os.path.join(t.path, txntable._LOG_DIR))
+    assert any(n.endswith(".checkpoint.json") for n in names)
+    reopened = TxnTable(spark, t.path)
+    assert reopened._state()[0]["n_buckets"] == 4
+    assert len(_rows(reopened.snapshot())) == 10
+
+
+def test_suggest_n_buckets_sizes_to_live_bytes(spark, table):
+    with pytest.raises(ValueError):
+        table.suggest_n_buckets(0)
+    assert table.suggest_n_buckets() == 1  # empty table
+    table.append(_df(spark, [(i, "v" * 50, 1) for i in range(2000)]))
+    lb = table.live_bytes()
+    assert lb > 0
+    # huge target: everything fits one bucket
+    assert table.suggest_n_buckets(target_bucket_mb=10_000) == 1
+    # force a split: target of ~1/5th the live bytes → power of two,
+    # each bucket under target, and the next size down would overflow
+    target_mb = lb / (1024 * 1024) / 5
+    n = table.suggest_n_buckets(target_bucket_mb=target_mb)
+    assert n & (n - 1) == 0  # power of two
+    assert lb / n <= target_mb * 1024 * 1024
+    assert n == 1 or lb / (n // 2) > target_mb * 1024 * 1024
+    # rebucket to the suggestion round-trips the data
+    before = _rows(table.snapshot())
+    table.rebucket(n)
+    assert _rows(table.snapshot()) == before
