@@ -1300,6 +1300,17 @@ def txn_table_section(spark, sf_dir: str) -> dict:
     }
     shutil.rmtree(seq_tbl, ignore_errors=True)
 
+    # r11: online partition evolution — respec the live 50k-row table
+    # 256 → 512 buckets as ONE commit (one shuffle + partitionBy write,
+    # the compact job shape; conflicts with every concurrent writer, so
+    # it's a maintenance-window op). suggest_n_buckets documents the
+    # sizing rule a real respec would follow (power of two from live
+    # bytes) — at bench scale the table is a few MB so it says 1.
+    t0 = time.perf_counter()
+    table.rebucket(512)
+    rebucket_sec = time.perf_counter() - t0
+    suggested = table.suggest_n_buckets(target_bucket_mb=256.0)
+
     # the old path: full-table algebraic upsert + whole-table rewrite
     swap_dir = os.path.join(base, "txn_naive")
     shutil.rmtree(swap_dir, ignore_errors=True)
@@ -1332,6 +1343,8 @@ def txn_table_section(spark, sf_dir: str) -> dict:
         "full_rewritten_mb": round(naive_bytes / 1e6, 2),
         "bytes_ratio": round(naive_bytes / merge_bytes, 1) if merge_bytes else None,
         "fused_txn": fused_txn,
+        "rebucket_256_to_512_sec": round(rebucket_sec, 4),
+        "suggested_n_buckets_at_256mb": suggested,
     }
 
 

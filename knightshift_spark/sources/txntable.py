@@ -84,15 +84,21 @@ def _ckpt_path(table: str, version: int) -> str:
 
 
 class CommitBackend:
-    """The ONE primitive the whole ACID protocol rests on: atomically
-    create a commit object if (and only if) no object with that name
+    """The commit LOG's storage interface — everything the ACID
+    protocol needs from the store that holds the log (tiny JSON
+    objects; the parquet data files are read by Spark natively and
+    never go through this).
+
+    The one primitive the protocol RESTS on is ``put_if_absent``:
+    atomically create a commit object iff no object with that name
     exists yet. On a POSIX filesystem that is ``os.link``; on cloud
     object stores it is a conditional PUT (S3 ``If-None-Match: *``,
-    GCS ``x-goog-if-generation-match: 0``, Azure ``If-None-Match``) —
-    inject a backend that issues that request and the table is
-    object-store-durable with no other change. Commit READS stay
-    filesystem reads here (the log is tiny JSON that any store exposes
-    listably); a full remote backend would wrap those too."""
+    GCS ``x-goog-if-generation-match: 0``, Azure ``If-None-Match``).
+    ``get``/``list_dir``/``exists`` are the read half (object GET /
+    prefix LIST / HEAD) — all log reads go through them too, so
+    injecting a backend makes the whole log object-store-resident
+    with no other change (``MemoryCommitBackend`` is the in-process
+    model of that store, used by tests)."""
 
     def put_if_absent(self, dst: str, data: bytes) -> bool:
         """Create ``dst`` holding ``data``; False iff ``dst`` exists.
@@ -100,11 +106,27 @@ class CommitBackend:
         same ``dst`` see exactly one True."""
         raise NotImplementedError
 
+    def get(self, path: str) -> bytes:
+        """Read one object; FileNotFoundError if absent (object GET)."""
+        raise NotImplementedError
+
+    def list_dir(self, dir_path: str) -> list[str]:
+        """Sorted object NAMES directly under ``dir_path`` — [] when
+        none (prefix LIST). Listing MUST be strongly consistent with
+        ``put_if_absent`` (true of S3/GCS/Azure today): a win must be
+        visible to the next list, or replays could skip commits."""
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        """Object-or-prefix existence probe (HEAD / non-empty LIST)."""
+        raise NotImplementedError
+
 
 class LinkCommitBackend(CommitBackend):
     """POSIX default: stage a temp file, ``os.link`` it into place —
     link fails with EEXIST if the destination exists (exclusive create,
-    the local-FS equivalent of a conditional PUT)."""
+    the local-FS equivalent of a conditional PUT). Reads are plain
+    filesystem reads."""
 
     def put_if_absent(self, dst: str, data: bytes) -> bool:
         tmp = os.path.join(os.path.dirname(dst), f".tmp-{uuid.uuid4().hex}")
@@ -117,6 +139,63 @@ class LinkCommitBackend(CommitBackend):
             return False
         finally:
             os.unlink(tmp)
+
+    def get(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def list_dir(self, dir_path: str) -> list[str]:
+        try:
+            return sorted(os.listdir(dir_path))
+        except FileNotFoundError:
+            return []
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+
+class MemoryCommitBackend(CommitBackend):
+    """In-process model of an object store with conditional PUT +
+    strongly consistent LIST (S3 post-2020, GCS, Azure): the log lives
+    in a dict, NOTHING is written to the filesystem. One instance = one
+    'bucket'; share it across TxnTable handles to model several writers
+    against the same store. Thread-safe — ``put_if_absent`` is a single
+    locked check-and-set, exactly the conditional-PUT contract."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._objects: dict[str, bytes] = {}
+
+    def put_if_absent(self, dst: str, data: bytes) -> bool:
+        with self._lock:
+            if dst in self._objects:
+                return False
+            self._objects[dst] = data
+            return True
+
+    def get(self, path: str) -> bytes:
+        with self._lock:
+            if path not in self._objects:
+                raise FileNotFoundError(path)
+            return self._objects[path]
+
+    def list_dir(self, dir_path: str) -> list[str]:
+        prefix = dir_path.rstrip(os.sep) + os.sep
+        with self._lock:
+            return sorted(
+                k[len(prefix):]
+                for k in self._objects
+                if k.startswith(prefix) and os.sep not in k[len(prefix):]
+            )
+
+    def exists(self, path: str) -> bool:
+        prefix = path.rstrip(os.sep) + os.sep
+        with self._lock:
+            return path in self._objects or any(
+                k.startswith(prefix) for k in self._objects
+            )
 
 
 def _atomic_publish(
@@ -209,8 +288,11 @@ class TxnTable:
         self.path = path
         self._backend = backend or LinkCommitBackend()
         self._txn: _TxnState | None = None
-        if not os.path.isdir(os.path.join(path, _LOG_DIR)):
-            raise FileNotFoundError(f"not a TxnTable (no {_LOG_DIR}): {path}")
+        # probe for commit 0, not the log DIRECTORY: object stores have
+        # no directories, and the on-disk scratch dir create() makes
+        # must not let a handle open against the wrong backend
+        if not self._backend.exists(_log_path(path, 0)):
+            raise FileNotFoundError(f"not a TxnTable (no commit 0): {path}")
 
     # -- creation ----------------------------------------------------------
 
@@ -274,10 +356,11 @@ class TxnTable:
     def _commits(self) -> list[dict]:
         log_dir = os.path.join(self.path, _LOG_DIR)
         out = []
-        for name in sorted(os.listdir(log_dir)):
+        for name in self._backend.list_dir(log_dir):
             if name.endswith(".json") and not name.endswith(".checkpoint.json"):
-                with open(os.path.join(log_dir, name)) as f:
-                    out.append(json.load(f))
+                out.append(
+                    json.loads(self._backend.get(os.path.join(log_dir, name)))
+                )
         return out
 
     def _state(self, version: int | None = None) -> tuple[dict, dict[str, dict], int]:
@@ -285,7 +368,7 @@ class TxnTable:
         ``version`` — latest checkpoint plus the commit tail, so replay
         cost is O(tail), not O(history)."""
         log_dir = os.path.join(self.path, _LOG_DIR)
-        names = sorted(os.listdir(log_dir))
+        names = self._backend.list_dir(log_dir)
         ckpts = [
             int(n.split(".")[0])
             for n in names
@@ -296,8 +379,7 @@ class TxnTable:
         meta: dict = {}
         start = 0
         if ckpts:
-            with open(_ckpt_path(self.path, max(ckpts))) as f:
-                ck = json.load(f)
+            ck = json.loads(self._backend.get(_ckpt_path(self.path, max(ckpts))))
             meta = ck["meta"]
             active = {a["path"]: a for a in ck["active"]}
             start = max(ckpts) + 1
@@ -309,8 +391,7 @@ class TxnTable:
             latest = max(latest, v)
             if v < start or (version is not None and v > version):
                 continue
-            with open(os.path.join(log_dir, name)) as f:
-                c = json.load(f)
+            c = json.loads(self._backend.get(os.path.join(log_dir, name)))
             if c["op"] == "create":
                 meta = {k: c[k] for k in ("keys", "n_buckets", "schema")}
                 meta["stats_cols"] = c.get("stats_cols", c["keys"])
@@ -840,8 +921,7 @@ class TxnTable:
             if _atomic_publish(payload, _log_path(self.path, v), self._backend):
                 self._maybe_checkpoint(v)
                 return v
-            with open(_log_path(self.path, v)) as f:
-                other = json.load(f)
+            other = json.loads(self._backend.get(_log_path(self.path, v)))
             # schema-changing commits never rebase (two racing evolutions
             # could silently drop each other's columns); a modulus change
             # (rebucket, or a restore across one) conflicts in BOTH

@@ -686,11 +686,13 @@ def test_restore_conflicts_with_any_concurrent_writer(spark, table):
     assert _rows(table.snapshot(v)) == {(1, "good", 1)}
 
 
-class _FakeConditionalPutStore:
+class _FakeConditionalPutStore(txntable.LinkCommitBackend):
     """An object-store double: put-if-absent through a single lock (the
     semantics S3 If-None-Match / GCS generation-match give), with an
     injectable pre-commit delay to force real thread interleavings. Also
-    materializes the object as a local file so log READS keep working."""
+    materializes the object as a local file, so the read half of the
+    backend interface (get/list_dir/exists) is inherited filesystem
+    reads."""
 
     def __init__(self, delay_s=0.0):
         import threading
@@ -1499,3 +1501,103 @@ def test_suggest_n_buckets_sizes_to_live_bytes(spark, table):
     before = _rows(table.snapshot())
     table.rebucket(n)
     assert _rows(table.snapshot()) == before
+
+
+# -- object-store commit backend (round 11) ---------------------------------
+
+
+def test_memory_backend_full_lifecycle_keeps_log_off_disk(spark, tmp_path):
+    """The whole ACID protocol — create, append, merge, transaction,
+    delete, compact, rebucket, time travel, restore, checkpoint replay,
+    vacuum — against MemoryCommitBackend: every log read and write goes
+    through the object-store interface (conditional PUT / GET / LIST),
+    and NOT ONE commit object lands on the filesystem. Data parquet
+    stays on disk (Spark reads it natively); only the log is remote."""
+    from knightshift_spark.sources.txntable import MemoryCommitBackend
+
+    store = MemoryCommitBackend()
+    path = str(tmp_path / "obj")
+    t = TxnTable.create(
+        spark, path, keys=["id"], schema=SCHEMA, n_buckets=4, backend=store
+    )
+    t.append(_df(spark, [(i, f"v{i}", 1) for i in range(12)]))      # v1
+    t.merge(_df(spark, [(3, "V3", 2), (99, "new", 1)]), ["version"])  # v2
+    v_mid = t.version()
+    with t.transaction():                                            # v3
+        t.merge(_df(spark, [(4, "txn", 3)]), ["version"])
+        t.delete_keys(spark.createDataFrame([(5,)], "id long"))
+    t.rebucket(8)                                                    # v4
+    t.compact()
+    expected = {(i, f"v{i}", 1) for i in range(12) if i not in (3, 4, 5)} | {
+        (3, "V3", 2), (99, "new", 1), (4, "txn", 3),
+    }
+    assert _rows(t.snapshot()) == expected
+    # time travel + restore ride the remote log
+    assert _rows(t.snapshot(v_mid)) == (
+        {(i, f"v{i}", 1) for i in range(12) if i != 3}
+        | {(3, "V3", 2), (99, "new", 1)}
+    )
+    t.restore(v_mid)
+    assert _rows(t.snapshot()) == _rows(t.snapshot(v_mid))
+    # drive past the checkpoint cadence: checkpoints are store objects too
+    while t.version() % txntable._CHECKPOINT_EVERY != 0:
+        t.merge(_df(spark, [(1, "y", t.version())]), ["version"])
+    t.vacuum(retention_s=0.0)
+    # a reopened handle on the SAME store replays everything
+    again = TxnTable(spark, path, backend=store)
+    assert _rows(again.snapshot()) == _rows(t.snapshot())
+    assert again.version() == t.version()
+    # the log directory on disk holds NO commit/checkpoint objects
+    disk = os.listdir(os.path.join(path, txntable._LOG_DIR))
+    assert [n for n in disk if n.endswith(".json")] == []
+    # ...and the store holds them all (commits + >=1 checkpoint)
+    names = store.list_dir(os.path.join(path, txntable._LOG_DIR))
+    assert sum(n.endswith(".checkpoint.json") for n in names) >= 1
+    assert len([n for n in names if not n.endswith(".checkpoint.json")]) == (
+        t.version() + 1
+    )
+    # opening without the store fails loudly: the table IS the log
+    with pytest.raises(FileNotFoundError):
+        TxnTable(spark, path)
+
+
+def test_memory_backend_conditional_put_decides_races(spark, tmp_path):
+    """Two handles on ONE shared store: the conditional PUT picks
+    exactly one winner per version and the loser's conflict rules are
+    the same as on the filesystem backend."""
+    from knightshift_spark.sources.txntable import MemoryCommitBackend
+
+    store = MemoryCommitBackend()
+    path = str(tmp_path / "race")
+    a = TxnTable.create(
+        spark, path, keys=["id"], schema=SCHEMA, n_buckets=4, backend=store
+    )
+    b = TxnTable(spark, path, backend=store)
+    a.append(_df(spark, [(1, "a", 1), (2, "b", 1)]))
+    # b merges key 1 first; a's overlapping-bucket merge staged at the
+    # same read version must conflict, not silently rebase
+    meta, _, read_v = a._state()
+    adds = a._write_data(_df(spark, [(1, "stale", 9)]), meta)
+    b.merge(_df(spark, [(1, "winner", 2)]), ["version"])
+    with pytest.raises(ConcurrentWriteError):
+        a._commit("merge", adds, [], [x["bucket"] for x in adds], read_v)
+    # disjoint buckets rebase fine across handles
+    a.merge(_df(spark, [(2, "fine", 2)]), ["version"])
+    assert _rows(b.snapshot()) == {(1, "winner", 2), (2, "fine", 2)}
+
+
+def test_memory_backend_orphan_data_invisible(spark, tmp_path):
+    """Crash-safety holds with a remote log: a data directory whose
+    commit object never reached the store is invisible to snapshots."""
+    from knightshift_spark.sources.txntable import MemoryCommitBackend
+
+    store = MemoryCommitBackend()
+    path = str(tmp_path / "orph")
+    t = TxnTable.create(
+        spark, path, keys=["id"], schema=SCHEMA, n_buckets=2, backend=store
+    )
+    t.append(_df(spark, [(1, "a", 1)]))
+    orphan = os.path.join(path, "data", "deadbeef", "__bucket=0")
+    os.makedirs(orphan)
+    _df(spark, [(9, "ghost", 9)]).write.mode("overwrite").parquet(orphan)
+    assert _rows(t.snapshot()) == {(1, "a", 1)}
