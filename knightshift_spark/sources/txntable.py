@@ -333,9 +333,12 @@ class TxnTable:
             stats_cols = list(keys) + [
                 c for c in (zorder_cols or []) if c not in keys
             ]
+        import time
+
         meta = {
             "version": 0,
             "op": "create",
+            "ts": time.time(),
             "keys": list(keys),
             "n_buckets": int(n_buckets),
             "schema": schema.json(),
@@ -422,10 +425,45 @@ class TxnTable:
     def version(self) -> int:
         return self._state()[2]
 
+    def version_as_of(self, ts: float) -> int:
+        """Timestamp time travel (the Delta rule): the latest version
+        whose commit time is ≤ ``ts``, under MONOTONIZED commit times —
+        each commit's effective time is ``max(recorded ts, previous
+        effective + 1 ms)``, so writers' clock skew can reorder raw
+        stamps but never the answer (a later version never resolves to
+        an earlier moment). Commits without a recorded ``ts`` (pre-r11
+        tables) inherit the previous effective time + 1 ms; a leading
+        run of them anchors at epoch 0 and is therefore reachable by
+        any modern ``ts``. O(history) driver-side JSON scan — bounded
+        by the same log that replay reads."""
+        eff = None
+        best = None
+        for c in self._commits():  # version order (names sort)
+            raw = c.get("ts")
+            if eff is None:
+                eff = raw if raw is not None else 0.0
+            else:
+                eff = max(raw if raw is not None else 0.0, eff + 1e-3)
+            if eff <= ts:
+                best = c["version"]
+            else:
+                break
+        if best is None:
+            raise ValueError(
+                f"no commit at or before ts={ts}: the table was created later"
+            )
+        return best
+
+    def snapshot_as_of(self, ts: float) -> DataFrame:
+        """``snapshot(version_as_of(ts))`` — the table as it was at a
+        wall-clock moment, subject to vacuum retention like any other
+        historical read."""
+        return self.snapshot(self.version_as_of(ts))
+
     def history(self) -> list[dict]:
         """Commit log, oldest first — op, version, touched buckets."""
         return [
-            {k: c.get(k) for k in ("version", "op", "buckets", "read_version")}
+            {k: c.get(k) for k in ("version", "op", "buckets", "read_version", "ts")}
             for c in self._commits()
         ]
 
@@ -903,6 +941,8 @@ class TxnTable:
         every intervening commit touched disjoint buckets, rebase onto
         the new head (our removes are still live); otherwise roll back
         the staged data and raise."""
+        import time
+
         v = read_version + 1
         payload = {
             "op": op,
@@ -910,6 +950,7 @@ class TxnTable:
             "removes": removes,
             "buckets": sorted(buckets),
             "read_version": read_version,
+            "ts": time.time(),  # publisher's clock; see version_as_of
             **(extra or {}),
         }
         if schema is not None:
@@ -1766,6 +1807,7 @@ class TxnTable:
                 "buckets": [],
                 "read_version": read_v,
                 "version": v,
+                "ts": time.time(),
             }
             if _atomic_publish(payload, _log_path(self.path, v), self._backend):
                 break

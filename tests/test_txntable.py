@@ -1601,3 +1601,44 @@ def test_memory_backend_orphan_data_invisible(spark, tmp_path):
     os.makedirs(orphan)
     _df(spark, [(9, "ghost", 9)]).write.mode("overwrite").parquet(orphan)
     assert _rows(t.snapshot()) == {(1, "a", 1)}
+
+
+# -- timestamp time travel (round 11) ---------------------------------------
+
+
+def test_timestamp_time_travel(spark, table):
+    import time
+
+    table.append(_df(spark, [(1, "a", 1)]))          # v1
+    time.sleep(0.02)
+    t_mid = time.time()
+    time.sleep(0.02)
+    table.merge(_df(spark, [(1, "A", 2)]), ["version"])  # v2
+    assert table.version_as_of(t_mid) == 1
+    assert _rows(table.snapshot_as_of(t_mid)) == {(1, "a", 1)}
+    assert table.version_as_of(time.time()) == 2
+    # before the table existed
+    with pytest.raises(ValueError, match="created later"):
+        table.version_as_of(0.0)
+    # history exposes the stamps, monotone within one writer
+    ts = [h["ts"] for h in table.history()]
+    assert all(t is not None for t in ts) and ts == sorted(ts)
+
+
+def test_version_as_of_monotonizes_skewed_clocks(spark, table, monkeypatch):
+    """Two writers with skewed clocks can record out-of-order raw ts;
+    the resolver must never map a later version to an earlier moment."""
+    fake = [
+        {"version": 0, "ts": 100.0},
+        {"version": 1, "ts": 50.0},    # skewed writer: raw ts went BACK
+        {"version": 2, "ts": 100.5},
+    ]
+    monkeypatch.setattr(table, "_commits", lambda: fake)
+    assert table.version_as_of(100.0) == 0     # v1's effective = 100.001
+    assert table.version_as_of(100.0015) == 1
+    assert table.version_as_of(200.0) == 2
+    # pre-r11 commits without ts anchor at epoch and stay reachable
+    monkeypatch.setattr(
+        table, "_commits", lambda: [{"version": 0}, {"version": 1}]
+    )
+    assert table.version_as_of(1.0) == 1
