@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Sequence
 from contextlib import contextmanager
@@ -333,8 +334,6 @@ class TxnTable:
             stats_cols = list(keys) + [
                 c for c in (zorder_cols or []) if c not in keys
             ]
-        import time
-
         meta = {
             "version": 0,
             "op": "create",
@@ -434,11 +433,17 @@ class TxnTable:
         an earlier moment). Commits without a recorded ``ts`` (pre-r11
         tables) inherit the previous effective time + 1 ms; a leading
         run of them anchors at epoch 0 and is therefore reachable by
-        any modern ``ts``. O(history) driver-side JSON scan — bounded
-        by the same log that replay reads."""
+        any modern ``ts``. Reads commit objects LAZILY in version order
+        and stops at the first one past ``ts`` — on an object-store
+        backend an early ``ts`` costs GETs only up to its answer, not
+        one per commit in history."""
         eff = None
         best = None
-        for c in self._commits():  # version order (names sort)
+        log_dir = os.path.join(self.path, _LOG_DIR)
+        for name in self._backend.list_dir(log_dir):  # version order
+            if not name.endswith(".json") or name.endswith(".checkpoint.json"):
+                continue
+            c = json.loads(self._backend.get(os.path.join(log_dir, name)))
             raw = c.get("ts")
             if eff is None:
                 eff = raw if raw is not None else 0.0
@@ -941,8 +946,6 @@ class TxnTable:
         every intervening commit touched disjoint buckets, rebase onto
         the new head (our removes are still live); otherwise roll back
         the staged data and raise."""
-        import time
-
         v = read_version + 1
         payload = {
             "op": op,
@@ -986,14 +989,33 @@ class TxnTable:
             ):
                 if op != "restore":
                     # roll back freshly STAGED data; a restore's adds are
-                    # reactivated historical files — never delete those
-                    for a in adds:
+                    # reactivated historical files — never delete those.
+                    # Remove the WRITE ROOTS (data/<uuid>/), not just the
+                    # bucket subdirs: a childless parent would dodge
+                    # vacuum's all-children-dead sweep forever
+                    for parent in {os.path.dirname(a["path"]) for a in adds}:
                         shutil.rmtree(
-                            os.path.join(self.path, a["path"]), ignore_errors=True
+                            os.path.join(self.path, parent), ignore_errors=True
                         )
+                # name the conflict CLASS: for schema / modulus / restore-
+                # vs-vacuum conflicts the bucket overlap is empty and would
+                # read as a baffling "buckets []" to whoever debugs it
+                if payload.get("n_buckets") is not None or (
+                    other.get("n_buckets") is not None
+                ):
+                    why = "partition respec (n_buckets change)"
+                elif schema is not None or other.get("schema") is not None:
+                    why = "schema change"
+                elif op == "restore" and other.get("op") == "vacuum":
+                    why = "restore cannot rebase past a vacuum"
+                else:
+                    why = (
+                        "buckets "
+                        f"{sorted(set(other['buckets']) & set(buckets))} modified"
+                    )
                 raise ConcurrentWriteError(
-                    f"buckets {sorted(set(other['buckets']) & set(buckets))} "
-                    f"modified by commit {v} since read_version {read_version}"
+                    f"{why} by commit {v} ({other.get('op')}) since "
+                    f"read_version {read_version}"
                 )
             v += 1
 
@@ -1011,7 +1033,11 @@ class TxnTable:
 
     def append(self, df: DataFrame) -> int:
         """Blind insert (no key logic — dedup belongs to merge). Appends
-        never conflict: version races just rebase."""
+        never conflict with DATA commits: version races just rebase. The
+        one exception is a modulus change (``rebucket``, or a restore
+        across one) — the append's staged bucket ids were computed under
+        the old modulus, so it raises ``ConcurrentWriteError`` like
+        every other writer; retry to re-bucket against the new layout."""
         if self._txn is not None:
             raise RuntimeError(
                 "append() is not a transaction statement — use merge() "
@@ -1664,7 +1690,8 @@ class TxnTable:
             raise ValueError("target_bucket_mb must be positive")
         n = 1
         target = target_bucket_mb * 1024 * 1024
-        while self.live_bytes() / n > target:
+        total = self.live_bytes()  # one log replay + walk, not one per 2^k
+        while total / n > target:
             n *= 2
         return n
 
@@ -1795,8 +1822,6 @@ class TxnTable:
           writers.
         """
         self._no_txn("vacuum")
-        import time
-
         while True:
             _, active, read_v = self._state()
             v = read_v + 1
@@ -1876,7 +1901,6 @@ def run_transaction(
     Raises the final ``ConcurrentWriteError`` after ``max_retries``
     exhausted — bounded, never a livelock loop."""
     import random
-    import time as _time
 
     if max_retries < 1:
         raise ValueError(f"max_retries must be >= 1, got {max_retries}")
@@ -1894,7 +1918,7 @@ def run_transaction(
         except ConcurrentWriteError:
             if attempt == max_retries - 1:
                 raise
-            _time.sleep(rng.uniform(0.5, 1.5) * backoff_s * (2**attempt))
+            time.sleep(rng.uniform(0.5, 1.5) * backoff_s * (2**attempt))
     raise AssertionError("unreachable")  # loop always returns or raises
 
 

@@ -1415,6 +1415,11 @@ def test_rebucket_conflicts_with_concurrent_writers_both_directions(
     )
     with pytest.raises(ConcurrentWriteError):
         table._commit("append", adds, [], [a["bucket"] for a in adds], read_v)
+    # rollback removed the WHOLE write root, not just its bucket subdirs
+    # (a childless data/<uuid>/ would dodge vacuum's sweep forever)
+    assert not os.path.isdir(
+        os.path.join(table.path, os.path.dirname(adds[0]["path"]))
+    )
     os.remove(_log_path(table.path, read_v + 1))  # undo the fake commit
 
     # direction 2: a rebucket that lost the version race to ANY data
@@ -1628,17 +1633,32 @@ def test_timestamp_time_travel(spark, table):
 def test_version_as_of_monotonizes_skewed_clocks(spark, table, monkeypatch):
     """Two writers with skewed clocks can record out-of-order raw ts;
     the resolver must never map a later version to an earlier moment."""
-    fake = [
+    import json as _json
+
+    from knightshift_spark.sources.txntable import (
+        MemoryCommitBackend,
+        _log_path,
+    )
+
+    def store_with(commits):
+        s = MemoryCommitBackend()
+        for c in commits:
+            s.put_if_absent(
+                _log_path(table.path, c["version"]),
+                _json.dumps(c).encode(),
+            )
+        return s
+
+    monkeypatch.setattr(table, "_backend", store_with([
         {"version": 0, "ts": 100.0},
         {"version": 1, "ts": 50.0},    # skewed writer: raw ts went BACK
         {"version": 2, "ts": 100.5},
-    ]
-    monkeypatch.setattr(table, "_commits", lambda: fake)
+    ]))
     assert table.version_as_of(100.0) == 0     # v1's effective = 100.001
     assert table.version_as_of(100.0015) == 1
     assert table.version_as_of(200.0) == 2
     # pre-r11 commits without ts anchor at epoch and stay reachable
     monkeypatch.setattr(
-        table, "_commits", lambda: [{"version": 0}, {"version": 1}]
+        table, "_backend", store_with([{"version": 0}, {"version": 1}])
     )
     assert table.version_as_of(1.0) == 1
