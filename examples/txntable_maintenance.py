@@ -63,6 +63,10 @@ def main(base: str) -> None:
         ), order_by=["rating"])
         table.delete_where(F.col("game_id") == 13, rewrite_all=False)
 
+    # 0. health check first — one driver-side metadata pass says which
+    # maintenance op (if any) the table actually wants
+    print("report:", table.maintenance_report())
+
     # 1. growth: the 4-bucket layout now makes every merge rewrite 25%
     # of the table. suggest_n_buckets sizes a power-of-two count from
     # live bytes; rebucket() re-hashes every key as ONE commit and

@@ -1695,6 +1695,58 @@ class TxnTable:
             n *= 2
         return n
 
+    def maintenance_report(self, target_bucket_mb: float = 256.0) -> dict:
+        """Operator-facing health check tying the maintenance ops
+        together: per-bucket fragmentation (compact when a bucket
+        spreads over many directories), live bytes vs the bucket count
+        (rebucket when buckets outgrow ``target_bucket_mb``), and log
+        tail length (checkpoints bound replay automatically; the tail
+        is how much a fresh reader replays). Driver-side metadata only
+        — one log replay plus one os.walk, no Spark job."""
+        meta, active, latest = self._state()
+        by_bucket: dict[int, int] = {}
+        bytes_by_bucket: dict[int, int] = {}
+        for p, a in active.items():
+            b = a["bucket"]
+            by_bucket[b] = by_bucket.get(b, 0) + 1
+            total = 0
+            full = os.path.join(self.path, p)
+            for root, _dirs, files in os.walk(full):
+                for name in files:
+                    total += os.path.getsize(os.path.join(root, name))
+            bytes_by_bucket[b] = bytes_by_bucket.get(b, 0) + total
+        live = sum(bytes_by_bucket.values())
+        n_buckets = int(meta["n_buckets"])
+        target = target_bucket_mb * 1024 * 1024
+        frag = {b: n for b, n in by_bucket.items() if n >= 2}
+        suggested = 1
+        while live / suggested > target:
+            suggested *= 2
+        ckpt_v = max(
+            (
+                int(n.split(".")[0])
+                for n in self._backend.list_dir(
+                    os.path.join(self.path, _LOG_DIR)
+                )
+                if n.endswith(".checkpoint.json")
+            ),
+            default=-1,
+        )
+        return {
+            "version": latest,
+            "n_buckets": n_buckets,
+            "live_bytes": live,
+            "live_files_dirs": len(active),
+            "fragmented_buckets": len(frag),
+            "max_dirs_per_bucket": max(by_bucket.values(), default=0),
+            "max_bucket_bytes": max(bytes_by_bucket.values(), default=0),
+            "suggested_n_buckets": suggested,
+            "wants_compact": bool(frag),
+            "wants_rebucket": suggested != n_buckets
+            and max(bytes_by_bucket.values(), default=0) > target,
+            "log_tail_commits": latest - ckpt_v,
+        }
+
     def rebucket(self, n_buckets: int) -> int:
         """Online partition evolution (the Iceberg bucket-respec shape):
         rewrite the table under a NEW bucket count as ONE commit.

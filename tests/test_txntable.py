@@ -1662,3 +1662,29 @@ def test_version_as_of_monotonizes_skewed_clocks(spark, table, monkeypatch):
         table, "_backend", store_with([{"version": 0}, {"version": 1}])
     )
     assert table.version_as_of(1.0) == 1
+
+
+def test_maintenance_report_flags_frag_and_growth(spark, tmp_path):
+    t = TxnTable.create(
+        spark, str(tmp_path / "mr"), keys=["id"], schema=SCHEMA, n_buckets=2
+    )
+    r0 = t.maintenance_report()
+    assert r0["live_bytes"] == 0 and not r0["wants_compact"]
+    # three appends fragment both buckets across three dirs each
+    for i in range(3):
+        t.append(_df(spark, [(10 * i + j, "x" * 40, 1) for j in range(8)]))
+    r = t.maintenance_report()
+    assert r["version"] == 3 and r["n_buckets"] == 2
+    assert r["wants_compact"] and r["max_dirs_per_bucket"] == 3
+    assert r["live_bytes"] > 0
+    assert r["log_tail_commits"] == 4  # no checkpoint yet: v0..v3 replay
+    t.compact()
+    r2 = t.maintenance_report()
+    assert not r2["wants_compact"] and r2["max_dirs_per_bucket"] == 1
+    # growth: a tiny target makes every bucket oversized -> rebucket
+    tiny_mb = r2["live_bytes"] / (1024 * 1024) / 16
+    r3 = t.maintenance_report(target_bucket_mb=tiny_mb)
+    assert r3["wants_rebucket"] and r3["suggested_n_buckets"] >= 16
+    t.rebucket(r3["suggested_n_buckets"])
+    r4 = t.maintenance_report(target_bucket_mb=tiny_mb)
+    assert r4["n_buckets"] == r3["suggested_n_buckets"]
