@@ -1101,6 +1101,10 @@ def test_concurrent_writer_stress_matches_serial_replay(spark, tmp_path):
             else:
                 ops.append(("delete", [rng.randrange(24) for _ in range(2)]))
         plans.append(ops)
+    # one writer interleaves a PARTITION RESPEC mid-plan: it conflicts
+    # with every concurrent writer in both directions, so everyone's
+    # retry loop (and rebucket's own) must converge around it
+    plans[0].insert(1, ("rebucket", 8))
     errors, max_retries = [], 20
 
     def run(w, ops):
@@ -1124,6 +1128,8 @@ def test_concurrent_writer_stress_matches_serial_replay(spark, tmp_path):
                                 ),
                                 ["version"],
                             )
+                        elif op == "rebucket":
+                            handle.rebucket(rows)
                         else:
                             handle.delete_keys(spark.createDataFrame(
                                 [(i,) for i in rows], "id long"
