@@ -91,7 +91,8 @@ def main(base: str) -> None:
     # recent snapshot references (time travel inside retention keeps
     # working; older reads fail loudly, never wrongly).
     table.compact()
-    table.vacuum(retention_s=3600.0)
+    table.vacuum(retention_s=3600.0)       # bounds the DATA files
+    table.expire_log(retention_s=30 * 24 * 3600.0)  # bounds the LOG
     print("final row count:", table.snapshot().count())
 
 

@@ -122,6 +122,10 @@ class CommitBackend:
         """Object-or-prefix existence probe (HEAD / non-empty LIST)."""
         raise NotImplementedError
 
+    def delete(self, path: str) -> None:
+        """Remove one object; missing is fine (idempotent DELETE)."""
+        raise NotImplementedError
+
 
 class LinkCommitBackend(CommitBackend):
     """POSIX default: stage a temp file, ``os.link`` it into place —
@@ -153,6 +157,12 @@ class LinkCommitBackend(CommitBackend):
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
+
+    def delete(self, path: str) -> None:
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
 
 
 class MemoryCommitBackend(CommitBackend):
@@ -197,6 +207,10 @@ class MemoryCommitBackend(CommitBackend):
             return path in self._objects or any(
                 k.startswith(prefix) for k in self._objects
             )
+
+    def delete(self, path: str) -> None:
+        with self._lock:
+            self._objects.pop(path, None)
 
 
 def _atomic_publish(
@@ -289,11 +303,15 @@ class TxnTable:
         self.path = path
         self._backend = backend or LinkCommitBackend()
         self._txn: _TxnState | None = None
-        # probe for commit 0, not the log DIRECTORY: object stores have
-        # no directories, and the on-disk scratch dir create() makes
-        # must not let a handle open against the wrong backend
-        if not self._backend.exists(_log_path(path, 0)):
-            raise FileNotFoundError(f"not a TxnTable (no commit 0): {path}")
+        # probe for LOG OBJECTS, not the log directory: object stores
+        # have no directories, the on-disk scratch dir create() makes
+        # must not let a handle open against the wrong backend, and
+        # commit 0 itself may have been expired past a checkpoint
+        if not any(
+            n.endswith(".json")
+            for n in self._backend.list_dir(os.path.join(path, _LOG_DIR))
+        ):
+            raise FileNotFoundError(f"not a TxnTable (no commit log): {path}")
 
     # -- creation ----------------------------------------------------------
 
@@ -386,6 +404,7 @@ class TxnTable:
             active = {a["path"]: a for a in ck["active"]}
             start = max(ckpts) + 1
         latest = -1
+        replayed: list[int] = []
         for name in names:
             if not name.endswith(".json") or name.endswith(".checkpoint.json"):
                 continue
@@ -393,6 +412,7 @@ class TxnTable:
             latest = max(latest, v)
             if v < start or (version is not None and v > version):
                 continue
+            replayed.append(v)
             c = json.loads(self._backend.get(os.path.join(log_dir, name)))
             if c["op"] == "create":
                 meta = {k: c[k] for k in ("keys", "n_buckets", "schema")}
@@ -419,6 +439,20 @@ class TxnTable:
                 # history readable. Readers raise VacuumedVersionError
                 # precisely when a referenced file is actually gone.
                 meta["vacuum_horizon"] = c["read_version"]
+        # continuity guard: versions are dense by construction (every
+        # commit is read_version+1 through the conditional PUT), so the
+        # replay window [start, target] must be gapless. A gap means
+        # commits were expired (expire_log) or deleted by hand — replay
+        # would SILENTLY skip their adds/removes, so fail loudly instead
+        target = latest if version is None else min(version, latest)
+        if target >= start:
+            missing = set(range(start, target + 1)) - set(replayed)
+            if missing:
+                raise VacuumedVersionError(
+                    f"commit log gap below version {target}: versions "
+                    f"{sorted(missing)[:5]} expired or deleted — this "
+                    "snapshot predates the log retention horizon"
+                )
         return meta, active, latest
 
     def version(self) -> int:
@@ -455,7 +489,8 @@ class TxnTable:
                 break
         if best is None:
             raise ValueError(
-                f"no commit at or before ts={ts}: the table was created later"
+                f"no commit at or before ts={ts}: the table was created "
+                "later (or that history was expired by expire_log)"
             )
         return best
 
@@ -580,8 +615,19 @@ class TxnTable:
         meta, _, latest = self._state(to_version)
         hi = latest if to_version is None else to_version
         schema = self._schema(meta)
+        commits = self._commits()
+        # an expired commit inside the range would make the feed
+        # silently INCOMPLETE — the one failure mode a change feed
+        # must never have (consumers would checkpoint past the hole)
+        present = {c["version"] for c in commits}
+        gone = [v for v in range(since_version + 1, hi + 1) if v not in present]
+        if gone:
+            raise VacuumedVersionError(
+                f"change feed range ({since_version}, {hi}] has expired "
+                f"commits {gone[:5]} (expire_log) — resync from snapshot()"
+            )
         out = None
-        for c in self._commits():
+        for c in commits:
             v = c["version"]
             if not (since_version < v <= hi):
                 continue
@@ -631,10 +677,15 @@ class TxnTable:
         commit = next(
             (c for c in self._commits() if c["version"] == version), None
         )
+        if commit is None and 0 <= version <= self._state()[2]:
+            raise VacuumedVersionError(
+                f"commit {version} expired from the log (expire_log) — "
+                "its row images are gone"
+            )
         if commit is None or commit["op"] not in (
             "append", "merge", "delete", "restore", "txn",
         ):
-            # create/compact/vacuum move no rows
+            # create/compact/vacuum/rebucket move no rows
             raise ValueError(f"no row-diffable data commit at version {version}")
         meta, cur_active, _ = self._state(version)
         schema, keys = self._schema(meta), meta["keys"]
@@ -1019,6 +1070,28 @@ class TxnTable:
                 )
             v += 1
 
+    def _txn_watermarks(self) -> dict[str, int]:
+        """app_id → highest committed batch_id, folding the latest
+        checkpoint's carried watermarks with the retained commit tail —
+        so exactly-once survives ``expire_log`` dropping the stamped
+        commits themselves."""
+        log_dir = os.path.join(self.path, _LOG_DIR)
+        names = self._backend.list_dir(log_dir)
+        ckpts = [
+            int(n.split(".")[0]) for n in names
+            if n.endswith(".checkpoint.json")
+        ]
+        hi: dict[str, int] = {}
+        if ckpts:
+            ck = json.loads(self._backend.get(_ckpt_path(self.path, max(ckpts))))
+            hi.update(ck.get("txn_watermarks") or {})
+        for c in self._commits():
+            t = c.get("txn")
+            if t:
+                a = t["app_id"]
+                hi[a] = max(hi.get(a, -1), int(t["batch_id"]))
+        return hi
+
     def _maybe_checkpoint(self, v: int) -> None:
         if v % _CHECKPOINT_EVERY == 0:
             meta, active, _ = self._state(v)
@@ -1026,6 +1099,9 @@ class TxnTable:
                 {
                     "meta": meta,
                     "active": sorted(active.values(), key=lambda a: a["path"]),
+                    # carried forward so expire_log can drop the stamped
+                    # commits without regressing exactly-once watermarks
+                    "txn_watermarks": self._txn_watermarks(),
                 },
                 _ckpt_path(self.path, v),
                 self._backend,
@@ -1052,13 +1128,10 @@ class TxnTable:
     def streaming_watermark(self, app_id: str) -> int:
         """Highest batch_id a ``txn``-stamped merge has committed for
         ``app_id`` (-1 if none) — the exactly-once high-water mark for
-        ``txn_upsert_writer``."""
-        hi = -1
-        for c in self._commits():
-            t = c.get("txn")
-            if t and t.get("app_id") == app_id:
-                hi = max(hi, int(t["batch_id"]))
-        return hi
+        ``txn_upsert_writer``. Checkpoints carry the watermarks forward,
+        so the mark survives ``expire_log`` dropping old stamped
+        commits (a regressed mark would re-apply a replayed batch)."""
+        return self._txn_watermarks().get(app_id, -1)
 
     # -- multi-statement transactions ---------------------------------------
 
@@ -1843,6 +1916,77 @@ class TxnTable:
             read_v,
             extra=respec,
         )
+
+    def expire_log(self, retention_s: float = 30 * 24 * 3600.0) -> int:
+        """Bound the COMMIT LOG (vacuum bounds the data files): drop
+        commit objects that are both past ``retention_s`` and replaced
+        by a checkpoint, plus the checkpoints below that base — Delta's
+        log-retention rule. Returns the number of objects deleted.
+
+        The base is the largest checkpoint at or below the retention
+        horizon H (the first commit younger than the cutoff): reads at
+        any version ≥ H keep working (base checkpoint + gapless tail);
+        reads below the base fail LOUDLY with ``VacuumedVersionError``
+        via ``_state``'s continuity guard — expired history is never
+        silently wrong, it is unavailable. Time travel to exactly the
+        base version still works (the checkpoint alone serves it).
+
+        Exactly-once safety: a stamped commit whose (app_id, batch_id)
+        is NOT yet carried by the newest checkpoint's ``txn_watermarks``
+        is retained regardless of age (pre-carry checkpoints exist in
+        old tables), so ``streaming_watermark`` never regresses and a
+        replayed batch is never re-applied. Like ``vacuum``, run it in
+        a maintenance window or with a retention comfortably above any
+        concurrent reader's lifetime."""
+        self._no_txn("expire_log")
+        log_dir = os.path.join(self.path, _LOG_DIR)
+        names = self._backend.list_dir(log_dir)
+        commit_vs = sorted(
+            int(n.split(".")[0])
+            for n in names
+            if n.endswith(".json") and not n.endswith(".checkpoint.json")
+        )
+        ckpt_vs = sorted(
+            int(n.split(".")[0])
+            for n in names
+            if n.endswith(".checkpoint.json")
+        )
+        if not ckpt_vs or not commit_vs:
+            return 0
+        cutoff = time.time() - max(float(retention_s), 0.0)
+        carried = (
+            json.loads(
+                self._backend.get(_ckpt_path(self.path, max(ckpt_vs)))
+            ).get("txn_watermarks")
+            or {}
+        )
+        # H = first version younger than the cutoff (missing ts = pre-r11
+        # commit = ancient); lazy GETs stop at the first retained one
+        horizon = commit_vs[-1] + 1
+        loaded: dict[int, dict] = {}
+        for v in commit_vs:
+            c = json.loads(self._backend.get(_log_path(self.path, v)))
+            loaded[v] = c
+            if c.get("ts", 0.0) > cutoff:
+                horizon = v
+                break
+        base = max((cv for cv in ckpt_vs if cv <= horizon), default=None)
+        if base is None:
+            return 0
+        deleted = 0
+        for v in commit_vs:
+            if v > base:
+                break
+            t = loaded[v].get("txn")
+            if t and int(t["batch_id"]) > carried.get(t["app_id"], -1):
+                continue  # exactly-once stamp not carried yet: retain
+            self._backend.delete(_log_path(self.path, v))
+            deleted += 1
+        for cv in ckpt_vs:
+            if cv < base:
+                self._backend.delete(_ckpt_path(self.path, cv))
+                deleted += 1
+        return deleted
 
     def vacuum(self, retention_s: float = 3600.0) -> int:
         """Physically delete data directories that no live snapshot at

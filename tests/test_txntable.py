@@ -1694,3 +1694,87 @@ def test_maintenance_report_flags_frag_and_growth(spark, tmp_path):
     t.rebucket(r3["suggested_n_buckets"])
     r4 = t.maintenance_report(target_bucket_mb=tiny_mb)
     assert r4["n_buckets"] == r3["suggested_n_buckets"]
+
+
+# -- commit-log retention: expire_log (round 11) -----------------------------
+
+
+def test_expire_log_bounds_history_loudly(spark, tmp_path):
+    """expire_log drops commits replaced by a checkpoint: the live view
+    and everything at/after the base checkpoint keep working, while any
+    read that NEEDS an expired commit fails loudly — snapshot, change
+    feed, and row CDC all raise VacuumedVersionError, never return a
+    silently partial answer."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "exp"), keys=["id"], schema=SCHEMA, n_buckets=2
+    )
+    t.append(_df(spark, [(i, "seed", 0) for i in range(6)]))  # v1
+    while t.version() < txntable._CHECKPOINT_EVERY + 3:
+        t.merge(_df(spark, [(1, "m", t.version())]), ["version"])
+    live_before = _rows(t.snapshot())
+    v_latest = t.version()
+    base = txntable._CHECKPOINT_EVERY  # the one checkpoint so far
+
+    n = t.expire_log(retention_s=0.0)  # everything is "old"
+    assert n == base + 1  # commits v0..v20 replaced by the checkpoint
+    # live view and post-base history are untouched
+    assert _rows(t.snapshot()) == live_before
+    assert t.version() == v_latest
+    assert _rows(t.snapshot(base)) is not None  # ckpt alone serves base
+    assert _rows(t.snapshot(base + 1)) is not None
+    # below the base: loud, never wrong
+    with pytest.raises(VacuumedVersionError, match="expired"):
+        t.snapshot(base - 1)
+    with pytest.raises(VacuumedVersionError, match="expired"):
+        t.table_changes(since_version=0)
+    with pytest.raises(VacuumedVersionError, match="expired"):
+        t.row_changes(3)
+    # the feed still works entirely within retained history
+    assert t.table_changes(since_version=base).count() >= 0
+    # a fresh handle opens fine without commit 0 and replays identically
+    again = TxnTable(spark, t.path)
+    assert _rows(again.snapshot()) == live_before
+    # idempotent: nothing left to expire at the same horizon
+    assert t.expire_log(retention_s=0.0) == 0
+
+
+def test_expire_log_respects_retention_and_watermarks(spark, tmp_path):
+    """Young commits survive any checkpoint; stamped commits whose
+    exactly-once watermark is not yet carried by a checkpoint are
+    retained even when ancient, so streaming_watermark never regresses."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "wm"), keys=["id"], schema=SCHEMA, n_buckets=2
+    )
+    t.append(_df(spark, [(1, "a", 1)]))
+    # retention longer than the table's age: nothing is expirable even
+    # after a checkpoint exists
+    while t.version() < txntable._CHECKPOINT_EVERY:
+        t.merge(_df(spark, [(1, "m", t.version())]), ["version"])
+    assert t.expire_log(retention_s=3600.0) == 0
+
+    # stamped merge BELOW the next checkpoint, with the checkpoint's
+    # carry stripped (models a pre-carry checkpoint): the stamped
+    # commit must survive expiry and the watermark must hold
+    t.merge(_df(spark, [(2, "s", 1)]), ["version"], txn=("appX", 7))
+    v_stamp = t.version()
+    while t.version() < 2 * txntable._CHECKPOINT_EVERY:
+        t.merge(_df(spark, [(1, "m", t.version())]), ["version"])
+    ck = txntable._ckpt_path(t.path, 2 * txntable._CHECKPOINT_EVERY)
+    import json as _json
+
+    payload = _json.loads(t._backend.get(ck))
+    payload.pop("txn_watermarks", None)
+    t._backend.delete(ck)
+    assert t._backend.put_if_absent(ck, _json.dumps(payload).encode())
+    assert t.expire_log(retention_s=0.0) > 0
+    # the stamped commit is still in the log; the watermark held
+    assert any(c.get("txn") for c in t._commits())
+    assert t.streaming_watermark("appX") == 7
+    assert _rows(t.lookup([2])) == {(2, "s", 1)}
+    # once a NEW checkpoint carries the stamp, the commit becomes
+    # expirable and the watermark STILL holds (carried forward)
+    while t.version() < 3 * txntable._CHECKPOINT_EVERY:
+        t.merge(_df(spark, [(1, "m", t.version())]), ["version"])
+    assert t.expire_log(retention_s=0.0) > 0
+    assert all(c["version"] > v_stamp for c in t._commits())
+    assert t.streaming_watermark("appX") == 7
