@@ -378,9 +378,14 @@ class TxnTable:
         out = []
         for name in self._backend.list_dir(log_dir):
             if name.endswith(".json") and not name.endswith(".checkpoint.json"):
-                out.append(
-                    json.loads(self._backend.get(os.path.join(log_dir, name)))
-                )
+                try:
+                    out.append(
+                        json.loads(
+                            self._backend.get(os.path.join(log_dir, name))
+                        )
+                    )
+                except FileNotFoundError:
+                    continue  # expired between LIST and GET: not retained
         return out
 
     def _state(self, version: int | None = None) -> tuple[dict, dict[str, dict], int]:
@@ -403,7 +408,19 @@ class TxnTable:
             meta = ck["meta"]
             active = {a["path"]: a for a in ck["active"]}
             start = max(ckpts) + 1
-        latest = -1
+        # `latest` folds CHECKPOINT versions too: expire_log may delete
+        # the newest commit object once a checkpoint replaces it, and a
+        # latest derived from commits alone would REGRESS — writers
+        # would then reuse expired version numbers and their commits
+        # would land below the replay start, silently invisible
+        latest = max(
+            (
+                int(n.split(".")[0])
+                for n in names
+                if n.endswith(".checkpoint.json")
+            ),
+            default=-1,
+        )
         replayed: list[int] = []
         for name in names:
             if not name.endswith(".json") or name.endswith(".checkpoint.json"):
@@ -412,8 +429,14 @@ class TxnTable:
             latest = max(latest, v)
             if v < start or (version is not None and v > version):
                 continue
+            try:
+                c = json.loads(self._backend.get(os.path.join(log_dir, name)))
+            except FileNotFoundError:
+                # a concurrent expire_log deleted it between LIST and
+                # GET — leave it out of `replayed`; the continuity
+                # guard below decides loudly whether this read needed it
+                continue
             replayed.append(v)
-            c = json.loads(self._backend.get(os.path.join(log_dir, name)))
             if c["op"] == "create":
                 meta = {k: c[k] for k in ("keys", "n_buckets", "schema")}
                 meta["stats_cols"] = c.get("stats_cols", c["keys"])
@@ -620,7 +643,11 @@ class TxnTable:
         # silently INCOMPLETE — the one failure mode a change feed
         # must never have (consumers would checkpoint past the hole)
         present = {c["version"] for c in commits}
-        gone = [v for v in range(since_version + 1, hi + 1) if v not in present]
+        gone = [
+            v
+            for v in range(since_version + 1, min(hi, latest) + 1)
+            if v not in present
+        ]
         if gone:
             raise VacuumedVersionError(
                 f"change feed range ({since_version}, {hi}] has expired "
@@ -1072,9 +1099,14 @@ class TxnTable:
 
     def _txn_watermarks(self) -> dict[str, int]:
         """app_id → highest committed batch_id, folding the latest
-        checkpoint's carried watermarks with the retained commit tail —
-        so exactly-once survives ``expire_log`` dropping the stamped
-        commits themselves."""
+        checkpoint's carried watermarks with the commit TAIL — so
+        exactly-once survives ``expire_log`` dropping the stamped
+        commits themselves, at O(tail) GETs per call (this runs once
+        per streaming micro-batch and at every checkpoint). When the
+        newest checkpoint predates the carry feature (no
+        ``txn_watermarks`` key), fall back to scanning all retained
+        commits — expire_log never deletes an uncarried stamp, so the
+        full scan still sees everything."""
         log_dir = os.path.join(self.path, _LOG_DIR)
         names = self._backend.list_dir(log_dir)
         ckpts = [
@@ -1082,10 +1114,21 @@ class TxnTable:
             if n.endswith(".checkpoint.json")
         ]
         hi: dict[str, int] = {}
+        after = -1
         if ckpts:
             ck = json.loads(self._backend.get(_ckpt_path(self.path, max(ckpts))))
-            hi.update(ck.get("txn_watermarks") or {})
-        for c in self._commits():
+            if "txn_watermarks" in ck:
+                hi.update(ck["txn_watermarks"] or {})
+                after = max(ckpts)  # carried: commits ≤ it are folded
+        for name in names:
+            if not name.endswith(".json") or name.endswith(".checkpoint.json"):
+                continue
+            if int(name.split(".")[0]) <= after:
+                continue
+            try:
+                c = json.loads(self._backend.get(os.path.join(log_dir, name)))
+            except FileNotFoundError:
+                continue
             t = c.get("txn")
             if t:
                 a = t["app_id"]
@@ -1961,22 +2004,33 @@ class TxnTable:
             or {}
         )
         # H = first version younger than the cutoff (missing ts = pre-r11
-        # commit = ancient); lazy GETs stop at the first retained one
+        # commit = ancient); lazy GETs stop at the first retained one.
+        # A racing expire_log may delete between LIST and GET — a
+        # missing commit is simply already expired (idempotent).
         horizon = commit_vs[-1] + 1
         loaded: dict[int, dict] = {}
         for v in commit_vs:
-            c = json.loads(self._backend.get(_log_path(self.path, v)))
+            try:
+                c = json.loads(self._backend.get(_log_path(self.path, v)))
+            except FileNotFoundError:
+                continue
             loaded[v] = c
             if c.get("ts", 0.0) > cutoff:
                 horizon = v
                 break
-        base = max((cv for cv in ckpt_vs if cv <= horizon), default=None)
+        # base is the largest checkpoint STRICTLY below the horizon: a
+        # checkpoint at H exactly would otherwise take the young commit
+        # at H with it, violating the retention contract (its change
+        # feed / row CDC must stay readable inside retention)
+        base = max((cv for cv in ckpt_vs if cv < horizon), default=None)
         if base is None:
             return 0
         deleted = 0
         for v in commit_vs:
             if v > base:
                 break
+            if v not in loaded:
+                continue  # already expired by a racer
             t = loaded[v].get("txn")
             if t and int(t["batch_id"]) > carried.get(t["app_id"], -1):
                 continue  # exactly-once stamp not carried yet: retain

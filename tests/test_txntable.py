@@ -1767,6 +1767,14 @@ def test_expire_log_respects_retention_and_watermarks(spark, tmp_path):
     t._backend.delete(ck)
     assert t._backend.put_if_absent(ck, _json.dumps(payload).encode())
     assert t.expire_log(retention_s=0.0) > 0
+    # version NEVER regresses across expiry (latest folds checkpoint
+    # versions): a regressed head would reuse expired version numbers
+    # and land commits below the replay start — silent write loss
+    assert t.version() == 2 * txntable._CHECKPOINT_EVERY
+    # ...and a post-expiry merge is immediately visible
+    t.merge(_df(spark, [(3, "post-expiry", 1)]), ["version"])
+    assert t.version() == 2 * txntable._CHECKPOINT_EVERY + 1
+    assert _rows(t.lookup([3])) == {(3, "post-expiry", 1)}
     # the stamped commit is still in the log; the watermark held
     assert any(c.get("txn") for c in t._commits())
     assert t.streaming_watermark("appX") == 7
@@ -1778,3 +1786,30 @@ def test_expire_log_respects_retention_and_watermarks(spark, tmp_path):
     assert t.expire_log(retention_s=0.0) > 0
     assert all(c["version"] > v_stamp for c in t._commits())
     assert t.streaming_watermark("appX") == 7
+
+
+def test_expire_log_at_checkpoint_tip_preserves_version(spark, tmp_path):
+    """The sharp edge: tip exactly at a checkpoint, everything expired.
+    The newest COMMIT OBJECT is deleted (the checkpoint replaces it),
+    so version() must fold checkpoint versions — a head regressing to
+    -1 would hand out version 0 again and the 'successful' write would
+    land below the replay start, silently invisible."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "tip"), keys=["id"], schema=SCHEMA, n_buckets=2
+    )
+    t.append(_df(spark, [(1, "a", 1)]))
+    while t.version() < txntable._CHECKPOINT_EVERY:
+        t.merge(_df(spark, [(1, "m", t.version())]), ["version"])
+    tip = t.version()
+    assert tip == txntable._CHECKPOINT_EVERY
+    live = _rows(t.snapshot())
+    assert t.expire_log(retention_s=0.0) == tip + 1  # v0..v20 all gone
+    # the log is checkpoint-only now; the head held and reads work
+    assert t.version() == tip
+    assert _rows(t.snapshot()) == live
+    assert t.maintenance_report()["log_tail_commits"] == 0
+    # the next write takes version tip+1 and is VISIBLE
+    t.append(_df(spark, [(99, "after", 1)]))
+    assert t.version() == tip + 1
+    assert (99, "after", 1) in _rows(t.snapshot())
+    assert _rows(TxnTable(spark, t.path).snapshot()) == _rows(t.snapshot())
