@@ -95,8 +95,7 @@ class CommitBackend:
     exists yet. On a POSIX filesystem that is ``os.link``; on cloud
     object stores it is a conditional PUT (S3 ``If-None-Match: *``,
     GCS ``x-goog-if-generation-match: 0``, Azure ``If-None-Match``).
-    ``get``/``list_dir``/``exists`` are the read half (object GET /
-    prefix LIST / HEAD) — all log reads go through them too, so
+    ``get``/``list_dir`` are the read half (object GET / prefix LIST) — all log reads go through them too, so
     injecting a backend makes the whole log object-store-resident
     with no other change (``MemoryCommitBackend`` is the in-process
     model of that store, used by tests)."""
@@ -116,10 +115,6 @@ class CommitBackend:
         none (prefix LIST). Listing MUST be strongly consistent with
         ``put_if_absent`` (true of S3/GCS/Azure today): a win must be
         visible to the next list, or replays could skip commits."""
-        raise NotImplementedError
-
-    def exists(self, path: str) -> bool:
-        """Object-or-prefix existence probe (HEAD / non-empty LIST)."""
         raise NotImplementedError
 
     def delete(self, path: str) -> None:
@@ -154,9 +149,6 @@ class LinkCommitBackend(CommitBackend):
             return sorted(os.listdir(dir_path))
         except FileNotFoundError:
             return []
-
-    def exists(self, path: str) -> bool:
-        return os.path.exists(path)
 
     def delete(self, path: str) -> None:
         try:
@@ -199,13 +191,6 @@ class MemoryCommitBackend(CommitBackend):
                 k[len(prefix):]
                 for k in self._objects
                 if k.startswith(prefix) and os.sep not in k[len(prefix):]
-            )
-
-    def exists(self, path: str) -> bool:
-        prefix = path.rstrip(os.sep) + os.sep
-        with self._lock:
-            return path in self._objects or any(
-                k.startswith(prefix) for k in self._objects
             )
 
     def delete(self, path: str) -> None:
@@ -303,6 +288,12 @@ class TxnTable:
         self.path = path
         self._backend = backend or LinkCommitBackend()
         self._txn: _TxnState | None = None
+        # one-slot parsed-checkpoint cache: checkpoints are immutable
+        # and embed the full active-file list (MBs at scale), but the
+        # hot readers (_state tail replay, streaming_watermark per
+        # micro-batch) only ever want the NEWEST one — don't re-GET and
+        # re-parse it every call
+        self._ckpt_cache: tuple[int, dict] | None = None
         # probe for LOG OBJECTS, not the log directory: object stores
         # have no directories, the on-disk scratch dir create() makes
         # must not let a handle open against the wrong backend, and
@@ -373,6 +364,16 @@ class TxnTable:
 
     # -- log replay --------------------------------------------------------
 
+    def _get_ckpt(self, v: int) -> dict:
+        """Parsed checkpoint ``v`` through the one-slot cache (see
+        ``__init__``). Callers must not mutate nested values — ``_state``
+        copies ``meta`` before evolving it."""
+        if self._ckpt_cache is not None and self._ckpt_cache[0] == v:
+            return self._ckpt_cache[1]
+        ck = json.loads(self._backend.get(_ckpt_path(self.path, v)))
+        self._ckpt_cache = (v, ck)
+        return ck
+
     def _commits(self) -> list[dict]:
         log_dir = os.path.join(self.path, _LOG_DIR)
         out = []
@@ -404,8 +405,8 @@ class TxnTable:
         meta: dict = {}
         start = 0
         if ckpts:
-            ck = json.loads(self._backend.get(_ckpt_path(self.path, max(ckpts))))
-            meta = ck["meta"]
+            ck = self._get_ckpt(max(ckpts))
+            meta = dict(ck["meta"])
             active = {a["path"]: a for a in ck["active"]}
             start = max(ckpts) + 1
         # `latest` folds CHECKPOINT versions too: expire_log may delete
@@ -490,17 +491,34 @@ class TxnTable:
         an earlier moment). Commits without a recorded ``ts`` (pre-r11
         tables) inherit the previous effective time + 1 ms; a leading
         run of them anchors at epoch 0 and is therefore reachable by
-        any modern ``ts``. Reads commit objects LAZILY in version order
-        and stops at the first one past ``ts`` — on an object-store
-        backend an early ``ts`` costs GETs only up to its answer, not
-        one per commit in history."""
+        any modern ``ts``. Cost: the newest checkpoint carries its own
+        effective time (``eff_ts``), so a ``ts`` at or past it resolves
+        from the checkpoint + tail — O(tail) GETs, the same bound every
+        other read has. A ``ts`` before the newest checkpoint walks the
+        retained history lazily from the start and stops at the first
+        commit past ``ts``."""
         eff = None
         best = None
         log_dir = os.path.join(self.path, _LOG_DIR)
-        for name in self._backend.list_dir(log_dir):  # version order
+        names = self._backend.list_dir(log_dir)
+        ckpts = [
+            int(n.split(".")[0]) for n in names
+            if n.endswith(".checkpoint.json")
+        ]
+        after = -1
+        if ckpts:
+            ck = self._get_ckpt(max(ckpts))
+            if ck.get("eff_ts") is not None and ck["eff_ts"] <= ts:
+                eff, best, after = ck["eff_ts"], max(ckpts), max(ckpts)
+        for name in names:  # version order (names sort)
             if not name.endswith(".json") or name.endswith(".checkpoint.json"):
                 continue
-            c = json.loads(self._backend.get(os.path.join(log_dir, name)))
+            if int(name.split(".")[0]) <= after:
+                continue
+            try:
+                c = json.loads(self._backend.get(os.path.join(log_dir, name)))
+            except FileNotFoundError:
+                continue  # expired between LIST and GET: same as absent
             raw = c.get("ts")
             if eff is None:
                 eff = raw if raw is not None else 0.0
@@ -1116,7 +1134,7 @@ class TxnTable:
         hi: dict[str, int] = {}
         after = -1
         if ckpts:
-            ck = json.loads(self._backend.get(_ckpt_path(self.path, max(ckpts))))
+            ck = self._get_ckpt(max(ckpts))
             if "txn_watermarks" in ck:
                 hi.update(ck["txn_watermarks"] or {})
                 after = max(ckpts)  # carried: commits ≤ it are folded
@@ -1135,6 +1153,44 @@ class TxnTable:
                 hi[a] = max(hi.get(a, -1), int(t["batch_id"]))
         return hi
 
+    def _eff_ts_upto(self, v: int) -> float | None:
+        """The monotonized effective commit time at version ``v`` (see
+        ``version_as_of``), anchored on the newest prior checkpoint that
+        carries one — O(tail) once checkpoints carry the chain; full
+        retained-history scan only for pre-carry tables."""
+        log_dir = os.path.join(self.path, _LOG_DIR)
+        names = self._backend.list_dir(log_dir)
+        eff = None
+        after = -1
+        for cv in sorted(
+            (
+                int(n.split(".")[0])
+                for n in names
+                if n.endswith(".checkpoint.json") and int(n.split(".")[0]) < v
+            ),
+            reverse=True,
+        ):
+            ck = self._get_ckpt(cv)
+            if ck.get("eff_ts") is not None:
+                eff, after = ck["eff_ts"], cv
+                break
+        for name in names:
+            if not name.endswith(".json") or name.endswith(".checkpoint.json"):
+                continue
+            vv = int(name.split(".")[0])
+            if vv <= after or vv > v:
+                continue
+            try:
+                c = json.loads(self._backend.get(os.path.join(log_dir, name)))
+            except FileNotFoundError:
+                continue
+            raw = c.get("ts")
+            if eff is None:
+                eff = raw if raw is not None else 0.0
+            else:
+                eff = max(raw if raw is not None else 0.0, eff + 1e-3)
+        return eff
+
     def _maybe_checkpoint(self, v: int) -> None:
         if v % _CHECKPOINT_EVERY == 0:
             meta, active, _ = self._state(v)
@@ -1145,6 +1201,9 @@ class TxnTable:
                     # carried forward so expire_log can drop the stamped
                     # commits without regressing exactly-once watermarks
                     "txn_watermarks": self._txn_watermarks(),
+                    # ...and so version_as_of resolves recent timestamps
+                    # from checkpoint + tail instead of the whole history
+                    "eff_ts": self._eff_ts_upto(v),
                 },
                 _ckpt_path(self.path, v),
                 self._backend,
@@ -1781,18 +1840,35 @@ class TxnTable:
         removes = [p for b in touched for p in by_bucket[b]]
         return self._commit("compact", adds, removes, touched, read_v)
 
+    @staticmethod
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for name in files:
+                total += os.path.getsize(os.path.join(root, name))
+        return total
+
+    @staticmethod
+    def _pow2_buckets(total_bytes: int, target_bucket_mb: float) -> int:
+        """Smallest power of two n with total/n ≤ target — shared by
+        suggest_n_buckets and maintenance_report so the sizing rule
+        (and its target validation) can't drift between them."""
+        if target_bucket_mb <= 0:
+            raise ValueError("target_bucket_mb must be positive")
+        n = 1
+        target = target_bucket_mb * 1024 * 1024
+        while total_bytes / n > target:
+            n *= 2
+        return n
+
     def live_bytes(self) -> int:
         """Bytes in the CURRENT snapshot's data files — a driver-side
         os.walk over the active directories (pure metadata, no job).
         On an object store this is one LIST per active prefix."""
         _, active, _ = self._state()
-        total = 0
-        for p in active:
-            full = os.path.join(self.path, p)
-            for root, _dirs, files in os.walk(full):
-                for name in files:
-                    total += os.path.getsize(os.path.join(root, name))
-        return total
+        return sum(
+            self._dir_bytes(os.path.join(self.path, p)) for p in active
+        )
 
     def suggest_n_buckets(self, target_bucket_mb: float = 256.0) -> int:
         """Power-of-two bucket count sizing each bucket at ≤
@@ -1802,14 +1878,7 @@ class TxnTable:
         (only a ≥2× size change moves it) and makes successive rebuckets
         split/merge buckets evenly. Never suggests below the current
         count's floor of 1."""
-        if target_bucket_mb <= 0:
-            raise ValueError("target_bucket_mb must be positive")
-        n = 1
-        target = target_bucket_mb * 1024 * 1024
-        total = self.live_bytes()  # one log replay + walk, not one per 2^k
-        while total / n > target:
-            n *= 2
-        return n
+        return self._pow2_buckets(self.live_bytes(), target_bucket_mb)
 
     def maintenance_report(self, target_bucket_mb: float = 256.0) -> dict:
         """Operator-facing health check tying the maintenance ops
@@ -1825,19 +1894,14 @@ class TxnTable:
         for p, a in active.items():
             b = a["bucket"]
             by_bucket[b] = by_bucket.get(b, 0) + 1
-            total = 0
-            full = os.path.join(self.path, p)
-            for root, _dirs, files in os.walk(full):
-                for name in files:
-                    total += os.path.getsize(os.path.join(root, name))
-            bytes_by_bucket[b] = bytes_by_bucket.get(b, 0) + total
+            bytes_by_bucket[b] = bytes_by_bucket.get(b, 0) + self._dir_bytes(
+                os.path.join(self.path, p)
+            )
         live = sum(bytes_by_bucket.values())
         n_buckets = int(meta["n_buckets"])
         target = target_bucket_mb * 1024 * 1024
         frag = {b: n for b, n in by_bucket.items() if n >= 2}
-        suggested = 1
-        while live / suggested > target:
-            suggested *= 2
+        suggested = self._pow2_buckets(live, target_bucket_mb)
         ckpt_v = max(
             (
                 int(n.split(".")[0])
@@ -1971,8 +2035,11 @@ class TxnTable:
         any version ≥ H keep working (base checkpoint + gapless tail);
         reads below the base fail LOUDLY with ``VacuumedVersionError``
         via ``_state``'s continuity guard — expired history is never
-        silently wrong, it is unavailable. Time travel to exactly the
-        base version still works (the checkpoint alone serves it).
+        silently wrong, it is unavailable. NUMERIC time travel to
+        exactly the base version still works (the checkpoint alone
+        serves it); TIMESTAMP resolution below the first retained
+        commit raises ``ValueError`` (the per-commit stamps it needs
+        are the very objects expired).
 
         Exactly-once safety: a stamped commit whose (app_id, batch_id)
         is NOT yet carried by the newest checkpoint's ``txn_watermarks``
@@ -1997,12 +2064,7 @@ class TxnTable:
         if not ckpt_vs or not commit_vs:
             return 0
         cutoff = time.time() - max(float(retention_s), 0.0)
-        carried = (
-            json.loads(
-                self._backend.get(_ckpt_path(self.path, max(ckpt_vs)))
-            ).get("txn_watermarks")
-            or {}
-        )
+        carried = self._get_ckpt(max(ckpt_vs)).get("txn_watermarks") or {}
         # H = first version younger than the cutoff (missing ts = pre-r11
         # commit = ancient); lazy GETs stop at the first retained one.
         # A racing expire_log may delete between LIST and GET — a

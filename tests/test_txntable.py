@@ -1766,6 +1766,9 @@ def test_expire_log_respects_retention_and_watermarks(spark, tmp_path):
     payload.pop("txn_watermarks", None)
     t._backend.delete(ck)
     assert t._backend.put_if_absent(ck, _json.dumps(payload).encode())
+    # real checkpoints are immutable; this strip (simulating a pre-carry
+    # checkpoint) edits one in place, so drop the handle's parsed cache
+    t._ckpt_cache = None
     assert t.expire_log(retention_s=0.0) > 0
     # version NEVER regresses across expiry (latest folds checkpoint
     # versions): a regressed head would reuse expired version numbers
@@ -1813,3 +1816,31 @@ def test_expire_log_at_checkpoint_tip_preserves_version(spark, tmp_path):
     assert t.version() == tip + 1
     assert (99, "after", 1) in _rows(t.snapshot())
     assert _rows(TxnTable(spark, t.path).snapshot()) == _rows(t.snapshot())
+
+
+def test_version_as_of_resolves_from_carried_checkpoint(spark, tmp_path):
+    """Checkpoints carry the monotonized effective time (eff_ts), so a
+    recent timestamp resolves checkpoint+tail — and keeps resolving
+    after expire_log removed the early commits the full-history walk
+    would have needed."""
+    import time
+
+    t = TxnTable.create(
+        spark, str(tmp_path / "eff"), keys=["id"], schema=SCHEMA, n_buckets=2
+    )
+    t.append(_df(spark, [(1, "a", 1)]))
+    while t.version() < txntable._CHECKPOINT_EVERY:
+        t.merge(_df(spark, [(1, "m", t.version())]), ["version"])
+    ck = txntable._ckpt_path(t.path, txntable._CHECKPOINT_EVERY)
+    assert json.loads(t._backend.get(ck)).get("eff_ts") is not None
+    t_mid = time.time()
+    t.merge(_df(spark, [(2, "late", 1)]), ["version"])  # v21
+    # recent ts: anchored on the checkpoint, scans only the tail
+    assert t.version_as_of(t_mid) == txntable._CHECKPOINT_EVERY
+    assert t.version_as_of(time.time()) == t.version()
+    t.expire_log(retention_s=0.0)  # drops v0..v20
+    # still resolves (the carried anchor replaces the expired prefix)
+    assert t.version_as_of(time.time()) == t.version()
+    # below the first retained commit: loud, the stamps are gone
+    with pytest.raises(ValueError, match="expired"):
+        t.version_as_of(t_mid - 10_000)
