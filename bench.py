@@ -50,6 +50,43 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _proc_tree_cpu() -> float | None:
+    """Total CPU seconds (utime+stime, all threads) of this process and
+    every live descendant — the driver, the local-mode JVM, and any
+    Python UDF workers — read off /proc in one pass (Linux only; None
+    elsewhere). Wall time on a loaded machine swings 1.5-3x per query
+    on identical code (the r10/r11 noise band); CPU consumed by the
+    work itself barely moves with load, so per-query CPU deltas are
+    the channel the regression diff can actually trust (VERDICT r11
+    item 6)."""
+    try:
+        clk = float(os.sysconf("SC_CLK_TCK"))
+        me = os.getpid()
+        cpu: dict[int, float] = {}
+        kids: dict[int, list[int]] = {}
+        for pid_s in os.listdir("/proc"):
+            if not pid_s.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid_s}/stat") as f:
+                    # comm can contain spaces/parens: split after the ")"
+                    rest = f.read().rsplit(")", 1)[1].split()
+            except (OSError, IndexError):
+                continue  # raced a process exit
+            pid = int(pid_s)
+            cpu[pid] = (int(rest[11]) + int(rest[12])) / clk
+            kids.setdefault(int(rest[1]), []).append(pid)
+        total = 0.0
+        stack = [me]
+        while stack:
+            p = stack.pop()
+            total += cpu.get(p, 0.0)
+            stack.extend(kids.get(p, []))
+        return total
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -70,6 +107,8 @@ def main() -> None:
     build_times: dict[str, float] = {}
     build_charged: dict[str, bool] = {}
     exec_spread: dict[str, dict] = {}
+    cpu_times: dict[str, float] = {}
+    have_cpu = _proc_tree_cpu() is not None
     sc = spark.sparkContext
     for name, spec in sorted(specs.items()):
         # build the plan once (clients reuse prepared queries). If the
@@ -80,9 +119,11 @@ def main() -> None:
         # (see module docstring).
         group = f"bench-build-{name}"
         sc.setJobGroup(group, f"plan build: {name}")
+        c0 = _proc_tree_cpu() if have_cpu else None
         t0 = time.perf_counter()
         df = spec.spark_fn(spark, sf_dir)
         build = time.perf_counter() - t0
+        build_cpu = (_proc_tree_cpu() - c0) if c0 is not None else None
         eager = bool(sc.statusTracker().getJobIdsForGroup(group))
         if eager and runs > 1:
             # eager builds get the same best-of-N rule as execution and
@@ -90,20 +131,31 @@ def main() -> None:
             # run-to-run; a single sample would gate the suite number on
             # one draw). The rebuilt plan is the one executed below.
             sc.setJobGroup(f"{group}-2", f"plan rebuild: {name}")
+            c0 = _proc_tree_cpu() if have_cpu else None
             t0 = time.perf_counter()
             df = spec.spark_fn(spark, sf_dir)
             build = min(build, time.perf_counter() - t0)
+            if c0 is not None and build_cpu is not None:
+                build_cpu = min(build_cpu, _proc_tree_cpu() - c0)
         sc.setJobGroup(f"bench-exec-{name}", f"exec: {name}")
         samples: list[float] = []
+        cpu_samples: list[float] = []
         for _ in range(runs):
+            c0 = _proc_tree_cpu() if have_cpu else None
             t0 = time.perf_counter()
             _run(df)
             samples.append(time.perf_counter() - t0)
+            if c0 is not None:
+                cpu_samples.append(_proc_tree_cpu() - c0)
         samples.sort()
         best = samples[0]
         build_times[name] = round(build, 4)
         build_charged[name] = eager
         times[name] = round((build if eager else 0.0) + best, 4)
+        if cpu_samples:
+            cpu_times[name] = round(
+                ((build_cpu or 0.0) if eager else 0.0) + min(cpu_samples), 4
+            )
         # per-query measured band (VERDICT r10 #4): this machine's
         # run-to-run spread is 1.5-3x per query on identical code, so
         # the regression diff compares BANDS, not point samples
@@ -121,6 +173,9 @@ def main() -> None:
     duck_total = None
     ratio = None
     duck_times: dict[str, float] = {}
+    duck_cpu_times: dict[str, float] = {}
+    duck_cpu_total = None
+    cpu_ratio = None
     try:
         import duckdb
 
@@ -132,22 +187,35 @@ def main() -> None:
                 f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
             )
         duck = 0.0
+        duck_cpu = 0.0
         spark_oracle = 0.0
+        spark_oracle_cpu = 0.0
         for name, spec in sorted(specs.items()):
             if spec.oracle is None:
                 continue
             best = float("inf")
+            best_cpu = float("inf")
             for _ in range(runs):
+                c0 = _proc_tree_cpu() if have_cpu else None
                 t0 = time.perf_counter()
                 con.execute(spec.oracle).fetchall()
                 best = min(best, time.perf_counter() - t0)
+                if c0 is not None:
+                    best_cpu = min(best_cpu, _proc_tree_cpu() - c0)
             # per-query DuckDB time recorded so per-query ratios are
             # auditable without a re-run (VERDICT r4 #7)
             duck_times[name] = round(best, 4)
             duck += best
             spark_oracle += times[name]
+            if best_cpu != float("inf"):
+                duck_cpu_times[name] = round(best_cpu, 4)
+                duck_cpu += best_cpu
+                spark_oracle_cpu += cpu_times.get(name, 0.0)
         duck_total = round(duck, 4)
         ratio = round(spark_oracle / duck, 2) if duck else None
+        if duck_cpu:
+            duck_cpu_total = round(duck_cpu, 4)
+            cpu_ratio = round(spark_oracle_cpu / duck_cpu, 2)
     except Exception:
         pass  # baseline is informational; never fail the bench
 
@@ -225,8 +293,10 @@ def main() -> None:
         prev_q = prev.get("queries") or {}
         prev_build = prev.get("build_sec") or {}
         prev_charged = prev.get("build_charged") or {}
+        prev_cpu = prev.get("cpu_sec") or {}
         moved = {}
         suppressed: list[str] = []
+        suppressed_cpu_flat: list[str] = []
         for name, now in times.items():
             before = prev_q.get(name)
             if before is None:
@@ -288,6 +358,39 @@ def main() -> None:
                         "build_plus_exec_prev", "build_plus_exec_delta_sec",
                     ):
                         entry.pop(k, None)
+            # CPU gate (r12, VERDICT r11 item 6): when both runs recorded
+            # process-tree CPU, it ARBITRATES over the wall channels —
+            # CPU barely moves with machine load, so a wall move with
+            # flat CPU is load noise (suppressed even when the wall band
+            # would have reported it), and a real CPU move reports even
+            # when wall bands happened to overlap. Wall-band suppression
+            # above remains the fallback for queries without prior CPU.
+            cpu_before = prev_cpu.get(name)
+            cpu_now = cpu_times.get(name)
+            if cpu_before is not None and cpu_now is not None:
+                cpu_delta = round(cpu_now - cpu_before, 4)
+                if abs(cpu_delta) > 0.3 and abs(cpu_delta) > 0.25 * max(
+                    cpu_before, 1e-9
+                ):
+                    entry.update({
+                        "now": now, "prev": before, "delta_sec": delta,
+                        "cpu_now": cpu_now, "cpu_prev": cpu_before,
+                        "cpu_delta_sec": cpu_delta,
+                    })
+                    if name in suppressed:
+                        suppressed.remove(name)
+                else:
+                    had = any(
+                        k in entry
+                        for k in ("delta_sec", "build_plus_exec_delta_sec")
+                    )
+                    for k in (
+                        "now", "prev", "delta_sec", "build_plus_exec_now",
+                        "build_plus_exec_prev", "build_plus_exec_delta_sec",
+                    ):
+                        entry.pop(k, None)
+                    if had:
+                        suppressed_cpu_flat.append(name)
             if entry:
                 moved[name] = entry
         bench_diff = {
@@ -297,13 +400,17 @@ def main() -> None:
             else None,
             "moved_queries": moved,
             "suppressed_in_band": suppressed,
+            "suppressed_cpu_flat": suppressed_cpu_flat,
             "note": "per-query deltas vs the previous bench_full.json; "
             "only >0.3s AND >25% moves whose best-of-N exec band does "
             "NOT overlap the previous run's recorded band are listed "
             "(charged number OR charge-independent build+exec total), "
             "plus any build_charged methodology flips — "
             "suppressed_in_band names moves the band gate classified "
-            "as machine noise",
+            "as machine noise. When both runs carry cpu_sec, "
+            "process-tree CPU arbitrates: wall moves with flat CPU are "
+            "suppressed (suppressed_cpu_flat), CPU moves report even "
+            "inside the wall band (cpu_delta_sec on the entry)",
         }
     except Exception:
         pass  # first run / missing file — informational only
@@ -316,7 +423,12 @@ def main() -> None:
         "build_sec": build_times,
         "build_charged": build_charged,
         "exec_spread": exec_spread,
+        "cpu_sec": cpu_times,
+        "cpu_total_sec": round(sum(cpu_times.values()), 4) if cpu_times else None,
         "duckdb_queries": duck_times,
+        "duckdb_cpu_sec": duck_cpu_times,
+        "duckdb_cpu_total_sec": duck_cpu_total,
+        "spark_vs_duckdb_cpu_ratio": cpu_ratio,
         "diff_vs_prev": bench_diff,
         "sf": sf,
         "duckdb_oracle_total_sec": duck_total,
@@ -351,6 +463,10 @@ def main() -> None:
                 "n_queries": len(times),
                 "duckdb_oracle_total_sec": duck_total,
                 "spark_vs_duckdb_ratio": ratio,
+                "cpu_total_sec": round(sum(cpu_times.values()), 4)
+                if cpu_times
+                else None,
+                "spark_vs_duckdb_cpu_ratio": cpu_ratio,
                 "scale10x_ratio": (scale10 or {}).get("ratio"),
                 "skew_ratio": (skewed or {}).get("ratio"),
                 "sf1_ratio": (sf1 or {}).get("ratio"),

@@ -144,8 +144,10 @@ def heavy_hitters(
     # the min_frac exactness premise is validated BEFORE the auto gate
     # (ADVICE r10): it must not depend on which plan the input size
     # happens to pick — only an EXPLICIT mode="naive" (exact at any
-    # threshold) is exempt. The min_count premise stays two-phase-only
-    # below: it needs N, which the naive plan never computes.
+    # threshold) is exempt. The min_count premise needs measured N, so
+    # auto's naive branch enforces it IN-PLAN below (r12) and two-phase
+    # enforces it driver-side after the MG pass — same rule, both
+    # branches.
     if mode != "naive" and min_frac is not None and min_frac <= 1.0 / (cap + 1):
         raise ValueError(
             f"min_frac={min_frac} <= 1/(cap+1)={1.0/(cap+1):.2e}: the "
@@ -154,9 +156,11 @@ def heavy_hitters(
             f"which is exact at any threshold)"
         )
     src = items.select(F.col(item_col).cast("string").alias("item"))
+    auto_picked_naive = False
     if mode == "auto":
         est = plan_size_bytes(src)
         mode = "naive" if est is not None and est <= naive_max_bytes else "two_phase"
+        auto_picked_naive = mode == "naive"
     if mode == "naive":
         counts = (
             src.filter(F.col("item").isNotNull())
@@ -164,6 +168,42 @@ def heavy_hitters(
             .agg(F.count(F.lit(1)).alias("n"))
         )
         if min_count is not None:
+            if auto_picked_naive:
+                # the min_count premise needs measured N, which only
+                # exists once the counts evaluate — enforce it IN-PLAN
+                # (an assert riding the already-small counts relation,
+                # no extra scan) so an auto call's raise-or-succeed
+                # doesn't depend on which plan the input size picked
+                # (the same size-independence rule ADVICE r10 set for
+                # min_frac; r12 closes the min_count side). Surfaces at
+                # action time as Spark's assertion error rather than
+                # the two-phase path's driver-side ValueError — the
+                # premise text is identical. Explicit mode="naive"
+                # stays exempt: it is exact at any threshold.
+                from pyspark.sql.window import Window
+
+                tot = F.sum("n").over(Window.partitionBy())
+                counts = counts.withColumn(
+                    "__premise",
+                    F.assert_true(
+                        F.lit(float(min_count))
+                        > tot.cast("double") / F.lit(float(cap + 1)),
+                        F.concat(
+                            F.lit(
+                                f"min_count={int(min_count)} <= N/(cap+1)="
+                            ),
+                            (tot.cast("double") / F.lit(float(cap + 1))).cast(
+                                "string"
+                            ),
+                            F.lit(
+                                ": candidates would not be exhaustive at"
+                                " this threshold under the two-phase plan"
+                                " — raise min_count or cap (or force"
+                                " mode='naive', exact at any threshold)"
+                            ),
+                        ),
+                    ),
+                ).drop("__premise")
             kept = counts.filter(F.col("n") >= F.lit(int(min_count)))
         else:
             # in-plan threshold: ceil(N * min_frac) in IEEE double, the

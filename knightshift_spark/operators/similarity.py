@@ -1465,6 +1465,81 @@ def append_ann_index(
     return report
 
 
+def maintain_ann_index(
+    vectors: DataFrame,
+    path: str,
+    max_drift: float = 1.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Drift-triggered retrain policy for a persisted IVF-PQ index
+    (r12, VERDICT item 3) — the maintenance loop that decides WHEN the
+    O(corpus) rebuild runs, so it runs on evidence, never on a schedule.
+
+    Reads the per-batch audit reports ``append_ann_index`` left under
+    ``_batches/`` (each carries the batch's mean PQ reconstruction
+    error over the build-time base, ``drift_ratio``) and folds them
+    into ONE row-weighted mean drift — driver-side JSON only, no Spark
+    job. If that drift exceeds ``max_drift``, the index is rebuilt
+    from ``vectors`` (the CURRENT full corpus — codes are lossy, so
+    retraining must see real vectors, which is why the caller supplies
+    them) with the SAME hyperparameters read from the live sidecar,
+    through ``write_ann_index``'s staged ``codes-<uuid>/`` tree and
+    atomic ``CURRENT`` pointer swap — readers never see a half-built
+    index. The swap clears ``_batches/``, so the decision resets: a
+    second maintenance call right after a rebuild sees no appended
+    batches and does nothing (exactly one rebuild per drift episode).
+    In-distribution appends sit near ratio 1 and never trigger.
+
+    Returns ``{drift, max_drift, batches, appended_rows, rebuilt}``;
+    ``drift`` is None when nothing has been appended since the build."""
+    import json
+    import os
+
+    audit_dir = os.path.join(path, "_batches")
+    reports = []
+    if os.path.isdir(audit_dir):
+        for name in sorted(os.listdir(audit_dir)):
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(audit_dir, name)) as f:
+                    reports.append(json.load(f))
+            except (OSError, ValueError):
+                continue  # torn write from a crashed append: not evidence
+    weighted = [
+        (int(r.get("rows") or 0), float(r["drift_ratio"]))
+        for r in reports
+        if r.get("drift_ratio") is not None and (r.get("rows") or 0) > 0
+    ]
+    rows = sum(n for n, _ in weighted)
+    drift = (
+        round(sum(n * d for n, d in weighted) / rows, 4) if rows else None
+    )
+    out = {
+        "drift": drift,
+        "max_drift": float(max_drift),
+        "batches": len(weighted),
+        "appended_rows": rows,
+        "rebuilt": False,
+    }
+    if drift is None or drift <= max_drift:
+        return out
+    meta = _read_index_sidecar(path)
+    write_ann_index(
+        vectors,
+        path,
+        n_clusters=int(meta["n_clusters"]),
+        n_probe_default=int(meta["n_probe_default"]),
+        m=int(meta["m"]),
+        ksub=int(meta["ksub"]),
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    out["rebuilt"] = True
+    return out
+
+
 def query_ann_index(
     spark,
     path: str,

@@ -167,6 +167,147 @@ def read_view(spark: SparkSession, view_path: str) -> DataFrame:
     )
 
 
+def _view_synced_version(view_path: str) -> int:
+    try:
+        with open(os.path.join(view_path, "_SYNCED_VERSION")) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def _stamp_synced_version(view_path: str, version: int) -> None:
+    os.makedirs(view_path, exist_ok=True)
+    tmp = os.path.join(view_path, "_SYNCED_VERSION.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(int(version)))
+    os.replace(tmp, os.path.join(view_path, "_SYNCED_VERSION"))
+
+
+def sync_view_from_table(
+    table,
+    view_path: str,
+    keys: list[str],
+    value_col: str,
+    n_buckets: int = 64,
+) -> int:
+    """Maintain the partials view incrementally from a ``TxnTable``'s
+    COMMIT LOG (r12, VERDICT item 2): one catch-up call folds every
+    version since the last sync into the view and returns the version
+    synced to. Idempotent — rerunning at the same table version is a
+    no-op, and replaying a crashed sync converges to the same view.
+
+    Why key-scoped RECOMPUTE, not delta-merge: ``table_changes`` is
+    file-granular — a merge re-emits every row of its touched buckets —
+    and the view's partials include min/max/HLL, which are not
+    retractable anyway. So the CDC feed (``include_removed=True``: both
+    post-image adds and pre-image removes, since an adds-only feed
+    never shows a deletion) is used for the one thing it is exact
+    about: WHICH GROUP KEYS might have changed in ``(synced,
+    target]``. Those groups are
+    recomputed exactly from the snapshot AT the target version
+    (key-pruned semi join — cost scales with changed groups + their
+    bucket bytes, never view or table size), swapped into the view's
+    touched buckets (dynamic partition overwrite), and groups whose
+    rows vanished entirely drop out of the view. Exact for every
+    aggregate, deletes included.
+
+    Consistency/replay: a ``_SYNCED_VERSION`` sidecar records the last
+    FULLY committed sync (written after the bucket overwrites); every
+    rewritten bucket row carries ``__last_batch`` = the table version
+    synced, so a crash between bucket commits replays the whole range
+    and the buckets that already absorbed it skip (the same per-bucket
+    watermark rule ``merge_view_batch`` uses). A restore or expired
+    commit inside the range (``table_changes`` raises) degrades to a
+    full rebuild from the snapshot — the documented CDC resync rule."""
+    spark = table.spark
+    target = table.version()
+    cur = _view_synced_version(view_path)
+    if cur >= target:
+        return cur
+    snap = table.snapshot(target)
+
+    def _full_rebuild() -> None:
+        part = _with_bucket(_partials(snap, keys, value_col), keys, n_buckets)
+        part = part.withColumn("__last_batch", F.lit(int(target)))
+        part.write.mode("overwrite").partitionBy("__bucket").parquet(view_path)
+
+    if cur < 0:
+        _full_rebuild()
+        _stamp_synced_version(view_path, target)
+        return target
+    try:
+        changes = table.table_changes(cur, target, include_removed=True)
+    except Exception:
+        # restore in range / expired commits: resync from the snapshot
+        _full_rebuild()
+        _stamp_synced_version(view_path, target)
+        return target
+    aff = (
+        _with_bucket(changes.select(*keys).distinct(), keys, n_buckets)
+        .localCheckpoint(eager=True)
+    )
+    touched = [r["__bucket"] for r in aff.select("__bucket").distinct().collect()]
+    if not touched:
+        _stamp_synced_version(view_path, target)
+        return target
+    new_parts = _with_bucket(
+        _partials(
+            snap.join(aff.select(*keys), keys, "left_semi"), keys, value_col
+        ),
+        keys,
+        n_buckets,
+    ).withColumn("__last_batch", F.lit(int(target)))
+    out = new_parts
+    if os.path.isdir(view_path) and any(
+        e.startswith("__bucket=") for e in os.listdir(view_path)
+    ):
+        current = spark.read.parquet(view_path).filter(
+            F.col("__bucket").isin(touched)
+        )
+        done = {
+            r["__bucket"]
+            for r in current.groupBy("__bucket")
+            .agg(F.max("__last_batch").alias("__mb"))
+            .filter(F.col("__mb") >= int(target))
+            .select("__bucket")
+            .collect()
+        }
+        if done:  # crashed sync already committed these buckets: skip
+            new_parts = new_parts.filter(~F.col("__bucket").isin(list(done)))
+            current = current.filter(~F.col("__bucket").isin(list(done)))
+            touched = [b for b in touched if b not in done]
+            if not touched:
+                _stamp_synced_version(view_path, target)
+                return target
+        kept = current.join(aff.select(*keys), keys, "left_anti").withColumn(
+            "__last_batch", F.lit(int(target))
+        )
+        out = new_parts.unionByName(kept.select(new_parts.columns))
+    out = out.localCheckpoint(eager=True)  # cut the read-overwrite lineage
+    # dynamic partition overwrite only replaces partitions PRESENT in
+    # the output — a touched bucket whose every group was deleted emits
+    # zero rows and would silently keep its stale directory, so those
+    # buckets are dropped explicitly after the write
+    out_buckets = {
+        r["__bucket"] for r in out.select("__bucket").distinct().collect()
+    }
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("__bucket").parquet(view_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    import shutil
+
+    for b in touched:
+        if b not in out_buckets:
+            shutil.rmtree(
+                os.path.join(view_path, f"__bucket={b}"), ignore_errors=True
+            )
+    _stamp_synced_version(view_path, target)
+    return target
+
+
 def run_matview_stream(
     stream: DataFrame,
     view_path: str,

@@ -275,3 +275,81 @@ def test_rebuild_sweeps_migrated_legacy_codes_tree(spark, index_dir):
         spark, index_dir, emb.filter(F.col("vec_id") == 5), k=3, n_probe=2
     ).collect()
     assert len(out) > 0
+
+
+def test_maintain_ann_index_drift_policy(spark, tmp_path):
+    """r12 (VERDICT item 3): maintain_ann_index turns the per-batch
+    drift signal into the retrain decision — in-distribution appends
+    never rebuild; planted drift triggers EXACTLY ONE staged rebuild
+    (atomic pointer swap, audit reset) whose answers equal a fresh
+    build's on the same corpus."""
+    import json
+    import os
+
+    import numpy as np
+
+    from knightshift_spark.operators.similarity import maintain_ann_index
+
+    rng = np.random.default_rng(7)
+    protos = rng.normal(size=(4, 64))
+    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+    new_protos = rng.normal(size=(4, 64))
+    new_protos /= np.linalg.norm(new_protos, axis=1, keepdims=True)
+
+    def rows(cents, n, id0):
+        out = []
+        for i in range(n):
+            v = cents[i % len(cents)] + 0.02 * rng.normal(size=64)
+            out.append((id0 + i, [float(x) for x in v]))
+        return out
+
+    schema = "vec_id long, embedding array<float>"
+    base = spark.createDataFrame(rows(protos, 80, 0), schema)
+    in_dist = spark.createDataFrame(rows(protos, 20, 1000), schema)
+    shifted = spark.createDataFrame(rows(new_protos, 20, 2000), schema)
+
+    path = str(tmp_path / "ann_maint")
+    write_ann_index(base, path, n_clusters=4, n_probe_default=2, m=2, ksub=4)
+
+    def ptr():
+        with open(os.path.join(path, "CURRENT")) as f:
+            return f.read().strip()
+
+    # in-distribution appends: drift ~1, no rebuild, pointer untouched
+    append_ann_index(in_dist, path, "indist")
+    p0 = ptr()
+    corpus1 = base.unionByName(in_dist)
+    m1 = maintain_ann_index(corpus1, path, max_drift=1.5)
+    assert not m1["rebuilt"] and m1["drift"] is not None and m1["drift"] <= 1.5
+    assert ptr() == p0
+
+    # planted drift: the shifted batch pushes the weighted mean over the
+    # gate -> exactly one staged rebuild + pointer swap
+    append_ann_index(shifted, path, "shifted")
+    corpus2 = corpus1.unionByName(shifted)
+    m2 = maintain_ann_index(corpus2, path, max_drift=1.5)
+    assert m2["rebuilt"] and m2["batches"] == 2
+    assert ptr() != p0
+    # audit reset: the very next maintenance sees no appended batches
+    m3 = maintain_ann_index(corpus2, path, max_drift=1.5)
+    assert not m3["rebuilt"] and m3["batches"] == 0 and m3["drift"] is None
+
+    # the rebuilt index answers exactly like a fresh build on the same
+    # corpus with the same (sidecar-carried) hyperparameters
+    fresh = str(tmp_path / "ann_fresh")
+    write_ann_index(
+        corpus2, fresh, n_clusters=4, n_probe_default=2, m=2, ksub=4
+    )
+    q = spark.createDataFrame(rows(new_protos, 8, 9000), schema)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in query_ann_index(spark, path, q, k=3, n_probe=2).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in query_ann_index(spark, fresh, q, k=3, n_probe=2).collect()
+    }
+    assert got == want
+    # the rebuild learned the drifted region: shifted vectors win their
+    # own neighborhoods now
+    assert any(n >= 2000 for _, n in got)

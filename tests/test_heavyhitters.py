@@ -104,11 +104,23 @@ def test_exhaustiveness_guard(spark):
     # depend on which plan the input size happens to pick
     with pytest.raises(ValueError, match="min_frac"):
         heavy_hitters(items, cap=4, min_frac=0.1)
+    # r12: the min_count premise binds auto's SMALL-input branch too —
+    # this input auto-picks naive, and the in-plan assert raises at
+    # action time with the same premise text the two-phase path uses
+    with pytest.raises(Exception, match="min_count=2"):
+        heavy_hitters(items, cap=4, min_count=2).collect()
+    # ...while a premise-satisfying auto call on the same input answers
+    ok = heavy_hitters(items, cap=4096, min_count=100).collect()
+    assert {r["item"] for r in ok} == {str(i) for i in range(7)}
     # explicit naive is exact at any threshold: no premise, answers
     got = {r["item"] for r in heavy_hitters(
         items, cap=4, min_frac=0.1, mode="naive"
     ).collect()}
     assert got == {str(i) for i in range(7)}
+    got2 = {r["item"] for r in heavy_hitters(
+        items, cap=4, min_count=2, mode="naive"
+    ).collect()}
+    assert got2 == {str(i) for i in range(7)}
     with pytest.raises(ValueError, match="exactly one"):
         heavy_hitters(items, cap=4)
 

@@ -154,3 +154,75 @@ def test_streaming_maintenance(spark, tmp_path):
         assert _snapshot(spark, view) == want
     finally:
         q.stop()
+
+
+def test_sync_view_from_txntable_cdc(spark, tmp_path):
+    """r12 (VERDICT item 2): the view maintains itself purely from the
+    TxnTable commit log — inserts, updates, and deletes each sync to
+    exactly the one-shot groupBy over the current snapshot; a re-sync
+    at the same version is a no-op (replay-idempotent); a restore in
+    the CDC range degrades to the documented full resync."""
+    from knightshift_spark.sources.txntable import TxnTable
+    from knightshift_spark.streaming.matview import sync_view_from_table
+
+    sch = "id long, g string, v long"
+    t = TxnTable.create(
+        spark, str(tmp_path / "src"), keys=["id"], schema=sch, n_buckets=4
+    )
+    view = str(tmp_path / "view")
+
+    def check():
+        exp = {
+            r["g"]: (r["n"], r["s"], r["mn"], r["mx"], r["nd"])
+            for r in t.snapshot()
+            .groupBy("g")
+            .agg(
+                F.count("v").alias("n"),
+                F.sum("v").cast("double").alias("s"),
+                F.min("v").cast("double").alias("mn"),
+                F.max("v").cast("double").alias("mx"),
+                F.countDistinct("v").alias("nd"),
+            )
+            .collect()
+        }
+        got = {
+            r["g"]: (
+                r["n"], r["sum"], r["min"], r["max"],
+                int(round(r["n_distinct_approx"])),
+            )
+            for r in read_view(spark, view).collect()
+        }
+        assert got == exp
+
+    t.append(
+        spark.createDataFrame([(i, f"g{i % 3}", i) for i in range(30)], sch)
+    )
+    v1 = sync_view_from_table(t, view, ["g"], "v", n_buckets=8)
+    check()
+    # replay-idempotent: same version, nothing moves
+    assert sync_view_from_table(t, view, ["g"], "v", n_buckets=8) == v1
+    check()
+    # UPDATE via merge: group g1's values shift; only its groups resync
+    t.merge(
+        spark.createDataFrame([(i, f"g{i % 3}", i + 100) for i in range(1, 30, 3)], sch),
+        order_by=["v"],
+    )
+    restore_point = t.version()
+    sync_view_from_table(t, view, ["g"], "v", n_buckets=8)
+    check()
+    # DELETE an entire group: it must drop OUT of the view
+    t.delete_where(F.col("g") == "g2", rewrite_all=True)
+    sync_view_from_table(t, view, ["g"], "v", n_buckets=8)
+    check()
+    assert "g2" not in {r["g"] for r in read_view(spark, view).collect()}
+    # group membership change: rows move BETWEEN groups via merge
+    t.merge(
+        spark.createDataFrame([(0, "g9", 7)], sch), order_by=["v"]
+    )
+    sync_view_from_table(t, view, ["g"], "v", n_buckets=8)
+    check()
+    # restore inside the CDC range -> table_changes raises -> full
+    # rebuild, still exact
+    t.restore(restore_point)
+    sync_view_from_table(t, view, ["g"], "v", n_buckets=8)
+    check()

