@@ -147,3 +147,59 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "last_view_id")
     )
+
+
+@query(
+    "q73_interval_stream_join",
+    oracle="""
+      SELECT l.user_id,
+             l.event_id AS view_event,
+             r.event_id AS purchase_event,
+             CAST(floor(epoch(r.ts)) - floor(epoch(l.ts)) AS BIGINT) AS gap_s,
+             ROUND(l.value + r.value, 4) AS pair_value
+      FROM events l JOIN events r
+        ON l.user_id = r.user_id
+       AND l.event_type = 'view' AND r.event_type = 'purchase'
+       AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR""",
+    doc="event-time-bounded interval join (view → purchases within 6 h, "
+        "per user) through streaming/joins.stream_stream_interval_join — "
+        "the SAME function that runs the watermarked stream-stream join "
+        "(batch mode: watermarks no-op, the bound is an interval "
+        "predicate), so the streaming operator's join semantics sit under "
+        "the exact-hash oracle gate. One equi-shuffle on user_id; the "
+        "time bound is a post-join filter, never a cross join (r12)",
+)
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    from knightshift_spark.streaming.joins import stream_stream_interval_join
+
+    ev = t(spark, sf, "events")
+    left = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_event"),
+        "ts",
+        F.col("value").alias("lv"),
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event"),
+        "ts",
+        F.col("value").alias("rv"),
+    )
+    joined = stream_stream_interval_join(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower="0 seconds",
+        upper="6 hours",
+    )
+    return joined.select(
+        "user_id",
+        "view_event",
+        "purchase_event",
+        (F.unix_timestamp("ts_r") - F.unix_timestamp("ts"))
+        .cast("bigint")
+        .alias("gap_s"),
+        F.round(F.col("lv") + F.col("rv"), 4).alias("pair_value"),
+    )
