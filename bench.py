@@ -59,6 +59,11 @@ def _proc_tree_cpu() -> float | None:
     work itself barely moves with load, so per-query CPU deltas are
     the channel the regression diff can actually trust (VERDICT r11
     item 6)."""
+    # NOT monotonic when a descendant EXITS (its accumulated CPU leaves
+    # the sum — observed as negative DuckDB deltas when idle pyspark
+    # worker daemons reaped mid-measurement), so callers clamp per-window
+    # deltas at >= 0; the in-process DuckDB side uses time.process_time()
+    # instead, which cannot shrink.
     try:
         clk = float(os.sysconf("SC_CLK_TCK"))
         me = os.getpid()
@@ -123,7 +128,7 @@ def main() -> None:
         t0 = time.perf_counter()
         df = spec.spark_fn(spark, sf_dir)
         build = time.perf_counter() - t0
-        build_cpu = (_proc_tree_cpu() - c0) if c0 is not None else None
+        build_cpu = max(0.0, _proc_tree_cpu() - c0) if c0 is not None else None
         eager = bool(sc.statusTracker().getJobIdsForGroup(group))
         if eager and runs > 1:
             # eager builds get the same best-of-N rule as execution and
@@ -136,7 +141,7 @@ def main() -> None:
             df = spec.spark_fn(spark, sf_dir)
             build = min(build, time.perf_counter() - t0)
             if c0 is not None and build_cpu is not None:
-                build_cpu = min(build_cpu, _proc_tree_cpu() - c0)
+                build_cpu = min(build_cpu, max(0.0, _proc_tree_cpu() - c0))
         sc.setJobGroup(f"bench-exec-{name}", f"exec: {name}")
         samples: list[float] = []
         cpu_samples: list[float] = []
@@ -146,7 +151,7 @@ def main() -> None:
             _run(df)
             samples.append(time.perf_counter() - t0)
             if c0 is not None:
-                cpu_samples.append(_proc_tree_cpu() - c0)
+                cpu_samples.append(max(0.0, _proc_tree_cpu() - c0))
         samples.sort()
         best = samples[0]
         build_times[name] = round(build, 4)
@@ -196,12 +201,15 @@ def main() -> None:
             best = float("inf")
             best_cpu = float("inf")
             for _ in range(runs):
-                c0 = _proc_tree_cpu() if have_cpu else None
+                # DuckDB executes IN-PROCESS: process_time() (all threads
+                # of this process) measures it exactly and, unlike the
+                # tree walk, cannot go backwards when an idle pyspark
+                # worker daemon exits mid-window
+                c0 = time.process_time()
                 t0 = time.perf_counter()
                 con.execute(spec.oracle).fetchall()
                 best = min(best, time.perf_counter() - t0)
-                if c0 is not None:
-                    best_cpu = min(best_cpu, _proc_tree_cpu() - c0)
+                best_cpu = min(best_cpu, time.process_time() - c0)
             # per-query DuckDB time recorded so per-query ratios are
             # auditable without a re-run (VERDICT r4 #7)
             duck_times[name] = round(best, 4)

@@ -96,8 +96,12 @@ def _inflight_writer_alive(abs_dir: str) -> bool:
         return False
     try:
         os.kill(int(m["pid"]), 0)
-    except (OSError, ValueError, TypeError):
-        return False
+    except ProcessLookupError:
+        return False  # dead: the dir is a crash leftover, sweepable
+    except PermissionError:
+        return True  # alive, just owned by another user: protect it
+    except (OverflowError, ValueError, TypeError):
+        return False  # garbage pid: fall back to the mtime guard
     return True
 
 

@@ -250,9 +250,22 @@ def sync_view_from_table(
     if not touched:
         _stamp_synced_version(view_path, target)
         return target
+    # NULL-SAFE key matching throughout: a NULL group key is a real
+    # group in the view (groupBy keeps it), and a plain equi-join would
+    # silently never refresh or retire it
+    def _keys_eq(left, right):
+        cond = None
+        for k in keys:
+            c = left[k].eqNullSafe(right[k])
+            cond = c if cond is None else cond & c
+        return cond
+
+    aff_keys = aff.select(*keys)
     new_parts = _with_bucket(
         _partials(
-            snap.join(aff.select(*keys), keys, "left_semi"), keys, value_col
+            snap.join(aff_keys, _keys_eq(snap, aff_keys), "left_semi"),
+            keys,
+            value_col,
         ),
         keys,
         n_buckets,
@@ -279,9 +292,9 @@ def sync_view_from_table(
             if not touched:
                 _stamp_synced_version(view_path, target)
                 return target
-        kept = current.join(aff.select(*keys), keys, "left_anti").withColumn(
-            "__last_batch", F.lit(int(target))
-        )
+        kept = current.join(
+            aff_keys, _keys_eq(current, aff_keys), "left_anti"
+        ).withColumn("__last_batch", F.lit(int(target)))
         out = new_parts.unionByName(kept.select(new_parts.columns))
     out = out.localCheckpoint(eager=True)  # cut the read-overwrite lineage
     # dynamic partition overwrite only replaces partitions PRESENT in

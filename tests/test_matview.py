@@ -226,3 +226,51 @@ def test_sync_view_from_txntable_cdc(spark, tmp_path):
     t.restore(restore_point)
     sync_view_from_table(t, view, ["g"], "v", n_buckets=8)
     check()
+
+
+def test_sync_view_crash_before_stamp_heals(spark, tmp_path):
+    """A sync that commits its bucket overwrites but dies BEFORE writing
+    _SYNCED_VERSION (the crash window) replays the whole range on the
+    next call: already-stamped buckets skip via __last_batch, the rest
+    re-apply, and the final view equals the one-shot groupBy."""
+    from knightshift_spark.sources.txntable import TxnTable
+    from knightshift_spark.streaming.matview import sync_view_from_table
+
+    sch = "id long, g string, v long"
+    t = TxnTable.create(
+        spark, str(tmp_path / "src"), keys=["id"], schema=sch, n_buckets=4
+    )
+    view = str(tmp_path / "view")
+    t.append(
+        spark.createDataFrame([(i, f"g{i % 4}", i) for i in range(40)], sch)
+    )
+    v1 = sync_view_from_table(t, view, ["g"], "v", n_buckets=8)
+    t.merge(
+        spark.createDataFrame([(i, f"g{i % 4}", i + 500) for i in range(0, 40, 2)], sch),
+        order_by=["v"],
+    )
+    v2 = sync_view_from_table(t, view, ["g"], "v", n_buckets=8)
+    assert v2 > v1
+    # simulate the crash window: v2's bucket data landed, but the
+    # sidecar still shows v1 (stamp is written last) — the re-sync
+    # replays (v1, v2], buckets already stamped v2 skip, and the
+    # sidecar catches up
+    with open(os.path.join(view, "_SYNCED_VERSION"), "w") as f:
+        f.write(str(v1))
+    assert sync_view_from_table(t, view, ["g"], "v", n_buckets=8) == v2
+    # ...and a sidecar lost ENTIRELY (torn write) degrades to a full
+    # rebuild that converges to the same view
+    os.remove(os.path.join(view, "_SYNCED_VERSION"))
+    assert sync_view_from_table(t, view, ["g"], "v", n_buckets=8) == v2
+    exp = {
+        (r["g"], r["n"], r["s"])
+        for r in t.snapshot()
+        .groupBy("g")
+        .agg(F.count("v").alias("n"), F.sum("v").cast("double").alias("s"))
+        .collect()
+    }
+    got = {
+        (r["g"], r["n"], r["sum"])
+        for r in read_view(spark, view).collect()
+    }
+    assert got == exp
