@@ -93,6 +93,20 @@ def main(base: str) -> None:
     table.compact()
     table.vacuum(retention_s=3600.0)       # bounds the DATA files
     table.expire_log(retention_s=30 * 24 * 3600.0)  # bounds the LOG
+
+    # 5. clustering (r12): adopt a Z-order layout online — the spec
+    # persists in the commit log, later writes keep it, and
+    # maintenance_report's clustering_amplification says when churn
+    # has degraded it enough to re-cluster.
+    table.compact(zorder_by=["rating"], target_file_rows=10_000)
+    print("clustered; amplification:",
+          table.maintenance_report()["clustering_amplification"])
+
+    # 6. ...or wire ONE line into the scheduler and let the table run
+    # exactly the ops its own report recommends (rebucket > re-cluster
+    # > compact, then the retention sweeps):
+    print("scheduled pass:", table.maintain(dry_run=True)["actions"])
+    table.maintain()
     print("final row count:", table.snapshot().count())
 
 

@@ -2291,6 +2291,58 @@ class TxnTable:
             "log_tail_commits": latest - ckpt_v,
         }
 
+    def maintain(
+        self,
+        target_bucket_mb: float = 256.0,
+        log_retention_s: float = 30 * 24 * 3600.0,
+        vacuum_retention_s: float = 7 * 24 * 3600.0,
+        dry_run: bool = False,
+    ) -> dict:
+        """One-call maintenance driver (r12): read ``maintenance_report``
+        and run, in the safe order, exactly the ops the table wants —
+        the scheduled-job entry point, so operators wire ONE cron line
+        instead of five judgment calls.
+
+        Order and exclusivity: a wanted REBUCKET runs alone (it already
+        rewrites every row under the final modulus AND re-applies the
+        declared clustering via the write path, so a compact in the same
+        pass would be wasted bytes); otherwise a wanted re-CLUSTERING
+        compact (which also merges fragments); otherwise a plain
+        fragmentation compact. ``expire_log`` and ``vacuum`` then run
+        unconditionally — with their retention windows they are no-ops
+        unless something is actually reclaimable. Any
+        ``ConcurrentWriteError`` from a racing writer propagates —
+        maintenance is optimistic like every other writer; rerun it (or
+        wrap in ``run_transaction``-style retry) off-peak.
+
+        Returns the BEFORE report plus ``actions`` — [(op, detail)] in
+        execution order; ``dry_run=True`` returns the plan without
+        touching the table."""
+        rpt = self.maintenance_report(target_bucket_mb)
+        actions: list[tuple[str, object]] = []
+        if rpt["wants_rebucket"]:
+            actions.append(("rebucket", rpt["suggested_n_buckets"]))
+        elif rpt["wants_cluster"]:
+            zcols = self._state()[0].get("zorder_cols") or []
+            actions.append(("compact_zorder", zcols))
+        elif rpt["wants_compact"]:
+            actions.append(("compact", None))
+        actions.append(("expire_log", float(log_retention_s)))
+        actions.append(("vacuum", float(vacuum_retention_s)))
+        if not dry_run:
+            for op, arg in actions:
+                if op == "rebucket":
+                    self.rebucket(int(arg))
+                elif op == "compact_zorder":
+                    self.compact(zorder_by=list(arg))
+                elif op == "compact":
+                    self.compact()
+                elif op == "expire_log":
+                    self.expire_log(retention_s=float(arg))
+                elif op == "vacuum":
+                    self.vacuum(retention_s=float(arg))
+        return {**rpt, "actions": actions, "dry_run": bool(dry_run)}
+
     def rebucket(self, n_buckets: int) -> int:
         """Online partition evolution (the Iceberg bucket-respec shape):
         rewrite the table under a NEW bucket count as ONE commit.

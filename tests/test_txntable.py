@@ -445,7 +445,7 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
 
     for step in range(14):
         op = rng.choice(["append", "merge", "merge", "delete", "compact",
-                         "txn", "txn", "rebucket"])
+                         "txn", "txn", "rebucket", "zorder"])
         before_v = t.version()
         if op == "append":
             rows = [
@@ -517,6 +517,10 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
             # partition evolution moves bytes, never rows — the model
             # is untouched; no-op respecs (same count) commit nothing
             t.rebucket(rng.choice([2, 3, 5, 8]))
+        elif op == "zorder":
+            # clustering respec (r12): also moves bytes only; the spec
+            # rides the commit log and must replay through time travel
+            t.compact(zorder_by=["version"], target_file_rows=4)
         else:
             t.compact()
         got = {r.id: (r.val, r.version) for r in t.snapshot().collect()}
@@ -2081,3 +2085,53 @@ def test_vacuum_skips_cross_process_marked_staging(spark, tmp_path):
     os.utime(full, (old, old))
     t2.vacuum(retention_s=3600.0)
     assert not os.path.isdir(full)  # dead writer: crash leftover swept
+
+
+def test_maintain_runs_exactly_what_the_report_wants(spark, tmp_path):
+    """r12: maintain() is the one-call scheduled-maintenance driver —
+    dry_run plans without touching the table, the real run executes the
+    recommended ops in order, preserves every row, and converges to a
+    report that wants nothing."""
+    sch = "id long, a long, b long"
+    t = TxnTable.create(
+        spark, str(tmp_path / "mx"), keys=["id"], schema=sch, n_buckets=2,
+        zorder_cols=["a", "b"], target_file_rows=50,
+    )
+    rows = [(i, (i * 37) % 1000, (i * 91) % 1000) for i in range(400)]
+    for k in range(4):  # churn: fragments every bucket, degrades clustering
+        t.append(
+            spark.createDataFrame([r for r in rows if r[0] % 4 == k], sch)
+        )
+    plan = t.maintain(dry_run=True)
+    ops = [op for op, _ in plan["actions"]]
+    assert plan["dry_run"] and plan["wants_compact"]
+    # dry run touched nothing
+    assert t.version() == 4 and ("compact_zorder" in ops or "compact" in ops)
+
+    done = t.maintain(log_retention_s=0.0, vacuum_retention_s=0.0)
+    assert not done["dry_run"]
+    assert {(r.id, r.a, r.b) for r in t.snapshot().collect()} == {
+        tuple(r) for r in rows
+    }
+    after = t.maintenance_report()
+    assert not after["wants_compact"] and not after["wants_cluster"]
+    assert not after["wants_rebucket"]
+    # a second pass is a no-op plan (just the retention sweeps)
+    again = t.maintain(dry_run=True)
+    assert [op for op, _ in again["actions"]] == ["expire_log", "vacuum"]
+
+
+def test_maintain_prefers_rebucket_over_compact(spark, tmp_path):
+    """A wanted rebucket subsumes compaction (it rewrites every row
+    under the final modulus), so maintain() runs it alone."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "mr"), keys=["id"], schema=SCHEMA, n_buckets=16
+    )
+    for k in range(2):
+        t.append(_df(spark, [(10 * k + j, "x", 1) for j in range(8)]))
+    plan = t.maintain(dry_run=True)
+    ops = [op for op, _ in plan["actions"]]
+    assert ops[0] == "rebucket" and "compact" not in ops
+    t.maintain(log_retention_s=0.0, vacuum_retention_s=0.0)
+    assert t._state()[0]["n_buckets"] == plan["suggested_n_buckets"]
+    assert len(_rows(t.snapshot())) == 16
