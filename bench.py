@@ -128,7 +128,8 @@ def main() -> None:
         t0 = time.perf_counter()
         df = spec.spark_fn(spark, sf_dir)
         build = time.perf_counter() - t0
-        build_cpu = max(0.0, _proc_tree_cpu() - c0) if c0 is not None else None
+        c1 = _proc_tree_cpu() if c0 is not None else None
+        build_cpu = max(0.0, c1 - c0) if c1 is not None else None
         eager = bool(sc.statusTracker().getJobIdsForGroup(group))
         if eager and runs > 1:
             # eager builds get the same best-of-N rule as execution and
@@ -140,8 +141,9 @@ def main() -> None:
             t0 = time.perf_counter()
             df = spec.spark_fn(spark, sf_dir)
             build = min(build, time.perf_counter() - t0)
-            if c0 is not None and build_cpu is not None:
-                build_cpu = min(build_cpu, max(0.0, _proc_tree_cpu() - c0))
+            c1 = _proc_tree_cpu() if c0 is not None else None
+            if c1 is not None and build_cpu is not None:
+                build_cpu = min(build_cpu, max(0.0, c1 - c0))
         sc.setJobGroup(f"bench-exec-{name}", f"exec: {name}")
         samples: list[float] = []
         cpu_samples: list[float] = []
@@ -150,8 +152,11 @@ def main() -> None:
             t0 = time.perf_counter()
             _run(df)
             samples.append(time.perf_counter() - t0)
-            if c0 is not None:
-                cpu_samples.append(max(0.0, _proc_tree_cpu() - c0))
+            # a transient /proc failure mid-run returns None — skip the
+            # sample rather than TypeError the whole bench (r12 review)
+            c1 = _proc_tree_cpu() if c0 is not None else None
+            if c1 is not None:
+                cpu_samples.append(max(0.0, c1 - c0))
         samples.sort()
         best = samples[0]
         build_times[name] = round(build, 4)

@@ -171,11 +171,16 @@ def heavy_hitters(
             if auto_picked_naive:
                 # the min_count premise needs measured N, which only
                 # exists once the counts evaluate — enforce it IN-PLAN
-                # (an assert riding the already-small counts relation,
-                # no extra scan) so an auto call's raise-or-succeed
-                # doesn't depend on which plan the input size picked
-                # (the same size-independence rule ADVICE r10 set for
-                # min_frac; r12 closes the min_count side). Surfaces at
+                # so an auto call's raise-or-succeed doesn't depend on
+                # which plan the input size picked (the same
+                # size-independence rule ADVICE r10 set for min_frac;
+                # r12 closes the min_count side). Cost shape: the
+                # unpartitioned window funnels the counts relation
+                # through one task — the SAME accepted tradeoff the
+                # min_frac branch below documents (the broadcast-total
+                # alternative measurably re-ran the whole input scan
+                # because the exchange never got reused), bounded by
+                # the auto gate (input ≤ naive_max_bytes). Surfaces at
                 # action time as Spark's assertion error rather than
                 # the two-phase path's driver-side ValueError — the
                 # premise text is identical. Explicit mode="naive"

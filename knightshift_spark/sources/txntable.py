@@ -239,6 +239,40 @@ class MemoryCommitBackend(CommitBackend):
             self._objects.pop(path, None)
 
 
+_ZORDERABLE = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "boolean", "timestamp", "timestamp_ntz",
+)
+
+
+def _check_zorder_cols(zcols, schema, param: str) -> None:
+    """Z-order columns must exist AND rank numerically: ``zorder_key``
+    casts to double, and a non-castable column (string, binary, array)
+    ranks every row 0 — the 'clustered' files silently cover full
+    ranges and nothing ever prunes, while the amplification metric
+    can't see it either (non-numeric stats read as unusable). Reject
+    loudly at spec time instead (r12 review). Timestamps cast fine;
+    DATE casts to NULL (verified on this Spark), so dates need an
+    epoch/datediff pre-transform like strings need hash/rank."""
+    by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+    unknown = [c for c in zcols if c not in by_name]
+    if unknown:
+        raise ValueError(f"{param} columns not in schema: {unknown}")
+    bad = [
+        (c, by_name[c])
+        for c in zcols
+        if by_name[c] not in _ZORDERABLE
+        and not by_name[c].startswith("decimal")
+    ]
+    if bad:
+        raise ValueError(
+            f"{param} columns must be numeric/boolean/timestamp "
+            f"(zorder_key ranks via a double cast): "
+            + ", ".join(f"{c} is {t}" for c, t in bad)
+            + " — pre-transform (hash/rank/epoch) non-numeric columns"
+        )
+
+
 def _atomic_publish(
     payload: dict, dst: str, backend: CommitBackend | None = None
 ) -> bool:
@@ -380,6 +414,8 @@ class TxnTable:
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         if isinstance(schema, str):
             schema = spark.createDataFrame([], schema).schema
+        if zorder_cols:
+            _check_zorder_cols(list(zorder_cols), schema, "zorder_cols")
         if stats_cols is None:
             stats_cols = list(keys) + [
                 c for c in (zorder_cols or []) if c not in keys
@@ -2062,10 +2098,7 @@ class TxnTable:
             zcols = [str(c) for c in zorder_by]
             if not zcols:
                 raise ValueError("zorder_by must name at least one column")
-            known = {f.name for f in self._schema(meta).fields}
-            unknown = [c for c in zcols if c not in known]
-            if unknown:
-                raise ValueError(f"zorder_by columns not in schema: {unknown}")
+            _check_zorder_cols(zcols, self._schema(meta), "zorder_by")
             new_meta = {
                 **meta,
                 "zorder_cols": zcols,
@@ -2288,6 +2321,7 @@ class TxnTable:
             or suggested * 4 <= n_buckets,
             "clustering_amplification": round(amplification, 3),
             "wants_cluster": bool(zcols) and amplification > 2.5,
+            "zorder_cols": list(zcols),
             "log_tail_commits": latest - ckpt_v,
         }
 
@@ -2323,8 +2357,11 @@ class TxnTable:
         if rpt["wants_rebucket"]:
             actions.append(("rebucket", rpt["suggested_n_buckets"]))
         elif rpt["wants_cluster"]:
-            zcols = self._state()[0].get("zorder_cols") or []
-            actions.append(("compact_zorder", zcols))
+            # the report already replayed the log and carries the
+            # declared clustering — no second _state() replay (r12
+            # review: on an object-store backend that was a redundant
+            # round of GETs per maintenance pass)
+            actions.append(("compact_zorder", rpt["zorder_cols"]))
         elif rpt["wants_compact"]:
             actions.append(("compact", None))
         actions.append(("expire_log", float(log_retention_s)))

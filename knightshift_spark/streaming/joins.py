@@ -79,7 +79,18 @@ def stream_stream_interval_join(
     )
     joined = lw.join(rw, cond, how)
     lcols = list(left.columns)
-    sel = [F.col(f"l.{c}").alias(c) for c in lcols]
+    # key columns COALESCE across sides: in right_outer/full_outer an
+    # unmatched right row has NULL left columns, and a left-only key
+    # projection would emit it anonymously — unrecoverable for any
+    # consumer grouping or re-joining on the key (r12 review)
+    sel = [
+        (
+            F.coalesce(F.col(f"l.{c}"), F.col(f"r.{c}")).alias(c)
+            if c in keys
+            else F.col(f"l.{c}").alias(c)
+        )
+        for c in lcols
+    ]
     for c in right.columns:
         if c in keys:
             continue

@@ -229,16 +229,34 @@ def sync_view_from_table(
     def _full_rebuild() -> None:
         part = _with_bucket(_partials(snap, keys, value_col), keys, n_buckets)
         part = part.withColumn("__last_batch", F.lit(int(target)))
-        part.write.mode("overwrite").partitionBy("__bucket").parquet(view_path)
+        # pin STATIC overwrite: under a session-wide 'dynamic' setting
+        # the rebuild would only replace partitions present in the
+        # output, permanently keeping stale buckets for groups that no
+        # longer exist (r12 review)
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        try:
+            part.write.mode("overwrite").partitionBy("__bucket").parquet(
+                view_path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     if cur < 0:
         _full_rebuild()
         _stamp_synced_version(view_path, target)
         return target
+    from knightshift_spark.sources.txntable import VacuumedVersionError
+
     try:
         changes = table.table_changes(cur, target, include_removed=True)
-    except Exception:
-        # restore in range / expired commits: resync from the snapshot
+    except (ValueError, VacuumedVersionError):
+        # restore in range, or expired/vacuumed history: the documented
+        # resync-from-snapshot cases — and ONLY those; a transient I/O
+        # error or a real bug must surface, not silently degrade every
+        # scheduled sync into a full-table rescan (r12 review)
         _full_rebuild()
         _stamp_synced_version(view_path, target)
         return target

@@ -135,3 +135,25 @@ def test_stream_stream_left_outer_emits_expired_side(spark, tmp_path):
         for r in spark.sql(f"SELECT * FROM {name}").collect()
     }
     assert ("x", "lonely", None) in got  # watermark-expired: null-padded
+
+
+def test_outer_join_keys_survive_unmatched_right(spark, tmp_path):
+    """r12 review: right_outer/full_outer must carry the KEY for
+    unmatched right rows (coalesced across sides), never emit them
+    anonymously with a NULL key."""
+    l = spark.createDataFrame([("a", _t(0), "e0")], SCH_L)
+    r = spark.createDataFrame(
+        [("a", _t(1), "d0"), ("zzz", _t(2), "orphan")], SCH_R
+    )
+    out = stream_stream_interval_join(
+        l, r, key="k", lower="5 minutes", upper="5 minutes",
+        how="right_outer",
+    ).collect()
+    by_attr = {row["attr"]: row for row in out}
+    assert by_attr["orphan"]["k"] == "zzz" and by_attr["orphan"]["ev"] is None
+    assert by_attr["d0"]["k"] == "a" and by_attr["d0"]["ev"] == "e0"
+    full = stream_stream_interval_join(
+        l, r, key="k", lower="5 minutes", upper="5 minutes",
+        how="full_outer",
+    ).collect()
+    assert {row["k"] for row in full} == {"a", "zzz"}

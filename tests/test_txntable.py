@@ -2135,3 +2135,22 @@ def test_maintain_prefers_rebucket_over_compact(spark, tmp_path):
     t.maintain(log_retention_s=0.0, vacuum_retention_s=0.0)
     assert t._state()[0]["n_buckets"] == plan["suggested_n_buckets"]
     assert len(_rows(t.snapshot())) == 16
+
+
+def test_zorder_cols_must_rank_numerically(spark, tmp_path):
+    """r12 review: a string z-order column casts to NULL and ranks
+    every row 0 — a silent clustering no-op — so both create() and
+    compact(zorder_by=...) reject it loudly."""
+    with pytest.raises(ValueError, match="numeric"):
+        TxnTable.create(
+            spark, str(tmp_path / "bad"), keys=["id"], schema=SCHEMA,
+            n_buckets=2, zorder_cols=["val"],
+        )
+    t = TxnTable.create(
+        spark, str(tmp_path / "ok"), keys=["id"], schema=SCHEMA, n_buckets=2
+    )
+    t.append(_df(spark, [(1, "a", 1)]))
+    with pytest.raises(ValueError, match="numeric"):
+        t.compact(zorder_by=["val"])
+    t.compact(zorder_by=["version"])  # int column: fine
+    assert _rows(t.snapshot()) == {(1, "a", 1)}
