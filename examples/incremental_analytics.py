@@ -1,11 +1,14 @@
 """Example — incremental analytics over an event stream.
 
-The operational trio a continuously-ingesting deployment runs:
+The operational set a continuously-ingesting deployment runs:
 
   event spool → streaming SESSION WINDOWS (custom stateful operator)
              → incrementally-maintained AGGREGATE VIEW (per event_type)
-  plus the layout hygiene a long-lived table needs: key-skew diagnosis
-  before choosing a join strategy, and measured small-file compaction.
+             → event-time-bounded STREAM-STREAM interval join
+  plus an ACID TxnTable whose aggregate view maintains ITSELF from the
+  commit log (CDC-driven sync), and the layout hygiene a long-lived
+  table needs: key-skew diagnosis before choosing a join strategy, and
+  measured small-file compaction.
 
 Runnable against the driver testdata:
 
@@ -89,6 +92,45 @@ def main() -> None:
             spark, f"{work}/sessions", f"{work}/sessions_compacted",
             target_file_mb=256, order_by=["k"],
         )
+    )
+
+    # 4. (r12) event-time-bounded stream-stream join: views joined to
+    # the purchases that followed within 6 hours, per user — the same
+    # function runs watermarked on two live streams; batch mode here
+    # doubles as its own correctness oracle (q73)
+    from knightshift_spark.streaming.joins import stream_stream_interval_join
+
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_event"), "ts"
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_event"), "ts"
+    )
+    pairs = stream_stream_interval_join(
+        views, buys, key="user_id", lower="0 seconds", upper="6 hours"
+    )
+    print(f"view→purchase pairs within 6h: {pairs.count()}")
+
+    # 5. (r12) CDC-driven matview: an ACID table's per-group view
+    # maintains itself from the commit log — merges and deletes both
+    # sync exactly, at cost proportional to the CHANGED groups
+    from knightshift_spark.sources.txntable import TxnTable
+    from knightshift_spark.streaming.matview import (
+        read_view as read_view2,
+        sync_view_from_table,
+    )
+
+    t = TxnTable.create(
+        spark, f"{work}/acid", keys=["event_id"],
+        schema="event_id long, event_type string, value double", n_buckets=4,
+    )
+    t.append(events.select("event_id", "event_type", "value").limit(500))
+    sync_view_from_table(t, f"{work}/acid_view", ["event_type"], "value")
+    t.delete_where(F.col("event_type") == "error", rewrite_all=True)
+    v = sync_view_from_table(t, f"{work}/acid_view", ["event_type"], "value")
+    print(f"CDC-synced view at table version {v} (deletes applied):")
+    read_view2(spark, f"{work}/acid_view").orderBy("event_type").show(
+        truncate=False
     )
 
 

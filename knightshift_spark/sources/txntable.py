@@ -1010,6 +1010,83 @@ class TxnTable:
         )
         return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
 
+    def scd2_history(self, to_version: int | None = None) -> DataFrame:
+        """Type-2 slowly-changing-dimension relation derived from the
+        commit log (r12): ONE row per (key, value-version) carrying
+        half-open validity bounds in COMMIT versions —
+        ``__valid_from`` (the commit that wrote this row image) and
+        ``__valid_to`` (the commit that replaced or deleted it; NULL =
+        still current). The one relation that serves every as-of
+        dimension join: ``fact JOIN scd2 ON key AND __valid_from <= v
+        AND (__valid_to IS NULL OR __valid_to > v)`` reproduces
+        ``snapshot(v)``'s row for any retained ``v`` — that invariant
+        is pinned by test for every version of a mutated table.
+
+        Construction: union of ``row_changes(v)`` for every data
+        commit ≤ ``to_version`` keeps the OPEN events (insert /
+        update_postimage — a delete only CLOSES its predecessor, which
+        ``lead(_commit_version)`` over the key already does), then one
+        window per key orders the opens and stamps each row's
+        ``__valid_to`` with the next event's version. Restores fold in
+        exactly (row_changes diffs them): a row a restore brought back
+        re-opens at the restore commit.
+
+        Cost and retention honesty: one bucket-pruned key-join per
+        data commit (``row_changes``' cost), so the plan grows with
+        RETAINED history — this is the audit/backfill builder you
+        materialize (e.g. into another TxnTable) and then maintain
+        incrementally, not a per-query path. Expired commits
+        (``expire_log``) or vacuumed row images raise the usual
+        ``VacuumedVersionError`` — a history with silent holes would
+        be worse than no history."""
+        meta, _, latest = self._state(to_version)
+        hi = latest if to_version is None else min(to_version, latest)
+        keys = meta["keys"]
+        schema = self._schema(meta)
+        present: dict[int, str] = {
+            c["version"]: c["op"] for c in self._commits()
+        }
+        parts = []
+        for v in range(1, hi + 1):
+            op = present.get(v)
+            if op is None:
+                raise VacuumedVersionError(
+                    f"commit {v} expired from the log (expire_log) — "
+                    "cannot build a gapless SCD2 history"
+                )
+            if op not in ("append", "merge", "delete", "restore", "txn"):
+                continue  # create/compact/vacuum/rebucket move no rows
+            parts.append(
+                self.row_changes(v).filter(
+                    F.col("_change_type").isin(
+                        "insert", "update_postimage", "delete"
+                    )
+                )
+            )
+        from pyspark.sql.types import LongType, StringType
+
+        if not parts:
+            empty = (
+                schema.add("_change_type", StringType())
+                .add("__valid_from", LongType())
+                .add("__valid_to", LongType())
+            )
+            return self.spark.createDataFrame([], empty).drop("_change_type")
+        ev = parts[0]
+        for p in parts[1:]:
+            ev = ev.unionByName(p)
+        w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+            F.col("_commit_version")
+        )
+        return (
+            ev.withColumn(
+                "__valid_to", F.lead("_commit_version").over(w)
+            )
+            .filter(F.col("_change_type") != "delete")
+            .withColumnRenamed("_commit_version", "__valid_from")
+            .drop("_change_type")
+        )
+
     def lookup(self, key_values: Sequence, version: int | None = None) -> DataFrame:
         """Point lookup: bucket-prune to the one bucket owning the key,
         then filter — reads that bucket's files only."""

@@ -2154,3 +2154,48 @@ def test_zorder_cols_must_rank_numerically(spark, tmp_path):
         t.compact(zorder_by=["val"])
     t.compact(zorder_by=["version"])  # int column: fine
     assert _rows(t.snapshot()) == {(1, "a", 1)}
+
+
+def test_scd2_history_reproduces_every_snapshot(spark, tmp_path):
+    """r12: the SCD2 relation's validity windows reproduce snapshot(v)
+    for EVERY retained version — inserts, updates, deletes, a
+    multi-statement transaction, and a restore all fold in — and open
+    rows (valid_to NULL) are exactly the current snapshot."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "scd"), keys=["id"], schema=SCHEMA, n_buckets=3
+    )
+    t.append(_df(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)]))   # v1
+    t.merge(_df(spark, [(2, "b2", 2), (4, "d", 1)]), ["version"])   # v2
+    t.delete_keys(spark.createDataFrame([(1,)], "id long"))          # v3
+    with t.transaction():                                            # v4
+        t.merge(_df(spark, [(3, "c2", 3)]), ["version"])
+        t.delete_where(F.col("id") == 4, rewrite_all=True)
+    restore_to = 2
+    t.restore(restore_to)                                            # v5
+    t.merge(_df(spark, [(5, "e", 1)]), ["version"])                  # v6
+    t.compact()                                                      # v7 (no rows move)
+
+    hist = t.scd2_history().collect()
+    # every (key, image) interval is half-open and non-degenerate
+    for r in hist:
+        assert r["__valid_to"] is None or r["__valid_to"] > r["__valid_from"]
+    for v in range(t.version() + 1):
+        want = _rows(t.snapshot(v))
+        got = {
+            (r.id, r.val, r.version)
+            for r in hist
+            if r["__valid_from"] <= v
+            and (r["__valid_to"] is None or r["__valid_to"] > v)
+        }
+        assert got == want, f"version {v}: {got} != {want}"
+    # open rows == current snapshot
+    open_rows = {
+        (r.id, r.val, r.version) for r in hist if r["__valid_to"] is None
+    }
+    assert open_rows == _rows(t.snapshot())
+    # expired history refuses loudly rather than building a holed SCD2
+    while t.version() < txntable._CHECKPOINT_EVERY:
+        t.merge(_df(spark, [(5, "m", t.version())]), ["version"])
+    t.expire_log(retention_s=0.0)
+    with pytest.raises(VacuumedVersionError, match="SCD2"):
+        t.scd2_history()
