@@ -1,4 +1,5 @@
-"""q72: transactional MERGE/DELETE through the TxnTable commit log.
+"""q72/q74: the TxnTable commit log under the oracle gate — transactional
+MERGE/DELETE final state (q72) and the derived SCD2 history relation (q74).
 
 End-to-end ACID parity with the reference's upsert+validate loop
 (``knightshift/db/game_upsert.py:84-110`` key-hit UPDATE / miss INSERT;
@@ -147,3 +148,72 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+_SCD2_SCHEMA = "c_custkey long, bal_e2 long, version int"
+
+_SCD2_ORACLE = """
+WITH cur AS (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_e2,
+         1 AS version
+  FROM customer
+), img1 AS (
+  SELECT c_custkey, bal_e2, version,
+         CAST(1 AS BIGINT) AS valid_from,
+         CAST(CASE WHEN c_custkey % 3 = 1 THEN 2
+                   WHEN c_custkey % 5 = 0 THEN 3 END AS BIGINT) AS valid_to
+  FROM cur
+), img2 AS (
+  SELECT c_custkey, bal_e2 + 11 AS bal_e2, 2 AS version,
+         CAST(2 AS BIGINT) AS valid_from,
+         CAST(CASE WHEN c_custkey % 5 = 0 THEN 3 END AS BIGINT) AS valid_to
+  FROM cur WHERE c_custkey % 3 = 1
+)
+SELECT * FROM img1 UNION ALL SELECT * FROM img2
+ORDER BY c_custkey, valid_from
+"""
+
+
+@query(
+    "q74_scd2_history",
+    oracle=_SCD2_ORACLE,
+    doc="Type-2 dimension history straight from the ACID commit log "
+    "(r12): seed from customer, update a third of the keys, delete a "
+    "fifth, then scd2_history() — one row per (key, image) with "
+    "half-open commit-version validity bounds. The oracle replays the "
+    "mutation algebra declaratively, so the driver hash checks the "
+    "derived HISTORY RELATION (row_changes diffs folded through the "
+    "per-key lead window), not just a final state.",
+)
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    cust = t(spark, sf, "customer")
+    cur = cust.select(
+        "c_custkey",
+        _e2(F.col("c_acctbal")).alias("bal_e2"),
+        F.lit(1).cast("int").alias("version"),
+    )
+    table = TxnTable.create(
+        spark,
+        os.path.join(tempfile.mkdtemp(prefix="q74_scd2_"), "t"),
+        keys=["c_custkey"],
+        schema=_SCD2_SCHEMA,
+        n_buckets=4,
+    )
+    table.append(cur)  # v1: every key opens at 1
+    table.merge(  # v2: a third of the keys get a new image
+        cur.filter(F.col("c_custkey") % 3 == 1).select(
+            "c_custkey",
+            (F.col("bal_e2") + F.lit(11)).alias("bal_e2"),
+            F.lit(2).cast("int").alias("version"),
+        ),
+        ["version"],
+    )
+    table.delete_where(F.col("c_custkey") % 5 == 0, rewrite_all=True)  # v3
+    return table.scd2_history().select(
+        "c_custkey",
+        "bal_e2",
+        "version",
+        F.col("__valid_from").alias("valid_from"),
+        F.col("__valid_to").alias("valid_to"),
+    ).orderBy("c_custkey", "valid_from")
