@@ -904,7 +904,7 @@ class TxnTable:
             return self.spark.createDataFrame([], empty)
         return out
 
-    def row_changes(self, version: int) -> DataFrame:
+    def row_changes(self, version: int, _commit: dict | None = None) -> DataFrame:
         """ROW-level CDC for one commit (the Delta change-data-feed
         shape): every output row carries ``_change_type`` ∈ {insert,
         update_preimage, update_postimage, delete} plus
@@ -917,8 +917,12 @@ class TxnTable:
         4b): rows the restore brought back read as inserts, rows it
         removed as deletes, rows it reverted as update pre/post pairs.
         Cost: one key-join over touched-bucket bytes; history stays
-        readable as long as vacuum hasn't dropped either side."""
-        commit = next(
+        readable as long as vacuum hasn't dropped either side.
+        ``_commit`` (internal) lets a caller iterating many versions
+        (``scd2_history``) pass the already-parsed commit object and
+        skip this call's full log read — the remaining per-version
+        metadata cost is two checkpoint-bounded ``_state`` replays."""
+        commit = _commit if _commit is not None else next(
             (c for c in self._commits() if c["version"] == version), None
         )
         if commit is None and 0 <= version <= self._state()[2]:
@@ -1031,8 +1035,15 @@ class TxnTable:
         exactly (row_changes diffs them): a row a restore brought back
         re-opens at the restore commit.
 
+        Precondition — unique live keys: ``append`` is a blind insert,
+        and a key holding TWO live rows has no interval
+        representation; the build detects that case (an insert event
+        whose predecessor wasn't a delete) and raises at action time
+        rather than silently dropping the older row from as-of reads.
+
         Cost and retention honesty: one bucket-pruned key-join per
-        data commit (``row_changes``' cost), so the plan grows with
+        data commit (``row_changes``' cost; the commit log is read
+        ONCE and shared across versions), so the plan grows with
         RETAINED history — this is the audit/backfill builder you
         materialize (e.g. into another TxnTable) and then maintain
         incrementally, not a per-query path. Expired commits
@@ -1043,45 +1054,72 @@ class TxnTable:
         hi = latest if to_version is None else min(to_version, latest)
         keys = meta["keys"]
         schema = self._schema(meta)
-        present: dict[int, str] = {
-            c["version"]: c["op"] for c in self._commits()
-        }
+        # ONE log read shared across every version (r12 review: n
+        # row_changes calls each re-reading the full log was O(n²)
+        # metadata I/O on an object store)
+        commits_by_v = {c["version"]: c for c in self._commits()}
         parts = []
         for v in range(1, hi + 1):
-            op = present.get(v)
-            if op is None:
+            c = commits_by_v.get(v)
+            if c is None:
                 raise VacuumedVersionError(
                     f"commit {v} expired from the log (expire_log) — "
                     "cannot build a gapless SCD2 history"
                 )
-            if op not in ("append", "merge", "delete", "restore", "txn"):
+            if c["op"] not in ("append", "merge", "delete", "restore", "txn"):
                 continue  # create/compact/vacuum/rebucket move no rows
             parts.append(
-                self.row_changes(v).filter(
+                self.row_changes(v, _commit=c).filter(
                     F.col("_change_type").isin(
                         "insert", "update_postimage", "delete"
                     )
                 )
             )
-        from pyspark.sql.types import LongType, StringType
+        from pyspark.sql.types import LongType
 
         if not parts:
-            empty = (
-                schema.add("_change_type", StringType())
-                .add("__valid_from", LongType())
-                .add("__valid_to", LongType())
+            empty = schema.add("__valid_from", LongType()).add(
+                "__valid_to", LongType()
             )
-            return self.spark.createDataFrame([], empty).drop("_change_type")
+            return self.spark.createDataFrame([], empty)
         ev = parts[0]
         for p in parts[1:]:
-            ev = ev.unionByName(p)
+            # schema evolution widens later parts: older images read
+            # NULL for the new columns, same as table_changes' rule
+            ev = ev.unionByName(p, allowMissingColumns=True)
         w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
             F.col("_commit_version")
         )
+        # blind duplicate-append guard (r12 review): an INSERT whose
+        # predecessor event was not a delete means the key had TWO live
+        # rows — append() permits that (dedup belongs to merge), but an
+        # interval history cannot represent it, and the lead() close
+        # would silently drop the older row from every as-of read.
+        # Raise at action time instead of returning a wrong history.
+        prev_type = F.lag("_change_type").over(w)
+        dup = (F.col("_change_type") == F.lit("insert")) & prev_type.isin(
+            "insert", "update_postimage"
+        )
+        key_str = F.concat_ws(",", *[F.col(k).cast("string") for k in keys])
+        # the guard is FOLDED INTO the kept __valid_to expression — a
+        # computed-then-dropped assert column gets pruned by Catalyst
+        # and never evaluates (measured: the raise silently vanished)
+        guard = F.assert_true(
+            ~F.coalesce(dup, F.lit(False)),
+            F.concat(
+                F.lit("SCD2 needs unique live keys: key ("),
+                key_str,
+                F.lit(
+                    ") was blind-appended while a live row existed — "
+                    "dedup via merge() first"
+                ),
+            ),
+        )
+        valid_to = F.when(
+            guard.isNotNull(), F.lit(None).cast("bigint")
+        ).otherwise(F.lead("_commit_version").over(w))
         return (
-            ev.withColumn(
-                "__valid_to", F.lead("_commit_version").over(w)
-            )
+            ev.withColumn("__valid_to", valid_to)
             .filter(F.col("_change_type") != "delete")
             .withColumnRenamed("_commit_version", "__valid_from")
             .drop("_change_type")

@@ -2199,3 +2199,34 @@ def test_scd2_history_reproduces_every_snapshot(spark, tmp_path):
     t.expire_log(retention_s=0.0)
     with pytest.raises(VacuumedVersionError, match="SCD2"):
         t.scd2_history()
+
+
+def test_scd2_history_evolution_and_duplicate_guard(spark, tmp_path):
+    """r12 review: SCD2 survives a schema evolution in range (older
+    images read NULL for the new column), and a blind duplicate append
+    — two live rows for one key, which no interval history can
+    represent — raises loudly instead of silently dropping a row."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "scde"), keys=["id"], schema=SCHEMA, n_buckets=2
+    )
+    t.append(_df(spark, [(1, "a", 1)]))                                   # v1
+    t.merge(
+        spark.createDataFrame(
+            [(1, "a2", 2, "x")], "id long, val string, version int, extra string"
+        ),
+        ["version"],
+        evolve=True,
+    )                                                                     # v2
+    hist = t.scd2_history().collect()
+    imgs = {(r.id, r.val, r["extra"], r["__valid_from"], r["__valid_to"])
+            for r in hist}
+    assert (1, "a", None, 1, 2) in imgs   # pre-evolution image: NULL extra
+    assert (1, "a2", "x", 2, None) in imgs
+    # duplicate blind append: detected at action time
+    t2 = TxnTable.create(
+        spark, str(tmp_path / "scdd"), keys=["id"], schema=SCHEMA, n_buckets=2
+    )
+    t2.append(_df(spark, [(7, "first", 1)]))
+    t2.append(_df(spark, [(7, "second", 2)]))  # legal append, 2 live rows
+    with pytest.raises(Exception, match="unique live keys"):
+        t2.scd2_history().collect()
