@@ -47,6 +47,9 @@ def main(base: str) -> None:
         keys=["game_id"],
         schema="game_id long, result string, rating int",
         n_buckets=4,  # sized to day-1 data — deliberately small
+        # CHECK constraints (r12): every write path validates in-plan;
+        # a violating batch fails BEFORE the commit
+        constraints={"rating_range": "rating BETWEEN 0 AND 4000"},
         backend=store,
     )
 

@@ -392,6 +392,7 @@ class TxnTable:
         zorder_cols: Sequence[str] | None = None,
         zorder_bounds: dict | None = None,
         target_file_rows: int | None = None,
+        constraints: dict[str, str] | None = None,
         backend: CommitBackend | None = None,
     ) -> "TxnTable":
         """Commit 0 records the table contract: merge key, bucket count,
@@ -409,13 +410,36 @@ class TxnTable:
         column and ``snapshot_where`` prunes at FILE granularity inside
         buckets — Delta/Iceberg's ``OPTIMIZE ZORDER BY``, paid at write
         time as one sort per bucket partition. Everything later must
-        conform."""
+        conform.
+
+        ``constraints`` (r12, Delta's CHECK-constraint shape) maps
+        name → SQL boolean expression over the table's columns, e.g.
+        ``{"bal_nonneg": "bal_e2 >= 0", "id_set": "id IS NOT NULL"}``.
+        EVERY write path (append, merge, transaction statements)
+        validates every written row IN-PLAN — a violating row fails
+        the write job with the constraint name before anything
+        commits, so the table state is untouched (the half-written
+        uncommitted directory is crash litter vacuum already sweeps).
+        NULL evaluations count as violations (ANSI CHECK treats
+        unknown as pass; here unknown data in a guarded column is
+        exactly what the guard exists to stop). Constraints are fixed
+        at create() and apply to all later writes."""
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         if isinstance(schema, str):
             schema = spark.createDataFrame([], schema).schema
         if zorder_cols:
             _check_zorder_cols(list(zorder_cols), schema, "zorder_cols")
+        if constraints:
+            probe = spark.createDataFrame([], schema)
+            for cname, expr in constraints.items():
+                try:
+                    probe.select(F.expr(str(expr)).cast("boolean"))
+                except Exception as e:
+                    raise ValueError(
+                        f"constraint {cname!r} does not resolve against "
+                        f"the table schema: {expr!r} ({e})"
+                    ) from None
         if stats_cols is None:
             stats_cols = list(keys) + [
                 c for c in (zorder_cols or []) if c not in keys
@@ -431,6 +455,7 @@ class TxnTable:
             "zorder_cols": list(zorder_cols) if zorder_cols else [],
             "zorder_bounds": {k: list(v) for k, v in (zorder_bounds or {}).items()},
             "target_file_rows": target_file_rows,
+            "constraints": {k: str(v) for k, v in (constraints or {}).items()},
             "adds": [],
             "removes": [],
             "buckets": [],
@@ -534,6 +559,7 @@ class TxnTable:
                 meta["zorder_cols"] = c.get("zorder_cols", [])
                 meta["zorder_bounds"] = c.get("zorder_bounds", {})
                 meta["target_file_rows"] = c.get("target_file_rows")
+                meta["constraints"] = c.get("constraints", {})
             elif c.get("schema"):  # schema evolution rides its commit
                 meta["schema"] = c["schema"]
             elif c.get("n_buckets") is not None and c["op"] in (
@@ -1186,9 +1212,36 @@ class TxnTable:
                 + ", ".join(f"{n}: wrote {w}, table has {t}" for n, w, t in mism)
                 + " (cast explicitly before writing)"
             )
-        return df.select(*cols).withColumn(
-            _BUCKET, F.pmod(F.xxhash64(*meta["keys"]), F.lit(meta["n_buckets"]))
+        bucket_expr = F.pmod(
+            F.xxhash64(*meta["keys"]), F.lit(meta["n_buckets"])
         )
+        cons = meta.get("constraints") or {}
+        for cname in sorted(cons):
+            # CHECK constraints (r12): every written row is validated
+            # in the same job that buckets it — the guard is folded
+            # INTO the kept bucket column (a dropped assert column gets
+            # pruned by Catalyst and never evaluates). NULL evaluates
+            # as a violation: unknown data in a guarded column is what
+            # the guard exists to stop. Runs on every _bucketed write
+            # path (append, merge staging — including update rows that
+            # later lose last-writer-wins: stricter, never looser).
+            ok = F.coalesce(
+                F.expr(cons[cname]).cast("boolean"), F.lit(False)
+            )
+            guard = F.assert_true(
+                ok,
+                F.concat(
+                    F.lit(
+                        f"CHECK constraint {cname!r} violated "
+                        f"({cons[cname]}) by row: "
+                    ),
+                    F.to_json(F.struct(*cols)),
+                ),
+            )
+            bucket_expr = F.when(
+                guard.isNotNull(), F.lit(None).cast("bigint")
+            ).otherwise(bucket_expr)
+        return df.select(*cols).withColumn(_BUCKET, bucket_expr)
 
     def _evolved_meta(self, updates: DataFrame, meta: dict) -> dict:
         """Table schema extended with the update's NEW columns (appended,

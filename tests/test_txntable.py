@@ -2230,3 +2230,36 @@ def test_scd2_history_evolution_and_duplicate_guard(spark, tmp_path):
     t2.append(_df(spark, [(7, "second", 2)]))  # legal append, 2 live rows
     with pytest.raises(Exception, match="unique live keys"):
         t2.scd2_history().collect()
+
+
+def test_check_constraints_guard_every_write_path(spark, tmp_path):
+    """r12: Delta-shape CHECK constraints — declared at create, enforced
+    in-plan on every write path; a violating batch fails BEFORE the
+    commit, leaving table state untouched, and valid writes proceed."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "chk"), keys=["id"], schema=SCHEMA, n_buckets=2,
+        constraints={
+            "version_pos": "version > 0",
+            "val_set": "val IS NOT NULL",
+        },
+    )
+    t.append(_df(spark, [(1, "a", 1)]))
+    v = t.version()
+    # append violating version_pos: fails, no commit, state unchanged
+    with pytest.raises(Exception, match="version_pos"):
+        t.append(_df(spark, [(2, "b", 0)]))
+    assert t.version() == v and _rows(t.snapshot()) == {(1, "a", 1)}
+    # NULL in a guarded column counts as a violation
+    with pytest.raises(Exception, match="val_set"):
+        t.merge(_df(spark, [(1, None, 2)]), ["version"])
+    assert t.version() == v and _rows(t.snapshot()) == {(1, "a", 1)}
+    # valid writes proceed, including through a transaction
+    with t.transaction():
+        t.merge(_df(spark, [(1, "a2", 2), (3, "c", 1)]), ["version"])
+    assert _rows(t.snapshot()) == {(1, "a2", 2), (3, "c", 1)}
+    # unresolvable constraint expression rejected at create()
+    with pytest.raises(ValueError, match="does not resolve"):
+        TxnTable.create(
+            spark, str(tmp_path / "bad"), keys=["id"], schema=SCHEMA,
+            constraints={"ghost": "no_such_col > 0"},
+        )
