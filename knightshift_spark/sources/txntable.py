@@ -418,8 +418,13 @@ class TxnTable:
         EVERY write path (append, merge, transaction statements)
         validates every written row IN-PLAN — a violating row fails
         the write job with the constraint name before anything
-        commits, so the table state is untouched (the half-written
-        uncommitted directory is crash litter vacuum already sweeps).
+        commits; the table state is untouched and the failed job's
+        partial output directory is removed on the way out.
+        Maintenance rewrites of already-committed rows (compact,
+        rebucket, the kept side of deletes) deliberately do NOT
+        re-validate: the rows passed at write time, and re-running a
+        time-dependent expression there could brick compaction or even
+        the delete that would cure it (r12 review).
         NULL evaluations count as violations (ANSI CHECK treats
         unknown as pass; here unknown data in a guarded column is
         exactly what the guard exists to stop). Constraints are fixed
@@ -434,11 +439,18 @@ class TxnTable:
             probe = spark.createDataFrame([], schema)
             for cname, expr in constraints.items():
                 try:
-                    probe.select(F.expr(str(expr)).cast("boolean"))
+                    # the SAME shape enforcement uses (withColumn next
+                    # to the row's other columns) — a plain select would
+                    # accept a global aggregate like max(col) > 0 that
+                    # then breaks every later write (r12 review)
+                    probe.withColumn(
+                        "__probe", F.expr(str(expr)).cast("boolean")
+                    )
                 except Exception as e:
                     raise ValueError(
                         f"constraint {cname!r} does not resolve against "
-                        f"the table schema: {expr!r} ({e})"
+                        f"the table schema as a per-row boolean: "
+                        f"{expr!r} ({e})"
                     ) from None
         if stats_cols is None:
             stats_cols = list(keys) + [
@@ -1183,7 +1195,9 @@ class TxnTable:
 
     # -- writes ------------------------------------------------------------
 
-    def _bucketed(self, df: DataFrame, meta: dict) -> DataFrame:
+    def _bucketed(
+        self, df: DataFrame, meta: dict, validate: bool = True
+    ) -> DataFrame:
         schema = self._schema(meta)
         cols = [f.name for f in schema.fields]
         extra = sorted(set(df.columns) - set(cols))
@@ -1215,7 +1229,7 @@ class TxnTable:
         bucket_expr = F.pmod(
             F.xxhash64(*meta["keys"]), F.lit(meta["n_buckets"])
         )
-        cons = meta.get("constraints") or {}
+        cons = (meta.get("constraints") or {}) if validate else {}
         for cname in sorted(cons):
             # CHECK constraints (r12): every written row is validated
             # in the same job that buckets it — the guard is folded
@@ -1290,7 +1304,15 @@ class TxnTable:
             writer = writer.option(
                 "maxRecordsPerFile", int(meta["target_file_rows"])
             )
-        writer.parquet(out)
+        try:
+            writer.parquet(out)
+        except BaseException:
+            # a failed job (CHECK violation, executor loss) leaves only
+            # _temporary/ under the uuid dir — no __bucket=* children,
+            # which vacuum's all-children-dead sweep never matches — so
+            # remove the partial output on the way out (r12 review)
+            shutil.rmtree(out, ignore_errors=True)
+            raise
         adds = []
         for name in sorted(os.listdir(out)):
             if name.startswith(f"{_BUCKET}="):
@@ -1313,7 +1335,11 @@ class TxnTable:
         return adds
 
     def _write_data(
-        self, df: DataFrame, meta: dict, shuffle: bool = True
+        self,
+        df: DataFrame,
+        meta: dict,
+        shuffle: bool = True,
+        validate: bool = True,
     ) -> list[dict]:
         """One job, partitioned by bucket; returns add entries. The
         pre-write repartition co-locates each bucket so a W-partition
@@ -1327,7 +1353,7 @@ class TxnTable:
         rewrite paths whose input is a SMALL set of already-per-bucket
         files: the scan's partitions each hold a handful of buckets, so
         the file count stays bounded without paying a shuffle."""
-        bucketed = self._bucketed(df, meta)
+        bucketed = self._bucketed(df, meta, validate=validate)
         if shuffle:
             bucketed = bucketed.repartition(F.col(_BUCKET))
         return self._write_bucket_dirs(self._zordered(bucketed, meta), meta)
@@ -1349,9 +1375,13 @@ class TxnTable:
         out = os.path.join(self.path, rel)
         os.makedirs(os.path.join(self.path, _STAGING_DIR), exist_ok=True)
         obs = Observation()
-        self._bucketed(df, meta).observe(
-            obs, F.collect_set(F.col(_BUCKET)).alias("touched")
-        ).write.parquet(out)
+        try:
+            self._bucketed(df, meta).observe(
+                obs, F.collect_set(F.col(_BUCKET)).alias("touched")
+            ).write.parquet(out)
+        except BaseException:
+            shutil.rmtree(out, ignore_errors=True)  # failed staging job
+            raise
         # persisted liveness marker: vacuum in ANOTHER process skips this
         # dir while our pid lives, even past retention (r12) — underscore
         # prefix keeps parquet readers from treating it as data
@@ -2112,7 +2142,9 @@ class TxnTable:
                 .filter(keep_pred)
                 .drop(_BUCKET)
             )
-            adds_all = self._write_data(kept, meta, shuffle=len(paths) > 32)
+            adds_all = self._write_data(
+                kept, meta, shuffle=len(paths) > 32, validate=False
+            )
             touched = sorted(int(b) for b in (obs.get["hit_buckets"] or []))
             keep_set = set(touched)
             if not touched:  # no matches anywhere: discard the rewrite
@@ -2149,7 +2181,9 @@ class TxnTable:
             .parquet(*base_paths)
             .filter(keep_pred)
         )
-        adds = self._write_data(kept, meta, shuffle=len(base_paths) > 32)
+        adds = self._write_data(
+            kept, meta, shuffle=len(base_paths) > 32, validate=False
+        )
         removes = [p for p, a in active.items() if a["bucket"] in set(touched)]
         return self._commit("delete", adds, removes, touched, read_v)
 
@@ -2169,9 +2203,13 @@ class TxnTable:
         out = os.path.join(self.path, rel)
         os.makedirs(os.path.join(self.path, _STAGING_DIR), exist_ok=True)
         obs = Observation()
-        kd.observe(obs, F.collect_set(F.col(_BUCKET)).alias("touched")).write.parquet(
-            out
-        )
+        try:
+            kd.observe(
+                obs, F.collect_set(F.col(_BUCKET)).alias("touched")
+            ).write.parquet(out)
+        except BaseException:
+            shutil.rmtree(out, ignore_errors=True)  # failed staging job
+            raise
         _write_inflight_marker(out)  # cross-process vacuum guard (r12)
         return rel, sorted(int(b) for b in obs.get["touched"])
 
@@ -2217,7 +2255,9 @@ class TxnTable:
                 .parquet(*base_paths)
                 .join(staged_kd, list(keys), "left_anti")
             )
-            adds = self._write_data(kept, meta, shuffle=len(base_paths) > 32)
+            adds = self._write_data(
+                kept, meta, shuffle=len(base_paths) > 32, validate=False
+            )
             removes = [
                 p for p, a in active.items() if a["bucket"] in set(touched)
             ]
@@ -2299,7 +2339,7 @@ class TxnTable:
             rows = self.spark.read.schema(self._schema(meta)).parquet(
                 *[os.path.join(self.path, p) for p in removes]
             )
-            adds = self._write_data(rows, new_meta)
+            adds = self._write_data(rows, new_meta, validate=False)
             return self._commit(
                 "compact", adds, removes, touched, read_v, extra=extra
             )
@@ -2312,7 +2352,7 @@ class TxnTable:
             for p in by_bucket[b]
         ]
         rows = self.spark.read.schema(self._schema(meta)).parquet(*paths)
-        adds = self._write_data(rows, meta)
+        adds = self._write_data(rows, meta, validate=False)
         removes = [p for b in touched for p in by_bucket[b]]
         return self._commit("compact", adds, removes, touched, read_v)
 
@@ -2580,7 +2620,7 @@ class TxnTable:
             rows = self.spark.read.schema(self._schema(meta)).parquet(
                 *[os.path.join(self.path, p) for p in active]
             )
-            adds = self._write_data(rows, new_meta)
+            adds = self._write_data(rows, new_meta, validate=False)
         else:
             adds = []
         return self._commit(

@@ -1436,7 +1436,7 @@ def test_rebucket_conflicts_with_concurrent_writers_both_directions(
     # commit re-reads — never rebases (the snapshot it rewrote is stale)
     real_write = table._write_data
 
-    def write_and_interlope(df, meta, shuffle=True):
+    def write_and_interlope(df, meta, shuffle=True, validate=True):
         out = real_write(df, meta)
         TxnTable(spark, table.path).merge(
             _df(spark, [(2, "interloper", 9)]), ["version"]
@@ -2263,3 +2263,22 @@ def test_check_constraints_guard_every_write_path(spark, tmp_path):
             spark, str(tmp_path / "bad"), keys=["id"], schema=SCHEMA,
             constraints={"ghost": "no_such_col > 0"},
         )
+    # r12 review: an AGGREGATE passes a bare select but would brick
+    # every later write — rejected at create in the enforcement shape
+    with pytest.raises(ValueError, match="per-row boolean"):
+        TxnTable.create(
+            spark, str(tmp_path / "agg"), keys=["id"], schema=SCHEMA,
+            constraints={"agg": "max(version) > 0"},
+        )
+    # r12 review: a violating write removes its own partial output —
+    # no unbounded _data/<uuid>/_temporary litter on constrained tables
+    data_root = os.path.join(t.path, "data")
+    before_dirs = set(os.listdir(data_root))
+    with pytest.raises(Exception, match="version_pos"):
+        t.append(_df(spark, [(9, "z", -1)]))
+    assert set(os.listdir(data_root)) == before_dirs
+    # maintenance rewrites do NOT re-validate committed rows: weaken
+    # the constraint's world by hand and compact/delete still work
+    t.compact()
+    t.delete_keys(spark.createDataFrame([(3,)], "id long"))
+    assert _rows(t.snapshot()) == {(1, "a2", 2)}
