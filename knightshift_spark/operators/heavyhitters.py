@@ -188,27 +188,34 @@ def heavy_hitters(
                 from pyspark.sql.window import Window
 
                 tot = F.sum("n").over(Window.partitionBy())
-                counts = counts.withColumn(
-                    "__premise",
-                    F.assert_true(
-                        F.lit(float(min_count))
-                        > tot.cast("double") / F.lit(float(cap + 1)),
-                        F.concat(
-                            F.lit(
-                                f"min_count={int(min_count)} <= N/(cap+1)="
-                            ),
-                            (tot.cast("double") / F.lit(float(cap + 1))).cast(
-                                "string"
-                            ),
-                            F.lit(
-                                ": candidates would not be exhaustive at"
-                                " this threshold under the two-phase plan"
-                                " — raise min_count or cap (or force"
-                                " mode='naive', exact at any threshold)"
-                            ),
+                # the guard is FOLDED INTO the kept n column (never a
+                # computed-then-dropped column — Catalyst prunes those
+                # and the raise silently vanishes; measured on
+                # scd2_history, see txntable.py). assert_true returns
+                # NULL when the premise holds, so the when() is the
+                # identity on n and the guard cannot be projected away
+                # without removing n itself.
+                guard = F.assert_true(
+                    F.lit(float(min_count))
+                    > tot.cast("double") / F.lit(float(cap + 1)),
+                    F.concat(
+                        F.lit(f"min_count={int(min_count)} <= N/(cap+1)="),
+                        (tot.cast("double") / F.lit(float(cap + 1))).cast(
+                            "string"
+                        ),
+                        F.lit(
+                            ": candidates would not be exhaustive at"
+                            " this threshold under the two-phase plan"
+                            " — raise min_count or cap (or force"
+                            " mode='naive', exact at any threshold)"
                         ),
                     ),
-                ).drop("__premise")
+                )
+                counts = counts.withColumn(
+                    "n",
+                    F.when(guard.isNotNull(), F.lit(None).cast("long"))
+                    .otherwise(F.col("n")),
+                )
             kept = counts.filter(F.col("n") >= F.lit(int(min_count)))
         else:
             # in-plan threshold: ceil(N * min_frac) in IEEE double, the

@@ -91,7 +91,7 @@ def test_min_frac_path(spark):
     assert got == [("a", 60), ("b", 30)]
 
 
-def test_exhaustiveness_guard(spark):
+def test_exhaustiveness_guard(spark, tmp_path):
     items = spark.createDataFrame([(str(i % 7),) for i in range(700)], "item string")
     # the premise binds the two-phase path only (naive is exact at
     # any threshold, so the adaptive default would not raise here)
@@ -104,13 +104,30 @@ def test_exhaustiveness_guard(spark):
     # depend on which plan the input size happens to pick
     with pytest.raises(ValueError, match="min_frac"):
         heavy_hitters(items, cap=4, min_frac=0.1)
-    # r12: the min_count premise binds auto's SMALL-input branch too —
-    # this input auto-picks naive, and the in-plan assert raises at
-    # action time with the same premise text the two-phase path uses
+    # r12/r13: the min_count premise binds auto's SMALL-input branch
+    # too. A LOCAL relation's Catalyst size estimate is Long.MaxValue
+    # (no stats), so auto on `items` picks two_phase — to exercise the
+    # auto→naive branch the input must be a parquet scan, whose
+    # file-size stats are real and far under naive_max_bytes.
+    items.write.parquet(str(tmp_path / "items"))
+    scanned = spark.read.parquet(str(tmp_path / "items"))
     with pytest.raises(Exception, match="min_count=2"):
-        heavy_hitters(items, cap=4, min_count=2).collect()
+        heavy_hitters(scanned, cap=4, min_count=2).collect()
+    # r13 plan-level pin: the guard is folded into the KEPT n column, so
+    # it must survive Catalyst — a computed-then-dropped guard column
+    # gets pruned and the raise silently vanishes (measured on scd2).
+    # Assert on the OPTIMIZED plan: the optimizer rewrites assert_true
+    # into if(cond, null, raise_error(...)), so raise_error is the
+    # marker that proves the guard survived.
+    optimized = (
+        heavy_hitters(scanned, cap=4, min_count=2)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "raise_error" in optimized
     # ...while a premise-satisfying auto call on the same input answers
-    ok = heavy_hitters(items, cap=4096, min_count=100).collect()
+    ok = heavy_hitters(scanned, cap=4096, min_count=100).collect()
     assert {r["item"] for r in ok} == {str(i) for i in range(7)}
     # explicit naive is exact at any threshold: no premise, answers
     got = {r["item"] for r in heavy_hitters(
