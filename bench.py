@@ -31,6 +31,19 @@ recorded per query in ``build_sec`` alongside ``build_charged``. The
 DuckDB baseline runs the same oracle SQL over the same parquet files
 with the same best-of-N rule; ``spark_vs_duckdb_ratio`` compares
 oracle-backed queries only.
+
+CPU methodology (r13, VERDICT r12 finding #2): per-query process-tree
+CPU decays steeply over the first executions of a freshly codegen'd
+plan — the C2 JIT compiler's threads live inside the measured tree
+(measured: q65 19.8 → 2.6 CPU-s across five runs of the identical
+plan) — and how warm a plan starts depends on what ran before it in
+the suite, which is exactly the "CPU moved with no code change"
+cross-round signature. So exec sampling extends past the standard
+best-of-N while the newest CPU sample still improves on the best by
+>20% (capped at ``SPARK_GRAFT_BENCH_CPU_EXTRA`` extra runs, default
+3), the per-query CPU band is recorded in ``cpu_spread``, and the
+regression diff gates CPU moves on band overlap — the same discipline
+``exec_spread`` gives wall.
 """
 
 from __future__ import annotations
@@ -113,6 +126,7 @@ def main() -> None:
     build_charged: dict[str, bool] = {}
     exec_spread: dict[str, dict] = {}
     cpu_times: dict[str, float] = {}
+    cpu_spread: dict[str, dict] = {}
     have_cpu = _proc_tree_cpu() is not None
     sc = spark.sparkContext
     for name, spec in sorted(specs.items()):
@@ -157,6 +171,30 @@ def main() -> None:
             c1 = _proc_tree_cpu() if c0 is not None else None
             if c1 is not None:
                 cpu_samples.append(max(0.0, c1 - c0))
+        # JIT steady-state extension (r13, VERDICT r12 finding #2): the
+        # first executions of a freshly codegen'd plan burn C2-compiler
+        # CPU inside the process tree — measured q65: 19.8 → 2.6 CPU-s
+        # over five runs on identical code — and how warm a plan starts
+        # depends on what ran before it in the suite, which is exactly
+        # the cross-round "CPU moved with no code change" signature.
+        # While the newest CPU sample still improves on the best by
+        # >20%, the plan is still compiling: take extra samples (capped)
+        # so min(cpu) approximates steady state instead of warmup.
+        extras = int(os.environ.get("SPARK_GRAFT_BENCH_CPU_EXTRA", "3"))
+        while (
+            extras > 0
+            and len(cpu_samples) >= 2
+            and cpu_samples[-1] < 0.8 * min(cpu_samples[:-1])
+        ):
+            extras -= 1
+            c0 = _proc_tree_cpu()
+            t0 = time.perf_counter()
+            _run(df)
+            samples.append(time.perf_counter() - t0)
+            c1 = _proc_tree_cpu() if c0 is not None else None
+            if c1 is None:
+                break
+            cpu_samples.append(max(0.0, c1 - c0))
         samples.sort()
         best = samples[0]
         build_times[name] = round(build, 4)
@@ -166,6 +204,15 @@ def main() -> None:
             cpu_times[name] = round(
                 ((build_cpu or 0.0) if eager else 0.0) + min(cpu_samples), 4
             )
+            srt = sorted(cpu_samples)
+            # recorded CPU band: the diff gates CPU moves on band
+            # overlap, same discipline as the wall exec_spread
+            cpu_spread[name] = {
+                "min": round(srt[0], 4),
+                "med": round(srt[len(srt) // 2], 4),
+                "max": round(srt[-1], 4),
+                "n": len(srt),
+            }
         # per-query measured band (VERDICT r10 #4): this machine's
         # run-to-run spread is 1.5-3x per query on identical code, so
         # the regression diff compares BANDS, not point samples
@@ -173,7 +220,7 @@ def main() -> None:
             "min": round(samples[0], 4),
             "med": round(samples[len(samples) // 2], 4),
             "max": round(samples[-1], 4),
-            "n": runs,
+            "n": len(samples),
         }
 
     total = round(sum(times.values()), 4)
@@ -382,14 +429,39 @@ def main() -> None:
             cpu_now = cpu_times.get(name)
             if cpu_before is not None and cpu_now is not None:
                 cpu_delta = round(cpu_now - cpu_before, 4)
-                if abs(cpu_delta) > 0.3 and abs(cpu_delta) > 0.25 * max(
-                    cpu_before, 1e-9
-                ):
+                cpu_moved = abs(cpu_delta) > 0.3 and abs(
+                    cpu_delta
+                ) > 0.25 * max(cpu_before, 1e-9)
+                # CPU band gate (r13): like wall, a CPU "move" whose
+                # sample band overlaps the previous run's recorded band
+                # is sampling spread (JIT warmup depth differs run to
+                # run), not a plan change. Bands include the charged
+                # build CPU as a constant offset is NOT applied — the
+                # band records exec samples only, so compare exec-side:
+                # strip the charged build share from the point numbers
+                # via the band endpoints directly.
+                prev_cpu_sp = (prev.get("cpu_spread") or {}).get(name)
+                now_cpu_sp = cpu_spread.get(name)
+                if cpu_moved and prev_cpu_sp and now_cpu_sp:
+                    if (
+                        now_cpu_sp["min"] <= float(prev_cpu_sp["max"])
+                        and float(prev_cpu_sp["min"]) <= now_cpu_sp["max"]
+                    ):
+                        cpu_moved = False
+                if cpu_moved:
                     entry.update({
                         "now": now, "prev": before, "delta_sec": delta,
                         "cpu_now": cpu_now, "cpu_prev": cpu_before,
                         "cpu_delta_sec": cpu_delta,
                     })
+                    if now_cpu_sp:
+                        entry["cpu_band_now"] = [
+                            now_cpu_sp["min"], now_cpu_sp["max"]
+                        ]
+                    if prev_cpu_sp:
+                        entry["cpu_band_prev"] = [
+                            prev_cpu_sp["min"], prev_cpu_sp["max"]
+                        ]
                     if name in suppressed:
                         suppressed.remove(name)
                 else:
@@ -423,7 +495,13 @@ def main() -> None:
             "as machine noise. When both runs carry cpu_sec, "
             "process-tree CPU arbitrates: wall moves with flat CPU are "
             "suppressed (suppressed_cpu_flat), CPU moves report even "
-            "inside the wall band (cpu_delta_sec on the entry)",
+            "inside the wall band (cpu_delta_sec on the entry). CPU "
+            "itself is band-gated too (r13): a CPU move whose sample "
+            "band overlaps the previous run's cpu_spread is JIT-warmup "
+            "sampling depth, not a plan change — the first executions "
+            "of a fresh codegen'd plan burn C2-compiler CPU in-tree "
+            "(measured: q65 19.8→2.6 CPU-s over five runs on identical "
+            "code), so samples extend until CPU stops improving >20%",
         }
     except Exception:
         pass  # first run / missing file — informational only
@@ -437,6 +515,7 @@ def main() -> None:
         "build_charged": build_charged,
         "exec_spread": exec_spread,
         "cpu_sec": cpu_times,
+        "cpu_spread": cpu_spread,
         "cpu_total_sec": round(sum(cpu_times.values()), 4) if cpu_times else None,
         "duckdb_queries": duck_times,
         "duckdb_cpu_sec": duck_cpu_times,
@@ -457,6 +536,26 @@ def main() -> None:
         "txn_table": txn,
         "streaming_lm_gate": lm_gate,
     }
+    # data-work slice (r13, VERDICT r12 item 8): the sf0.1 headline is
+    # job-floor-dominated for 40/52 queries; aggregate the two scale
+    # sections where data actually grows (10× documents + sf1
+    # relational, both with DuckDB comparators) so round-over-round
+    # perf claims can ride a floor-amortized number in the SHORT line.
+    datawork = None
+    dw_s = (scale10 or {}).get("spark_total_sec", 0.0) + (sf1 or {}).get(
+        "spark_total_sec", 0.0
+    )
+    dw_d = (scale10 or {}).get("duckdb_total_sec", 0.0) + (sf1 or {}).get(
+        "duckdb_total_sec", 0.0
+    )
+    if dw_d:
+        datawork = {
+            "spark_sec": round(dw_s, 4),
+            "duckdb_sec": round(dw_d, 4),
+            "ratio": round(dw_s / dw_d, 2),
+        }
+    full["datawork_slice"] = datawork
+
     print(json.dumps(full))
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
     try:
@@ -483,6 +582,7 @@ def main() -> None:
                 "scale10x_ratio": (scale10 or {}).get("ratio"),
                 "skew_ratio": (skewed or {}).get("ratio"),
                 "sf1_ratio": (sf1 or {}).get("ratio"),
+                "datawork_slice": datawork,
                 "n_moved_vs_prev": (
                     len(bench_diff["moved_queries"]) if bench_diff else None
                 ),
