@@ -128,15 +128,18 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
         # local[32], best-of-3): 1.16/1.05/0.94/1.08 s — still 8
     )
     table.append(cur)  # v1
-    # ONE transaction = ONE commit, like the reference's cleaning pass
-    # landing its whole update+delete batch under a single session
-    # commit (validate_tv_channel_games.py:189). The merge window and
-    # the delete filter fuse into one rewrite job — deleted rows are
-    # never written; bal_e2 % 7 statistically hits every bucket, so the
-    # single-pass (rewrite_all) delete shape applies inside the fusion
-    with table.transaction():  # v2
-        table.merge(upd_existing.unionByName(upd_new), ["version"])
-        table.delete_where(F.col("bal_e2") % 7 == 0, rewrite_all=True)
+    # ONE statement = ONE commit (r13): the conditional-MERGE clause
+    # fuses the update window and the predicate delete into a single
+    # staged plan — deleted rows are never written — like the
+    # reference's cleaning pass landing its whole update+delete batch
+    # under a single session commit (validate_tv_channel_games.py:189).
+    # Pinned equivalent to the two-statement transaction it replaces
+    # (tests/test_txntable.py::test_merge_delete_where_clause...).
+    table.merge(  # v2
+        upd_existing.unionByName(upd_new),
+        ["version"],
+        delete_where=F.col("bal_e2") % 7 == 0,
+    )
 
     return (
         table.snapshot()

@@ -1092,12 +1092,29 @@ class TxnTable:
         hi = latest if to_version is None else min(to_version, latest)
         keys = meta["keys"]
         schema = self._schema(meta)
-        # ONE log read shared across every version (r12 review: n
-        # row_changes calls each re-reading the full log was O(n²)
-        # metadata I/O on an object store)
+        ev = self._scd2_events(0, hi)
+        from pyspark.sql.types import LongType
+
+        if ev is None:
+            empty = schema.add("__valid_from", LongType()).add(
+                "__valid_to", LongType()
+            )
+            return self.spark.createDataFrame([], empty)
+        return self._scd2_close(ev, keys)
+
+    def _scd2_events(self, lo: int, hi: int) -> DataFrame | None:
+        """Open/close event relation for the commits in ``(lo, hi]``:
+        union of ``row_changes`` filtered to insert / update_postimage /
+        delete, widened across schema evolution (older images read NULL
+        for later columns, same as ``table_changes``' rule). None when
+        the range holds no data commit. The log is read ONCE and shared
+        across versions (r12 review: n ``row_changes`` calls each
+        re-reading the full log was O(n²) metadata I/O on an object
+        store). An expired commit raises ``VacuumedVersionError`` — a
+        history with silent holes would be worse than no history."""
         commits_by_v = {c["version"]: c for c in self._commits()}
         parts = []
-        for v in range(1, hi + 1):
+        for v in range(lo + 1, hi + 1):
             c = commits_by_v.get(v)
             if c is None:
                 raise VacuumedVersionError(
@@ -1113,18 +1130,21 @@ class TxnTable:
                     )
                 )
             )
-        from pyspark.sql.types import LongType
-
         if not parts:
-            empty = schema.add("__valid_from", LongType()).add(
-                "__valid_to", LongType()
-            )
-            return self.spark.createDataFrame([], empty)
+            return None
         ev = parts[0]
         for p in parts[1:]:
-            # schema evolution widens later parts: older images read
-            # NULL for the new columns, same as table_changes' rule
             ev = ev.unionByName(p, allowMissingColumns=True)
+        return ev
+
+    def _scd2_close(self, ev: DataFrame, keys: list) -> DataFrame:
+        """Stamp half-open validity intervals onto an event relation
+        (columns: data cols + ``_change_type`` + ``_commit_version``):
+        one window per key orders the events, ``__valid_to`` = the next
+        event's version (NULL = still current), delete events drop out
+        after closing their predecessor. Shared by the full
+        ``scd2_history`` build and the incremental sync (which feeds
+        its materialized OPEN rows back in as pseudo-insert events)."""
         w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
             F.col("_commit_version")
         )
@@ -1850,6 +1870,12 @@ class TxnTable:
                     groups[-1].append(s)
                 else:
                     groups.append([s])
+            # a matched_delete clause needs to know, per key, whether
+            # the merge matched a stored row — computed as min/max of
+            # __src over the (bucket, key) window INSIDE the same
+            # bucket-clustered pass (HashPartitioning(bucket) satisfies
+            # the window's clustering; only an extra in-partition sort)
+            need_matched = any(s[0] == "matched_delete" for s in st.stmts)
             for grp in groups:
                 s = grp[0]
                 if s[0] == "merge":
@@ -1863,12 +1889,30 @@ class TxnTable:
                     both = plan.withColumn(_SRC, F.lit(0))
                     for u in upds:
                         both = both.unionByName(u)
-                    plan = self._dedup_window(
-                        both.repartition(n_buckets, F.col(_BUCKET)),
-                        meta,
-                        order_by,
-                    )
+                    both = both.repartition(n_buckets, F.col(_BUCKET))
+                    if need_matched:
+                        wk = Window.partitionBy(
+                            _BUCKET, *[F.col(k) for k in keys]
+                        )
+                        both = both.withColumn(
+                            "__matched",
+                            (F.min(_SRC).over(wk) == 0)
+                            & (F.max(_SRC).over(wk) >= 1),
+                        )
+                    plan = self._dedup_window(both, meta, order_by)
                     shuffled = True
+                elif s[0] == "matched_delete":
+                    _, cond = s
+                    if "__matched" in plan.columns:
+                        # post-image semantics: the condition sees the
+                        # row the merge would otherwise keep; unmatched
+                        # rows pass through untouched
+                        plan = plan.filter(
+                            ~(
+                                F.col("__matched")
+                                & F.coalesce(cond, F.lit(False))
+                            )
+                        ).drop("__matched")
                 elif s[0] == "delete_keys":
                     _, rel, _ = s
                     key_schema = StructType(
@@ -1898,6 +1942,7 @@ class TxnTable:
                     plan = plan.filter(~F.coalesce(cond, F.lit(False)))
             if not shuffled and len(base_paths) > 32:
                 plan = plan.repartition(F.col(_BUCKET))
+            plan = plan.drop("__matched")  # defensive: never a stored column
             adds = self._write_bucket_dirs(self._zordered(plan, meta), meta)
             if any_ra:
                 hit = set(merge_touched)
@@ -1957,6 +2002,8 @@ class TxnTable:
         order_by: Sequence[str],
         evolve: bool = False,
         txn: tuple[str, int] | None = None,
+        when_matched_delete=None,
+        delete_where=None,
     ) -> int:
         """MERGE INTO: last-writer-wins upsert (``operators/merge.upsert``
         — updates beat stored rows on ``order_by`` ties, the reference's
@@ -1968,6 +2015,29 @@ class TxnTable:
         schema in the same commit (existing files read NULL for them);
         updates must still carry every existing column — evolution adds,
         it never silently drops.
+
+        Conditional clauses (r13, VERDICT r12 item 7 — one statement,
+        one staged plan, one commit where a transaction previously
+        needed two statements and two staged plans):
+
+        - ``when_matched_delete=<cond>``: Delta's ``WHEN MATCHED AND
+          cond THEN DELETE`` — among keys present in BOTH the table and
+          the update batch, rows whose post-LWW image satisfies
+          ``cond`` are dropped from the rewrite instead of updated.
+          (Delta evaluates the condition over target+source columns;
+          here it sees the POST-IMAGE row — the winning row the merge
+          would otherwise keep.) Unmatched table rows are never
+          touched, even where ``cond`` would hold.
+        - ``delete_where=<cond>``: a fused whole-table predicate
+          delete applied AFTER the merge — exactly equivalent to
+          ``transaction(): merge(...); delete_where(cond,
+          rewrite_all=True)`` (pinned by test), with deleted rows
+          never written at all.
+
+        Both clauses compose with the merge into the transaction
+        machinery's single fused rewrite (``op="txn"``); inside an
+        explicit ``transaction()`` use separate statements instead
+        (the clauses raise there — statement order is the caller's).
 
         Cost shape (r10): exactly TWO jobs per commit. Job 1 evaluates
         the update plan ONCE, staging it bucket-partitioned under
@@ -1982,6 +2052,32 @@ class TxnTable:
         Inside ``transaction()``, the merge stages its input (job 1)
         immediately but defers the rewrite to the transaction's single
         fused commit."""
+        if when_matched_delete is not None or delete_where is not None:
+            if self._txn is not None:
+                raise RuntimeError(
+                    "merge clauses (when_matched_delete / delete_where) "
+                    "are already a fused transaction — inside "
+                    "transaction() use separate statements"
+                )
+            meta, active, read_v = self._state()
+            st = _TxnState(meta, active, read_v)
+            self._txn = st
+            try:
+                self._record_merge(updates, list(order_by), evolve, txn)
+                if when_matched_delete is not None:
+                    st.stmts.append(("matched_delete", when_matched_delete))
+                if delete_where is not None:
+                    st.stmts.append(("delete_where", delete_where, True))
+            except BaseException:
+                self._txn = None
+                for rel in st.staging:
+                    _INFLIGHT_STAGING.discard(os.path.join(self.path, rel))
+                    shutil.rmtree(
+                        os.path.join(self.path, rel), ignore_errors=True
+                    )
+                raise
+            self._txn = None
+            return self._commit_txn(st)
         if self._txn is not None:
             return self._record_merge(updates, list(order_by), evolve, txn)
         meta, active, read_v = self._state()
@@ -2864,6 +2960,196 @@ class TxnTable:
                     continue
                 shutil.rmtree(full, ignore_errors=True)
         return v
+
+
+def _scd2_synced_version(history_path: str) -> int:
+    try:
+        with open(os.path.join(history_path, "_SYNCED_VERSION")) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def _stamp_scd2_version(history_path: str, version: int) -> None:
+    os.makedirs(history_path, exist_ok=True)
+    tmp = os.path.join(history_path, "_SYNCED_VERSION.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(int(version)))
+    os.replace(tmp, os.path.join(history_path, "_SYNCED_VERSION"))
+
+
+def read_scd2(spark, history_path: str) -> DataFrame:
+    """The materialized SCD2 history maintained by
+    ``sync_scd2_from_table``: data columns + ``__valid_from`` /
+    ``__valid_to`` (half-open commit-version bounds, NULL = current).
+    A read is a scan — no log replay. ``mergeSchema`` because syncs
+    across a schema evolution write wider rows into the same tree."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(history_path)
+        .drop("__bucket", "__last_batch")
+    )
+
+
+def sync_scd2_from_table(
+    table: TxnTable, history_path: str, n_buckets: int = 64
+) -> int:
+    """Maintain a MATERIALIZED SCD2 history incrementally from the
+    table's commit log (r13, VERDICT r12 item 4). ``scd2_history()``
+    replays the whole retained log per call — its own docstring says
+    "materialize and then maintain incrementally"; this is that
+    maintainer, mirroring ``sync_view_from_table``'s sidecar/
+    idempotency pattern (`streaming/matview.py`). One catch-up call
+    folds every commit since the last sync into the history and
+    returns the version synced to. Invariant (pinned by property
+    test): after any sync, ``read_scd2`` ≡ ``scd2_history()`` built
+    fresh at the synced version.
+
+    Reference capability anchor: the validated/cleaned-state audit the
+    reference keeps via ``ind_validated``/``tm_validated``
+    (``validate_tv_channel_games.py:143-157``), generalized to full
+    row-image history.
+
+    Incremental step, cost ∝ changed keys + their bucket bytes (never
+    history or table size):
+
+    - new events = ``_scd2_events(cur, target)`` — row-level CDC for
+      just the unsynced commits (bounded: changed rows only);
+    - affected keys' OPEN rows are fed back into the shared interval
+      closer as pseudo-insert events at their ``__valid_from`` (new
+      events all carry later versions, so ordering is exact and the
+      blind-append guard still fires when a live key is re-inserted);
+      CLOSED rows pass through untouched — a closed interval can never
+      change, since every new event postdates it;
+    - only the buckets owning affected keys are read and rewritten
+      (dynamic partition overwrite). Deletes CLOSE intervals, never
+      remove rows, so history buckets never empty out.
+
+    Consistency/replay: ``_SYNCED_VERSION`` sidecar records the last
+    fully committed sync; every rewritten row carries ``__last_batch``
+    = the target version, so a crash between bucket commits replays
+    the range and already-committed buckets skip (the matview rule).
+    An expired commit inside the range raises ``VacuumedVersionError``
+    — unlike the matview there is no snapshot-rebuild fallback,
+    because a gapless history needs every commit's row images."""
+    spark = table.spark
+    target = table.version()
+    cur = _scd2_synced_version(history_path)
+    if cur >= target:
+        return cur
+    meta, _, _ = table._state(target)
+    keys = meta["keys"]
+
+    def _bucket(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__bucket",
+            F.pmod(
+                F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
+            ).cast("int"),
+        )
+
+    have_data = os.path.isdir(history_path) and any(
+        e.startswith("__bucket=") for e in os.listdir(history_path)
+    )
+    if cur < 0 or not have_data:
+        hist = _bucket(table.scd2_history(target)).withColumn(
+            "__last_batch", F.lit(int(target))
+        )
+        # pin STATIC overwrite: under a session-wide 'dynamic' setting
+        # the rebuild would only replace partitions present in the
+        # output, keeping stale buckets (the matview rebuild rule)
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        try:
+            hist.write.mode("overwrite").partitionBy("__bucket").parquet(
+                history_path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        _stamp_scd2_version(history_path, target)
+        return target
+
+    ev = table._scd2_events(cur, target)
+    if ev is None:
+        _stamp_scd2_version(history_path, target)
+        return target
+    # bounded by the range's changed rows; checkpointed because the
+    # affected-key collect and the rewrite below both consume it
+    ev = _bucket(ev).localCheckpoint(eager=True)
+    touched = sorted(
+        r["__bucket"] for r in ev.select("__bucket").distinct().collect()
+    )
+    current = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(history_path)
+        .filter(F.col("__bucket").isin(touched))
+    )
+    # crash replay: buckets whose watermark already reached the target
+    # absorbed a prior attempt's write — skip them entirely
+    done = {
+        r["__bucket"]
+        for r in current.groupBy("__bucket")
+        .agg(F.max("__last_batch").alias("__mb"))
+        .filter(F.col("__mb") >= int(target))
+        .select("__bucket")
+        .collect()
+    }
+    if done:
+        ev = ev.filter(~F.col("__bucket").isin(list(done)))
+        current = current.filter(~F.col("__bucket").isin(list(done)))
+        touched = [b for b in touched if b not in done]
+        if not touched:
+            _stamp_scd2_version(history_path, target)
+            return target
+    aff_keys = ev.select(*keys).distinct()
+
+    # NULL-SAFE key matching: a NULL key is a real group in history
+    def _keys_eq(left: DataFrame, right: DataFrame):
+        cond = None
+        for k in keys:
+            c = left[k].eqNullSafe(right[k])
+            cond = c if cond is None else cond & c
+        return cond
+
+    affected = current.join(aff_keys, _keys_eq(current, aff_keys), "left_semi")
+    untouched = current.join(
+        aff_keys, _keys_eq(current, aff_keys), "left_anti"
+    ).withColumn("__last_batch", F.lit(int(target)))
+    closed = affected.filter(F.col("__valid_to").isNotNull()).drop(
+        "__bucket", "__last_batch"
+    )
+    open_ev = (
+        affected.filter(F.col("__valid_to").isNull())
+        .drop("__valid_to", "__bucket", "__last_batch")
+        .withColumnRenamed("__valid_from", "_commit_version")
+        .withColumn("_change_type", F.lit("insert"))
+    )
+    recomputed = table._scd2_close(
+        open_ev.unionByName(
+            ev.drop("__bucket"), allowMissingColumns=True
+        ),
+        keys,
+    )
+    out = _bucket(
+        recomputed.unionByName(closed, allowMissingColumns=True)
+    ).withColumn("__last_batch", F.lit(int(target)))
+    # allowMissingColumns: a sync that rides a schema evolution writes
+    # wider rows than the untouched pass-through read back from disk
+    out = out.unionByName(untouched, allowMissingColumns=True)
+    # cut the read-overwrite lineage before replacing the scanned files
+    out = out.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("__bucket").parquet(
+            history_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _stamp_scd2_version(history_path, target)
+    return target
 
 
 def run_transaction(

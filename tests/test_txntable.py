@@ -2282,3 +2282,69 @@ def test_check_constraints_guard_every_write_path(spark, tmp_path):
     t.compact()
     t.delete_keys(spark.createDataFrame([(3,)], "id long"))
     assert _rows(t.snapshot()) == {(1, "a2", 2)}
+
+
+def test_merge_delete_where_clause_equals_two_statement_txn(spark, tmp_path):
+    """r13 (VERDICT r12 item 7): ``merge(..., delete_where=cond)`` is ONE
+    statement / one staged plan / one commit, pinned exactly equivalent
+    to the two-statement transaction it replaces — same final state,
+    and exactly one commit landed."""
+    rows = [(i, f"v{i}", 1) for i in range(20)]
+    upd = [(i, f"u{i}", 2) for i in range(0, 20, 2)] + [(30, "new", 2)]
+
+    ta = TxnTable.create(
+        spark, str(tmp_path / "a"), keys=["id"], schema=SCHEMA, n_buckets=4
+    )
+    ta.append(_df(spark, rows))
+    v0 = ta.version()
+    ta.merge(_df(spark, upd), ["version"], delete_where=F.col("id") % 3 == 0)
+    assert ta.version() == v0 + 1  # one commit
+
+    tb = TxnTable.create(
+        spark, str(tmp_path / "b"), keys=["id"], schema=SCHEMA, n_buckets=4
+    )
+    tb.append(_df(spark, rows))
+    with tb.transaction():
+        tb.merge(_df(spark, upd), ["version"])
+        tb.delete_where(F.col("id") % 3 == 0, rewrite_all=True)
+    assert _rows(ta.snapshot()) == _rows(tb.snapshot())
+    # the delete applies POST-merge: an updated row caught by the
+    # predicate is gone, an inserted row caught by it never lands
+    assert all(r[0] % 3 != 0 for r in _rows(ta.snapshot()))
+
+
+def test_merge_when_matched_delete_clause(spark, tmp_path):
+    """Delta's WHEN MATCHED AND cond THEN DELETE shape: only rows whose
+    key the update batch MATCHES are eligible — an unmatched stored row
+    satisfying the condition survives untouched (the distinction vs the
+    global delete_where clause); matched rows failing the condition
+    update normally; unmatched update keys insert."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"), keys=["id"], schema=SCHEMA, n_buckets=4
+    )
+    t.append(_df(spark, [(1, "keep", 7), (2, "upd", 1), (3, "del", 1)]))
+    v0 = t.version()
+    t.merge(
+        _df(spark, [(2, "u2", 2), (3, "u3", 7), (4, "new", 7)]),
+        ["version"],
+        # post-image condition: version == 7 on the winning row
+        when_matched_delete=F.col("version") == 7,
+    )
+    assert t.version() == v0 + 1
+    assert _rows(t.snapshot()) == {
+        (1, "keep", 7),  # unmatched: survives though cond holds
+        (2, "u2", 2),    # matched, cond false: updated
+        # (3, ...) matched, post-image version 7: DELETED
+        (4, "new", 7),   # not matched: inserted (cond does not gate inserts)
+    }
+    # inside an explicit transaction the clauses raise — statement
+    # order is the caller's there
+    with pytest.raises(RuntimeError, match="fused transaction"):
+        with t.transaction():
+            t.merge(
+                _df(spark, [(9, "x", 1)]), ["version"],
+                delete_where=F.col("id") == 9,
+            )
+    # the failed transaction rolled back cleanly; table still writable
+    t.merge(_df(spark, [(9, "x", 1)]), ["version"])
+    assert (9, "x", 1) in _rows(t.snapshot())
