@@ -248,15 +248,19 @@ def sync_view_from_table(
         _full_rebuild()
         _stamp_synced_version(view_path, target)
         return target
-    from knightshift_spark.sources.txntable import VacuumedVersionError
+    from knightshift_spark.sources.txntable import (
+        RestoreInRangeError,
+        VacuumedVersionError,
+    )
 
     try:
         changes = table.table_changes(cur, target, include_removed=True)
-    except (ValueError, VacuumedVersionError):
+    except (RestoreInRangeError, VacuumedVersionError):
         # restore in range, or expired/vacuumed history: the documented
-        # resync-from-snapshot cases — and ONLY those; a transient I/O
-        # error or a real bug must surface, not silently degrade every
-        # scheduled sync into a full-table rescan (r12 review)
+        # resync-from-snapshot cases — and ONLY those, now TYPED
+        # (ADVICE r12); any other ValueError (bad arguments, future
+        # refactors) surfaces instead of silently degrading every
+        # scheduled sync into a full-table rescan
         _full_rebuild()
         _stamp_synced_version(view_path, target)
         return target

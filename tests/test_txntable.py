@@ -2348,3 +2348,106 @@ def test_merge_when_matched_delete_clause(spark, tmp_path):
     # the failed transaction rolled back cleanly; table still writable
     t.merge(_df(spark, [(9, "x", 1)]), ["version"])
     assert (9, "x", 1) in _rows(t.snapshot())
+
+
+def test_constraint_lifecycle(spark, tmp_path):
+    """r13 (VERDICT r12 item 5): add_constraint validates EXISTING data
+    in one scan before publishing (violating table -> raise, no
+    commit); drop_constraint re-opens the gate; time travel replays the
+    per-version constraint set."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "c"), keys=["id"], schema=SCHEMA, n_buckets=2
+    )
+    t.append(_df(spark, [(1, "a", 1), (2, "b", -5)]))  # v1
+    v_before = t.version()
+    # existing row (2, b, -5) violates: raise, and NO commit lands
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t.add_constraint("version_pos", "version > 0")
+    assert t.version() == v_before
+    assert t.constraints() == {}
+    # cure the data, then the add succeeds and rides the log
+    t.delete_keys(spark.createDataFrame([(2,)], "id long"))       # v2
+    v_add = t.add_constraint("version_pos", "version > 0")        # v3
+    assert t.constraints() == {"version_pos": "version > 0"}
+    # later writes validate against it (NULL deviation named in msg)
+    with pytest.raises(Exception, match="version_pos"):
+        t.append(_df(spark, [(3, "bad", 0)]))
+    assert _rows(t.snapshot()) == {(1, "a", 1)}
+    # duplicate add and unknown drop refuse loudly
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint("version_pos", "version > 10")
+    with pytest.raises(ValueError, match="no constraint named"):
+        t.drop_constraint("nope")
+    # unresolvable / aggregate expressions refuse like create() does
+    with pytest.raises(ValueError, match="per-row boolean"):
+        t.add_constraint("agg", "max(version) > 0")
+    # drop re-opens the gate: previously-violating rows now write
+    t.drop_constraint("version_pos")                              # v4
+    assert t.constraints() == {}
+    t.append(_df(spark, [(3, "ok-now", 0)]))                      # v5
+    assert (3, "ok-now", 0) in _rows(t.snapshot())
+    # time travel replays the per-version set
+    assert t.constraints(v_add) == {"version_pos": "version > 0"}
+    assert t.constraints(v_add - 1) == {}
+    assert t.constraints(t.version()) == {}
+    # maintenance ops reject constraint DDL inside a transaction
+    with pytest.raises(RuntimeError, match="not a transaction statement"):
+        with t.transaction():
+            t.add_constraint("x", "version >= 0")
+
+
+def test_shrink_gate_spares_pre_provisioned_empty_table(spark, tmp_path):
+    """ADVICE r12: a freshly pre-provisioned table (n_buckets=64
+    awaiting backfill) reads suggested=1 from live_bytes=0 — the shrink
+    rule must NOT flag it, or a cron-wired maintain() collapses the
+    deliberate pre-sizing before the data arrives."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "pre"), keys=["id"], schema=SCHEMA, n_buckets=64
+    )
+    r = t.maintenance_report()
+    assert r["live_bytes"] == 0 and r["suggested_n_buckets"] == 1
+    assert not r["wants_rebucket"]
+    plan = t.maintain(dry_run=True)
+    assert "rebucket" not in [op for op, _ in plan["actions"]]
+    assert t._state()[0]["n_buckets"] == 64
+    # ...while a table that actually SHRANK >=4x below its buckets
+    # still flags (the r11 rule, unchanged for tables with data)
+    t.append(_df(spark, [(1, "tiny", 1)]))
+    r2 = t.maintenance_report()
+    assert r2["live_bytes"] > 0 and r2["wants_rebucket"]
+
+
+def test_inflight_marker_defeats_pid_reuse(spark, tmp_path):
+    """ADVICE r12: a marker whose pid was recycled (the named process
+    started AFTER the marker was written) must not protect a crash
+    leftover — start-time comparison unmasks it. The REAL writer (this
+    process, started long before its marker) stays protected."""
+    import json as _json
+    import time as _time
+
+    from knightshift_spark.sources.txntable import (
+        _inflight_writer_alive,
+        _pid_start_epoch,
+        _write_inflight_marker,
+    )
+
+    d = tmp_path / "stage"
+    d.mkdir()
+    # genuine marker from this live process: protected
+    _write_inflight_marker(str(d))
+    assert _inflight_writer_alive(str(d))
+    # recycled pid: same live pid, but the marker predates its birth
+    start = _pid_start_epoch(os.getpid())
+    assert start is not None
+    with open(d / "_INFLIGHT", "w") as f:
+        _json.dump(
+            {"pid": os.getpid(), "host": __import__("socket").gethostname(),
+             "ts": start - 3600.0},
+            f,
+        )
+    assert not _inflight_writer_alive(str(d))
+    # dead pid still sweepable, other-host markers still ignored
+    with open(d / "_INFLIGHT", "w") as f:
+        _json.dump({"pid": 2**22 + 12345, "host":
+                    __import__("socket").gethostname(), "ts": _time.time()}, f)
+    assert not _inflight_writer_alive(str(d))
