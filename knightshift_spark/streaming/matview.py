@@ -41,29 +41,60 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 _PARTIALS = ("n", "sum", "min", "max", "hll")
+_MEASURE_PREFIX = "__m_"
 
 
-def _partials(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
-    return df.groupBy(*keys).agg(
-        F.count(value_col).alias("n"),
-        F.sum(value_col).cast("double").alias("sum"),
-        F.min(value_col).cast("double").alias("min"),
-        F.max(value_col).cast("double").alias("max"),
-        # distinct counts stay mergeable as Datasketches HLL binaries —
-        # the ONLY way n_distinct survives incremental maintenance
-        # (exact distinct is not algebraic over batches)
-        F.hll_sketch_agg(F.col(value_col).cast("string")).alias("hll"),
-    )
+def _partials(df: DataFrame, keys: list[str], value_col) -> DataFrame:
+    """Algebraic partials per group. ``value_col`` is one column name
+    (legacy flat layout: n/sum/min/max/hll columns) or a LIST of names
+    (r13, VERDICT r12 item 6): one ``__m_<col>`` struct per measure,
+    all computed in ONE scan / one groupBy — a view over N measures no
+    longer costs N parallel views (N× scan + storage)."""
+    if isinstance(value_col, str):
+        return df.groupBy(*keys).agg(
+            F.count(value_col).alias("n"),
+            F.sum(value_col).cast("double").alias("sum"),
+            F.min(value_col).cast("double").alias("min"),
+            F.max(value_col).cast("double").alias("max"),
+            # distinct counts stay mergeable as Datasketches HLL binaries —
+            # the ONLY way n_distinct survives incremental maintenance
+            # (exact distinct is not algebraic over batches)
+            F.hll_sketch_agg(F.col(value_col).cast("string")).alias("hll"),
+        )
+    aggs = [
+        F.struct(
+            F.count(c).alias("n"),
+            F.sum(c).cast("double").alias("sum"),
+            F.min(c).cast("double").alias("min"),
+            F.max(c).cast("double").alias("max"),
+            F.hll_sketch_agg(F.col(c).cast("string")).alias("hll"),
+        ).alias(f"{_MEASURE_PREFIX}{c}")
+        for c in value_col
+    ]
+    return df.groupBy(*keys).agg(*aggs)
 
 
 def _merge_partials(df: DataFrame, keys: list[str]) -> DataFrame:
-    return df.groupBy(*keys).agg(
-        F.sum("n").alias("n"),
-        F.sum("sum").alias("sum"),
-        F.min("min").alias("min"),
-        F.max("max").alias("max"),
-        F.hll_union_agg("hll").alias("hll"),
-    )
+    mcols = [c for c in df.columns if c.startswith(_MEASURE_PREFIX)]
+    if not mcols:
+        return df.groupBy(*keys).agg(
+            F.sum("n").alias("n"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.hll_union_agg("hll").alias("hll"),
+        )
+    aggs = [
+        F.struct(
+            F.sum(F.col(f"{mc}.n")).alias("n"),
+            F.sum(F.col(f"{mc}.sum")).alias("sum"),
+            F.min(F.col(f"{mc}.min")).alias("min"),
+            F.max(F.col(f"{mc}.max")).alias("max"),
+            F.hll_union_agg(F.col(f"{mc}.hll")).alias("hll"),
+        ).alias(mc)
+        for mc in mcols
+    ]
+    return df.groupBy(*keys).agg(*aggs)
 
 
 def _with_bucket(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
@@ -77,7 +108,7 @@ def merge_view_batch(
     batch: DataFrame,
     view_path: str,
     keys: list[str],
-    value_col: str,
+    value_col: str | list[str],
     n_buckets: int = 64,
     batch_id: int | None = None,
 ) -> None:
@@ -151,20 +182,41 @@ def merge_view_batch(
 
 
 def read_view(spark: SparkSession, view_path: str) -> DataFrame:
-    """Finalized view: group keys + n / sum / avg / min / max. The only
-    non-stored column (avg) derives from the partials; everything else
-    is served straight from parquet — a view read is a scan, not a
-    recomputation."""
+    """Finalized view: group keys + n / sum / avg / min / max (single
+    measure keeps those legacy names; a multi-measure view emits
+    ``<col>_n``, ``<col>_sum``, ``<col>_avg``, ``<col>_min``,
+    ``<col>_max``, ``<col>_n_distinct_approx`` per measure). The only
+    non-stored columns (avg, the HLL estimate) derive from the
+    partials; everything else is served straight from parquet — a view
+    read is a scan, not a recomputation."""
     v = spark.read.parquet(view_path).drop("__bucket", "__last_batch")
-    return v.select(
-        *[c for c in v.columns if c not in _PARTIALS],
-        F.col("n"),
-        F.col("sum"),
-        F.round(F.col("sum") / F.col("n"), 6).alias("avg"),
-        F.col("min"),
-        F.col("max"),
-        F.hll_sketch_estimate("hll").alias("n_distinct_approx"),
-    )
+    mcols = [c for c in v.columns if c.startswith(_MEASURE_PREFIX)]
+    if not mcols:
+        return v.select(
+            *[c for c in v.columns if c not in _PARTIALS],
+            F.col("n"),
+            F.col("sum"),
+            F.round(F.col("sum") / F.col("n"), 6).alias("avg"),
+            F.col("min"),
+            F.col("max"),
+            F.hll_sketch_estimate("hll").alias("n_distinct_approx"),
+        )
+    sel = [F.col(c) for c in v.columns if not c.startswith(_MEASURE_PREFIX)]
+    for mc in mcols:
+        m = mc[len(_MEASURE_PREFIX):]
+        sel += [
+            F.col(f"{mc}.n").alias(f"{m}_n"),
+            F.col(f"{mc}.sum").alias(f"{m}_sum"),
+            F.round(F.col(f"{mc}.sum") / F.col(f"{mc}.n"), 6).alias(
+                f"{m}_avg"
+            ),
+            F.col(f"{mc}.min").alias(f"{m}_min"),
+            F.col(f"{mc}.max").alias(f"{m}_max"),
+            F.hll_sketch_estimate(f"{mc}.hll").alias(
+                f"{m}_n_distinct_approx"
+            ),
+        ]
+    return v.select(*sel)
 
 
 def _view_synced_version(view_path: str) -> int:
@@ -187,7 +239,7 @@ def sync_view_from_table(
     table,
     view_path: str,
     keys: list[str],
-    value_col: str,
+    value_col: str | list[str],
     n_buckets: int = 64,
 ) -> int:
     """Maintain the partials view incrementally from a ``TxnTable``'s
@@ -347,7 +399,7 @@ def run_matview_stream(
     stream: DataFrame,
     view_path: str,
     keys: list[str],
-    value_col: str,
+    value_col: str | list[str],
     checkpoint_dir: str,
     n_buckets: int = 64,
 ) -> StreamingQuery:

@@ -274,3 +274,105 @@ def test_sync_view_crash_before_stamp_heals(spark, tmp_path):
         for r in read_view(spark, view).collect()
     }
     assert got == exp
+
+
+def _rows2(spark, lo, hi):
+    """Two-measure source: v (doubles) and w (ints with repeats)."""
+    return spark.range(lo, hi).select(
+        (F.col("id") % 5).alias("grp"),
+        (F.col("id") * 2).cast("double").alias("v"),
+        (F.col("id") % 7).cast("double").alias("w"),
+    )
+
+
+def test_multi_measure_view_batch_split_equals_one_shot(spark, tmp_path):
+    """r13 (VERDICT r12 item 6): a view over TWO measures in ONE
+    scan/view — batch-split maintenance equals the one-shot aggregate
+    for every per-measure statistic, HLL distinct included."""
+    view = str(tmp_path / "view")
+    for i, (lo, hi) in enumerate([(0, 40), (40, 90), (90, 130)]):
+        merge_view_batch(
+            _rows2(spark, lo, hi), view, ["grp"], ["v", "w"],
+            n_buckets=8, batch_id=i,
+        )
+    want = {
+        r["grp"]: (
+            r["vn"], r["vs"], r["vmn"], r["vmx"], r["vd"],
+            r["wn"], r["ws"], r["wmn"], r["wmx"], r["wd"],
+        )
+        for r in _rows2(spark, 0, 130)
+        .groupBy("grp")
+        .agg(
+            F.count("v").alias("vn"), F.sum("v").alias("vs"),
+            F.min("v").alias("vmn"), F.max("v").alias("vmx"),
+            F.countDistinct("v").alias("vd"),
+            F.count("w").alias("wn"), F.sum("w").alias("ws"),
+            F.min("w").alias("wmn"), F.max("w").alias("wmx"),
+            F.countDistinct("w").alias("wd"),
+        )
+        .collect()
+    }
+    got = {
+        r["grp"]: (
+            r["v_n"], r["v_sum"], r["v_min"], r["v_max"],
+            r["v_n_distinct_approx"],
+            r["w_n"], r["w_sum"], r["w_min"], r["w_max"],
+            r["w_n_distinct_approx"],
+        )
+        for r in read_view(spark, view).collect()
+    }
+    assert got == want  # HLL exact at these cardinalities
+    # per-measure avg finalizes from the stored partials
+    avgs = {
+        r["grp"]: (r["v_avg"], r["w_avg"])
+        for r in read_view(spark, view).collect()
+    }
+    g0 = want[0]
+    assert avgs[0] == (round(g0[1] / g0[0], 6), round(g0[6] / g0[5], 6))
+
+
+def test_multi_measure_cdc_sync(spark, tmp_path):
+    """The CDC sync path over two measures: incremental
+    sync_view_from_table across merge + delete equals a full rebuild's
+    read_view, per measure."""
+    from knightshift_spark.sources.txntable import TxnTable
+    from knightshift_spark.streaming.matview import sync_view_from_table
+
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"), keys=["id"],
+        schema="id long, g int, v double, w double", n_buckets=4,
+    )
+    view = str(tmp_path / "view")
+    rows = [(i, i % 3, float(i), float(i % 4)) for i in range(60)]
+    t.append(spark.createDataFrame(rows, "id long, g int, v double, w double"))
+    sync_view_from_table(t, view, ["g"], ["v", "w"], n_buckets=8)
+    t.merge(
+        spark.createDataFrame(
+            [(5, 0, 500.0, 9.0), (61, 1, 61.0, 1.0)],
+            "id long, g int, v double, w double",
+        ),
+        ["v"],
+    )
+    t.delete_keys(spark.createDataFrame([(7,), (8,)], "id long"))
+    sync_view_from_table(t, view, ["g"], ["v", "w"], n_buckets=8)
+
+    def _canon(df):
+        return {
+            r["g"]: tuple(
+                r[c] for c in sorted(df.columns) if c != "g"
+            )
+            for r in df.collect()
+        }
+
+    got = _canon(read_view(spark, view))
+    # full rebuild into a fresh view as the oracle
+    fresh = str(tmp_path / "fresh")
+    sync_view_from_table(t, fresh, ["g"], ["v", "w"], n_buckets=8)
+    assert got == _canon(read_view(spark, fresh))
+    # and spot-check one group against a direct aggregate
+    snap = t.snapshot().filter(F.col("g") == 0)
+    direct = snap.agg(
+        F.count("v"), F.sum("v"), F.min("v"), F.max("v")
+    ).collect()[0]
+    g0 = {r["g"]: r for r in read_view(spark, view).collect()}[0]
+    assert (g0["v_n"], g0["v_sum"], g0["v_min"], g0["v_max"]) == tuple(direct)
