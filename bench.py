@@ -1572,6 +1572,76 @@ def txn_table_section(spark, sf_dir: str) -> dict:
         "amplification_after": amp_after,
     }
 
+    # r13: the incremental SCD2 materializer vs a full history rebuild —
+    # after a catch-up sync, ONE new commit costs a key-scoped bucket
+    # rewrite; scd2_history() replays every retained commit's row diff.
+    # The gap grows linearly with retained history at fixed batch width.
+    from knightshift_spark.sources.txntable import sync_scd2_from_table
+
+    scd_tbl = os.path.join(base, "txn_scd2")
+    hist_path = os.path.join(base, "txn_scd2_hist")
+    shutil.rmtree(scd_tbl, ignore_errors=True)
+    shutil.rmtree(hist_path, ignore_errors=True)
+    sc2 = TxnTable.create(
+        spark, scd_tbl, keys=["doc_id"],
+        schema="doc_id long, text string, version int", n_buckets=32,
+    )
+    sc2.append(corpus)
+    n_mut = 4
+    for i in range(n_mut):
+        sc2.merge(
+            corpus.filter(F.col("doc_id") % 677 == i).limit(32).select(
+                "doc_id",
+                F.concat(F.lit(f"rev{i}: "), F.col("text")).alias("text"),
+                F.lit(2 + i).cast("int").alias("version"),
+            ),
+            order_by=["version"],
+        )
+    t0 = time.perf_counter()
+    sync_scd2_from_table(sc2, hist_path, n_buckets=32)
+    initial_sync_sec = time.perf_counter() - t0
+    sc2.merge(
+        corpus.filter(F.col("doc_id") % 677 == 9).limit(32).select(
+            "doc_id",
+            F.concat(F.lit("rev9: "), F.col("text")).alias("text"),
+            F.lit(9).cast("int").alias("version"),
+        ),
+        order_by=["version"],
+    )
+    t0 = time.perf_counter()
+    sync_scd2_from_table(sc2, hist_path, n_buckets=32)
+    incremental_sync_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _run(sc2.scd2_history())
+    full_history_build_sec = time.perf_counter() - t0
+    hist = spark.read.parquet(hist_path)
+    rewritten_buckets = (
+        hist.filter(F.col("__last_batch") == sc2.version())
+        .select("__bucket").distinct().count()
+    )
+    scd2 = {
+        "table_rows": 50_000,
+        "history_commits": n_mut + 2,
+        "update_rows_per_commit": 32,
+        "initial_sync_sec": round(initial_sync_sec, 4),
+        "incremental_sync_one_commit_sec": round(incremental_sync_sec, 4),
+        "full_history_rebuild_sec": round(full_history_build_sec, 4),
+        "incremental_commits_replayed": 1,
+        "full_rebuild_commits_replayed": n_mut + 2,
+        "incremental_buckets_rewritten": f"{rewritten_buckets}/32",
+        "note": "at this payload both paths sit on the local job floor "
+                "(the merge-bytes story): the scale claim is the WORK "
+                "column — the incremental sync replays ONE commit's row "
+                "diff and rewrites only the buckets owning its ~32 "
+                "changed keys, while the full rebuild replays a row "
+                "diff per retained commit over its touched buckets — "
+                "linear in history length, which for a years-old 100 TB "
+                "dimension is the difference between a bounded nightly "
+                "catch-up and an unbounded replay from commit 1",
+    }
+    shutil.rmtree(scd_tbl, ignore_errors=True)
+    shutil.rmtree(hist_path, ignore_errors=True)
+
     # the old path: full-table algebraic upsert + whole-table rewrite
     swap_dir = os.path.join(base, "txn_naive")
     shutil.rmtree(swap_dir, ignore_errors=True)
@@ -1607,6 +1677,7 @@ def txn_table_section(spark, sf_dir: str) -> dict:
         "rebucket_256_to_512_sec": round(rebucket_sec, 4),
         "suggested_n_buckets_at_256mb": suggested,
         "zorder_compact": zorder_compact,
+        "scd2_incremental": scd2,
     }
 
 
