@@ -122,15 +122,57 @@ def main() -> None:
 
     t = TxnTable.create(
         spark, f"{work}/acid", keys=["event_id"],
-        schema="event_id long, event_type string, value double", n_buckets=4,
+        schema="event_id long, event_type string, value double, user_id long",
+        n_buckets=4,
     )
-    t.append(events.select("event_id", "event_type", "value").limit(500))
-    sync_view_from_table(t, f"{work}/acid_view", ["event_type"], "value")
+    t.append(
+        events.select("event_id", "event_type", "value", "user_id").limit(500)
+    )
+    # (r13) MULTI-MEASURE: value AND user_id statistics in ONE
+    # scan/view — pass a list instead of running N parallel views
+    # (user_id_n_distinct_approx = distinct active users per type)
+    measures = ["value", "user_id"]
+    sync_view_from_table(t, f"{work}/acid_view", ["event_type"], measures)
     t.delete_where(F.col("event_type") == "error", rewrite_all=True)
-    v = sync_view_from_table(t, f"{work}/acid_view", ["event_type"], "value")
-    print(f"CDC-synced view at table version {v} (deletes applied):")
-    read_view2(spark, f"{work}/acid_view").orderBy("event_type").show(
-        truncate=False
+    v = sync_view_from_table(t, f"{work}/acid_view", ["event_type"], measures)
+    print(f"CDC-synced two-measure view at table version {v} (deletes applied):")
+    read_view2(spark, f"{work}/acid_view").orderBy("event_type").select(
+        "event_type", "value_n", "value_sum", "value_avg",
+        "user_id_n_distinct_approx",
+    ).show(truncate=False)
+
+    # 6. (r13) governance on the live table: a CHECK constraint added
+    # AFTER data exists validates the whole table in one scan inside
+    # the ALTER commit; a conditional MERGE then lands an update batch
+    # and a predicate delete as ONE statement / ONE commit
+    t.add_constraint("value_finite", "value IS NULL OR abs(value) < 1e12")
+    print(f"constraints in force: {t.constraints()}")
+    updates = (
+        events.select("event_id", "event_type", "value", "user_id")
+        .limit(200)
+        .withColumn("value", F.col("value") * 2)
+    )
+    t.merge(
+        updates,
+        order_by=["value"],
+        delete_where=F.col("value") < 0,  # fused, never written
+    )
+    print(f"one-statement merge+delete landed as version {t.version()}")
+
+    # 7. (r13) incremental SCD2: materialize the full row-image history
+    # once, then each sync folds only the commits since the last one —
+    # the audit table a validated/cleaned-state pipeline keeps
+    from knightshift_spark.sources.txntable import (
+        read_scd2,
+        sync_scd2_from_table,
+    )
+
+    sync_scd2_from_table(t, f"{work}/acid_history")
+    hist = read_scd2(spark, f"{work}/acid_history")
+    open_rows = hist.filter(F.col("__valid_to").isNull()).count()
+    print(
+        f"SCD2 history: {hist.count()} row images, {open_rows} open "
+        f"(== current snapshot rows: {t.snapshot().count()})"
     )
 
 
