@@ -156,3 +156,53 @@ def test_blind_append_guard_fires_on_incremental_path(spark, tmp_path):
     t.append(_df(spark, [(7, "second", 2)]))  # legal append, 2 live rows
     with pytest.raises(Exception, match="unique live keys"):
         sync_scd2_from_table(t, path, n_buckets=4)
+
+
+def test_materialized_history_outlives_log_retention(spark, tmp_path):
+    """The reason the materializer exists at 100 TB: once commits
+    expire from the log, scd2_history() can never be rebuilt from
+    commit 1 — but the materialized history already holds every
+    pre-expiry image, and incremental syncs keep working from the
+    retained tail."""
+    from knightshift_spark.sources import txntable as mod
+    from knightshift_spark.sources.txntable import VacuumedVersionError
+
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"), keys=["id"], schema=SCHEMA, n_buckets=2
+    )
+    path = str(tmp_path / "hist")
+    t.append(_df(spark, [(1, "a", 1), (2, "b", 1)]))
+    t.merge(_df(spark, [(1, "a2", 2)]), ["version"])
+    sync_scd2_from_table(t, path, n_buckets=4)
+
+    def _images(df):
+        # image identity EXCLUDES __valid_to: an interval open at sync
+        # time legitimately closes when a later commit replaces the row
+        return {
+            (r.id, r.val, r.version, r["__valid_from"]) for r in df.collect()
+        }
+
+    early_images = _images(read_scd2(spark, path))
+    assert len(early_images) == 3  # a, a2, b
+    # roll past a checkpoint so expire_log can drop the early commits
+    while t.version() < mod._CHECKPOINT_EVERY:
+        t.merge(_df(spark, [(2, f"b{t.version()}", t.version())]), ["version"])
+        sync_scd2_from_table(t, path, n_buckets=4)
+    t.expire_log(retention_s=0.0)
+    # the full rebuild is now impossible...
+    with pytest.raises(VacuumedVersionError):
+        t.scd2_history().collect()
+    # ...but the materialized history kept every pre-expiry image
+    assert early_images <= _images(read_scd2(spark, path))
+    # and incremental syncs continue from the retained tail
+    t.merge(_df(spark, [(3, "c", 1)]), ["version"])
+    assert sync_scd2_from_table(t, path, n_buckets=4) == t.version()
+    open_now = {
+        (r.id, r.val, r.version)
+        for r in read_scd2(spark, path)
+        .filter(F.col("__valid_to").isNull())
+        .collect()
+    }
+    assert open_now == {
+        (r.id, r.val, r.version) for r in t.snapshot().collect()
+    }
