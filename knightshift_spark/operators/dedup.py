@@ -282,27 +282,41 @@ def contamination_report(
 
     Scale shape: the eval side reduces to its DISTINCT n-gram universe —
     benchmarks are KBs-to-MBs while the corpus is TBs — so that set
-    broadcasts. Corpus grams stream past the broadcast hash relation with
-    no corpus-side shuffle from the join itself; the per-doc hit count is
-    a map-side-combinable groupBy. Total cost: one corpus scan + one
-    doc-keyed shuffle, independent of eval-set pairing.
+    broadcasts. Corpus grams stream past the broadcast hash relation
+    ONCE, as a LEFT join (r13: the old sizes ⋈ hits shape re-ran the
+    gram explode — the hottest projection in the query — twice, once
+    per aggregate; a hit marker on the left join folds both counts
+    into ONE groupBy over one explode). No corpus-side shuffle from
+    the join itself; the per-doc counts are one map-side-combinable
+    groupBy. Total cost: one corpus scan + one doc-keyed shuffle,
+    independent of eval-set pairing.
 
     Output: (id, n_grams, n_hit, hit_frac) for corpus docs with n_hit ≥ 1,
     where counts are over each doc's distinct n-grams.
     """
     grams_c = _gram_table(corpus, n, id_col, text_col, "gram")
-    eval_grams = _gram_table(eval_docs, n, id_col, text_col, "gram").select("gram").distinct()
-    sizes = grams_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        grams_c.join(F.broadcast(eval_grams), "gram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+    eval_grams = (
+        _gram_table(eval_docs, n, id_col, text_col, "gram")
+        .select("gram")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    return hits.join(sizes, id_col).select(
-        id_col,
-        "n_grams",
-        "n_hit",
-        F.round(F.col("n_hit") / F.col("n_grams"), 4).alias("hit_frac"),
+    # grams are distinct per doc and the build side is distinct on the
+    # key, so the left join preserves the per-doc gram count exactly
+    return (
+        grams_c.join(F.broadcast(eval_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .filter(F.col("n_hit") >= 1)
+        .select(
+            id_col,
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 4).alias("hit_frac"),
+        )
     )
 
 
