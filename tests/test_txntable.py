@@ -445,7 +445,7 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
 
     for step in range(14):
         op = rng.choice(["append", "merge", "merge", "delete", "compact",
-                         "txn", "txn", "rebucket", "zorder"])
+                         "txn", "txn", "rebucket", "zorder", "merge_clause"])
         before_v = t.version()
         if op == "append":
             rows = [
@@ -513,6 +513,19 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
             t.delete_keys(spark.createDataFrame([(i,) for i in ids], "id long"))
             for i in ids:
                 model.pop(i, None)
+        elif op == "merge_clause":
+            # r13 conditional MERGE: update batch + fused predicate
+            # delete in ONE statement/commit; the model applies the
+            # merge, then the post-merge whole-table delete
+            batch = random_merge_rows(step)
+            m, r2 = rng.choice([(3, 0), (4, 1), (5, 2)])
+            t.merge(
+                _df(spark, batch), ["version"],
+                delete_where=F.col("id") % m == r2,
+            )
+            lww(batch)
+            for i in [k for k in model if k % m == r2]:
+                model.pop(i)
         elif op == "rebucket":
             # partition evolution moves bytes, never rows — the model
             # is untouched; no-op respecs (same count) commit nothing
@@ -532,6 +545,34 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
     for v, expected in enumerate(history):
         got = {r.id: (r.val, r.version) for r in t.snapshot(v).collect()}
         assert got == expected, f"version {v}"
+
+    # r13: the incremental SCD2 materializer agrees with the full build
+    # over the whole random mutation history, and its open rows are the
+    # model's final state
+    from collections import Counter
+
+    from knightshift_spark.sources.txntable import (
+        read_scd2,
+        sync_scd2_from_table,
+    )
+
+    hist_path = str(tmp_path / "m_hist")
+    assert sync_scd2_from_table(t, hist_path, n_buckets=4) == t.version()
+
+    def _canon(df):
+        cols = sorted(df.columns)
+        return Counter(
+            tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+        )
+
+    assert _canon(read_scd2(spark, hist_path)) == _canon(t.scd2_history())
+    open_rows = {
+        r.id: (r.val, r.version)
+        for r in read_scd2(spark, hist_path)
+        .filter(F.col("__valid_to").isNull())
+        .collect()
+    }
+    assert open_rows == model
 
 
 def test_concurrent_threaded_merges_disjoint_keys(spark, table):
