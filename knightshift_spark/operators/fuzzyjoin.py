@@ -36,6 +36,10 @@ from pyspark.sql import functions as F
 from knightshift_spark.operators.dedup import lsh_band_buckets, shingle_table
 from knightshift_spark.plans.partitioning import lint_checkpoint
 
+# corpus-size threshold above which _rescore cuts its shingle tables'
+# lineage (see the size-gated checkpoint note in _rescore)
+_RESCORE_CKPT_MIN_BYTES = 256 << 20
+
 
 def _rescore(
     left: DataFrame,
@@ -65,12 +69,35 @@ def _rescore(
         right_id,
         "left_semi",
     )
+    # size-gated checkpoint (r13): each shingle table is consumed by up
+    # to THREE subtrees below (the df_max rarity count, the intersection
+    # join, and its side's per-doc size count), and every reference
+    # re-runs the candidate semi-join — which re-SCANS its corpus side.
+    # Cheap on a small corpus (the recompute beats two eager
+    # checkpoint jobs — measured at sf0.1: +0.7 s charged if always
+    # on), corpus-proportional waste at scale — so cut the lineage only
+    # when the input relations are big or their size is unknowable (the
+    # heavy-hitters adaptive-gate rule: unknown → the scale-safe plan).
+    # The checkpointed rows are bounded either way: ∝ the CANDIDATE
+    # docs' shingles, both sides already semi-joined to the capped LSH
+    # pair set.
+    from knightshift_spark.plans.partitioning import plan_size_bytes
+
+    est_l, est_r = plan_size_bytes(left), plan_size_bytes(right)
+    big = (
+        est_l is None
+        or est_r is None
+        or est_l + est_r > _RESCORE_CKPT_MIN_BYTES
+    )
     lsh_t = shingle_table(lsub, left_id, left_text).select(
         F.col(left_id).alias("left_id"), "shingle"
     )
     rsh_t = shingle_table(rsub, right_id, right_text).select(
         F.col(right_id).alias("right_id"), "shingle"
     )
+    if big:
+        lsh_t = lint_checkpoint(lsh_t, "fuzzy_join.left_shingles")
+        rsh_t = lint_checkpoint(rsh_t, "fuzzy_join.right_shingles")
     if df_max is not None:
         rare = (
             lsh_t.select("shingle")
