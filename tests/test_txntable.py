@@ -2492,3 +2492,29 @@ def test_inflight_marker_defeats_pid_reuse(spark, tmp_path):
         _json.dump({"pid": 2**22 + 12345, "host":
                     __import__("socket").gethostname(), "ts": _time.time()}, f)
     assert not _inflight_writer_alive(str(d))
+
+
+def test_merge_with_both_clauses_in_one_statement(spark, tmp_path):
+    """when_matched_delete AND delete_where compose in one statement:
+    matched-delete applies to the post-merge image of MATCHED keys
+    first, the predicate delete sweeps the whole post-merge table
+    second (statement-order semantics, same as the transaction form)."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"), keys=["id"], schema=SCHEMA, n_buckets=4
+    )
+    t.append(_df(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 9), (4, "d", 1)]))
+    v0 = t.version()
+    t.merge(
+        _df(spark, [(1, "u1", 9), (2, "u2", 2), (5, "new", 9)]),
+        ["version"],
+        when_matched_delete=F.col("version") == 9,  # kills post-image (1,u1,9)
+        delete_where=F.col("id") % 2 == 0,          # sweeps 2 and 4
+    )
+    assert t.version() == v0 + 1  # ONE commit
+    assert _rows(t.snapshot()) == {
+        # 1: matched, post-image version 9 -> matched-delete
+        # 2: matched, updated to u2, then swept by id%2
+        (3, "c", 9),    # unmatched: version 9 survives (not a global rule)
+        # 4: unmatched, swept by id%2
+        (5, "new", 9),  # inserted (insert is not gated by matched-delete)
+    }
