@@ -965,7 +965,7 @@ class TxnTable:
                     "feed cannot represent it — resync from snapshot() "
                     f"or diff it exactly with row_changes({v})"
                 )
-            if c["op"] not in ("append", "merge", "delete", "txn"):
+            if c["op"] not in ("append", "merge", "delete", "txn", "update"):
                 continue
             sides = [("add", [a["path"] for a in c["adds"]])]
             if include_removed:
@@ -1022,7 +1022,7 @@ class TxnTable:
                 "its row images are gone"
             )
         if commit is None or commit["op"] not in (
-            "append", "merge", "delete", "restore", "txn",
+            "append", "merge", "delete", "restore", "txn", "update",
         ):
             # create/compact/vacuum/rebucket move no rows
             raise ValueError(f"no row-diffable data commit at version {version}")
@@ -1174,7 +1174,7 @@ class TxnTable:
                     f"commit {v} expired from the log (expire_log) — "
                     "cannot build a gapless SCD2 history"
                 )
-            if c["op"] not in ("append", "merge", "delete", "restore", "txn"):
+            if c["op"] not in ("append", "merge", "delete", "restore", "txn", "update"):
                 continue  # create/compact/vacuum/rebucket move no rows
             parts.append(
                 self.row_changes(v, _commit=c).filter(
@@ -1947,13 +1947,18 @@ class TxnTable:
             for s in st.stmts:
                 if s[0] in ("merge", "delete_keys"):
                     merge_touched.update(s[2])
-            deletes = [s for s in st.stmts if s[0] == "delete_where"]
-            any_ra = any(s[2] for s in deletes)
+            # predicate statements (delete_where AND update_where — r13)
+            # share the discovery / single-pass machinery: both need the
+            # buckets holding cond-matching rows rewritten
+            preds = [
+                s for s in st.stmts if s[0] in ("delete_where", "update_where")
+            ]
+            any_ra = any(s[-1] for s in preds)
             if any_ra:
                 bucket_set = {a["bucket"] for a in active.values()} | merge_touched
             else:
                 bucket_set = set(merge_touched)
-                conds = [s[1] for s in deletes]
+                conds = [s[1] for s in preds]
                 if conds and active:
                     # discovery job over the PRE-txn state: rows a prior
                     # merge creates or modifies live in merge-touched
@@ -2072,6 +2077,21 @@ class TxnTable:
                         .drop(_BUCKET)
                     )
                     plan = plan.join(kd, list(keys), "left_anti")
+                elif s[0] == "update_where":
+                    _, cond, news, _ = s
+                    if any_ra:
+                        obs = Observation()
+                        plan = plan.observe(
+                            obs,
+                            F.collect_set(
+                                F.when(
+                                    F.coalesce(cond, F.lit(False)),
+                                    F.col(_BUCKET),
+                                )
+                            ).alias("hit"),
+                        )
+                        observations.append(obs)
+                    plan = self._apply_update(plan, cond, news, meta)
                 else:  # delete_where
                     _, cond, _ = s
                     if any_ra:
@@ -2118,13 +2138,13 @@ class TxnTable:
             removes = [
                 p for p, a in active.items() if a["bucket"] in set(committed)
             ]
-            # conflict set = the whole READ set: any delete_where's
+            # conflict set = the whole READ set: any predicate statement's
             # discovery (or single-pass) scan reads EVERY active bucket,
-            # so predicate deletes widen the set to the full table even
-            # when only a few buckets get rewritten (r11 review: the
-            # two-phase branch previously declared hit buckets only,
-            # weaker than the documented guarantee)
-            if deletes:
+            # so predicate deletes/updates widen the set to the full
+            # table even when only a few buckets get rewritten (r11
+            # review: the two-phase branch previously declared hit
+            # buckets only, weaker than the documented guarantee)
+            if preds:
                 read_set = {a["bucket"] for a in active.values()} | merge_touched
             else:
                 read_set = bucket_set
@@ -2429,6 +2449,201 @@ class TxnTable:
         )
         removes = [p for p, a in active.items() if a["bucket"] in set(touched)]
         return self._commit("delete", adds, removes, touched, read_v)
+
+    def _check_update_sets(self, set_exprs: dict, meta: dict) -> dict:
+        """Validate an ``update_where`` SET map: known non-key columns,
+        each expression resolving per-row against the table schema (the
+        same probe shape constraints use). Returns name → Column."""
+        if not set_exprs:
+            raise ValueError("update_where needs at least one SET column")
+        schema = self._schema(meta)
+        names = {f.name for f in schema.fields}
+        news: dict = {}
+        for c, e in set_exprs.items():
+            if c not in names:
+                raise ValueError(
+                    f"SET column {c!r} is not in the table schema "
+                    f"({sorted(names)})"
+                )
+            if c in meta["keys"]:
+                raise ValueError(
+                    f"SET column {c!r} is a table key — under hash "
+                    "bucketing a key change is a delete+insert; use "
+                    "delete_keys + merge"
+                )
+            news[c] = F.expr(e) if isinstance(e, str) else e
+        probe = self.spark.createDataFrame([], schema)
+        for c, col in news.items():
+            try:
+                probe.withColumn("__probe", col)
+            except Exception as exc:
+                raise ValueError(
+                    f"SET expression for {c!r} does not resolve against "
+                    f"the table schema as a per-row value ({exc})"
+                ) from None
+        return news
+
+    def _apply_update(self, df: DataFrame, cond, news: dict, meta: dict) -> DataFrame:
+        """The UPDATE projection: rows matching ``cond`` get every SET
+        column replaced by its expression evaluated over the PRE-image
+        (one projection — all assignments simultaneous, Delta's rule);
+        non-schema passthrough columns (__bucket etc.) ride unchanged.
+        CHECK constraints re-validate the NEW image of UPDATED rows
+        only (carried rows already passed at their own write time — the
+        compact/delete no-re-validation rule), with the guard folded
+        into the kept first updated column, never a dropped helper
+        (Catalyst prunes those and the raise silently vanishes)."""
+        schema = self._schema(meta)
+        hit = F.coalesce(cond, F.lit(False))
+        cols1 = []
+        for c in df.columns:
+            if c in news:
+                val = F.when(
+                    hit, news[c].cast(schema[c].dataType)
+                ).otherwise(F.col(c))
+                cols1.append(val.alias(c))
+            else:
+                cols1.append(F.col(c))
+        cons = meta.get("constraints") or {}
+        if not cons:
+            return df.select(*cols1)
+        step1 = df.select(*cols1, hit.alias("__upd_hit"))
+        first = sorted(news)[0]
+        val = F.col(first)
+        for cname in sorted(cons):
+            ok = (~F.col("__upd_hit")) | F.coalesce(
+                F.expr(cons[cname]).cast("boolean"), F.lit(False)
+            )
+            guard = F.assert_true(
+                ok,
+                F.concat(
+                    F.lit(
+                        f"CHECK constraint {cname!r} violated by "
+                        f"update_where new image ({cons[cname]}; NULL "
+                        f"counts as a violation) at row: "
+                    ),
+                    F.to_json(
+                        F.struct(*[f.name for f in schema.fields])
+                    ),
+                ),
+            )
+            val = F.when(
+                guard.isNotNull(), F.lit(None).cast(schema[first].dataType)
+            ).otherwise(val)
+        return step1.select(
+            *[
+                val.alias(c) if c == first else F.col(c)
+                for c in df.columns  # __upd_hit not selected: marker only
+            ]
+        )
+
+    def update_where(
+        self,
+        cond,
+        set_exprs: dict,
+        rewrite_all: bool | None = None,
+        range_hint: tuple | None = None,
+    ) -> int:
+        """Conditional UPDATE (Delta's ``UPDATE ... SET ... WHERE``):
+        rows matching ``cond`` get each ``set_exprs`` column replaced
+        by its expression — a Column or SQL string — evaluated over the
+        PRE-image row (all assignments simultaneous); every other row
+        carries unchanged. New values cast to the column's declared
+        type. Keys cannot be updated (a key change under hash
+        bucketing is a delete+insert — ``delete_keys`` + ``merge``).
+
+        Same two plans and automatic choice as ``delete_where``
+        (two-phase discovery → touched-bucket rewrite, or single-pass
+        with ``observe()``-collected hit buckets; ``range_hint`` feeds
+        the footer-stats crossover rule). Inside ``transaction()`` the
+        statement records and fuses into the single rewrite like any
+        other. CDC: ``row_changes`` reads the commit as update
+        pre/post image pairs; ``scd2_history`` folds them in as value
+        versions.
+
+        CHECK constraints re-validate updated rows' NEW images in-plan
+        (guard folded into the kept updated column); carried rows are
+        not re-validated — the same rule maintenance rewrites follow."""
+        meta0 = self._txn.meta if self._txn is not None else self._state()[0]
+        news = self._check_update_sets(set_exprs, meta0)
+        if self._txn is not None:
+            ra = self._resolve_rewrite_all(
+                rewrite_all, range_hint, self._txn.active
+            )
+            self._txn.stmts.append(("update_where", cond, news, ra))
+            return self._txn.read_v
+        meta, active, read_v = self._state()
+        if not active:
+            return read_v
+        rewrite_all = self._resolve_rewrite_all(rewrite_all, range_hint, active)
+        schema = self._schema(meta)
+        bucket_expr = F.pmod(
+            F.xxhash64(*meta["keys"]), F.lit(meta["n_buckets"])
+        )
+        if rewrite_all:
+            from pyspark.sql import Observation
+
+            paths = [os.path.join(self.path, p) for p in active]
+            obs = Observation()
+            out = (
+                self.spark.read.schema(schema)
+                .parquet(*paths)
+                .withColumn(_BUCKET, bucket_expr)
+                .observe(
+                    obs,
+                    F.collect_set(
+                        F.when(F.coalesce(cond, F.lit(False)), F.col(_BUCKET))
+                    ).alias("hit_buckets"),
+                )
+            )
+            out = self._apply_update(out, cond, news, meta).drop(_BUCKET)
+            adds_all = self._write_data(
+                out, meta, shuffle=len(paths) > 32, validate=False
+            )
+            touched = sorted(int(b) for b in (obs.get["hit_buckets"] or []))
+            keep_set = set(touched)
+            if not touched:  # no matches anywhere: discard the rewrite
+                if adds_all:
+                    shutil.rmtree(
+                        os.path.join(
+                            self.path, os.path.dirname(adds_all[0]["path"])
+                        ),
+                        ignore_errors=True,
+                    )
+                return read_v
+            for a in adds_all:
+                if a["bucket"] not in keep_set:
+                    shutil.rmtree(
+                        os.path.join(self.path, a["path"]), ignore_errors=True
+                    )
+            adds = [a for a in adds_all if a["bucket"] in keep_set]
+            removes = [
+                p for p, a in active.items() if a["bucket"] in keep_set
+            ]
+            return self._commit("update", adds, removes, touched, read_v)
+        snap = self.snapshot()
+        hit = snap.filter(cond).withColumn(_BUCKET, bucket_expr)
+        touched = sorted(
+            r[_BUCKET] for r in hit.select(_BUCKET).distinct().collect()
+        )
+        if not touched:
+            return read_v
+        base_paths = [
+            os.path.join(self.path, p)
+            for p, a in active.items()
+            if a["bucket"] in set(touched)
+        ]
+        out = self._apply_update(
+            self.spark.read.schema(schema).parquet(*base_paths),
+            cond,
+            news,
+            meta,
+        )
+        adds = self._write_data(
+            out, meta, shuffle=len(base_paths) > 32, validate=False
+        )
+        removes = [p for p, a in active.items() if a["bucket"] in set(touched)]
+        return self._commit("update", adds, removes, touched, read_v)
 
     def _stage_keys(self, keys_df: DataFrame, meta: dict) -> tuple[str, list[int]]:
         """Stage a deduplicated key list once (same pattern as merge's

@@ -445,7 +445,8 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
 
     for step in range(14):
         op = rng.choice(["append", "merge", "merge", "delete", "compact",
-                         "txn", "txn", "rebucket", "zorder", "merge_clause"])
+                         "txn", "txn", "rebucket", "zorder", "merge_clause",
+                         "update_where"])
         before_v = t.version()
         if op == "append":
             rows = [
@@ -526,6 +527,22 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
             lww(batch)
             for i in [k for k in model if k % m == r2]:
                 model.pop(i)
+        elif op == "update_where":
+            # r13 conditional UPDATE: predicate rows get simultaneous
+            # pre-image SET; the model rewrites the same slice
+            if not model:
+                continue
+            m, r2 = rng.choice([(3, 0), (4, 1), (5, 2)])
+            ra = rng.choice([True, False, None])
+            t.update_where(
+                F.col("id") % m == r2,
+                {"val": F.concat(F.lit(f"u{step}-"), F.col("val")),
+                 "version": F.col("version") + 1},
+                rewrite_all=ra,
+            )
+            for i in [k for k in model if k % m == r2]:
+                v0, ver0 = model[i]
+                model[i] = (f"u{step}-{v0}", ver0 + 1)
         elif op == "rebucket":
             # partition evolution moves bytes, never rows — the model
             # is untouched; no-op respecs (same count) commit nothing
@@ -2518,3 +2535,149 @@ def test_merge_with_both_clauses_in_one_statement(spark, tmp_path):
         # 4: unmatched, swept by id%2
         (5, "new", 9),  # inserted (insert is not gated by matched-delete)
     }
+
+
+def test_update_where_plans_and_preimage_semantics(spark, tmp_path):
+    """r13: conditional UPDATE. Both plans (two-phase / single-pass)
+    and the auto choice produce identical states; all SET expressions
+    evaluate over the PRE-image simultaneously (Delta's rule), and the
+    commit reads as update pre/post image pairs in CDC."""
+    rows = [(i, f"v{i}", i % 4) for i in range(16)]
+
+    def fresh(name):
+        t = TxnTable.create(
+            spark, str(tmp_path / name), keys=["id"], schema=SCHEMA,
+            n_buckets=4,
+        )
+        t.append(_df(spark, rows))
+        return t
+
+    # simultaneity: val reads pre-image version, version reads pre-image
+    sets = {
+        "val": F.concat(F.lit("u"), F.col("version").cast("string")),
+        "version": F.col("version") + 10,
+    }
+    cond = F.col("id") % 3 == 0
+    expected = {
+        (i, f"u{i % 4}" if i % 3 == 0 else f"v{i}",
+         i % 4 + (10 if i % 3 == 0 else 0))
+        for i in range(16)
+    }
+    states = []
+    for name, ra in (("tp", False), ("sp", True), ("auto", None)):
+        t = fresh(name)
+        v0 = t.version()
+        t.update_where(cond, sets, rewrite_all=ra)
+        assert t.version() == v0 + 1
+        states.append(_rows(t.snapshot()))
+        assert states[-1] == expected, name
+        # time travel still sees the pre-update state
+        assert _rows(t.snapshot(v0)) == set(rows)
+    # CDC: pre/post image pairs for exactly the hit rows
+    t = fresh("cdc")
+    v = t.update_where(cond, sets)
+    ch = {(r["_change_type"], r.id, r.val, r.version)
+          for r in t.row_changes(v).collect()}
+    assert ("update_preimage", 0, "v0", 0) in ch
+    assert ("update_postimage", 0, "u0", 10) in ch
+    assert not any(c[1] % 3 != 0 for c in ch)  # only hit rows appear
+    # SQL-string SET expressions work too
+    t.update_where(F.col("id") == 1, {"val": "upper(val)"})
+    assert (1, "V1", 1) in _rows(t.snapshot())
+
+
+def test_update_where_validation_and_constraints(spark, tmp_path):
+    """SET validation refuses keys / unknown columns / non-resolving
+    expressions; CHECK constraints re-validate UPDATED rows' new images
+    in-plan (no commit on violation) while carried rows are never
+    re-validated — an existing bad row cannot brick an unrelated
+    update."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"), keys=["id"], schema=SCHEMA, n_buckets=2,
+        constraints={"version_pos": "version > 0"},
+    )
+    t.append(_df(spark, [(1, "a", 1), (2, "b", 2)]))
+    with pytest.raises(ValueError, match="is a table key"):
+        t.update_where(F.col("id") == 1, {"id": F.lit(9)})
+    with pytest.raises(ValueError, match="not in the table schema"):
+        t.update_where(F.col("id") == 1, {"nope": F.lit(9)})
+    with pytest.raises(ValueError, match="does not resolve"):
+        t.update_where(F.col("id") == 1, {"val": "no_such_col || 'x'"})
+    with pytest.raises(ValueError, match="at least one SET"):
+        t.update_where(F.col("id") == 1, {})
+    # constraint-violating new image: raises at action time, no commit
+    v0 = t.version()
+    with pytest.raises(Exception, match="version_pos"):
+        t.update_where(F.col("id") == 1, {"version": F.lit(0)})
+    assert t.version() == v0
+    assert _rows(t.snapshot()) == {(1, "a", 1), (2, "b", 2)}
+    # carried rows are NOT re-validated: sneak a bad row in by weakening
+    # the constraint world, then update the OTHER row — must succeed
+    t.drop_constraint("version_pos")
+    t.merge(_df(spark, [(3, "bad", 0)]), ["version"])
+    t.add_constraint("version_pos2", "version >= 0")  # passes existing
+    t.update_where(F.col("id") == 2, {"val": F.lit("b2")})
+    assert (2, "b2", 2) in _rows(t.snapshot())
+
+
+def test_update_where_in_transaction_fuses(spark, tmp_path):
+    """update_where inside transaction(): records like any statement,
+    applies in order within the single fused rewrite, equals the
+    standalone statement sequence."""
+    rows = [(i, f"v{i}", 1) for i in range(12)]
+    ta = TxnTable.create(
+        spark, str(tmp_path / "a"), keys=["id"], schema=SCHEMA, n_buckets=3
+    )
+    ta.append(_df(spark, rows))
+    v0 = ta.version()
+    with ta.transaction():
+        ta.merge(_df(spark, [(0, "m0", 5), (20, "new", 5)]), ["version"])
+        ta.update_where(
+            F.col("version") >= 5, {"val": F.concat(F.col("val"), F.lit("!"))}
+        )
+        ta.delete_where(F.col("id") % 5 == 1, rewrite_all=True)
+    assert ta.version() == v0 + 1  # one fused commit
+
+    tb = TxnTable.create(
+        spark, str(tmp_path / "b"), keys=["id"], schema=SCHEMA, n_buckets=3
+    )
+    tb.append(_df(spark, rows))
+    tb.merge(_df(spark, [(0, "m0", 5), (20, "new", 5)]), ["version"])
+    tb.update_where(
+        F.col("version") >= 5, {"val": F.concat(F.col("val"), F.lit("!"))}
+    )
+    tb.delete_where(F.col("id") % 5 == 1, rewrite_all=True)
+    assert _rows(ta.snapshot()) == _rows(tb.snapshot())
+    assert (0, "m0!", 5) in _rows(ta.snapshot())
+
+
+def test_update_where_folds_into_scd2_sync(spark, tmp_path):
+    """An update commit reads as value versions in the SCD2 history,
+    and the incremental materializer folds it exactly."""
+    from knightshift_spark.sources.txntable import (
+        read_scd2,
+        sync_scd2_from_table,
+    )
+
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"), keys=["id"], schema=SCHEMA, n_buckets=2
+    )
+    path = str(tmp_path / "hist")
+    t.append(_df(spark, [(1, "a", 1), (2, "b", 1)]))
+    sync_scd2_from_table(t, path, n_buckets=4)
+    t.update_where(F.col("id") == 1, {"val": F.lit("a2"), "version": F.lit(2)})
+    sync_scd2_from_table(t, path, n_buckets=4)
+    from collections import Counter
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return Counter(
+            tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+        )
+
+    assert canon(read_scd2(spark, path)) == canon(t.scd2_history())
+    imgs = {
+        (r.id, r.val, r["__valid_from"], r["__valid_to"])
+        for r in read_scd2(spark, path).collect()
+    }
+    assert (1, "a", 1, 2) in imgs and (1, "a2", 2, None) in imgs
