@@ -1581,10 +1581,21 @@ class TxnTable:
                 # not rebase past an ADD it was never validated under
                 # (appends skip bucket checks, so this must be explicit),
                 # and an ADD must not rebase past data it never scanned.
-                # DROP is conflict-free: racers validated under the
-                # superset are stricter, never looser.
+                # DROP is conflict-free vs DATA writes: racers validated
+                # under the superset are stricter, never looser.
                 or other.get("op") == "add_constraint"
                 or (op == "add_constraint" and other.get("adds"))
+                # ...but constraint ops never rebase past EACH OTHER
+                # (review): a constraint commit publishes the FULL map
+                # computed at its read version, so rebasing past another
+                # add/drop would republish a stale map — silently
+                # resurrecting a dropped constraint or erasing a fresh
+                # one. Retry recomputes from fresh state.
+                or (
+                    op in ("add_constraint", "drop_constraint")
+                    and other.get("op")
+                    in ("add_constraint", "drop_constraint")
+                )
             )
             if conflict or (
                 op != "append" and set(other.get("buckets", [])) & set(buckets)
@@ -2564,15 +2575,17 @@ class TxnTable:
         CHECK constraints re-validate updated rows' NEW images in-plan
         (guard folded into the kept updated column); carried rows are
         not re-validated — the same rule maintenance rewrites follow."""
-        meta0 = self._txn.meta if self._txn is not None else self._state()[0]
-        news = self._check_update_sets(set_exprs, meta0)
         if self._txn is not None:
+            news = self._check_update_sets(set_exprs, self._txn.meta)
             ra = self._resolve_rewrite_all(
                 rewrite_all, range_hint, self._txn.active
             )
             self._txn.stmts.append(("update_where", cond, news, ra))
             return self._txn.read_v
+        # ONE log replay per statement (review): the SET probe reuses the
+        # same state the write plans against
         meta, active, read_v = self._state()
+        news = self._check_update_sets(set_exprs, meta)
         if not active:
             return read_v
         rewrite_all = self._resolve_rewrite_all(rewrite_all, range_hint, active)
@@ -2621,8 +2634,14 @@ class TxnTable:
                 p for p, a in active.items() if a["bucket"] in keep_set
             ]
             return self._commit("update", adds, removes, touched, read_v)
-        snap = self.snapshot()
-        hit = snap.filter(cond).withColumn(_BUCKET, bucket_expr)
+        # discovery straight off the known active file set — no second
+        # log replay via snapshot() (review)
+        hit = (
+            self.spark.read.schema(schema)
+            .parquet(*[os.path.join(self.path, p) for p in active])
+            .filter(cond)
+            .withColumn(_BUCKET, bucket_expr)
+        )
         touched = sorted(
             r[_BUCKET] for r in hit.select(_BUCKET).distinct().collect()
         )
@@ -3329,22 +3348,6 @@ class TxnTable:
         return v
 
 
-def _scd2_synced_version(history_path: str) -> int:
-    try:
-        with open(os.path.join(history_path, "_SYNCED_VERSION")) as f:
-            return int(f.read().strip())
-    except (OSError, ValueError):
-        return -1
-
-
-def _stamp_scd2_version(history_path: str, version: int) -> None:
-    os.makedirs(history_path, exist_ok=True)
-    tmp = os.path.join(history_path, "_SYNCED_VERSION.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(int(version)))
-    os.replace(tmp, os.path.join(history_path, "_SYNCED_VERSION"))
-
-
 def read_scd2(spark, history_path: str) -> DataFrame:
     """The materialized SCD2 history maintained by
     ``sync_scd2_from_table``: data columns + ``__valid_from`` /
@@ -3399,21 +3402,27 @@ def sync_scd2_from_table(
     An expired commit inside the range raises ``VacuumedVersionError``
     — unlike the matview there is no snapshot-rebuild fallback,
     because a gapless history needs every commit's row images."""
+    from knightshift_spark.sources.syncstate import (
+        check_n_buckets,
+        null_safe_key_eq,
+        read_sync_sidecar,
+        with_bucket,
+        write_sync_sidecar,
+    )
+
     spark = table.spark
     target = table.version()
-    cur = _scd2_synced_version(history_path)
+    cur, stamped_nb = read_sync_sidecar(history_path)
+    # modulus drift check BEFORE the no-op early return: a wrong
+    # n_buckets must fail loudly even on an already-synced history
+    check_n_buckets(stamped_nb, n_buckets, "SCD2 history")
     if cur >= target:
         return cur
     meta, _, _ = table._state(target)
     keys = meta["keys"]
 
     def _bucket(df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            "__bucket",
-            F.pmod(
-                F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
-            ).cast("int"),
-        )
+        return with_bucket(df, keys, n_buckets)
 
     have_data = os.path.isdir(history_path) and any(
         e.startswith("__bucket=") for e in os.listdir(history_path)
@@ -3435,12 +3444,12 @@ def sync_scd2_from_table(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        _stamp_scd2_version(history_path, target)
+        write_sync_sidecar(history_path, target, n_buckets)
         return target
 
     ev = table._scd2_events(cur, target)
     if ev is None:
-        _stamp_scd2_version(history_path, target)
+        write_sync_sidecar(history_path, target, n_buckets)
         return target
     # bounded by the range's changed rows; checkpointed because the
     # affected-key collect and the rewrite below both consume it
@@ -3468,21 +3477,16 @@ def sync_scd2_from_table(
         current = current.filter(~F.col("__bucket").isin(list(done)))
         touched = [b for b in touched if b not in done]
         if not touched:
-            _stamp_scd2_version(history_path, target)
+            write_sync_sidecar(history_path, target, n_buckets)
             return target
     aff_keys = ev.select(*keys).distinct()
 
-    # NULL-SAFE key matching: a NULL key is a real group in history
-    def _keys_eq(left: DataFrame, right: DataFrame):
-        cond = None
-        for k in keys:
-            c = left[k].eqNullSafe(right[k])
-            cond = c if cond is None else cond & c
-        return cond
-
-    affected = current.join(aff_keys, _keys_eq(current, aff_keys), "left_semi")
+    # NULL-SAFE key matching: a NULL key is a real key in history
+    affected = current.join(
+        aff_keys, null_safe_key_eq(current, aff_keys, keys), "left_semi"
+    )
     untouched = current.join(
-        aff_keys, _keys_eq(current, aff_keys), "left_anti"
+        aff_keys, null_safe_key_eq(current, aff_keys, keys), "left_anti"
     ).withColumn("__last_batch", F.lit(int(target)))
     closed = affected.filter(F.col("__valid_to").isNotNull()).drop(
         "__bucket", "__last_batch"
@@ -3515,7 +3519,7 @@ def sync_scd2_from_table(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    _stamp_scd2_version(history_path, target)
+    write_sync_sidecar(history_path, target, n_buckets)
     return target
 
 

@@ -97,11 +97,13 @@ def _merge_partials(df: DataFrame, keys: list[str]) -> DataFrame:
     return df.groupBy(*keys).agg(*aggs)
 
 
-def _with_bucket(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
-    return df.withColumn(
-        "__bucket",
-        F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int"),
-    )
+from knightshift_spark.sources.syncstate import (  # shared maintainer state
+    check_n_buckets,
+    null_safe_key_eq,
+    read_sync_sidecar,
+    with_bucket as _with_bucket,
+    write_sync_sidecar,
+)
 
 
 def merge_view_batch(
@@ -129,6 +131,12 @@ def merge_view_batch(
     their own ids)."""
     spark = batch.sparkSession
     bid = int(batch_id) if batch_id is not None else None
+    # modulus drift guard (r13 review): a merge under a different
+    # n_buckets than the view was built with hashes a group's new
+    # partials into a different partition than its stored ones —
+    # double rows per group, silently. _VIEW_META records the modulus.
+    _, stamped_nb = read_sync_sidecar(view_path, name="_VIEW_META")
+    check_n_buckets(stamped_nb, n_buckets, "partials view")
     # one aggregation pass, materialized once: the touched-bucket
     # collect AND the merge/write below reuse it (uncached, the groupBy
     # + HLL would run twice per micro-batch)
@@ -179,6 +187,8 @@ def merge_view_batch(
         merged.write.mode("overwrite").partitionBy("__bucket").parquet(view_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if stamped_nb is None:  # first write (or legacy view): adopt + record
+        write_sync_sidecar(view_path, -1, n_buckets, name="_VIEW_META")
 
 
 def read_view(spark: SparkSession, view_path: str) -> DataFrame:
@@ -219,22 +229,6 @@ def read_view(spark: SparkSession, view_path: str) -> DataFrame:
     return v.select(*sel)
 
 
-def _view_synced_version(view_path: str) -> int:
-    try:
-        with open(os.path.join(view_path, "_SYNCED_VERSION")) as f:
-            return int(f.read().strip())
-    except (OSError, ValueError):
-        return -1
-
-
-def _stamp_synced_version(view_path: str, version: int) -> None:
-    os.makedirs(view_path, exist_ok=True)
-    tmp = os.path.join(view_path, "_SYNCED_VERSION.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(int(version)))
-    os.replace(tmp, os.path.join(view_path, "_SYNCED_VERSION"))
-
-
 def sync_view_from_table(
     table,
     view_path: str,
@@ -273,7 +267,12 @@ def sync_view_from_table(
     full rebuild from the snapshot — the documented CDC resync rule."""
     spark = table.spark
     target = table.version()
-    cur = _view_synced_version(view_path)
+    cur, stamped_nb = read_sync_sidecar(view_path)
+    # modulus drift check BEFORE the no-op early return (r13 review): a
+    # catch-up under a different n_buckets would hash changed groups
+    # into different partitions than their stored partials — silent
+    # double rows per group
+    check_n_buckets(stamped_nb, n_buckets, "partials view")
     if cur >= target:
         return cur
     snap = table.snapshot(target)
@@ -298,7 +297,7 @@ def sync_view_from_table(
 
     if cur < 0:
         _full_rebuild()
-        _stamp_synced_version(view_path, target)
+        write_sync_sidecar(view_path, target, n_buckets)
         return target
     from knightshift_spark.sources.txntable import (
         RestoreInRangeError,
@@ -314,7 +313,7 @@ def sync_view_from_table(
         # refactors) surfaces instead of silently degrading every
         # scheduled sync into a full-table rescan
         _full_rebuild()
-        _stamp_synced_version(view_path, target)
+        write_sync_sidecar(view_path, target, n_buckets)
         return target
     aff = (
         _with_bucket(changes.select(*keys).distinct(), keys, n_buckets)
@@ -322,22 +321,15 @@ def sync_view_from_table(
     )
     touched = [r["__bucket"] for r in aff.select("__bucket").distinct().collect()]
     if not touched:
-        _stamp_synced_version(view_path, target)
+        write_sync_sidecar(view_path, target, n_buckets)
         return target
     # NULL-SAFE key matching throughout: a NULL group key is a real
     # group in the view (groupBy keeps it), and a plain equi-join would
     # silently never refresh or retire it
-    def _keys_eq(left, right):
-        cond = None
-        for k in keys:
-            c = left[k].eqNullSafe(right[k])
-            cond = c if cond is None else cond & c
-        return cond
-
     aff_keys = aff.select(*keys)
     new_parts = _with_bucket(
         _partials(
-            snap.join(aff_keys, _keys_eq(snap, aff_keys), "left_semi"),
+            snap.join(aff_keys, null_safe_key_eq(snap, aff_keys, keys), "left_semi"),
             keys,
             value_col,
         ),
@@ -364,10 +356,10 @@ def sync_view_from_table(
             current = current.filter(~F.col("__bucket").isin(list(done)))
             touched = [b for b in touched if b not in done]
             if not touched:
-                _stamp_synced_version(view_path, target)
+                write_sync_sidecar(view_path, target, n_buckets)
                 return target
         kept = current.join(
-            aff_keys, _keys_eq(current, aff_keys), "left_anti"
+            aff_keys, null_safe_key_eq(current, aff_keys, keys), "left_anti"
         ).withColumn("__last_batch", F.lit(int(target)))
         out = new_parts.unionByName(kept.select(new_parts.columns))
     out = out.localCheckpoint(eager=True)  # cut the read-overwrite lineage
@@ -391,7 +383,7 @@ def sync_view_from_table(
             shutil.rmtree(
                 os.path.join(view_path, f"__bucket={b}"), ignore_errors=True
             )
-    _stamp_synced_version(view_path, target)
+    write_sync_sidecar(view_path, target, n_buckets)
     return target
 
 

@@ -376,3 +376,39 @@ def test_multi_measure_cdc_sync(spark, tmp_path):
     ).collect()[0]
     g0 = {r["g"]: r for r in read_view(spark, view).collect()}[0]
     assert (g0["v_n"], g0["v_sum"], g0["v_min"], g0["v_max"]) == tuple(direct)
+
+
+def test_view_modulus_drift_refused(spark, tmp_path):
+    """r13 review: a merge or CDC sync under a different n_buckets than
+    the view was built with double-rows every group silently — both
+    maintainers refuse loudly via the recorded modulus."""
+    import pytest
+
+    view = str(tmp_path / "view")
+    merge_view_batch(_rows(spark, 0, 40), view, ["grp"], "v", n_buckets=8,
+                     batch_id=0)
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        merge_view_batch(_rows(spark, 40, 50), view, ["grp"], "v",
+                         n_buckets=16, batch_id=1)
+    merge_view_batch(_rows(spark, 40, 50), view, ["grp"], "v", n_buckets=8,
+                     batch_id=1)
+    got = {
+        r["grp"]: (r["n"], r["sum"], r["min"], r["max"])
+        for r in read_view(spark, view).collect()
+    }
+    assert got == _expected(spark, 50)
+
+    from knightshift_spark.sources.txntable import TxnTable
+    from knightshift_spark.streaming.matview import sync_view_from_table
+
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"), keys=["id"],
+        schema="id long, g int, v double", n_buckets=2,
+    )
+    t.append(spark.createDataFrame(
+        [(1, 0, 1.0), (2, 1, 2.0)], "id long, g int, v double"
+    ))
+    sv = str(tmp_path / "sview")
+    sync_view_from_table(t, sv, ["g"], "v", n_buckets=8)
+    with pytest.raises(ValueError, match="mixed-modulus"):
+        sync_view_from_table(t, sv, ["g"], "v", n_buckets=4)

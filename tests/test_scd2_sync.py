@@ -94,23 +94,56 @@ def test_fused_transaction_and_multi_commit_catchup(spark, tmp_path):
 
 
 def test_crash_replay_is_idempotent(spark, tmp_path):
-    """A crash AFTER the bucket overwrites but BEFORE the sidecar stamp
-    replays the whole range; buckets that already absorbed the target
-    version skip via the per-bucket __last_batch watermark and the
-    result is identical."""
+    """A crash AFTER some bucket overwrites but BEFORE the sidecar
+    stamp replays the whole range: buckets that already absorbed the
+    target version SKIP via the per-bucket __last_batch watermark (the
+    done path — exercised here by rewinding the sidecar while bucket
+    data stays at the target), stale buckets recompute, and the result
+    equals the full build. Also covers the all-done and no-sidecar
+    (full rebuild) shapes."""
+    import shutil
+
     t = TxnTable.create(
         spark, str(tmp_path / "t"), keys=["id"], schema=SCHEMA, n_buckets=2
     )
     path = str(tmp_path / "hist")
-    t.append(_df(spark, [(1, "a", 1), (2, "b", 1)]))
+    t.append(_df(spark, [(i, f"v{i}", 1) for i in range(12)]))
     sync_scd2_from_table(t, path, n_buckets=4)
-    t.merge(_df(spark, [(1, "a2", 2), (3, "c", 1)]), ["version"])
-    sync_scd2_from_table(t, path, n_buckets=4)
-    want = _canon(read_scd2(spark, t_path := path))
-    # simulate the crash: sidecar gone, bucket data already written
+    pre = str(tmp_path / "pre")
+    shutil.copytree(path, pre)  # the state a crashed sync started from
+    old_sidecar = open(os.path.join(path, "_SYNCED_VERSION")).read()
+    t.merge(
+        _df(spark, [(i, f"u{i}", 2) for i in range(0, 12, 2)]), ["version"]
+    )
+    assert sync_scd2_from_table(t, path, n_buckets=4) == t.version()
+    want = _canon(read_scd2(spark, path))
+
+    # crash shape 1 — ALL buckets written, stamp lost: rewind the
+    # sidecar only; the replay must take the done path for every bucket
+    with open(os.path.join(path, "_SYNCED_VERSION"), "w") as f:
+        f.write(old_sidecar)
+    assert sync_scd2_from_table(t, path, n_buckets=4) == t.version()
+    assert _canon(read_scd2(spark, path)) == want
+
+    # crash shape 2 — SOME buckets written: rewind the sidecar AND
+    # restore half the bucket dirs to their pre-sync state; done
+    # buckets skip, stale buckets recompute, and the result converges
+    with open(os.path.join(path, "_SYNCED_VERSION"), "w") as f:
+        f.write(old_sidecar)
+    buckets = sorted(
+        e for e in os.listdir(pre) if e.startswith("__bucket=")
+    )
+    assert len(buckets) >= 2  # the split below must leave both kinds
+    for b in buckets[: len(buckets) // 2]:
+        shutil.rmtree(os.path.join(path, b), ignore_errors=True)
+        shutil.copytree(os.path.join(pre, b), os.path.join(path, b))
+    assert sync_scd2_from_table(t, path, n_buckets=4) == t.version()
+    assert _canon(read_scd2(spark, path)) == want
+
+    # crash shape 3 — sidecar missing entirely: full rebuild, same end
     os.remove(os.path.join(path, "_SYNCED_VERSION"))
     assert sync_scd2_from_table(t, path, n_buckets=4) == t.version()
-    assert _canon(read_scd2(spark, t_path)) == want
+    assert _canon(read_scd2(spark, path)) == want
     assert _canon(read_scd2(spark, path)) == _canon(t.scd2_history())
 
 
@@ -206,3 +239,24 @@ def test_materialized_history_outlives_log_retention(spark, tmp_path):
     assert open_now == {
         (r.id, r.val, r.version) for r in t.snapshot().collect()
     }
+
+
+def test_n_buckets_drift_refused(spark, tmp_path):
+    """r13 review: a catch-up under a DIFFERENT bucket modulus than the
+    history was built with would scatter a key's rows across two
+    partitions and corrupt silently — refused loudly instead, even on
+    an already-synced history."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"), keys=["id"], schema=SCHEMA, n_buckets=2
+    )
+    path = str(tmp_path / "hist")
+    t.append(_df(spark, [(1, "a", 1)]))
+    sync_scd2_from_table(t, path, n_buckets=32)
+    with pytest.raises(ValueError, match="n_buckets=32"):
+        sync_scd2_from_table(t, path, n_buckets=64)  # no-op call: still checked
+    t.merge(_df(spark, [(1, "a2", 2)]), ["version"])
+    with pytest.raises(ValueError, match="mixed-modulus"):
+        sync_scd2_from_table(t, path, n_buckets=64)
+    # the original modulus keeps working
+    assert sync_scd2_from_table(t, path, n_buckets=32) == t.version()
+    assert _canon(read_scd2(spark, path)) == _canon(t.scd2_history())

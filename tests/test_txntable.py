@@ -2681,3 +2681,37 @@ def test_update_where_folds_into_scd2_sync(spark, tmp_path):
         for r in read_scd2(spark, path).collect()
     }
     assert (1, "a", 1, 2) in imgs and (1, "a2", 2, None) in imgs
+
+
+def test_constraint_ops_never_rebase_past_each_other(spark, tmp_path):
+    """r13 review: a constraint commit publishes the FULL map computed
+    at its read version — rebasing past another add/drop would
+    republish a stale map (silently resurrecting a dropped constraint).
+    Protocol-level: a loser constraint commit whose race winner was
+    also a constraint op must raise, never rebase."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"), keys=["id"], schema=SCHEMA, n_buckets=2,
+        constraints={"A": "version > 0", "B": "val IS NOT NULL"},
+    )
+    stale_read_v = t.version()  # 0
+    t.drop_constraint("B")      # v1 wins; live map {A}
+    # the loser: a drop_constraint('A') computed at read_v=0 — its map
+    # still contains B. Rebasing would resurrect B and erase A.
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(
+            "drop_constraint", [], [], [], stale_read_v,
+            extra={"constraints": {"B": "val IS NOT NULL"}},
+        )
+    assert t.constraints() == {"A": "version > 0"}
+    # same in the add direction: an add computed before the drop landed
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(
+            "add_constraint", [], [], [], stale_read_v,
+            extra={"constraints": {
+                "A": "version > 0", "B": "val IS NOT NULL", "C": "id >= 0",
+            }},
+        )
+    assert t.constraints() == {"A": "version > 0"}
+    # retry from fresh state lands cleanly
+    t.add_constraint("C", "id >= 0")
+    assert t.constraints() == {"A": "version > 0", "C": "id >= 0"}
