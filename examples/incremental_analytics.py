@@ -158,6 +158,12 @@ def main() -> None:
         delete_where=F.col("value") < 0,  # fused, never written
     )
     print(f"one-statement merge+delete landed as version {t.version()}")
+    # conditional UPDATE (r13): SET expressions see the PRE-image row
+    t.update_where(
+        F.col("event_type") == "signup",
+        {"value": F.col("value") * 1.1},
+    )
+    print(f"update_where landed as version {t.version()}")
 
     # 7. (r13) incremental SCD2: materialize the full row-image history
     # once, then each sync folds only the commits since the last one —
