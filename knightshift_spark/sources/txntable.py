@@ -2022,10 +2022,25 @@ class TxnTable:
             # merges sequentially — an N-batch transaction pays one
             # shuffle, not N (pinned by
             # test_transaction_fuses_consecutive_merges)
+            # a merge directly followed by ITS matched_delete must keep
+            # its own group: fused into an earlier batch, the __matched
+            # flag would misattribute matches (a key inserted by the
+            # earlier batch reads min(__src)>0 → "unmatched"; a key only
+            # the earlier batch touched reads "matched") — the clause
+            # binds to ONE batch. The other fusion direction is free:
+            # the matched_delete stmt itself always opens a new group.
+            no_fuse = {
+                i
+                for i, s in enumerate(st.stmts)
+                if s[0] == "merge"
+                and i + 1 < len(st.stmts)
+                and st.stmts[i + 1][0] == "matched_delete"
+            }
             groups: list[list[tuple]] = []
-            for s in st.stmts:
+            for i, s in enumerate(st.stmts):
                 if (
                     s[0] == "merge"
+                    and i not in no_fuse
                     and groups
                     and groups[-1][0][0] == "merge"
                     and groups[-1][0][3] == s[3]
@@ -2034,12 +2049,25 @@ class TxnTable:
                 else:
                     groups.append([s])
             # a matched_delete clause needs to know, per key, whether
-            # the merge matched a stored row — computed as min/max of
+            # ITS merge matched a stored row — computed as min/max of
             # __src over the (bucket, key) window INSIDE the same
             # bucket-clustered pass (HashPartitioning(bucket) satisfies
-            # the window's clustering; only an extra in-partition sort)
-            need_matched = any(s[0] == "matched_delete" for s in st.stmts)
-            for grp in groups:
+            # the window's clustering; only an extra in-partition sort).
+            # The flag is computed ONLY for a merge group whose NEXT
+            # group is its matched_delete (r13 review: a blanket flag
+            # leaked __matched into later merge-group unions, and a
+            # fused multi-merge group would misattribute "matched" —
+            # keys inserted by an earlier batch read min(__src)>0).
+            # Clause order guarantees adjacency: merge() records the
+            # matched_delete stmt immediately after its merge stmt, and
+            # a DIFFERENT following stmt would have split the group.
+            flag_groups = {
+                gi - 1
+                for gi in range(1, len(groups))
+                if groups[gi][0][0] == "matched_delete"
+                and groups[gi - 1][0][0] == "merge"
+            }
+            for gi, grp in enumerate(groups):
                 s = grp[0]
                 if s[0] == "merge":
                     order_by = s[3]
@@ -2053,7 +2081,7 @@ class TxnTable:
                     for u in upds:
                         both = both.unionByName(u)
                     both = both.repartition(n_buckets, F.col(_BUCKET))
-                    if need_matched:
+                    if gi in flag_groups:
                         wk = Window.partitionBy(
                             _BUCKET, *[F.col(k) for k in keys]
                         )
@@ -2213,9 +2241,11 @@ class TxnTable:
           never written at all.
 
         Both clauses compose with the merge into the transaction
-        machinery's single fused rewrite (``op="txn"``); inside an
-        explicit ``transaction()`` use separate statements instead
-        (the clauses raise there — statement order is the caller's).
+        machinery's single fused rewrite (``op="txn"``). Inside an
+        explicit ``transaction()`` they record as statements in clause
+        order (matched-delete, then the predicate delete) right after
+        the merge — identical semantics to the standalone call, fused
+        with the block's other statements into the one commit.
 
         Cost shape (r10): exactly TWO jobs per commit. Job 1 evaluates
         the update plan ONCE, staging it bucket-partitioned under
@@ -2232,17 +2262,26 @@ class TxnTable:
         fused commit."""
         if when_matched_delete is not None or delete_where is not None:
             if self._txn is not None:
-                raise RuntimeError(
-                    "merge clauses (when_matched_delete / delete_where) "
-                    "are already a fused transaction — inside "
-                    "transaction() use separate statements"
-                )
+                # inside an explicit transaction the clauses record as
+                # ordered statements (r13 follow-up — they used to
+                # raise); _commit_txn fuses them with everything else
+                st = self._txn
+                n0 = len(st.stmts)
+                self._record_merge(updates, list(order_by), evolve, txn)
+                # an empty update batch records no merge stmt — its
+                # matched_delete is vacuous and MUST not be appended
+                # (it would bind to an unrelated earlier merge)
+                if when_matched_delete is not None and len(st.stmts) > n0:
+                    st.stmts.append(("matched_delete", when_matched_delete))
+                if delete_where is not None:
+                    st.stmts.append(("delete_where", delete_where, True))
+                return st.read_v
             meta, active, read_v = self._state()
             st = _TxnState(meta, active, read_v)
             self._txn = st
             try:
                 self._record_merge(updates, list(order_by), evolve, txn)
-                if when_matched_delete is not None:
+                if when_matched_delete is not None and st.stmts:
                     st.stmts.append(("matched_delete", when_matched_delete))
                 if delete_where is not None:
                     st.stmts.append(("delete_where", delete_where, True))

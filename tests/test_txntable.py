@@ -2395,17 +2395,17 @@ def test_merge_when_matched_delete_clause(spark, tmp_path):
         # (3, ...) matched, post-image version 7: DELETED
         (4, "new", 7),   # not matched: inserted (cond does not gate inserts)
     }
-    # inside an explicit transaction the clauses raise — statement
-    # order is the caller's there
-    with pytest.raises(RuntimeError, match="fused transaction"):
-        with t.transaction():
-            t.merge(
-                _df(spark, [(9, "x", 1)]), ["version"],
-                delete_where=F.col("id") == 9,
-            )
-    # the failed transaction rolled back cleanly; table still writable
-    t.merge(_df(spark, [(9, "x", 1)]), ["version"])
-    assert (9, "x", 1) in _rows(t.snapshot())
+    # inside an explicit transaction the clauses COMPOSE as ordered
+    # statements (r13 follow-up — they used to raise): the insert rides
+    # the merge and the fused delete_where removes it in the same commit
+    v1 = t.version()
+    with t.transaction():
+        t.merge(
+            _df(spark, [(9, "x", 1)]), ["version"],
+            delete_where=F.col("id") == 9,
+        )
+    assert t.version() == v1 + 1
+    assert not any(r[0] == 9 for r in _rows(t.snapshot()))
 
 
 def test_constraint_lifecycle(spark, tmp_path):
@@ -2715,3 +2715,60 @@ def test_constraint_ops_never_rebase_past_each_other(spark, tmp_path):
     # retry from fresh state lands cleanly
     t.add_constraint("C", "id >= 0")
     assert t.constraints() == {"A": "version > 0", "C": "id >= 0"}
+
+
+def test_merge_clauses_inside_transaction(spark, tmp_path):
+    """r13 follow-up: merge clauses compose inside an explicit
+    transaction() as ordered statements, equal to the standalone
+    sequence — including the tricky shape where a PLAIN merge with the
+    same order_by precedes the clause merge (the clause merge must not
+    fuse into it: matched-ness binds to ONE batch)."""
+    rows = [(i, f"v{i}", 1) for i in range(10)]
+    # batch1 inserts key 20 and updates key 0; batch2 (clause) matches
+    # keys {0 (already updated), 20 (inserted by batch1), 21 (new)}.
+    b1 = [(0, "b1-0", 5), (20, "b1-20", 5)]
+    b2 = [(0, "b2-0", 9), (20, "b2-20", 9), (21, "b2-21", 9)]
+    clause = F.col("version") == 9  # post-image of every b2 match
+
+    ta = TxnTable.create(
+        spark, str(tmp_path / "a"), keys=["id"], schema=SCHEMA, n_buckets=4
+    )
+    ta.append(_df(spark, rows))
+    v0 = ta.version()
+    with ta.transaction():
+        ta.merge(_df(spark, b1), ["version"])
+        ta.merge(
+            _df(spark, b2), ["version"],
+            when_matched_delete=clause,
+            delete_where=F.col("id") % 7 == 3,
+        )
+    assert ta.version() == v0 + 1  # ONE fused commit
+
+    tb = TxnTable.create(
+        spark, str(tmp_path / "b"), keys=["id"], schema=SCHEMA, n_buckets=4
+    )
+    tb.append(_df(spark, rows))
+    tb.merge(_df(spark, b1), ["version"])
+    tb.merge(
+        _df(spark, b2), ["version"],
+        when_matched_delete=clause,
+        delete_where=F.col("id") % 7 == 3,
+    )
+    got = _rows(ta.snapshot())
+    assert got == _rows(tb.snapshot())
+    # matched-ness bound to batch2 against the post-batch1 state:
+    # 0 matched (updated by b1 earlier, then by b2) -> deleted
+    # 20 matched (INSERTED by b1, so live when b2 ran) -> deleted
+    # 21 not matched -> inserted and survives
+    assert (21, "b2-21", 9) in got
+    assert not any(r[0] in (0, 20) for r in got)
+    assert not any(r[0] % 7 == 3 for r in got)  # the fused delete_where
+    # an EMPTY clause batch is a no-op (its matched_delete must not
+    # bind to an unrelated earlier merge)
+    with ta.transaction():
+        ta.merge(_df(spark, [(1, "u1", 9)]), ["version"])
+        ta.merge(
+            _df(spark, []), ["version"],
+            when_matched_delete=F.col("version") == 9,
+        )
+    assert (1, "u1", 9) in _rows(ta.snapshot())
