@@ -2479,8 +2479,14 @@ class TxnTable:
                 p for p, a in active.items() if a["bucket"] in keep_set
             ]
             return self._commit("delete", adds, removes, touched, read_v)
-        snap = self.snapshot()
-        hit = snap.filter(cond).withColumn(_BUCKET, bucket_expr)
+        # discovery straight off the known active file set — no second
+        # log replay via snapshot() (r13, same fix as update_where)
+        hit = (
+            self.spark.read.schema(schema)
+            .parquet(*[os.path.join(self.path, p) for p in active])
+            .filter(cond)
+            .withColumn(_BUCKET, bucket_expr)
+        )
         touched = sorted(r[_BUCKET] for r in hit.select(_BUCKET).distinct().collect())
         if not touched:
             return read_v
