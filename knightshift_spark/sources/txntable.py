@@ -288,6 +288,91 @@ _ZORDERABLE = (
 )
 
 
+_BLOOM_K = 5  # double-hashed probe count (Kirsch–Mitzenmacher)
+
+
+def _bloom_positions(canon: str, bits: int) -> list[int]:
+    """Bit positions for a canonical value string — md5-derived double
+    hashing, identical on the write (executor) and probe (driver)
+    sides. Canonical form is Spark's ``cast(string)`` rendering, which
+    for the permitted bloom column types (string/integral) equals
+    Python's ``str()``."""
+    import hashlib
+
+    d = hashlib.md5(canon.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:16], "little") | 1
+    return [(h1 + i * h2) % bits for i in range(_BLOOM_K)]
+
+
+def _bloom_maybe_contains(b64: str, canon: str, bits: int) -> bool:
+    import base64
+
+    bm = base64.b64decode(b64)
+    return all(
+        bm[p >> 3] & (1 << (p & 7)) for p in _bloom_positions(canon, bits)
+    )
+
+
+def _compute_blooms(spark, out_dir: str, cols: list, bits: int) -> dict:
+    """Per-(file, col) bloom bitmaps for every parquet file under
+    ``out_dir`` — ONE distributed pass over the just-written bytes
+    (mapInPandas partial bitmaps per task, OR-merged on the driver;
+    driver traffic = n_partials × bits/8, metadata-sized). Values are
+    canonicalized by Spark's ``cast(string)`` BEFORE reaching Python,
+    so pandas' int-with-nulls float coercion can never change the
+    hashed rendering."""
+    import numpy as np
+    import pandas as pd
+
+    nbytes = bits >> 3
+    sel = [F.input_file_name().alias("__file")] + [
+        F.col(c).cast("string").alias(c) for c in cols
+    ]
+    df = spark.read.parquet(out_dir).select(*sel)
+
+    def gen(batches):
+        import hashlib as _hl
+
+        for pdf in batches:
+            acc: dict = {}
+            for fname, grp in pdf.groupby("__file"):
+                for c in cols:
+                    bm = acc.get((fname, c))
+                    if bm is None:
+                        bm = acc[(fname, c)] = np.zeros(nbytes, dtype=np.uint8)
+                    for v in grp[c].dropna().unique():
+                        d = _hl.md5(str(v).encode("utf-8")).digest()
+                        h1 = int.from_bytes(d[:8], "little")
+                        h2 = int.from_bytes(d[8:16], "little") | 1
+                        for i in range(_BLOOM_K):
+                            pos = (h1 + i * h2) % bits
+                            bm[pos >> 3] |= np.uint8(1 << (pos & 7))
+            if acc:
+                keys = list(acc)
+                yield pd.DataFrame(
+                    {
+                        "file": [f for f, _ in keys],
+                        "col": [c for _, c in keys],
+                        "bloom": [acc[kk].tobytes() for kk in keys],
+                    }
+                )
+
+    rows = df.mapInPandas(gen, "file string, col string, bloom binary").collect()
+    merged: dict = {}
+    for r in rows:
+        f = r["file"]
+        if f.startswith("file://"):
+            f = f[7:]
+        key = (f, r["col"])
+        prev = merged.get(key)
+        b = bytes(r["bloom"])
+        merged[key] = b if prev is None else bytes(
+            x | y for x, y in zip(prev, b)
+        )
+    return merged
+
+
 def _resolve_constraint_expr(spark, schema, cname: str, expr) -> None:
     """Reject a CHECK expression that doesn't resolve as a per-row
     boolean against the table schema — probed in the SAME shape
@@ -454,6 +539,8 @@ class TxnTable:
         target_file_rows: int | None = None,
         constraints: dict[str, str] | None = None,
         backend: CommitBackend | None = None,
+        bloom_cols: Sequence[str] | None = None,
+        bloom_bits: int = 4096,
     ) -> "TxnTable":
         """Commit 0 records the table contract: merge key, bucket count,
         column schema, and the columns every data file carries min/max
@@ -498,6 +585,40 @@ class TxnTable:
         if constraints:
             for cname, expr in constraints.items():
                 _resolve_constraint_expr(spark, schema, cname, expr)
+        if bloom_cols:
+            # bloom skipping (r13, Delta's bloom-filter-index shape):
+            # string/integral columns only — their Spark cast(string)
+            # rendering is canonical and equals Python's str(), so the
+            # probe can never hash differently from the writer (a float
+            # or timestamp rendering drift would be a FALSE NEGATIVE —
+            # a wrongly skipped file — which unlike a false positive is
+            # a correctness bug)
+            from pyspark.sql.types import (
+                ByteType,
+                IntegerType,
+                LongType,
+                ShortType,
+                StringType,
+            )
+
+            by_name = {f.name: f for f in schema.fields}
+            for c in bloom_cols:
+                f = by_name.get(c)
+                if f is None:
+                    raise ValueError(
+                        f"bloom column {c!r} is not in the table schema"
+                    )
+                if not isinstance(
+                    f.dataType,
+                    (StringType, LongType, IntegerType, ShortType, ByteType),
+                ):
+                    raise ValueError(
+                        f"bloom_cols supports string/integer columns only "
+                        f"({c} is {f.dataType.simpleString()}) — other "
+                        "types have no canonical cross-side rendering"
+                    )
+            if int(bloom_bits) % 8 or int(bloom_bits) < 64:
+                raise ValueError("bloom_bits must be a multiple of 8, >= 64")
         if stats_cols is None:
             stats_cols = list(keys) + [
                 c for c in (zorder_cols or []) if c not in keys
@@ -514,6 +635,8 @@ class TxnTable:
             "zorder_bounds": {k: list(v) for k, v in (zorder_bounds or {}).items()},
             "target_file_rows": target_file_rows,
             "constraints": {k: str(v) for k, v in (constraints or {}).items()},
+            "bloom_cols": list(bloom_cols) if bloom_cols else [],
+            "bloom_bits": int(bloom_bits),
             "adds": [],
             "removes": [],
             "buckets": [],
@@ -618,6 +741,8 @@ class TxnTable:
                 meta["zorder_bounds"] = c.get("zorder_bounds", {})
                 meta["target_file_rows"] = c.get("target_file_rows")
                 meta["constraints"] = c.get("constraints", {})
+                meta["bloom_cols"] = c.get("bloom_cols", [])
+                meta["bloom_bits"] = int(c.get("bloom_bits", 4096))
             elif c.get("schema"):  # schema evolution rides its commit
                 meta["schema"] = c["schema"]
             elif c.get("n_buckets") is not None and c["op"] in (
@@ -905,6 +1030,79 @@ class TxnTable:
         if hi is not None:
             df = df.filter(F.col(col) <= F.lit(hi))
         return df
+
+    def _paths_for_eq(self, col: str, value, version: int | None = None) -> list[str]:
+        """The data paths that can contain ``col == value`` — footer
+        min/max range check AND, for ``bloom_cols``, the per-file/dir
+        bloom probe. Separated from ``snapshot_eq`` so tests can count
+        what a point query actually opens. Missing stats or blooms read
+        (never-wrong rule); a bloom hit may be a false positive (the
+        final filter rechecks), never a false negative (the canonical
+        rendering is pinned by construction to string/integral
+        columns)."""
+        meta, active, _ = self._state(version)
+        bits = int(meta.get("bloom_bits", 4096))
+        canon = str(value) if col in (meta.get("bloom_cols") or []) else None
+
+        def stats_ok(st) -> bool:
+            if st is None:
+                return True
+            try:
+                return st[0] <= value and value <= st[1]
+            except TypeError:
+                return True  # incomparable stats: must read
+
+        def bloom_ok(bl) -> bool:
+            if canon is None or not bl or col not in bl:
+                return True
+            return _bloom_maybe_contains(bl[col], canon, bits)
+
+        paths: list[str] = []
+        for p, a in active.items():
+            if not (
+                stats_ok((a.get("stats") or {}).get(col))
+                and bloom_ok(a.get("bloom"))
+            ):
+                continue  # pruned: never opened
+            if not os.path.isdir(os.path.join(self.path, p)):
+                raise VacuumedVersionError(f"snapshot files vacuumed: {p}")
+            files = a.get("files")
+            if files:
+                for fe in files:
+                    if stats_ok((fe.get("stats") or {}).get(col)) and bloom_ok(
+                        fe.get("bloom")
+                    ):
+                        paths.append(os.path.join(self.path, p, fe["name"]))
+            else:
+                paths.append(os.path.join(self.path, p))
+        return paths
+
+    def snapshot_eq(self, col: str, value, version: int | None = None) -> DataFrame:
+        """``snapshot()`` restricted to ``col == value`` with FILE
+        skipping on a point predicate: footer min/max prune the range,
+        and — when the table declares ``bloom_cols`` (r13, Delta's
+        bloom-filter-index shape) — per-file bloom bitmaps prune files
+        whose value SET cannot contain the probe, which min/max alone
+        cannot do on an unsorted high-cardinality column (every file's
+        range straddles every value). Skipping is an optimization,
+        never a correctness dependency: surviving files are re-filtered
+        exactly, so a bloom false positive costs a read, and false
+        negatives cannot occur (write and probe share one canonical
+        rendering, enforced by ``create()``'s bloom column type rule)."""
+        if value is None:
+            raise ValueError(
+                "snapshot_eq(col, None) would match nothing — SQL "
+                "equality never matches NULL; filter IS NULL explicitly"
+            )
+        meta, _, _ = self._state(version)
+        paths = self._paths_for_eq(col, value, version)
+        if not paths:
+            return self.spark.createDataFrame([], self._schema(meta))
+        return (
+            self.spark.read.schema(self._schema(meta))
+            .parquet(*paths)
+            .filter(F.col(col) == F.lit(value))
+        )
 
     def table_changes(
         self,
@@ -1407,6 +1605,45 @@ class TxnTable:
                 adds.append(entry)
         if not adds:  # empty write: nothing to publish, drop the dir
             shutil.rmtree(out)
+            return adds
+        bcols = list(meta.get("bloom_cols") or [])
+        if bcols:
+            # bloom skipping (r13): one distributed pass over the bytes
+            # just written computes per-(file, col) bitmaps; entries
+            # carry them base64 in the commit (bits/8 bytes per file per
+            # column). Every rewrite path funnels through here, so
+            # merge/compact/rebucket outputs re-index automatically.
+            import base64
+
+            bits = int(meta.get("bloom_bits", 4096))
+            blooms = _compute_blooms(df.sparkSession, out, bcols, bits)
+            by_dir: dict[str, dict[str, dict[str, bytes]]] = {}
+            for (fpath, c), bm in blooms.items():
+                d, fname = os.path.dirname(fpath), os.path.basename(fpath)
+                by_dir.setdefault(d, {}).setdefault(fname, {})[c] = bm
+            for entry in adds:
+                dir_abs = os.path.join(self.path, entry["path"])
+                files = by_dir.get(dir_abs, {})
+                if not files:
+                    continue
+                dir_or: dict[str, bytes] = {}
+                for fname, cols_bm in files.items():
+                    for c, bm in cols_bm.items():
+                        prev = dir_or.get(c)
+                        dir_or[c] = bm if prev is None else bytes(
+                            x | y for x, y in zip(prev, bm)
+                        )
+                entry["bloom"] = {
+                    c: base64.b64encode(bm).decode("ascii")
+                    for c, bm in dir_or.items()
+                }
+                for fe in entry.get("files", []):
+                    cols_bm = files.get(fe["name"])
+                    if cols_bm:
+                        fe["bloom"] = {
+                            c: base64.b64encode(bm).decode("ascii")
+                            for c, bm in cols_bm.items()
+                        }
         return adds
 
     def _write_data(
