@@ -24,6 +24,17 @@ Storage over Cloud Object Stores*, VLDB 2020 — public knowledge):
   and either rebases (disjoint key buckets) or raises
   ``ConcurrentWriteError`` (overlap).
 
+Deletion vectors (r13, Delta's merge-on-read shape — Armbrust et al.
+§4.3 evolved into Delta's DV feature, public docs/protocol): tables
+created with ``deletion_vectors=True`` (or per-statement overrides)
+run ``delete_where``/``update_where`` as position-mask commits — the
+matched rows' (file, row_index) pairs land as a small parquet position
+dataset and the touched entries re-commit with a ``dv`` reference;
+no data file moves. Readers anti-join the mask (broadcast at typical
+sizes); merges, compaction and rebucketing materialize and clear it;
+CDC diffs DV commits exactly. Deleting 0.1% of a 100 TB table writes
+kilobytes instead of rewriting every touched bucket.
+
 Scale shape (100 TB): rows are hash-bucketed on the merge key
 (``pmod(xxhash64(keys), n_buckets)``) and every data directory is owned
 by exactly one bucket, so MERGE/DELETE rewrite only the buckets their
@@ -56,6 +67,16 @@ _STAGING_DIR = "_staging"
 _BUCKET = "__bucket"
 _SRC = "__src"
 _CHECKPOINT_EVERY = 20
+# deletion vectors (r13, Delta's merge-on-read shape): per-entry chains
+# of position datasets anti-joined at read time. Chains longer than
+# _DV_PURGE_CHAIN make compact()/maintenance flag the bucket for a
+# materializing rewrite; DV sides whose recorded row totals stay under
+# _DV_BROADCAST_ROWS are broadcast into the anti-join (position sets
+# are metadata-scale next to the data they mask).
+_DV_FILE = "__dv_file"
+_DV_POS = "__dv_pos"
+_DV_PURGE_CHAIN = 4
+_DV_BROADCAST_ROWS = 2_000_000
 
 # staging dirs a live writer in THIS process is still reading: vacuum's
 # staging sweep skips them even past the retention window (ADVICE r10 —
@@ -541,6 +562,7 @@ class TxnTable:
         backend: CommitBackend | None = None,
         bloom_cols: Sequence[str] | None = None,
         bloom_bits: int = 4096,
+        deletion_vectors: bool = False,
     ) -> "TxnTable":
         """Commit 0 records the table contract: merge key, bucket count,
         column schema, and the columns every data file carries min/max
@@ -575,7 +597,18 @@ class TxnTable:
         NULL evaluations count as violations (ANSI CHECK treats
         unknown as pass; here unknown data in a guarded column is
         exactly what the guard exists to stop). Constraints are fixed
-        at create() and apply to all later writes."""
+        at create() and apply to all later writes.
+
+        ``deletion_vectors=True`` (r13, Delta's merge-on-read shape)
+        makes ``delete_where``/``update_where`` default to DELETION
+        VECTORS instead of copy-on-write bucket rewrites: matched row
+        POSITIONS are written as a small position dataset and the
+        touched files are re-committed with a ``dv`` reference —
+        deleting 0.1% of a 100 TB table writes kilobytes of positions
+        instead of rewriting every touched bucket. Readers anti-join
+        the positions on (file, row_index); merge/compact/rebucket
+        rewrites materialize and clear them. Per-statement
+        ``deletion_vectors=`` overrides the table default either way."""
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         if isinstance(schema, str):
@@ -637,6 +670,7 @@ class TxnTable:
             "constraints": {k: str(v) for k, v in (constraints or {}).items()},
             "bloom_cols": list(bloom_cols) if bloom_cols else [],
             "bloom_bits": int(bloom_bits),
+            "deletion_vectors": bool(deletion_vectors),
             "adds": [],
             "removes": [],
             "buckets": [],
@@ -743,6 +777,7 @@ class TxnTable:
                 meta["constraints"] = c.get("constraints", {})
                 meta["bloom_cols"] = c.get("bloom_cols", [])
                 meta["bloom_bits"] = int(c.get("bloom_bits", 4096))
+                meta["dv_default"] = bool(c.get("deletion_vectors", False))
             elif c.get("schema"):  # schema evolution rides its commit
                 meta["schema"] = c["schema"]
             elif c.get("n_buckets") is not None and c["op"] in (
@@ -948,6 +983,127 @@ class TxnTable:
     def _schema(self, meta: dict) -> StructType:
         return StructType.fromJson(json.loads(meta["schema"]))
 
+    def _read_dv(self, rels: list[str], total_rows: int) -> DataFrame:
+        """The union of position datasets ``rels`` as (__kf = file key,
+        __kp = row index) — the anti-join build side of a DV-masked
+        read. A missing dv directory raises ``VacuumedVersionError``
+        LOUDLY: silently reading the data file without its mask would
+        resurrect deleted rows, the one failure direction a deletion
+        vector must never have. Broadcast when the entries' recorded
+        position totals (commit-log metadata, no job) stay small."""
+        paths = []
+        for rel in rels:
+            p = os.path.join(self.path, rel)
+            if not os.path.isdir(p):
+                raise VacuumedVersionError(
+                    f"deletion-vector files vacuumed: {rel} — reading "
+                    "the masked data without them would resurrect "
+                    "deleted rows"
+                )
+            paths.append(p)
+        dv = (
+            self.spark.read.schema("f string, p bigint")
+            .parquet(*paths)
+            .select(F.col("f").alias("__kf"), F.col("p").alias("__kp"))
+        )
+        return F.broadcast(dv) if total_rows <= _DV_BROADCAST_ROWS else dv
+
+    def _read_entries(
+        self, meta: dict, items: list[tuple[str, dict]], with_meta: bool = False
+    ) -> DataFrame:
+        """Read add entries with their DELETION VECTORS applied (r13,
+        Delta's merge-on-read shape) — the one funnel every base-data
+        read goes through, so no path (snapshot, merge rewrite, CDC
+        diff, constraint scan, compaction) can resurrect DV-deleted
+        rows. ``items`` is (absolute data path, owning add entry); the
+        path may be the entry's bucket directory or an individual
+        stats-pruned file inside it.
+
+        Entries without a ``dv`` read plain (no generated-metadata
+        columns, full pushdown). Entries with one read with
+        ``_metadata.file_path``/``row_index`` and LEFT ANTI join the
+        union of their position datasets. The file key is the LAST
+        THREE path components (``<uuid>/__bucket=N/<name>``) — bare
+        file names are NOT unique (one write task reuses its part file
+        name across every bucket directory it fills), while the
+        uuid-rooted relative path is, and it survives the table being
+        relocated (no absolute-URI prefix baked into positions).
+        Positions are absolute within the file regardless of pushed
+        filters, and the join broadcasts whenever the recorded
+        position totals are small, so the masked read costs one
+        broadcast-hash-anti per scan. ``with_meta=True`` keeps
+        (__dv_file, __dv_pos) on EVERY row — the DV write path's
+        input."""
+        schema = self._schema(meta)
+        plain: list[str] = []
+        dved: list[str] = []
+        dv_rels: list[str] = []
+        seen: set[str] = set()
+        dv_rows = 0
+        for path, a in items:
+            d = a.get("dv")
+            if d:
+                dved.append(path)
+                for rel in d["paths"]:
+                    if rel not in seen:
+                        seen.add(rel)
+                        dv_rels.append(rel)
+                dv_rows += int(d.get("rows", 0))
+            else:
+                plain.append(path)
+
+        def rd(paths: list[str], need_meta: bool) -> DataFrame:
+            df = self.spark.read.schema(schema).parquet(*paths)
+            if need_meta:
+                df = df.select(
+                    "*",
+                    F.substring_index(
+                        F.col("_metadata.file_path"), "/", -3
+                    ).alias(_DV_FILE),
+                    F.col("_metadata.row_index").alias(_DV_POS),
+                )
+            return df
+
+        parts: list[DataFrame] = []
+        if plain:
+            parts.append(rd(plain, with_meta))
+        if dved:
+            dv = self._read_dv(dv_rels, dv_rows)
+            masked = rd(dved, True).join(
+                dv,
+                (F.col(_DV_FILE) == F.col("__kf"))
+                & (F.col(_DV_POS) == F.col("__kp")),
+                "left_anti",
+            )
+            if not with_meta:
+                masked = masked.drop(_DV_FILE, _DV_POS)
+            parts.append(masked)
+        if not parts:
+            out = self.spark.createDataFrame([], schema)
+            if with_meta:
+                out = out.select(
+                    "*",
+                    F.lit(None).cast("string").alias(_DV_FILE),
+                    F.lit(None).cast("bigint").alias(_DV_POS),
+                )
+            return out
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _active_items(
+        self, active: dict[str, dict], buckets: set | None = None
+    ) -> list[tuple[str, dict]]:
+        """(absolute path, entry) pairs for the active set, optionally
+        restricted to a bucket set — the common shape every rewrite
+        path feeds ``_read_entries``."""
+        return [
+            (os.path.join(self.path, p), a)
+            for p, a in active.items()
+            if buckets is None or a["bucket"] in buckets
+        ]
+
     def snapshot(self, version: int | None = None) -> DataFrame:
         """The table as of ``version`` (default: latest). Reads exactly
         the live files of that snapshot — writers never disturb it.
@@ -965,15 +1121,15 @@ class TxnTable:
         missing = [p for p in paths if not os.path.isdir(p)]
         if missing:
             raise VacuumedVersionError(f"snapshot files vacuumed: {missing[:3]}")
-        return self.spark.read.schema(self._schema(meta)).parquet(*paths)
+        return self._read_entries(meta, self._active_items(active))
 
-    def _paths_for_range(
+    def _items_for_range(
         self, col: str, lo, hi, version: int | None = None
-    ) -> list[str]:
-        """The data paths (bucket dirs, or individual files where
-        per-file stats exist) that can intersect ``lo <= col <= hi`` —
-        the pruning half of ``snapshot_where``, separated so tests and
-        tooling can count what a range scan would actually open."""
+    ) -> list[tuple[str, dict]]:
+        """(path, owning entry) pairs that can intersect ``lo <= col <=
+        hi`` — bucket dirs, or individual files where per-file stats
+        exist; the entry rides along so the read applies its deletion
+        vector."""
 
         def overlaps(st) -> bool:
             if st is None:
@@ -985,7 +1141,7 @@ class TxnTable:
             return True
 
         _, active, _ = self._state(version)
-        paths: list[str] = []
+        items: list[tuple[str, dict]] = []
         for p, a in active.items():
             if not overlaps((a.get("stats") or {}).get(col)):
                 continue  # pruned: never opened, may even be gone
@@ -995,10 +1151,20 @@ class TxnTable:
             if files:
                 for fe in files:
                     if overlaps((fe.get("stats") or {}).get(col)):
-                        paths.append(os.path.join(self.path, p, fe["name"]))
+                        items.append(
+                            (os.path.join(self.path, p, fe["name"]), a)
+                        )
             else:
-                paths.append(os.path.join(self.path, p))
-        return paths
+                items.append((os.path.join(self.path, p), a))
+        return items
+
+    def _paths_for_range(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> list[str]:
+        """The data paths a range scan would actually open — the
+        pruning half of ``snapshot_where``, separated so tests and
+        tooling can count them."""
+        return [p for p, _ in self._items_for_range(col, lo, hi, version)]
 
     def snapshot_where(
         self,
@@ -1021,21 +1187,22 @@ class TxnTable:
         ``zorder_cols``) — a range on a second z column skips curve
         segments inside every bucket, not just whole buckets."""
         meta, _, _ = self._state(version)
-        paths = self._paths_for_range(col, lo, hi, version)
-        if not paths:
+        items = self._items_for_range(col, lo, hi, version)
+        if not items:
             return self.spark.createDataFrame([], self._schema(meta))
-        df = self.spark.read.schema(self._schema(meta)).parquet(*paths)
+        df = self._read_entries(meta, items)
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
             df = df.filter(F.col(col) <= F.lit(hi))
         return df
 
-    def _paths_for_eq(self, col: str, value, version: int | None = None) -> list[str]:
-        """The data paths that can contain ``col == value`` — footer
-        min/max range check AND, for ``bloom_cols``, the per-file/dir
-        bloom probe. Separated from ``snapshot_eq`` so tests can count
-        what a point query actually opens. Missing stats or blooms read
+    def _items_for_eq(
+        self, col: str, value, version: int | None = None
+    ) -> list[tuple[str, dict]]:
+        """(path, owning entry) pairs that can contain ``col == value``
+        — footer min/max range check AND, for ``bloom_cols``, the
+        per-file/dir bloom probe. Missing stats or blooms read
         (never-wrong rule); a bloom hit may be a false positive (the
         final filter rechecks), never a false negative (the canonical
         rendering is pinned by construction to string/integral
@@ -1057,7 +1224,7 @@ class TxnTable:
                 return True
             return _bloom_maybe_contains(bl[col], canon, bits)
 
-        paths: list[str] = []
+        items: list[tuple[str, dict]] = []
         for p, a in active.items():
             if not (
                 stats_ok((a.get("stats") or {}).get(col))
@@ -1072,10 +1239,17 @@ class TxnTable:
                     if stats_ok((fe.get("stats") or {}).get(col)) and bloom_ok(
                         fe.get("bloom")
                     ):
-                        paths.append(os.path.join(self.path, p, fe["name"]))
+                        items.append(
+                            (os.path.join(self.path, p, fe["name"]), a)
+                        )
             else:
-                paths.append(os.path.join(self.path, p))
-        return paths
+                items.append((os.path.join(self.path, p), a))
+        return items
+
+    def _paths_for_eq(self, col: str, value, version: int | None = None) -> list[str]:
+        """The data paths a point query would actually open — separated
+        from ``snapshot_eq`` so tests can count them."""
+        return [p for p, _ in self._items_for_eq(col, value, version)]
 
     def snapshot_eq(self, col: str, value, version: int | None = None) -> DataFrame:
         """``snapshot()`` restricted to ``col == value`` with FILE
@@ -1095,13 +1269,11 @@ class TxnTable:
                 "equality never matches NULL; filter IS NULL explicitly"
             )
         meta, _, _ = self._state(version)
-        paths = self._paths_for_eq(col, value, version)
-        if not paths:
+        items = self._items_for_eq(col, value, version)
+        if not items:
             return self.spark.createDataFrame([], self._schema(meta))
-        return (
-            self.spark.read.schema(self._schema(meta))
-            .parquet(*paths)
-            .filter(F.col(col) == F.lit(value))
+        return self._read_entries(meta, items).filter(
+            F.col(col) == F.lit(value)
         )
 
     def table_changes(
@@ -1165,8 +1337,62 @@ class TxnTable:
                 )
             if c["op"] not in ("append", "merge", "delete", "txn", "update"):
                 continue
+            if c.get("mode") == "dv":
+                # a DV commit re-adds its touched entries with extended
+                # deletion vectors, moving no files: the add side is
+                # their POST-state (surviving rows, DV-masked — a
+                # consumer must never see deleted rows as written
+                # data); the remove side is the same files' PRE-state
+                # under the previous version's entries, so deleted keys
+                # appear exactly once, tagged remove. Costs one extra
+                # checkpoint-bounded state replay per DV commit.
+                sides_i = [
+                    (
+                        "add",
+                        [
+                            (os.path.join(self.path, a["path"]), a)
+                            for a in c["adds"]
+                        ],
+                    )
+                ]
+                if include_removed:
+                    prev = self._state(v - 1)[1]
+                    sides_i.append(
+                        (
+                            "remove",
+                            [
+                                (
+                                    os.path.join(self.path, a["path"]),
+                                    prev[a["path"]],
+                                )
+                                for a in c["adds"]
+                                if a["path"] in prev
+                            ],
+                        )
+                    )
+                for source, its in sides_i:
+                    missing = [p for p, _ in its if not os.path.isdir(p)]
+                    if missing:
+                        raise VacuumedVersionError(
+                            f"commit {v} files vacuumed; changes before "
+                            "the vacuum horizon are gone"
+                        )
+                    if not its:
+                        continue
+                    part = self._read_entries(meta, its).withColumn(
+                        "_commit_version", F.lit(v).cast("bigint")
+                    )
+                    if include_removed:
+                        part = part.withColumn("_change_source", F.lit(source))
+                    out = part if out is None else out.unionByName(part)
+                continue
             sides = [("add", [a["path"] for a in c["adds"]])]
             if include_removed:
+                # file-granular pre-images: a removed file that carried
+                # a DV from an EARLIER commit re-emits its masked rows
+                # too — consumers of this feed recompute by key (the
+                # matview rule), so over-emission is tolerated here;
+                # row_changes() is the exact per-row feed.
                 sides.append(("remove", list(c.get("removes") or [])))
             for source, rels in sides:
                 paths = [os.path.join(self.path, p) for p in rels]
@@ -1228,25 +1454,40 @@ class TxnTable:
         schema, keys = self._schema(meta), meta["keys"]
         cols = [f.name for f in schema.fields]
 
-        def read(paths: list[str]) -> DataFrame:
-            live = [os.path.join(self.path, p) for p in paths]
-            missing = [p for p in live if not os.path.isdir(p)]
+        def read(entries: list[dict]) -> DataFrame:
+            items = [(os.path.join(self.path, a["path"]), a) for a in entries]
+            missing = [p for p, _ in items if not os.path.isdir(p)]
             if missing:
                 raise VacuumedVersionError(f"CDC files vacuumed: {missing[:3]}")
-            if not live:
+            if not items:
                 return self.spark.createDataFrame([], schema)
-            return self.spark.read.schema(schema).parquet(*live)
+            return self._read_entries(meta, items)
 
         ver0 = F.lit(version).cast("bigint").alias("_commit_version")
         if commit["op"] == "append":
             # appends remove nothing: every written row is an insert, and
             # pre-existing rows of the same buckets are untouched (the
             # merge/delete diff below would misread them as deletes)
-            return read([a["path"] for a in commit["adds"]]).select(
+            return read(commit["adds"]).select(
                 *cols, F.lit("insert").alias("_change_type"), ver0
             )
         _, prev_active, _ = self._state(version - 1)
-        if commit["op"] == "restore":
+        if commit.get("mode") == "dv":
+            # a DV commit moves no files: diff exactly the touched
+            # entries — their post-state (extended deletion vectors,
+            # plus an update's new files) against the SAME paths'
+            # pre-state under the previous version. Other files in the
+            # same buckets are untouched by construction and must stay
+            # out of the diff (they would read as spurious deletes).
+            after = read(commit["adds"])
+            before = read(
+                [
+                    prev_active[a["path"]]
+                    for a in commit["adds"]
+                    if a["path"] in prev_active
+                ]
+            )
+        elif commit["op"] == "restore":
             # restore's adds are only the REACTIVATED files, not the
             # post-state of its buckets — diff the two snapshots over the
             # buckets whose FILE SET actually changed (the commit's
@@ -1258,7 +1499,10 @@ class TxnTable:
                 if p in prev_active
             }
             after = read(
-                [p for p, a in cur_active.items() if a["bucket"] in touched]
+                [a for a in cur_active.values() if a["bucket"] in touched]
+            )
+            before = read(
+                [a for a in prev_active.values() if a["bucket"] in touched]
             )
         else:
             # merge/delete rewrite every bucket they list; a txn commit's
@@ -1266,10 +1510,10 @@ class TxnTable:
             # buckets (whose post-state is exactly its adds) ride the
             # "rewritten" field
             touched = set(commit.get("rewritten", commit["buckets"]))
-            after = read([a["path"] for a in commit["adds"]])
-        before = read(
-            [p for p, a in prev_active.items() if a["bucket"] in touched]
-        )
+            after = read(commit["adds"])
+            before = read(
+                [a for a in prev_active.values() if a["bucket"] in touched]
+            )
         fp = lambda side: F.md5(F.to_json(F.struct(*[f"{side}.{c}" for c in cols])))  # noqa: E731
         # explicit presence markers: after a full outer join, every
         # data column of the absent side is null, so only a pre-join
@@ -1446,23 +1690,17 @@ class TxnTable:
         bucket = row.select(
             F.pmod(F.xxhash64(*keys), F.lit(meta["n_buckets"])).alias("b")
         ).collect()[0]["b"]
-        paths = [
-            os.path.join(self.path, p)
-            for p, a in active.items()
-            if a["bucket"] == bucket
-        ]
-        missing = [p for p in paths if not os.path.isdir(p)]
+        items = self._active_items(active, {bucket})
+        missing = [p for p, _ in items if not os.path.isdir(p)]
         if missing:
             raise VacuumedVersionError(f"lookup files vacuumed: {missing[:3]}")
-        if not paths:
+        if not items:
             return self.spark.createDataFrame([], self._schema(meta))
         cond = None
         for k, v in zip(keys, key_values):
             c = F.col(k) == F.lit(v)
             cond = c if cond is None else (cond & c)
-        return (
-            self.spark.read.schema(self._schema(meta)).parquet(*paths).filter(cond)
-        )
+        return self._read_entries(meta, items).filter(cond)
 
     # -- writes ------------------------------------------------------------
 
@@ -1750,11 +1988,16 @@ class TxnTable:
         schema: str | None = None,
         txn: tuple[str, int] | None = None,
         extra: dict | None = None,
+        rollback_dirs: list[str] | None = None,
     ) -> int:
         """Optimistic commit. Losing the version race re-validates: if
         every intervening commit touched disjoint buckets, rebase onto
         the new head (our removes are still live); otherwise roll back
-        the staged data and raise."""
+        the staged data and raise. ``rollback_dirs`` (relative) names
+        what a lost race deletes when deriving it from ``adds`` would
+        be WRONG — a deletion-vector commit re-adds live entries whose
+        parents are long-committed data, so only its freshly written
+        position/data dirs may be rolled back."""
         v = read_version + 1
         payload = {
             "op": op,
@@ -1786,7 +2029,12 @@ class TxnTable:
                 # (run_transaction re-reads fresh state and succeeds) —
                 # never a raw FileNotFoundError (ADVICE r11).
                 if op != "restore":
-                    for parent in {os.path.dirname(a["path"]) for a in adds}:
+                    dirs = (
+                        set(rollback_dirs)
+                        if rollback_dirs is not None
+                        else {os.path.dirname(a["path"]) for a in adds}
+                    )
+                    for parent in dirs:
                         shutil.rmtree(
                             os.path.join(self.path, parent), ignore_errors=True
                         )
@@ -1842,8 +2090,15 @@ class TxnTable:
                     # reactivated historical files — never delete those.
                     # Remove the WRITE ROOTS (data/<uuid>/), not just the
                     # bucket subdirs: a childless parent would dodge
-                    # vacuum's all-children-dead sweep forever
-                    for parent in {os.path.dirname(a["path"]) for a in adds}:
+                    # vacuum's all-children-dead sweep forever. A DV
+                    # commit supplies rollback_dirs: its adds reference
+                    # LIVE entries whose parents must survive the loss.
+                    dirs = (
+                        set(rollback_dirs)
+                        if rollback_dirs is not None
+                        else {os.path.dirname(a["path"]) for a in adds}
+                    )
+                    for parent in dirs:
                         shutil.rmtree(
                             os.path.join(self.path, parent), ignore_errors=True
                         )
@@ -2024,8 +2279,7 @@ class TxnTable:
         _resolve_constraint_expr(self.spark, schema, name, expr)
         if active:
             bad = (
-                self.spark.read.schema(schema)
-                .parquet(*[os.path.join(self.path, p) for p in active])
+                self._read_entries(meta, self._active_items(active))
                 .filter(
                     ~F.coalesce(F.expr(str(expr)).cast("boolean"), F.lit(False))
                 )
@@ -2216,8 +2470,7 @@ class TxnTable:
                     for c in conds[1:]:
                         pred = pred | c
                     hit = (
-                        self.spark.read.schema(schema)
-                        .parquet(*[os.path.join(self.path, p) for p in active])
+                        self._read_entries(meta, self._active_items(active))
                         .filter(pred)
                         .select(bucket_expr.alias(_BUCKET))
                         .distinct()
@@ -2230,16 +2483,11 @@ class TxnTable:
                 # freshen before the rewrite reads them: vacuum's
                 # staging sweep keys on mtime (ADVICE r10)
                 os.utime(os.path.join(self.path, rel))
-            base_paths = [
-                os.path.join(self.path, p)
-                for p, a in active.items()
-                if a["bucket"] in bucket_set
-            ]
-            if base_paths:
-                plan = (
-                    self.spark.read.schema(schema)
-                    .parquet(*base_paths)
-                    .withColumn(_BUCKET, bucket_expr)
+            base_items = self._active_items(active, bucket_set)
+            base_paths = [p for p, _ in base_items]
+            if base_items:
+                plan = self._read_entries(meta, base_items).withColumn(
+                    _BUCKET, bucket_expr
                 )
             else:
                 plan = self.spark.createDataFrame([], schema).withColumn(
@@ -2561,15 +2809,10 @@ class TxnTable:
                 .parquet(os.path.join(self.path, staging_rel))
                 .withColumn(_SRC, F.lit(1))
             )  # _BUCKET is a stored column in the staged files
-            base_paths = [
-                os.path.join(self.path, p)
-                for p, a in active.items()
-                if a["bucket"] in set(touched)
-            ]
-            if base_paths:
+            base_items = self._active_items(active, set(touched))
+            if base_items:
                 base = (
-                    self.spark.read.schema(schema)
-                    .parquet(*base_paths)
+                    self._read_entries(meta, base_items)
                     .withColumn(_BUCKET, bucket_expr)
                     .withColumn(_SRC, F.lit(0))
                 )
@@ -2624,11 +2867,174 @@ class TxnTable:
                 cand.add(a["bucket"])
         return len(cand) / len(all_buckets) >= 0.75
 
+    def _write_dv(self, positions: DataFrame) -> tuple[str | None, dict]:
+        """Write a position dataset (columns ``f`` = file name, ``p`` =
+        row index, ``__bucket``) under a fresh ``data/<uuid>/``,
+        partitioned by bucket so each touched entry references only its
+        own bucket's positions and vacuum's existing per-bucket walker
+        sweeps dv dirs with no special casing. Returns (relative root,
+        file → position count) — the counts ride one tiny job over the
+        positions just written (position sets are metadata-scale);
+        (None, {}) when nothing matched (the empty dir is removed)."""
+        rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+        out = os.path.join(self.path, rel)
+        try:
+            positions.write.partitionBy(_BUCKET).parquet(out)
+        except BaseException:
+            shutil.rmtree(out, ignore_errors=True)
+            raise
+        if not any(n.startswith(f"{_BUCKET}=") for n in os.listdir(out)):
+            shutil.rmtree(out)  # no matches: nothing to publish
+            return None, {}
+        counts = {
+            r["f"]: int(r["n"])
+            for r in self.spark.read.parquet(out)
+            .groupBy("f")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        return rel, counts
+
+    def _mor_statement(
+        self,
+        meta: dict,
+        active: dict[str, dict],
+        read_v: int,
+        cond,
+        news: dict | None,
+        range_hint: tuple | None,
+        op: str,
+    ) -> int:
+        """Merge-on-read DELETE/UPDATE via deletion vectors (r13, the
+        Delta DV shape): instead of rewriting every touched bucket,
+        write the matched rows' (file, row_index) positions as a small
+        dataset and re-commit the touched entries with a ``dv``
+        reference chained onto any existing one — the files themselves
+        never move, so a 0.1% delete on a 100 TB table writes
+        positions, not buckets. An UPDATE additionally appends the
+        updated images as NEW files in the same commit (the old images
+        are position-masked). Readers apply the mask in
+        ``_read_entries``; merge/compact/rebucket rewrites materialize
+        and drop it; ``row_changes``/``table_changes`` diff DV commits
+        exactly (mode="dv" branches). Conflict semantics are a normal
+        delete/update: the commit lists the touched entries' buckets,
+        so any concurrent rewrite of those buckets wins or loses the
+        ordinary OCC race — a lost race rolls back only the NEW
+        position/data dirs (``rollback_dirs``), never the live entries
+        this commit re-references."""
+        schema = self._schema(meta)
+        if range_hint is not None:
+            col, lo, hi = range_hint
+
+            def could(a) -> bool:
+                st = (a.get("stats") or {}).get(col)
+                return st is None or not (
+                    (hi is not None and st[0] > hi)
+                    or (lo is not None and st[1] < lo)
+                )
+
+            cands = {p: a for p, a in active.items() if could(a)}
+        else:
+            cands = dict(active)
+        if not cands:
+            return read_v
+        items = [(os.path.join(self.path, p), a) for p, a in cands.items()]
+        src = self._read_entries(meta, items, with_meta=True)
+        matched = src.filter(F.coalesce(cond, F.lit(False)))
+        bucket_expr = F.pmod(
+            F.xxhash64(*meta["keys"]), F.lit(meta["n_buckets"])
+        ).cast("long")
+        positions = matched.select(
+            F.col(_DV_FILE).alias("f"),
+            F.col(_DV_POS).alias("p"),
+            bucket_expr.alias(_BUCKET),
+        )
+        if len(items) > 32:
+            # co-locate each bucket's positions into one file instead of
+            # one tiny file per (scan task × bucket) — the mask is read
+            # back on every masked scan, so its file count matters more
+            # than this (position-sized) shuffle
+            positions = positions.repartition(F.col(_BUCKET))
+        delta_rel, counts = self._write_dv(positions)
+        if delta_rel is None:
+            return read_v
+        rollback = [delta_rel]
+        try:
+            # file key → owning entry, off the candidate dirs' listings
+            # (driver-side metadata; authoritative where the entry's
+            # optional "files" stats list is absent). The key mirrors
+            # _read_entries' substring_index(file_path, "/", -3): the
+            # entry rel path minus its leading data/ component, plus
+            # the file name — unique where bare names are not.
+            owner: dict[str, str] = {}
+            for p in cands:
+                d = os.path.join(self.path, p)
+                key_prefix = p.split("/", 1)[1]
+                for n in os.listdir(d):
+                    if not n.startswith(("_", ".")):
+                        owner[f"{key_prefix}/{n}"] = p
+            by_entry: dict[str, int] = {}
+            for fname, n in counts.items():
+                rel_entry = owner.get(fname)
+                if rel_entry is None:
+                    raise RuntimeError(
+                        f"deletion-vector position file {fname!r} has no "
+                        "owning active entry — concurrent rewrite mid-scan?"
+                    )
+                by_entry[rel_entry] = by_entry.get(rel_entry, 0) + n
+            adds: list[dict] = []
+            touched: set[int] = set()
+            for rel_entry, n in by_entry.items():
+                a = dict(cands[rel_entry])  # never mutate cached entries
+                old = a.get("dv") or {"paths": [], "rows": 0}
+                a["dv"] = {
+                    "paths": list(old["paths"])
+                    + [f"{delta_rel}/{_BUCKET}={a['bucket']}"],
+                    "rows": int(old.get("rows", 0)) + n,
+                }
+                adds.append(a)
+                touched.add(int(a["bucket"]))
+            if news is not None:
+                # UPDATE: the matched rows' POST-images land as new
+                # files in the same commit; _apply_update evaluates SET
+                # over the pre-image and folds the CHECK re-validation
+                # into a kept column (every row here is an updated row)
+                new_rows = self._apply_update(
+                    matched.drop(_DV_FILE, _DV_POS),
+                    F.lit(True),
+                    news,
+                    meta,
+                )
+                new_adds = self._write_data(
+                    new_rows, meta, shuffle=len(items) > 32, validate=False
+                )
+                rollback.extend(
+                    sorted({os.path.dirname(a["path"]) for a in new_adds})
+                )
+                adds.extend(new_adds)
+                touched.update(int(a["bucket"]) for a in new_adds)
+            return self._commit(
+                op,
+                adds,
+                [],
+                sorted(touched),
+                read_v,
+                extra={"mode": "dv"},
+                rollback_dirs=rollback,
+            )
+        except ConcurrentWriteError:
+            raise  # _commit already rolled back rollback_dirs
+        except BaseException:
+            for rel in rollback:
+                shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+            raise
+
     def delete_where(
         self,
         cond,
         rewrite_all: bool | None = None,
         range_hint: tuple | None = None,
+        deletion_vectors: bool | None = None,
     ) -> int:
         """Conditional DELETE (reference OP-07): buckets holding matching
         rows are rewritten without them; untouched buckets carry over.
@@ -2658,8 +3064,26 @@ class TxnTable:
         rows are known to lie in, pruning-only, never a correctness
         input — and the candidate-bucket fraction decides (≥ 0.75 →
         single-pass). Without a hint, auto is the scale-safe two-phase
-        plan."""
+        plan.
+
+        ``deletion_vectors=True`` (or a table created with
+        ``deletion_vectors=True``; explicit ``False`` overrides the
+        table default) switches to MERGE-ON-READ: matched positions
+        are written as a small dataset and the touched files are
+        re-committed with a ``dv`` mask instead of being rewritten —
+        see ``_mor_statement``. ``range_hint`` then prunes the scan's
+        candidate files by footer stats; ``rewrite_all`` is ignored.
+        Inside ``transaction()`` statements always fuse into the
+        copy-on-write rewrite (an explicit ``deletion_vectors=True``
+        there raises — a fused plan has no per-statement mask)."""
         if self._txn is not None:
+            if deletion_vectors:
+                raise ValueError(
+                    "deletion_vectors=True is not a transaction "
+                    "statement option — transaction() fuses statements "
+                    "into one copy-on-write rewrite; run the DV "
+                    "statement standalone"
+                )
             ra = self._resolve_rewrite_all(
                 rewrite_all, range_hint, self._txn.active
             )
@@ -2668,6 +3092,15 @@ class TxnTable:
         meta, active, read_v = self._state()
         if not active:
             return read_v
+        use_dv = (
+            deletion_vectors
+            if deletion_vectors is not None
+            else bool(meta.get("dv_default"))
+        )
+        if use_dv:
+            return self._mor_statement(
+                meta, active, read_v, cond, None, range_hint, "delete"
+            )
         rewrite_all = self._resolve_rewrite_all(rewrite_all, range_hint, active)
         schema = self._schema(meta)
         bucket_expr = F.pmod(
@@ -2677,11 +3110,9 @@ class TxnTable:
         if rewrite_all:
             from pyspark.sql import Observation
 
-            paths = [os.path.join(self.path, p) for p in active]
             obs = Observation()
             kept = (
-                self.spark.read.schema(schema)
-                .parquet(*paths)
+                self._read_entries(meta, self._active_items(active))
                 .withColumn(_BUCKET, bucket_expr)
                 .observe(
                     obs,
@@ -2693,7 +3124,7 @@ class TxnTable:
                 .drop(_BUCKET)
             )
             adds_all = self._write_data(
-                kept, meta, shuffle=len(paths) > 32, validate=False
+                kept, meta, shuffle=len(active) > 32, validate=False
             )
             touched = sorted(int(b) for b in (obs.get["hit_buckets"] or []))
             keep_set = set(touched)
@@ -2719,26 +3150,17 @@ class TxnTable:
         # discovery straight off the known active file set — no second
         # log replay via snapshot() (r13, same fix as update_where)
         hit = (
-            self.spark.read.schema(schema)
-            .parquet(*[os.path.join(self.path, p) for p in active])
+            self._read_entries(meta, self._active_items(active))
             .filter(cond)
             .withColumn(_BUCKET, bucket_expr)
         )
         touched = sorted(r[_BUCKET] for r in hit.select(_BUCKET).distinct().collect())
         if not touched:
             return read_v
-        base_paths = [
-            os.path.join(self.path, p)
-            for p, a in active.items()
-            if a["bucket"] in set(touched)
-        ]
-        kept = (
-            self.spark.read.schema(schema)
-            .parquet(*base_paths)
-            .filter(keep_pred)
-        )
+        base_items = self._active_items(active, set(touched))
+        kept = self._read_entries(meta, base_items).filter(keep_pred)
         adds = self._write_data(
-            kept, meta, shuffle=len(base_paths) > 32, validate=False
+            kept, meta, shuffle=len(base_items) > 32, validate=False
         )
         removes = [p for p, a in active.items() if a["bucket"] in set(touched)]
         return self._commit("delete", adds, removes, touched, read_v)
@@ -2836,6 +3258,7 @@ class TxnTable:
         set_exprs: dict,
         rewrite_all: bool | None = None,
         range_hint: tuple | None = None,
+        deletion_vectors: bool | None = None,
     ) -> int:
         """Conditional UPDATE (Delta's ``UPDATE ... SET ... WHERE``):
         rows matching ``cond`` get each ``set_exprs`` column replaced
@@ -2856,8 +3279,24 @@ class TxnTable:
 
         CHECK constraints re-validate updated rows' NEW images in-plan
         (guard folded into the kept updated column); carried rows are
-        not re-validated — the same rule maintenance rewrites follow."""
+        not re-validated — the same rule maintenance rewrites follow.
+
+        ``deletion_vectors=True`` (or the table default; explicit
+        ``False`` overrides) runs MERGE-ON-READ: the matched rows'
+        positions mask the old images and the new images land as fresh
+        files in the same commit — touched buckets' carried rows are
+        never rewritten. See ``_mor_statement``; ``rewrite_all`` is
+        ignored on that path, and inside ``transaction()`` an explicit
+        ``deletion_vectors=True`` raises (statements fuse into the
+        copy-on-write rewrite)."""
         if self._txn is not None:
+            if deletion_vectors:
+                raise ValueError(
+                    "deletion_vectors=True is not a transaction "
+                    "statement option — transaction() fuses statements "
+                    "into one copy-on-write rewrite; run the DV "
+                    "statement standalone"
+                )
             news = self._check_update_sets(set_exprs, self._txn.meta)
             ra = self._resolve_rewrite_all(
                 rewrite_all, range_hint, self._txn.active
@@ -2870,6 +3309,15 @@ class TxnTable:
         news = self._check_update_sets(set_exprs, meta)
         if not active:
             return read_v
+        use_dv = (
+            deletion_vectors
+            if deletion_vectors is not None
+            else bool(meta.get("dv_default"))
+        )
+        if use_dv:
+            return self._mor_statement(
+                meta, active, read_v, cond, news, range_hint, "update"
+            )
         rewrite_all = self._resolve_rewrite_all(rewrite_all, range_hint, active)
         schema = self._schema(meta)
         bucket_expr = F.pmod(
@@ -2878,11 +3326,9 @@ class TxnTable:
         if rewrite_all:
             from pyspark.sql import Observation
 
-            paths = [os.path.join(self.path, p) for p in active]
             obs = Observation()
             out = (
-                self.spark.read.schema(schema)
-                .parquet(*paths)
+                self._read_entries(meta, self._active_items(active))
                 .withColumn(_BUCKET, bucket_expr)
                 .observe(
                     obs,
@@ -2893,7 +3339,7 @@ class TxnTable:
             )
             out = self._apply_update(out, cond, news, meta).drop(_BUCKET)
             adds_all = self._write_data(
-                out, meta, shuffle=len(paths) > 32, validate=False
+                out, meta, shuffle=len(active) > 32, validate=False
             )
             touched = sorted(int(b) for b in (obs.get["hit_buckets"] or []))
             keep_set = set(touched)
@@ -2919,8 +3365,7 @@ class TxnTable:
         # discovery straight off the known active file set — no second
         # log replay via snapshot() (review)
         hit = (
-            self.spark.read.schema(schema)
-            .parquet(*[os.path.join(self.path, p) for p in active])
+            self._read_entries(meta, self._active_items(active))
             .filter(cond)
             .withColumn(_BUCKET, bucket_expr)
         )
@@ -2929,19 +3374,15 @@ class TxnTable:
         )
         if not touched:
             return read_v
-        base_paths = [
-            os.path.join(self.path, p)
-            for p, a in active.items()
-            if a["bucket"] in set(touched)
-        ]
+        base_items = self._active_items(active, set(touched))
         out = self._apply_update(
-            self.spark.read.schema(schema).parquet(*base_paths),
+            self._read_entries(meta, base_items),
             cond,
             news,
             meta,
         )
         adds = self._write_data(
-            out, meta, shuffle=len(base_paths) > 32, validate=False
+            out, meta, shuffle=len(base_items) > 32, validate=False
         )
         removes = [p for p, a in active.items() if a["bucket"] in set(touched)]
         return self._commit("update", adds, removes, touched, read_v)
@@ -2996,12 +3437,8 @@ class TxnTable:
         try:
             if not touched:
                 return read_v
-            base_paths = [
-                os.path.join(self.path, p)
-                for p, a in active.items()
-                if a["bucket"] in set(touched)
-            ]
-            if not base_paths:
+            base_items = self._active_items(active, set(touched))
+            if not base_items:
                 return read_v
             key_schema = StructType(
                 [schema[k] for k in keys] + [StructField(_BUCKET, LongType())]
@@ -3009,13 +3446,11 @@ class TxnTable:
             staged_kd = (
                 self.spark.read.schema(key_schema).parquet(out).drop(_BUCKET)
             )  # _BUCKET is a stored column in the staged files
-            kept = (
-                self.spark.read.schema(schema)
-                .parquet(*base_paths)
-                .join(staged_kd, list(keys), "left_anti")
+            kept = self._read_entries(meta, base_items).join(
+                staged_kd, list(keys), "left_anti"
             )
             adds = self._write_data(
-                kept, meta, shuffle=len(base_paths) > 32, validate=False
+                kept, meta, shuffle=len(base_items) > 32, validate=False
             )
             removes = [
                 p for p, a in active.items() if a["bucket"] in set(touched)
@@ -3095,22 +3530,35 @@ class TxnTable:
             if not touched:  # empty table: publish the spec change alone
                 return self._commit("compact", [], [], [], read_v, extra=extra)
             removes = [p for b in touched for p in by_bucket[b]]
-            rows = self.spark.read.schema(self._schema(meta)).parquet(
-                *[os.path.join(self.path, p) for p in removes]
+            rows = self._read_entries(
+                meta, [(os.path.join(self.path, p), active[p]) for p in removes]
             )
             adds = self._write_data(rows, new_meta, validate=False)
             return self._commit(
                 "compact", adds, removes, touched, read_v, extra=extra
             )
-        touched = sorted(b for b, ps in by_bucket.items() if len(ps) >= min_files)
+        # candidates: fragmented buckets, plus buckets whose deletion-
+        # vector chains grew past the purge threshold — compaction is
+        # how a merge-on-read table materializes its masks (Delta's
+        # REORG ... PURGE): rewritten buckets re-land with no dv
+        touched = sorted(
+            b
+            for b, ps in by_bucket.items()
+            if len(ps) >= min_files
+            or any(
+                len((active[p].get("dv") or {}).get("paths", []))
+                >= _DV_PURGE_CHAIN
+                for p in ps
+            )
+        )
         if not touched:
             return read_v
-        paths = [
-            os.path.join(self.path, p)
+        items = [
+            (os.path.join(self.path, p), active[p])
             for b in touched
             for p in by_bucket[b]
         ]
-        rows = self.spark.read.schema(self._schema(meta)).parquet(*paths)
+        rows = self._read_entries(meta, items)
         adds = self._write_data(rows, meta, validate=False)
         removes = [p for b in touched for p in by_bucket[b]]
         return self._commit("compact", adds, removes, touched, read_v)
@@ -3187,12 +3635,18 @@ class TxnTable:
         meta, active, latest = self._state()
         by_bucket: dict[int, int] = {}
         bytes_by_bucket: dict[int, int] = {}
+        dv_rows = 0
+        max_dv_chain = 0
         for p, a in active.items():
             b = a["bucket"]
             by_bucket[b] = by_bucket.get(b, 0) + 1
             bytes_by_bucket[b] = bytes_by_bucket.get(b, 0) + self._dir_bytes(
                 os.path.join(self.path, p)
             )
+            d = a.get("dv")
+            if d:
+                dv_rows += int(d.get("rows", 0))
+                max_dv_chain = max(max_dv_chain, len(d.get("paths", [])))
         live = sum(bytes_by_bucket.values())
         n_buckets = int(meta["n_buckets"])
         target = target_bucket_mb * 1024 * 1024
@@ -3272,7 +3726,15 @@ class TxnTable:
             "max_dirs_per_bucket": max(by_bucket.values(), default=0),
             "max_bucket_bytes": max(bytes_by_bucket.values(), default=0),
             "suggested_n_buckets": suggested,
-            "wants_compact": bool(frag),
+            # deletion-vector health (r13): total masked positions and
+            # the longest per-entry dv chain. Every chained dv adds an
+            # anti-join input to that entry's reads, so past
+            # _DV_PURGE_CHAIN the bucket is a compact() candidate (the
+            # same rewrite that materializes the mask — Delta's
+            # REORG ... PURGE) and wants_compact flags it.
+            "dv_rows": dv_rows,
+            "max_dv_chain": max_dv_chain,
+            "wants_compact": bool(frag) or max_dv_chain >= _DV_PURGE_CHAIN,
             # BOTH directions (ADVICE r11): growth — the suggestion moved
             # up AND some bucket actually overflows the target (a mere
             # pow2 boundary crossing with comfortable buckets isn't worth
@@ -3381,9 +3843,7 @@ class TxnTable:
             return read_v
         new_meta = {**meta, "n_buckets": n_buckets}
         if active:
-            rows = self.spark.read.schema(self._schema(meta)).parquet(
-                *[os.path.join(self.path, p) for p in active]
-            )
+            rows = self._read_entries(meta, self._active_items(active))
             adds = self._write_data(rows, new_meta, validate=False)
         else:
             adds = []
@@ -3410,20 +3870,37 @@ class TxnTable:
         restoring caller saw (ADVICE r8)."""
         self._no_txn("restore")
         meta, old_active, _ = self._state(version)
-        for p in old_active:
-            full = os.path.join(self.path, p)
-            if not os.path.isdir(full):
-                raise VacuumedVersionError(f"restore target file vacuumed: {p}")
-            # freshen the reactivated directories BEFORE committing: a
-            # vacuum whose commit already landed is past its conflict
-            # check and about to delete anything old and not live at ITS
-            # version — the retention window is the only guard left, and
-            # it keys on mtime. Touching makes these dirs 'young', the
-            # same protection an in-flight writer's staged data gets
-            # (ADVICE r8 follow-up: vacuum-vs-restore deletion race).
-            os.utime(full)
+        for p, a in old_active.items():
+            # deletion-vector dirs are as load-bearing as the data they
+            # mask: probe and freshen them with the same race guard
+            rels = [p] + list((a.get("dv") or {}).get("paths", []))
+            for rel in rels:
+                full = os.path.join(self.path, rel)
+                if not os.path.isdir(full):
+                    raise VacuumedVersionError(
+                        f"restore target file vacuumed: {rel}"
+                    )
+                # freshen the reactivated directories BEFORE committing:
+                # a vacuum whose commit already landed is past its
+                # conflict check and about to delete anything old and not
+                # live at ITS version — the retention window is the only
+                # guard left, and it keys on mtime. Touching makes these
+                # dirs 'young', the same protection an in-flight writer's
+                # staged data gets (ADVICE r8 follow-up: vacuum-vs-restore
+                # deletion race).
+                os.utime(full)
         cur_meta, cur_active, read_v = self._state()
-        adds = [a for p, a in old_active.items() if p not in cur_active]
+        # re-add entries that are missing OR whose STATE differs — a
+        # path live in both versions may carry a different deletion
+        # vector now (a DV delete after the target version); keeping
+        # the current entry would silently preserve the deletion the
+        # restore exists to undo. Entries are immutable except for dv
+        # re-adds, so dict inequality means exactly that.
+        adds = [
+            a
+            for p, a in old_active.items()
+            if p not in cur_active or cur_active[p] != a
+        ]
         removes = [p for p in cur_active if p not in old_active]
         # a restore across a rebucket reverts the modulus too: the
         # reactivated files' bucket column was computed under the TARGET
@@ -3581,7 +4058,26 @@ class TxnTable:
         # retention guard alone doesn't cover them — restore also
         # freshens them, so either side closes the window)
         _, latest_active, _ = self._state()
-        live = set(active) | set(latest_active)
+
+        def dv_rels(act: dict[str, dict]) -> set[str]:
+            # deletion-vector position dirs referenced by live entries
+            # are as load-bearing as the data they mask — sweeping one
+            # would resurrect deleted rows (readers raise loudly on a
+            # missing dv, but vacuum must not create that state for a
+            # LIVE snapshot); dv dirs referenced only by expired
+            # history age out through the same mtime retention rule
+            return {
+                rel
+                for a in act.values()
+                for rel in (a.get("dv") or {}).get("paths", [])
+            }
+
+        live = (
+            set(active)
+            | set(latest_active)
+            | dv_rels(active)
+            | dv_rels(latest_active)
+        )
         data_root = os.path.join(self.path, _DATA_DIR)
         for d in sorted(os.listdir(data_root)):
             base = os.path.join(_DATA_DIR, d)

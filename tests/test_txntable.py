@@ -446,7 +446,7 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
     for step in range(14):
         op = rng.choice(["append", "merge", "merge", "delete", "compact",
                          "txn", "txn", "rebucket", "zorder", "merge_clause",
-                         "update_where"])
+                         "update_where", "dv_delete", "dv_update"])
         before_v = t.version()
         if op == "append":
             rows = [
@@ -543,6 +543,28 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
             for i in [k for k in model if k % m == r2]:
                 v0, ver0 = model[i]
                 model[i] = (f"u{step}-{v0}", ver0 + 1)
+        elif op == "dv_delete":
+            # r13 deletion vectors: merge-on-read delete — same model
+            # effect as a predicate delete, no files rewritten
+            m, r2 = rng.choice([(3, 0), (4, 1), (5, 2)])
+            t.delete_where(F.col("id") % m == r2, deletion_vectors=True)
+            for i in [k for k in model if k % m == r2]:
+                model.pop(i)
+        elif op == "dv_update":
+            # r13 merge-on-read update: old images masked, new images
+            # appended — same model effect as update_where
+            if not model:
+                continue
+            m, r2 = rng.choice([(3, 1), (4, 2), (5, 3)])
+            t.update_where(
+                F.col("id") % m == r2,
+                {"val": F.concat(F.lit(f"d{step}-"), F.col("val")),
+                 "version": F.col("version") + 1},
+                deletion_vectors=True,
+            )
+            for i in [k for k in model if k % m == r2]:
+                v0, ver0 = model[i]
+                model[i] = (f"d{step}-{v0}", ver0 + 1)
         elif op == "rebucket":
             # partition evolution moves bytes, never rows — the model
             # is untouched; no-op respecs (same count) commit nothing

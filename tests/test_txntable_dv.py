@@ -1,0 +1,268 @@
+"""Deletion vectors (r13): merge-on-read DELETE/UPDATE on TxnTable.
+
+The reference's validation pass deletes invalid rows by rewriting them
+out (``validate_tv_channel_games.py:113``); at 100 TB that write
+amplification is the cost DVs exist to remove (Delta's deletion-vector
+protocol, public docs). These tests pin the contract end to end: files
+never move on a DV statement, every read path applies the mask, CDC
+diffs DV commits exactly, rewrites materialize and clear masks, and
+vacuum/restore treat position datasets as load-bearing data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from knightshift_spark.sources.txntable import (
+    TxnTable,
+    VacuumedVersionError,
+)
+
+SCHEMA = "id long, val string, version int"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rows(df):
+    return {(r.id, r.val, r.version) for r in df.collect()}
+
+
+def _data_roots(table):
+    return sorted(os.listdir(os.path.join(table.path, "data")))
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = TxnTable.create(
+        spark,
+        str(tmp_path / "t"),
+        keys=["id"],
+        schema=SCHEMA,
+        n_buckets=4,
+        deletion_vectors=True,
+    )
+    t.append(_df(spark, [(i, f"v{i}", 1) for i in range(20)]))
+    return t
+
+
+def test_dv_delete_masks_without_moving_files(spark, table):
+    before = _data_roots(table)
+    v = table.delete_where(F.col("id") % 5 == 3)
+    after = _data_roots(table)
+    # one new root (the position dataset); every data root kept
+    assert set(before) <= set(after) and len(after) == len(before) + 1
+    assert _rows(table.snapshot()) == {
+        (i, f"v{i}", 1) for i in range(20) if i % 5 != 3
+    }
+    # the commit is a DV delete: no removes, adds re-reference live entries
+    commit = next(c for c in table._commits() if c["version"] == v)
+    assert commit["op"] == "delete" and commit.get("mode") == "dv"
+    assert commit["removes"] == []
+    assert all(a.get("dv", {}).get("rows") for a in commit["adds"])
+    # time travel reads the unmasked snapshot
+    assert table.snapshot(v - 1).count() == 20
+
+
+def test_dv_chains_and_every_read_path_applies_the_mask(spark, table):
+    table.delete_where(F.col("id") == 7)
+    table.delete_where(F.col("id") == 8)  # chains on the same entries
+    assert table.snapshot().count() == 18
+    assert table.snapshot_eq("id", 7).count() == 0
+    assert table.snapshot_eq("id", 9).count() == 1
+    assert table.snapshot_where("id", 5, 10).count() == 4  # 5,6,9,10
+    assert table.lookup([8]).count() == 0
+    assert table.lookup([9]).count() == 1
+
+
+def test_dv_statement_default_and_override(spark, tmp_path):
+    t = TxnTable.create(
+        spark, str(tmp_path / "cow"), keys=["id"], schema=SCHEMA, n_buckets=4
+    )  # table default: copy-on-write
+    t.append(_df(spark, [(i, f"v{i}", 1) for i in range(8)]))
+    roots0 = _data_roots(t)
+    t.delete_where(F.col("id") == 3, deletion_vectors=True)  # override on
+    assert t.snapshot().count() == 7
+    assert set(roots0) <= set(_data_roots(t))
+    # and a DV-default table can force copy-on-write per statement
+    t2 = TxnTable.create(
+        spark,
+        str(tmp_path / "dv"),
+        keys=["id"],
+        schema=SCHEMA,
+        n_buckets=4,
+        deletion_vectors=True,
+    )
+    t2.append(_df(spark, [(i, f"v{i}", 1) for i in range(8)]))
+    v = t2.delete_where(F.col("id") == 3, deletion_vectors=False)
+    commit = next(c for c in t2._commits() if c["version"] == v)
+    assert commit.get("mode") != "dv" and commit["removes"]
+
+
+def test_dv_update_masks_old_images_and_appends_new(spark, table):
+    before = _data_roots(table)
+    v = table.update_where(
+        F.col("id") < 3,
+        {"val": F.concat(F.lit("u-"), F.col("val")), "version": F.lit(2)},
+    )
+    # old roots all kept; two new roots (positions + new images)
+    assert set(before) <= set(_data_roots(table))
+    got = {r.id: (r.val, r.version) for r in table.snapshot().collect()}
+    assert got[0] == ("u-v0", 2) and got[2] == ("u-v2", 2)
+    assert got[5] == ("v5", 1) and len(got) == 20
+    # CDC: exact pre/post pairs, carried rows excluded
+    rc = table.row_changes(v)
+    assert rc.filter(F.col("_change_type") == "update_preimage").count() == 3
+    assert rc.filter(F.col("_change_type") == "update_postimage").count() == 3
+    assert rc.count() == 6
+
+
+def test_dv_delete_row_changes_and_table_changes(spark, table):
+    v = table.delete_where(F.col("id") % 4 == 1)  # 1,5,9,13,17
+    rc = table.row_changes(v)
+    assert {r._change_type for r in rc.collect()} == {"delete"}
+    assert {r.id for r in rc.collect()} == {1, 5, 9, 13, 17}
+    # file-granular feed: the add side never shows deleted rows as
+    # written data, the remove side carries the deleted keys' pre-images
+    tc = table.table_changes(v - 1, v, include_removed=True)
+    adds = tc.filter(F.col("_change_source") == "add")
+    rems = tc.filter(F.col("_change_source") == "remove")
+    assert adds.filter(F.col("id") == 1).count() == 0
+    assert rems.filter(F.col("id") == 1).count() == 1
+
+
+def test_merge_does_not_resurrect_and_purges_touched_dv(spark, table):
+    table.delete_where(F.col("id") % 2 == 1)
+    assert table.snapshot().count() == 10
+    # a merge touching some buckets rewrites them mask-applied
+    table.merge(_df(spark, [(4, "new4", 2)]), ["version"])
+    got = {r.id: r.val for r in table.snapshot().collect()}
+    assert got[4] == "new4" and 3 not in got and 5 not in got
+    # rewritten buckets' entries carry no dv anymore
+    _, active, _ = table._state()
+    bucket4 = {a["bucket"] for a in active.values() if not a.get("dv")}
+    assert bucket4  # at least the rewritten bucket is mask-free
+
+
+def test_compact_materializes_dv_and_vacuum_sweeps_positions(spark, table):
+    table.delete_where(F.col("id") >= 15)
+    rpt = table.maintenance_report()
+    assert rpt["dv_rows"] == 5 and rpt["max_dv_chain"] == 1
+    table.compact(min_files=1)
+    rpt2 = table.maintenance_report()
+    assert rpt2["dv_rows"] == 0 and rpt2["max_dv_chain"] == 0
+    assert table.snapshot().count() == 15
+    table.vacuum(retention_s=0.0)
+    assert table.snapshot().count() == 15
+    # the position dataset is gone (unreferenced after the compact)
+    _, active, _ = table._state()
+    live = set(active)
+    for root in _data_roots(table):
+        for sub in os.listdir(os.path.join(table.path, "data", root)):
+            if sub.startswith("__bucket="):
+                assert f"data/{root}/{sub}" in live
+
+
+def test_dv_chain_past_threshold_flags_and_compacts(spark, table):
+    for i in range(4):  # _DV_PURGE_CHAIN = 4 chained masks on bucket(s)
+        table.delete_where(F.col("id") == i)
+    rpt = table.maintenance_report()
+    if rpt["max_dv_chain"] >= 4:  # ids 0..3 may spread across buckets
+        assert rpt["wants_compact"]
+    # plain compact picks the dv'd buckets even when unfragmented
+    table.compact()
+    assert table.maintenance_report()["max_dv_chain"] < 4
+    assert table.snapshot().count() == 16
+
+
+def test_vacuum_protects_live_positions(spark, table):
+    table.delete_where(F.col("id") == 0)
+    table.vacuum(retention_s=0.0)
+    # the mask is still live: the snapshot must read through it
+    assert table.snapshot().count() == 19
+    assert table.snapshot().filter(F.col("id") == 0).count() == 0
+
+
+def test_restore_reverts_dv_state_both_directions(spark, table):
+    v1 = table.version()  # 20 rows, no dv
+    table.delete_where(F.col("id") < 10)
+    v2 = table.version()  # 10 live
+    table.delete_where(F.col("id") == 15)
+    assert table.snapshot().count() == 9
+    table.restore(v2)
+    assert table.snapshot().count() == 10
+    table.restore(v1)  # entries re-added mask-free
+    assert table.snapshot().count() == 20
+    # and forward again: same path re-added WITH its mask
+    table.restore(v2)
+    assert table.snapshot().count() == 10
+
+
+def test_scd2_history_spans_dv_commits(spark, table):
+    table.delete_where(F.col("id") % 3 == 0)
+    table.update_where(F.col("id") == 1, {"version": F.lit(9)})
+    hist = table.scd2_history()
+    live = {
+        r.id: r.version
+        for r in hist.filter(F.col("__valid_to").isNull()).collect()
+    }
+    assert live == {
+        i: (9 if i == 1 else 1) for i in range(20) if i % 3 != 0
+    }
+    # the validity filter reproduces every retained snapshot
+    for v in range(1, table.version() + 1):
+        asof = hist.filter(
+            (F.col("__valid_from") <= v)
+            & (F.col("__valid_to").isNull() | (F.col("__valid_to") > v))
+        )
+        assert asof.count() == table.snapshot(v).count(), f"version {v}"
+
+
+def test_dv_raises_inside_transaction_and_empty_match_commits_nothing(
+    spark, table
+):
+    with pytest.raises(ValueError, match="deletion_vectors"):
+        with table.transaction():
+            table.delete_where(F.col("id") == 1, deletion_vectors=True)
+    v0 = table.version()
+    assert table.delete_where(F.col("id") == 999) == v0  # no matches
+    assert table.version() == v0
+
+
+def test_missing_position_dataset_raises_never_resurrects(spark, table):
+    import shutil
+
+    table.delete_where(F.col("id") == 5)
+    _, active, _ = table._state()
+    rels = {
+        rel
+        for a in active.values()
+        for rel in (a.get("dv") or {}).get("paths", [])
+    }
+    assert rels
+    for rel in rels:
+        shutil.rmtree(os.path.join(table.path, rel))
+    with pytest.raises(VacuumedVersionError, match="deletion-vector"):
+        table.snapshot().count()
+
+
+def test_dv_update_revalidates_constraints_on_new_images(spark, tmp_path):
+    t = TxnTable.create(
+        spark,
+        str(tmp_path / "c"),
+        keys=["id"],
+        schema=SCHEMA,
+        n_buckets=2,
+        deletion_vectors=True,
+        constraints={"ver_pos": "version > 0"},
+    )
+    t.append(_df(spark, [(1, "a", 1), (2, "b", 2)]))
+    with pytest.raises(Exception, match="ver_pos"):
+        t.update_where(F.col("id") == 1, {"version": F.lit(0)})
+    # the failed statement left no commit and no mask
+    assert t.snapshot().count() == 2
+    assert t.maintenance_report()["dv_rows"] == 0
