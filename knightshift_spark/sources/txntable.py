@@ -3387,6 +3387,112 @@ class TxnTable:
         removes = [p for p, a in active.items() if a["bucket"] in set(touched)]
         return self._commit("update", adds, removes, touched, read_v)
 
+    def update_from(
+        self,
+        source: DataFrame,
+        set_exprs: dict,
+        cond=None,
+    ) -> int:
+        """UPDATE with a JOINED source (the shape Delta expresses as
+        ``MERGE ... WHEN MATCHED THEN UPDATE SET``, and ANSI as
+        ``UPDATE ... FROM``): table rows whose key matches a ``source``
+        row get each ``set_exprs`` column replaced by its expression,
+        which may reference BOTH the pre-image table columns and the
+        matched source row's columns; rows without a source match — and
+        source rows without a table match — are untouched (an UPDATE,
+        never an upsert). ``cond`` (optional) further gates matched
+        rows, evaluated over the joined (pre-image + source) row.
+
+        Built as: inner-join the snapshot to the source on the table
+        key, project the post-images, and hand them to ``merge()`` —
+        so the write inherits the merge machinery whole (touched-bucket
+        rewrite, staging evaluated once, OCC, CDC as update pre/post
+        pairs, SCD2). The join is one read-only pass over the table
+        (Catalyst broadcasts a small dimension side); only buckets
+        containing matched keys are rewritten. Cost shape = Delta's
+        MERGE: scan target ⋈ source, rewrite touched.
+
+        ``source`` must carry the key columns; its OTHER columns must
+        not collide with table column names (rename them first — a
+        colliding name would make SET expressions ambiguous). SET
+        columns are table non-key columns; expressions resolve against
+        the joined schema. CHECK constraints re-validate the new images
+        inside the merge's staging write. A source with DUPLICATE keys
+        produces one post-image per duplicate and the merge keeps an
+        arbitrary one (Delta's MERGE raises there; here the LWW window
+        breaks the tie) — ``dropDuplicates`` the source first when the
+        duplicates aren't interchangeable."""
+        if self._txn is not None:
+            raise RuntimeError(
+                "update_from() is not a transaction statement — its "
+                "post-images join against the snapshot its own merge "
+                "stages from; compute the joined batch yourself and "
+                "merge() it inside the transaction"
+            )
+        meta, _, read_v = self._state()
+        schema = self._schema(meta)
+        keys = list(meta["keys"])
+        tcols = [f.name for f in schema.fields]
+        missing = [k for k in keys if k not in source.columns]
+        if missing:
+            raise ValueError(
+                f"update_from source must carry the table key columns; "
+                f"missing {missing}"
+            )
+        src_extra = [c for c in source.columns if c not in keys]
+        clash = sorted(set(src_extra) & set(tcols))
+        if clash:
+            raise ValueError(
+                f"update_from source columns {clash} collide with table "
+                "columns — SET expressions would be ambiguous; rename "
+                "them on the source first"
+            )
+        if not set_exprs:
+            raise ValueError("update_from needs at least one SET column")
+        news: dict = {}
+        for c, e in set_exprs.items():
+            if c not in tcols:
+                raise ValueError(
+                    f"SET column {c!r} is not in the table schema "
+                    f"({sorted(tcols)})"
+                )
+            if c in keys:
+                raise ValueError(
+                    f"SET column {c!r} is a table key — under hash "
+                    "bucketing a key change is a delete+insert; use "
+                    "delete_keys + merge"
+                )
+            news[c] = F.expr(e) if isinstance(e, str) else e
+        # resolve-probe against the JOINED schema (table + source extras)
+        probe = self.spark.createDataFrame([], schema)
+        for c in src_extra:
+            probe = probe.withColumn(c, F.lit(None).cast(source.schema[c].dataType))
+        for c, col in news.items():
+            try:
+                probe.withColumn("__probe", col)
+            except Exception as exc:
+                raise ValueError(
+                    f"SET expression for {c!r} does not resolve against "
+                    f"the joined (table + source) schema ({exc})"
+                ) from None
+        joined = self.snapshot(read_v).join(source, keys, "inner")
+        hit = F.lit(True) if cond is None else F.coalesce(cond, F.lit(False))
+        post = joined.select(
+            *[
+                (
+                    F.when(hit, news[c].cast(schema[c].dataType))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in news
+                    else F.col(c)
+                )
+                for c in tcols
+            ]
+        )
+        # merge with no order_by columns: the post-image (__src=1) beats
+        # the stored row on the tie, which is exactly UPDATE semantics
+        return self.merge(post, order_by=[])
+
     def _stage_keys(self, keys_df: DataFrame, meta: dict) -> tuple[str, list[int]]:
         """Stage a deduplicated key list once (same pattern as merge's
         ``_stage_updates``): touched buckets ride an ``observe()`` on the

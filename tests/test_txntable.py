@@ -2794,3 +2794,41 @@ def test_merge_clauses_inside_transaction(spark, tmp_path):
             when_matched_delete=F.col("version") == 9,
         )
     assert (1, "u1", 9) in _rows(ta.snapshot())
+
+
+def test_update_from_joined_source(spark, table):
+    """r13: UPDATE with a JOINED source (Delta's MERGE WHEN MATCHED
+    UPDATE shape) — SET expressions see pre-image AND source columns,
+    unmatched rows on either side are untouched, CDC reads exact
+    update pairs, and the misuse surfaces raise before any write."""
+    table.append(_df(spark, [(i, f"v{i}", 1) for i in range(8)]))
+    dim = spark.createDataFrame(
+        [(2, "NEW2"), (5, "NEW5"), (99, "ghost")], "id long, label string"
+    )
+    v = table.update_from(
+        dim,
+        {"val": F.concat(F.col("label"), F.lit("-"), F.col("val")),
+         "version": F.lit(7)},
+    )
+    got = {r.id: (r.val, r.version) for r in table.snapshot().collect()}
+    assert got[2] == ("NEW2-v2", 7) and got[5] == ("NEW5-v5", 7)
+    assert got[1] == ("v1", 1) and 99 not in got and len(got) == 8
+    rc = table.row_changes(v)
+    assert rc.filter(F.col("_change_type") == "update_preimage").count() == 2
+    assert rc.count() == 4
+    # cond gates matched rows, evaluated over the joined row
+    table.update_from(dim, {"version": F.lit(8)}, cond=F.col("label") == "NEW2")
+    got = {r.id: r.version for r in table.snapshot().collect()}
+    assert got[2] == 8 and got[5] == 7
+    # misuse: colliding source column / missing key / SET on a key
+    with pytest.raises(ValueError, match="collide"):
+        table.update_from(
+            dim.withColumnRenamed("label", "val"), {"version": F.lit(9)}
+        )
+    with pytest.raises(ValueError, match="key columns"):
+        table.update_from(dim.select("label"), {"version": F.lit(9)})
+    with pytest.raises(ValueError, match="is a table key"):
+        table.update_from(dim, {"id": F.lit(0)})
+    with pytest.raises(RuntimeError, match="not a transaction statement"):
+        with table.transaction():
+            table.update_from(dim, {"version": F.lit(9)})
