@@ -266,3 +266,117 @@ def test_dv_update_revalidates_constraints_on_new_images(spark, tmp_path):
     # the failed statement left no commit and no mask
     assert t.snapshot().count() == 2
     assert t.maintenance_report()["dv_rows"] == 0
+
+
+def test_dv_with_schema_evolution(spark, table):
+    table.delete_where(F.col("id") % 4 == 0)  # masks pre-evolution files
+    wide = spark.createDataFrame(
+        [(1, "w1", 5, "extra")], "id long, val string, version int, note string"
+    )
+    table.merge(wide, ["version"], evolve=True)
+    got = {r.id: (r.val, r.note) for r in table.snapshot().collect()}
+    # masked rows stay gone through the widened-schema read; untouched
+    # pre-evolution rows read NULL for the new column
+    assert 0 not in got and 4 not in got
+    assert got[1] == ("w1", "extra") and got[2] == ("v2", None)
+    # and a DV delete over a mixed-schema table masks evolved files too
+    table.delete_where(F.col("note") == "extra")
+    assert 1 not in {r.id for r in table.snapshot().collect()}
+
+
+def test_dv_survives_checkpoint_replay_and_fresh_handle(spark, tmp_path):
+    from knightshift_spark.sources.txntable import _CHECKPOINT_EVERY
+
+    t = TxnTable.create(
+        spark,
+        str(tmp_path / "ck"),
+        keys=["id"],
+        schema=SCHEMA,
+        n_buckets=2,
+        deletion_vectors=True,
+    )
+    t.append(_df(spark, [(i, f"v{i}", 1) for i in range(40)]))
+    # enough DV commits to cross a checkpoint boundary: the masks must
+    # replay from the checkpointed active entries, not just the tail
+    for i in range(_CHECKPOINT_EVERY + 2):
+        t.delete_where(F.col("id") == i)
+    fresh = TxnTable(spark, t.path)  # new handle: cold replay
+    ids = {r.id for r in fresh.snapshot().collect()}
+    assert ids == set(range(_CHECKPOINT_EVERY + 2, 40))
+    # log retention past the checkpoint keeps the masked reads exact
+    t.expire_log(retention_s=0.0)
+    assert {r.id for r in TxnTable(spark, t.path).snapshot().collect()} == ids
+
+
+def test_dv_delete_flows_through_matview_sync(spark, tmp_path):
+    from knightshift_spark.streaming.matview import (
+        read_view,
+        sync_view_from_table,
+    )
+
+    t = TxnTable.create(
+        spark,
+        str(tmp_path / "mv"),
+        keys=["id"],
+        schema="id long, g string, v long",
+        n_buckets=4,
+        deletion_vectors=True,
+    )
+    rows = [(i, "a" if i % 2 == 0 else "b", i) for i in range(10)]
+    t.append(spark.createDataFrame(rows, "id long, g string, v long"))
+    view = str(tmp_path / "view")
+    sync_view_from_table(t, view, ["g"], "v", n_buckets=4)
+    # a DV delete must reach the view exactly: group b vanishes, group
+    # a loses two members — the pre-image remove side of the dv commit
+    # is what names both groups as affected
+    t.delete_where((F.col("g") == "b") | (F.col("id") < 4))
+    sync_view_from_table(t, view, ["g"], "v", n_buckets=4)
+    got = {
+        r.g: (r.n, r.sum) for r in read_view(spark, view).collect()
+    }
+    assert "b" not in got
+    assert got["a"] == (3, 4 + 6 + 8)
+
+
+def test_dv_with_zorder_file_level_pruning(spark, tmp_path):
+    t = TxnTable.create(
+        spark,
+        str(tmp_path / "z"),
+        keys=["id"],
+        schema=SCHEMA,
+        n_buckets=2,
+        zorder_cols=["version"],
+        target_file_rows=8,
+        deletion_vectors=True,
+    )
+    t.append(_df(spark, [(i, f"v{i}", i) for i in range(64)]))
+    # entries carry per-file stats; the masked read must apply the
+    # entry's dv to FILE-level pruned paths too
+    t.delete_where(F.col("version").between(10, 19))
+    got = {r.version for r in t.snapshot_where("version", 5, 24).collect()}
+    assert got == set(range(5, 10)) | set(range(20, 25))
+    # pruning still skips files (an upper-bound sanity: fewer paths
+    # than the full file set survive the range)
+    all_files = sum(
+        len(a.get("files") or [a]) for a in t._state()[1].values()
+    )
+    assert len(t._paths_for_range("version", 5, 24)) < all_files
+
+
+def test_dv_commit_loses_occ_race_and_rolls_back_positions(spark, table):
+    from knightshift_spark.sources.txntable import ConcurrentWriteError
+
+    meta, active, read_v = table._state()
+    # a merge lands first, rewriting (at least) the bucket our stale DV
+    # statement targets — the DV commit must lose the bucket-overlap
+    # race and delete its freshly written position dirs, never the
+    # live data its adds re-reference
+    table.merge(_df(spark, [(0, "winner", 9)]), ["version"])
+    roots_before = set(_data_roots(table))
+    with pytest.raises(ConcurrentWriteError):
+        table._mor_statement(
+            meta, active, read_v, F.col("id") == 0, None, None, "delete"
+        )
+    assert set(_data_roots(table)) == roots_before  # positions rolled back
+    got = {r.id: r.val for r in table.snapshot().collect()}
+    assert got[0] == "winner" and len(got) == 20
