@@ -413,7 +413,20 @@ class MetricsTotalsView:
     one value per batch, deterministically, without storing attempt
     order. That differs from ``load_metrics_log``'s latest-attempt rule
     only when two attempts of one batch report different numbers (a
-    replay of a completed batch normally reports identical ones)."""
+    replay of a completed batch normally reports identical ones).
+
+    Layout (ROADMAP 0a(b), closed late r13): new views store ONE row
+    per (query_id, batch_id) with per-measure ``__m_<col>`` partial
+    structs — the r13 multi-measure matview — instead of the original
+    long form (one row per (query, batch, metric), an explode the
+    multi-measure machinery made redundant). The attempt semantics are
+    preserved exactly: per-measure ``max`` partials ARE the long
+    form's per-(group, metric) max, just co-located in one row; half
+    the view rows, no explode, one merge key set. Views created by
+    older builds keep their long form — both ``merge`` and ``totals``
+    detect the layout from the stored schema (mixing layouts in one
+    view would double-count), and ``rebuild`` migrates a legacy view
+    to the new layout as a side effect."""
 
     _METRICS = ("input_rows", "duration_ms")
 
@@ -422,31 +435,51 @@ class MetricsTotalsView:
         self.view_path = view_path
         self.n_buckets = n_buckets
 
+    def _legacy_layout(self) -> bool:
+        import os
+
+        if not os.path.isdir(self.view_path):
+            return False
+        return "metric" in self._spark.read.parquet(self.view_path).columns
+
     def merge(self, flushed: DataFrame) -> None:
         """Fold one flush's rows (``PersistentMetricsLog._SCHEMA``)
-        into the view. Long form: one row per (query, batch, metric),
-        so the single-value-column matview machinery serves several
-        counters without modification."""
+        into the view — multi-measure wide form for new views, the
+        original long form for views that already store it."""
         from knightshift_spark.streaming.matview import merge_view_batch
 
-        long = flushed.select(
+        if self._legacy_layout():
+            long = flushed.select(
+                "query_id",
+                "batch_id",
+                F.explode(
+                    F.map_from_arrays(
+                        F.array(*[F.lit(m) for m in self._METRICS]),
+                        F.array(
+                            F.col("input_rows").cast("double"),
+                            F.col("duration_ms").cast("double"),
+                        ),
+                    )
+                ).alias("metric", "value"),
+            )
+            merge_view_batch(
+                long,
+                self.view_path,
+                keys=["query_id", "batch_id", "metric"],
+                value_col="value",
+                n_buckets=self.n_buckets,
+            )
+            return
+        wide = flushed.select(
             "query_id",
             "batch_id",
-            F.explode(
-                F.map_from_arrays(
-                    F.array(*[F.lit(m) for m in self._METRICS]),
-                    F.array(
-                        F.col("input_rows").cast("double"),
-                        F.col("duration_ms").cast("double"),
-                    ),
-                )
-            ).alias("metric", "value"),
+            *[F.col(m).cast("double").alias(m) for m in self._METRICS],
         )
         merge_view_batch(
-            long,
+            wide,
             self.view_path,
-            keys=["query_id", "batch_id", "metric"],
-            value_col="value",
+            keys=["query_id", "batch_id"],
+            value_col=list(self._METRICS),
             n_buckets=self.n_buckets,
         )
 
@@ -456,19 +489,30 @@ class MetricsTotalsView:
         if not os.path.isdir(self.view_path):
             return {"n_batches": 0, "input_rows": 0, "wall_ms": 0}
         raw = self._spark.read.parquet(self.view_path)
-        row = raw.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("metric") == "input_rows", 1)), F.lit(0)
-            ).alias("n_batches"),
-            F.coalesce(
-                F.sum(F.when(F.col("metric") == "input_rows", F.col("max"))),
-                F.lit(0.0),
-            ).alias("input_rows"),
-            F.coalesce(
-                F.sum(F.when(F.col("metric") == "duration_ms", F.col("max"))),
-                F.lit(0.0),
-            ).alias("wall_ms"),
-        ).collect()[0]
+        if "metric" in raw.columns:  # legacy long-form view
+            row = raw.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("metric") == "input_rows", 1)), F.lit(0)
+                ).alias("n_batches"),
+                F.coalesce(
+                    F.sum(F.when(F.col("metric") == "input_rows", F.col("max"))),
+                    F.lit(0.0),
+                ).alias("input_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("metric") == "duration_ms", F.col("max"))),
+                    F.lit(0.0),
+                ).alias("wall_ms"),
+            ).collect()[0]
+        else:
+            row = raw.agg(
+                F.count("*").alias("n_batches"),
+                F.coalesce(
+                    F.sum(F.col("__m_input_rows.max")), F.lit(0.0)
+                ).alias("input_rows"),
+                F.coalesce(
+                    F.sum(F.col("__m_duration_ms.max")), F.lit(0.0)
+                ).alias("wall_ms"),
+            ).collect()[0]
         return {
             "n_batches": int(row["n_batches"]),
             "input_rows": int(row["input_rows"]),

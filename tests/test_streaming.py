@@ -963,15 +963,17 @@ def test_metrics_totals_view_incremental_across_restart(spark, tmp_path):
     }
     log2.record_progress(_fake_progress(2, "2026-01-01T00:02:00Z", 11))
 
+    # multi-measure layout (late r13): the view keys on (query, batch)
+    # alone — both measures live in one row's partial structs
     expected_touched = {
         r.b
         for r in spark.createDataFrame(
-            [("q-1", 2, "input_rows"), ("q-1", 2, "duration_ms")],
-            "query_id string, batch_id long, metric string",
+            [("q-1", 2)],
+            "query_id string, batch_id long",
         )
         .select(
             F.pmod(
-                F.xxhash64("query_id", "batch_id", "metric"), F.lit(16)
+                F.xxhash64("query_id", "batch_id"), F.lit(16)
             ).cast("int").alias("b")
         )
         .collect()
@@ -1111,3 +1113,42 @@ def test_document_stream_lm_gate_with_textnorm_replay(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
     ) == [1, 11]
+
+
+def test_metrics_totals_view_legacy_long_form_kept(spark, tmp_path):
+    """ROADMAP 0a(b), closed late r13: new totals views store one row
+    per (query, batch) with per-measure partial structs; a view a
+    PREVIOUS build created in the long form must keep it — merge
+    detects the stored layout (mixing layouts would double count) and
+    totals reads either."""
+    from knightshift_spark.streaming.matview import merge_view_batch
+    from knightshift_spark.streaming.metrics import MetricsTotalsView
+
+    view_path = str(tmp_path / "legacy")
+    long = spark.createDataFrame(
+        [("q", 0, "input_rows", 5.0), ("q", 0, "duration_ms", 100.0)],
+        "query_id string, batch_id long, metric string, value double",
+    )
+    merge_view_batch(
+        long, view_path, keys=["query_id", "batch_id", "metric"],
+        value_col="value", n_buckets=4,
+    )
+    view = MetricsTotalsView(spark, view_path, n_buckets=4)
+    assert view.totals() == {"n_batches": 1, "input_rows": 5, "wall_ms": 100}
+    flushed = spark.createDataFrame(
+        [("q", 1, 7, 50)],
+        "query_id string, batch_id long, input_rows long, duration_ms long",
+    )
+    view.merge(flushed)
+    assert "metric" in spark.read.parquet(view_path).columns  # layout kept
+    assert view.totals() == {
+        "n_batches": 2, "input_rows": 12, "wall_ms": 150,
+    }
+    # a FRESH view takes the multi-measure layout and reads the same
+    view2 = MetricsTotalsView(spark, str(tmp_path / "fresh"), n_buckets=4)
+    view2.merge(flushed)
+    raw = spark.read.parquet(str(tmp_path / "fresh"))
+    assert "__m_input_rows" in raw.columns and "metric" not in raw.columns
+    assert view2.totals() == {
+        "n_batches": 1, "input_rows": 7, "wall_ms": 50,
+    }
