@@ -181,6 +181,34 @@ def main() -> None:
         f"(== current snapshot rows: {t.snapshot().count()})"
     )
 
+    # 8. (late r13) deletion vectors: a GDPR key purge and a predicate
+    # delete as MERGE-ON-READ — positions written, no bucket rewritten;
+    # the next compact materializes the masks, vacuum reclaims them
+    before = t.version()
+    some_keys = t.snapshot().select("event_id").limit(3)
+    t.delete_keys(some_keys, deletion_vectors=True)
+    t.delete_where(F.col("value") > 1e12, deletion_vectors=True)  # no-op here
+    rpt = t.maintenance_report()
+    print(
+        f"DV takedown: {t.version() - before} mask commit(s), "
+        f"{rpt['dv_rows']} masked positions, max chain {rpt['max_dv_chain']}"
+        f" — rows now {t.snapshot().count()}"
+    )
+    t.compact(min_files=1)  # physical erasure: masks materialized...
+    t.vacuum(retention_s=0.0)  # ...and position datasets reclaimed
+    print(
+        f"after purge-compact: dv_rows={t.maintenance_report()['dv_rows']}, "
+        f"rows {t.snapshot().count()}"
+    )
+
+    # 9. (late r13) UPDATE with a joined source: Delta's MERGE WHEN
+    # MATCHED UPDATE as one call — SET sees pre-image + source columns
+    dim = t.snapshot().select("event_id").limit(2).withColumn(
+        "boost", F.lit(2.0)
+    )
+    t.update_from(dim, {"value": F.col("value") * F.col("boost")})
+    print(f"update_from landed as version {t.version()}")
+
 
 if __name__ == "__main__":
     main()

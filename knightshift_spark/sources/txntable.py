@@ -2904,6 +2904,8 @@ class TxnTable:
         news: dict | None,
         range_hint: tuple | None,
         op: str,
+        semi: DataFrame | None = None,
+        buckets: set | None = None,
     ) -> int:
         """Merge-on-read DELETE/UPDATE via deletion vectors (r13, the
         Delta DV shape): instead of rewriting every touched bucket,
@@ -2921,9 +2923,17 @@ class TxnTable:
         so any concurrent rewrite of those buckets wins or loses the
         ordinary OCC race — a lost race rolls back only the NEW
         position/data dirs (``rollback_dirs``), never the live entries
-        this commit re-references."""
+        this commit re-references.
+
+        Matching is either predicate (``cond``) or key-list (``semi``,
+        a deduplicated key DataFrame LEFT SEMI joined on the table key
+        — the ``delete_keys`` DV path); ``buckets`` (known key-owning
+        buckets, from the staged key listing) prunes the candidate
+        scan harder than footer stats can."""
         schema = self._schema(meta)
-        if range_hint is not None:
+        if buckets is not None:
+            cands = {p: a for p, a in active.items() if a["bucket"] in buckets}
+        elif range_hint is not None:
             col, lo, hi = range_hint
 
             def could(a) -> bool:
@@ -2940,7 +2950,10 @@ class TxnTable:
             return read_v
         items = [(os.path.join(self.path, p), a) for p, a in cands.items()]
         src = self._read_entries(meta, items, with_meta=True)
-        matched = src.filter(F.coalesce(cond, F.lit(False)))
+        if semi is not None:
+            matched = src.join(semi, list(meta["keys"]), "leftsemi")
+        else:
+            matched = src.filter(F.coalesce(cond, F.lit(False)))
         bucket_expr = F.pmod(
             F.xxhash64(*meta["keys"]), F.lit(meta["n_buckets"])
         ).cast("long")
@@ -3519,13 +3532,36 @@ class TxnTable:
         _write_inflight_marker(out)  # cross-process vacuum guard (r12)
         return rel, sorted(int(b) for b in obs.get["touched"])
 
-    def delete_keys(self, keys_df: DataFrame) -> int:
+    def delete_keys(
+        self, keys_df: DataFrame, deletion_vectors: bool | None = None
+    ) -> int:
         """DELETE by key LIST (the takedown/GDPR primitive — and the
         pipeline's validation-deletion sink): buckets containing any of
         the given keys are rewritten without those rows, everything else
         carries over by reference. One shuffle on the key, bounded by
-        touched-bucket bytes, like merge."""
+        touched-bucket bytes, like merge.
+
+        ``deletion_vectors=True`` (or the table default; explicit
+        ``False`` overrides) runs MERGE-ON-READ instead: the matching
+        rows' positions mask the files in place — the takedown touches
+        kilobytes of positions, not touched-bucket payload, which is
+        the DV design's headline use case (a key-list purge over a
+        100 TB table). The staged key list still prunes the scan to
+        exactly the key-owning buckets; the masked rows drop out of
+        every read immediately and physically disappear at the next
+        rewrite of their buckets (merge/compact/rebucket). For
+        contractual physical erasure deadlines, follow with
+        ``compact()`` + ``vacuum()`` — same as Delta's documented
+        DV-era GDPR procedure. Inside ``transaction()`` statements
+        fuse into the copy-on-write rewrite (explicit True raises)."""
         if self._txn is not None:
+            if deletion_vectors:
+                raise ValueError(
+                    "deletion_vectors=True is not a transaction "
+                    "statement option — transaction() fuses statements "
+                    "into one copy-on-write rewrite; run the DV "
+                    "statement standalone"
+                )
             st = self._txn
             rel, touched = self._stage_keys(keys_df, st.meta)
             st.staging.append(rel)
@@ -3536,6 +3572,11 @@ class TxnTable:
         meta, active, read_v = self._state()
         keys = meta["keys"]
         schema = self._schema(meta)
+        use_dv = (
+            deletion_vectors
+            if deletion_vectors is not None
+            else bool(meta.get("dv_default"))
+        )
         rel, touched = self._stage_keys(keys_df, meta)
         out = os.path.join(self.path, rel)
         _INFLIGHT_STAGING.add(out)
@@ -3543,15 +3584,27 @@ class TxnTable:
         try:
             if not touched:
                 return read_v
-            base_items = self._active_items(active, set(touched))
-            if not base_items:
-                return read_v
             key_schema = StructType(
                 [schema[k] for k in keys] + [StructField(_BUCKET, LongType())]
             )
             staged_kd = (
                 self.spark.read.schema(key_schema).parquet(out).drop(_BUCKET)
             )  # _BUCKET is a stored column in the staged files
+            if use_dv:
+                return self._mor_statement(
+                    meta,
+                    active,
+                    read_v,
+                    None,
+                    None,
+                    None,
+                    "delete",
+                    semi=staged_kd,
+                    buckets=set(touched),
+                )
+            base_items = self._active_items(active, set(touched))
+            if not base_items:
+                return read_v
             kept = self._read_entries(meta, base_items).join(
                 staged_kd, list(keys), "left_anti"
             )

@@ -511,7 +511,11 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
                         model.pop(i)
         elif op == "delete":
             ids = [rng.randrange(12) for _ in range(2)]
-            t.delete_keys(spark.createDataFrame([(i,) for i in ids], "id long"))
+            # randomly the r13 merge-on-read path: same model effect
+            t.delete_keys(
+                spark.createDataFrame([(i,) for i in ids], "id long"),
+                deletion_vectors=rng.choice([True, False, None]),
+            )
             for i in ids:
                 model.pop(i, None)
         elif op == "merge_clause":

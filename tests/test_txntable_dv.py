@@ -380,3 +380,36 @@ def test_dv_commit_loses_occ_race_and_rolls_back_positions(spark, table):
     assert set(_data_roots(table)) == roots_before  # positions rolled back
     got = {r.id: r.val for r in table.snapshot().collect()}
     assert got[0] == "winner" and len(got) == 20
+
+
+def test_dv_delete_keys_gdpr_path(spark, table):
+    before = _data_roots(table)
+    v = table.delete_keys(
+        spark.createDataFrame([(3,), (7,), (999,)], "id long")
+    )  # table default: deletion vectors
+    commit = next(c for c in table._commits() if c["version"] == v)
+    assert commit.get("mode") == "dv" and commit["removes"] == []
+    assert set(before) <= set(_data_roots(table))
+    assert {r.id for r in table.snapshot().collect()} == (
+        set(range(20)) - {3, 7}
+    )
+    # the staged key list prunes the scan AND the commit to exactly the
+    # key-owning buckets
+    owning = {
+        r.b
+        for r in spark.createDataFrame([(3,), (7,)], "id long")
+        .select(F.pmod(F.xxhash64("id"), F.lit(4)).cast("int").alias("b"))
+        .collect()
+    }
+    assert set(commit["buckets"]) <= owning
+    # CDC reads the key deletes exactly
+    rc = table.row_changes(v)
+    assert {r.id for r in rc.collect()} == {3, 7}
+    assert {r._change_type for r in rc.collect()} == {"delete"}
+    # explicit False forces the copy-on-write rewrite on a DV table
+    v2 = table.delete_keys(
+        spark.createDataFrame([(5,)], "id long"), deletion_vectors=False
+    )
+    c2 = next(c for c in table._commits() if c["version"] == v2)
+    assert c2.get("mode") != "dv" and c2["removes"]
+    assert table.snapshot().count() == 17
