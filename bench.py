@@ -1656,18 +1656,39 @@ def txn_table_section(spark, sf_dir: str) -> dict:
         deletion_vectors=True,
     )
     dvt.append(corpus)
+    # the SAME 32-key update batch the copy-on-write merge above landed,
+    # through the DV path: losing stored rows masked, winners appended
+    _, dv0, _ = dvt._state()
+    t0 = time.perf_counter()
+    dvt.merge(batch, order_by=["version"])  # table default: DV
+    dv_merge_sec = time.perf_counter() - t0
+    _, dv1, _ = dvt._state()
+    dv_merge_roots = {
+        os.path.dirname(p) for p in set(dv1) - set(dv0)
+    } | {
+        os.path.dirname(rel)
+        for a in dv1.values()
+        for rel in (a.get("dv") or {}).get("paths", [])
+    }
+    dv_merge_bytes = sum(
+        _dir_bytes(os.path.join(dv_tbl, r)) for r in dv_merge_roots
+    )
     _, dv_before, _ = dvt._state()
     t0 = time.perf_counter()
     dvt.delete_where(F.col("doc_id") % 997 == 3)
     dv_delete_sec = time.perf_counter() - t0
     _, dv_after, _ = dvt._state()
-    dv_bytes = sum(
-        _dir_bytes(os.path.join(dv_tbl, root))
-        for root in {
+
+    def _dv_roots(act):
+        return {
             os.path.dirname(rel)  # per-bucket rels share one uuid root
-            for a in dv_after.values()
+            for a in act.values()
             for rel in (a.get("dv") or {}).get("paths", [])
         }
+
+    dv_bytes = sum(
+        _dir_bytes(os.path.join(dv_tbl, root))
+        for root in _dv_roots(dv_after) - _dv_roots(dv_before)
     )
     t0 = time.perf_counter()
     masked_rows = dvt.snapshot().count()
@@ -1695,6 +1716,15 @@ def txn_table_section(spark, sf_dir: str) -> dict:
         "bytes_ratio": round(cow_bytes / dv_bytes, 1) if dv_bytes else None,
         "masked_snapshot_rows": masked_rows,
         "masked_read_sec": round(masked_read_sec, 4),
+        # the hot path: the same 32-key upsert batch the copy-on-write
+        # merge above landed (pruned_merge_sec / merge_rewritten_mb),
+        # merge-on-read — masks + winner files vs touched-bucket rewrite
+        "dv_merge_sec": round(dv_merge_sec, 4),
+        "dv_merge_written_kb": round(dv_merge_bytes / 1e3, 1),
+        "cow_merge_written_kb": round(merge_bytes / 1e3, 1),
+        "merge_bytes_ratio": (
+            round(merge_bytes / dv_merge_bytes, 1) if dv_merge_bytes else None
+        ),
     }
     shutil.rmtree(dv_tbl, ignore_errors=True)
 

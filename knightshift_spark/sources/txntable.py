@@ -2695,6 +2695,7 @@ class TxnTable:
         txn: tuple[str, int] | None = None,
         when_matched_delete=None,
         delete_where=None,
+        deletion_vectors: bool | None = None,
     ) -> int:
         """MERGE INTO: last-writer-wins upsert (``operators/merge.upsert``
         — updates beat stored rows on ``order_by`` ties, the reference's
@@ -2744,8 +2745,27 @@ class TxnTable:
 
         Inside ``transaction()``, the merge stages its input (job 1)
         immediately but defers the rewrite to the transaction's single
-        fused commit."""
+        fused commit.
+
+        ``deletion_vectors=True`` (or the table default; explicit
+        ``False`` overrides) runs the merge MERGE-ON-READ
+        (``_mor_merge``): stored rows that lose the last-writer-wins
+        rank are position-MASKED in place and the winning batch rows
+        land as new files — identical final state, bytes written ∝
+        batch size instead of touched-bucket payload. Conditional
+        clauses and explicit-transaction statements keep the
+        copy-on-write rewrite (combining them with explicit
+        ``deletion_vectors=True`` raises); a batch that wholly loses
+        the rank commits nothing on the DV path."""
         if when_matched_delete is not None or delete_where is not None:
+            if deletion_vectors:
+                raise ValueError(
+                    "deletion_vectors=True does not compose with merge "
+                    "clauses (when_matched_delete / delete_where) — the "
+                    "clauses fuse through the copy-on-write transaction "
+                    "machinery; run the clause merge without DV, or the "
+                    "DV merge without clauses"
+                )
             if self._txn is not None:
                 # inside an explicit transaction the clauses record as
                 # ordered statements (r13 follow-up — they used to
@@ -2781,8 +2801,20 @@ class TxnTable:
             self._txn = None
             return self._commit_txn(st)
         if self._txn is not None:
+            if deletion_vectors:
+                raise ValueError(
+                    "deletion_vectors=True is not a transaction "
+                    "statement option — transaction() fuses statements "
+                    "into one copy-on-write rewrite; run the DV "
+                    "statement standalone"
+                )
             return self._record_merge(updates, list(order_by), evolve, txn)
         meta, active, read_v = self._state()
+        use_dv = (
+            deletion_vectors
+            if deletion_vectors is not None
+            else bool(meta.get("dv_default"))
+        )
         new_schema = None
         if evolve:
             evolved = self._evolved_meta(updates, meta)
@@ -2798,6 +2830,17 @@ class TxnTable:
         try:
             if not touched:
                 return read_v
+            if use_dv:
+                return self._mor_merge(
+                    meta,
+                    active,
+                    read_v,
+                    staging_rel,
+                    touched,
+                    list(order_by),
+                    new_schema,
+                    txn,
+                )
             bucket_expr = F.pmod(
                 F.xxhash64(*keys), F.lit(meta["n_buckets"])
             ).cast("long")
@@ -2895,6 +2938,47 @@ class TxnTable:
         }
         return rel, counts
 
+    def _dv_entry_adds(
+        self, cands: dict[str, dict], delta_rel: str, counts: dict
+    ) -> tuple[list[dict], set[int]]:
+        """Fold a freshly written position dataset into its owning
+        entries: re-add each touched entry with the delta's per-bucket
+        dir CHAINED onto any existing mask. The file key → entry map
+        comes off the candidate dirs' listings (driver-side metadata;
+        authoritative where the entry's optional "files" stats list is
+        absent) and mirrors ``_read_entries``' substring_index(file_path,
+        "/", -3): the entry rel path minus its leading data/ component,
+        plus the file name — unique where bare part names are not."""
+        owner: dict[str, str] = {}
+        for p in cands:
+            d = os.path.join(self.path, p)
+            key_prefix = p.split("/", 1)[1]
+            for n in os.listdir(d):
+                if not n.startswith(("_", ".")):
+                    owner[f"{key_prefix}/{n}"] = p
+        by_entry: dict[str, int] = {}
+        for fname, n in counts.items():
+            rel_entry = owner.get(fname)
+            if rel_entry is None:
+                raise RuntimeError(
+                    f"deletion-vector position file {fname!r} has no "
+                    "owning active entry — concurrent rewrite mid-scan?"
+                )
+            by_entry[rel_entry] = by_entry.get(rel_entry, 0) + n
+        adds: list[dict] = []
+        touched: set[int] = set()
+        for rel_entry, n in by_entry.items():
+            a = dict(cands[rel_entry])  # never mutate cached entries
+            old = a.get("dv") or {"paths": [], "rows": 0}
+            a["dv"] = {
+                "paths": list(old["paths"])
+                + [f"{delta_rel}/{_BUCKET}={a['bucket']}"],
+                "rows": int(old.get("rows", 0)) + n,
+            }
+            adds.append(a)
+            touched.add(int(a["bucket"]))
+        return adds, touched
+
     def _mor_statement(
         self,
         meta: dict,
@@ -2973,40 +3057,7 @@ class TxnTable:
             return read_v
         rollback = [delta_rel]
         try:
-            # file key → owning entry, off the candidate dirs' listings
-            # (driver-side metadata; authoritative where the entry's
-            # optional "files" stats list is absent). The key mirrors
-            # _read_entries' substring_index(file_path, "/", -3): the
-            # entry rel path minus its leading data/ component, plus
-            # the file name — unique where bare names are not.
-            owner: dict[str, str] = {}
-            for p in cands:
-                d = os.path.join(self.path, p)
-                key_prefix = p.split("/", 1)[1]
-                for n in os.listdir(d):
-                    if not n.startswith(("_", ".")):
-                        owner[f"{key_prefix}/{n}"] = p
-            by_entry: dict[str, int] = {}
-            for fname, n in counts.items():
-                rel_entry = owner.get(fname)
-                if rel_entry is None:
-                    raise RuntimeError(
-                        f"deletion-vector position file {fname!r} has no "
-                        "owning active entry — concurrent rewrite mid-scan?"
-                    )
-                by_entry[rel_entry] = by_entry.get(rel_entry, 0) + n
-            adds: list[dict] = []
-            touched: set[int] = set()
-            for rel_entry, n in by_entry.items():
-                a = dict(cands[rel_entry])  # never mutate cached entries
-                old = a.get("dv") or {"paths": [], "rows": 0}
-                a["dv"] = {
-                    "paths": list(old["paths"])
-                    + [f"{delta_rel}/{_BUCKET}={a['bucket']}"],
-                    "rows": int(old.get("rows", 0)) + n,
-                }
-                adds.append(a)
-                touched.add(int(a["bucket"]))
+            adds, touched = self._dv_entry_adds(cands, delta_rel, counts)
             if news is not None:
                 # UPDATE: the matched rows' POST-images land as new
                 # files in the same commit; _apply_update evaluates SET
@@ -3032,6 +3083,121 @@ class TxnTable:
                 [],
                 sorted(touched),
                 read_v,
+                extra={"mode": "dv"},
+                rollback_dirs=rollback,
+            )
+        except ConcurrentWriteError:
+            raise  # _commit already rolled back rollback_dirs
+        except BaseException:
+            for rel in rollback:
+                shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+            raise
+
+    def _mor_merge(
+        self,
+        meta: dict,
+        active: dict[str, dict],
+        read_v: int,
+        staging_rel: str,
+        touched: list[int],
+        order_by: Sequence[str],
+        new_schema: str | None,
+        txn: tuple[str, int] | None,
+    ) -> int:
+        """MERGE via deletion vectors (late r13): instead of rewriting
+        every touched bucket, rank stored ∪ staged rows per key under
+        the same last-writer-wins order the rewrite merge uses
+        (order_by DESC NULLS LAST, then __src DESC — updates win ties),
+        MASK the stored rows that lose, and APPEND the batch rows that
+        win as new files. Final state is identical to the rewrite
+        merge, including its side effect of deduplicating pre-existing
+        duplicate keys in touched buckets (a stored duplicate that
+        loses the rank is masked). Bytes written are ∝ batch size +
+        masked positions instead of touched-bucket payload — on the
+        reference's cadence (a ~32-row upsert against a wide table)
+        this is the write-amplification lever that matters most,
+        because merge is the hot path.
+
+        Cost shape: the rank needs one shuffle of touched-bucket rows ∪
+        batch on the key (the same volume the rewrite shuffles), paid
+        twice (positions job + new-files job; the staged batch is a
+        cheap parquet re-read, mirroring two-phase delete's read-twice
+        trade). A batch that entirely LOSES to stored rows commits
+        nothing (the rewrite path would commit an equivalent-state
+        rewrite; replays decide identically, so exactly-once holds).
+        CDC: the mode="dv" branch diffs masked files' pre-state against
+        post-state ∪ new files — inserts/updates/deletes come out
+        exactly."""
+        schema = self._schema(meta)
+        keys = meta["keys"]
+        bucket_expr = F.pmod(
+            F.xxhash64(*keys), F.lit(meta["n_buckets"])
+        ).cast("long")
+        staged_schema = StructType(
+            list(schema.fields) + [StructField(_BUCKET, LongType())]
+        )
+        cands = {p: a for p, a in active.items() if a["bucket"] in set(touched)}
+        upd = (
+            self.spark.read.schema(staged_schema)
+            .parquet(os.path.join(self.path, staging_rel))
+            .withColumn(_SRC, F.lit(1))
+            .withColumn(_DV_FILE, F.lit(None).cast("string"))
+            .withColumn(_DV_POS, F.lit(None).cast("bigint"))
+        )
+        if cands:
+            base = (
+                self._read_entries(
+                    meta, self._active_items(active, set(touched)), with_meta=True
+                )
+                .withColumn(_BUCKET, bucket_expr)
+                .withColumn(_SRC, F.lit(0))
+            )
+            both = base.unionByName(upd)
+        else:
+            both = upd
+        w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+            *[F.col(c).desc_nulls_last() for c in order_by],
+            F.col(_SRC).desc(),
+        )
+        ranked = both.withColumn("__rn", F.row_number().over(w))
+        positions = ranked.filter(
+            (F.col(_SRC) == 0) & (F.col("__rn") > 1)
+        ).select(
+            F.col(_DV_FILE).alias("f"),
+            F.col(_DV_POS).alias("p"),
+            F.col(_BUCKET),
+        )
+        if len(cands) > 32:
+            positions = positions.repartition(F.col(_BUCKET))
+        delta_rel, counts = self._write_dv(positions)
+        rollback: list[str] = [delta_rel] if delta_rel else []
+        try:
+            new_rows = ranked.filter(
+                (F.col(_SRC) == 1) & (F.col("__rn") == 1)
+            ).select(*[f.name for f in schema.fields])
+            # staging already CHECK-validated the batch (_bucketed);
+            # the winners are a subset — the no-re-validation rule
+            new_adds = self._write_data(
+                new_rows, meta, shuffle=len(cands) > 32, validate=False
+            )
+            rollback.extend(
+                sorted({os.path.dirname(a["path"]) for a in new_adds})
+            )
+            if delta_rel is None and not new_adds:
+                return read_v  # whole batch lost the rank: no-op
+            if delta_rel is not None:
+                adds, _ = self._dv_entry_adds(cands, delta_rel, counts)
+            else:
+                adds = []
+            adds.extend(new_adds)
+            return self._commit(
+                "merge",
+                adds,
+                [],
+                sorted(set(touched)),
+                read_v,
+                schema=new_schema,
+                txn=txn,
                 extra={"mode": "dv"},
                 rollback_dirs=rollback,
             )

@@ -467,9 +467,14 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
                 model[i] = (val, ver)
         elif op == "merge":
             # in-batch dedup: last-writer-wins keeps ONE row per key —
-            # mirror upsert's tie-break (highest version wins) per batch
+            # mirror upsert's tie-break (highest version wins) per batch;
+            # randomly the r13 merge-on-read path (identical semantics,
+            # masks + new files instead of a bucket rewrite)
             batch = random_merge_rows(step)
-            t.merge(_df(spark, batch), ["version"])
+            t.merge(
+                _df(spark, batch), ["version"],
+                deletion_vectors=rng.choice([True, False, None]),
+            )
             lww(batch)
         elif op == "txn":
             # multi-statement transaction: random merge / delete_keys /

@@ -413,3 +413,68 @@ def test_dv_delete_keys_gdpr_path(spark, table):
     c2 = next(c for c in table._commits() if c["version"] == v2)
     assert c2.get("mode") != "dv" and c2["removes"]
     assert table.snapshot().count() == 17
+
+
+def test_dv_merge_equals_rewrite_merge(spark, tmp_path):
+    """The DV merge must reproduce the rewrite merge EXACTLY — final
+    state and row-level CDC — across the full semantics matrix: a
+    winning update, a losing update, an order_by tie (update wins), an
+    unmatched insert, and a pre-existing stored duplicate key (the
+    rewrite's dedup side effect must survive as a mask)."""
+
+    def mk(name, dv):
+        t = TxnTable.create(
+            spark, str(tmp_path / name), keys=["id"], schema=SCHEMA,
+            n_buckets=4, deletion_vectors=dv,
+        )
+        t.append(_df(spark, [(i, f"v{i}", 2) for i in range(10)]))
+        t.append(_df(spark, [(3, "dup3", 1)]))  # blind duplicate
+        return t
+
+    cow, dv = mk("cow", False), mk("dv", True)
+    batch = _df(
+        spark,
+        [(1, "upd1", 5), (2, "low2", 1), (3, "tie3", 2), (50, "new50", 1)],
+    )
+    v_cow, v_dv = cow.merge(batch, ["version"]), dv.merge(batch, ["version"])
+    assert _rows(cow.snapshot()) == _rows(dv.snapshot())
+    got = {r.id: (r.val, r.version) for r in dv.snapshot().collect()}
+    assert got[1] == ("upd1", 5)      # won
+    assert got[2] == ("v2", 2)        # update lost
+    assert got[3] == ("tie3", 2)      # tie -> update wins, dup masked
+    assert got[50] == ("new50", 1)    # insert
+    cdc = lambda t, v: {  # noqa: E731
+        (r.id, r._change_type) for r in t.row_changes(v).collect()
+    }
+    assert cdc(cow, v_cow) == cdc(dv, v_dv)
+    # files never moved; the commit is a DV merge
+    commit = next(c for c in dv._commits() if c["version"] == v_dv)
+    assert commit.get("mode") == "dv" and commit["removes"] == []
+    # a batch that wholly loses the rank commits nothing
+    v0 = dv.version()
+    assert dv.merge(_df(spark, [(1, "stale", 0)]), ["version"]) == v0
+    assert dv.version() == v0
+
+
+def test_dv_merge_txn_stamp_and_evolution(spark, tmp_path):
+    t = TxnTable.create(
+        spark, str(tmp_path / "s"), keys=["id"], schema=SCHEMA,
+        n_buckets=2, deletion_vectors=True,
+    )
+    t.append(_df(spark, [(1, "a", 1), (2, "b", 1)]))
+    # exactly-once stamp rides the DV merge commit
+    t.merge(_df(spark, [(1, "a2", 2)]), ["version"], txn=("app", 7))
+    assert t.streaming_watermark("app") == 7
+    # schema evolution through the DV merge: masked old files read NULL
+    wide = spark.createDataFrame(
+        [(2, "b2", 3, "x")], "id long, val string, version int, note string"
+    )
+    t.merge(wide, ["version"], evolve=True)
+    got = {r.id: (r.val, r.note) for r in t.snapshot().collect()}
+    assert got == {1: ("a2", None), 2: ("b2", "x")}
+    # clauses refuse to combine with explicit DV
+    with pytest.raises(ValueError, match="does not compose"):
+        t.merge(
+            _df(spark, [(1, "z", 9)]), ["version"],
+            delete_where=F.col("version") < 0, deletion_vectors=True,
+        )
