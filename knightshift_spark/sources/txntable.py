@@ -498,6 +498,26 @@ def _footer_stats(bucket_dir: str, cols: Sequence[str]) -> tuple[dict, dict]:
     return dir_stats, per_file
 
 
+def _footer_rows(bucket_dir: str) -> int | None:
+    """Total rows in a bucket directory, summed from the parquet
+    footers the write already produced (``num_rows`` is always present,
+    unlike min/max stats) — powers metadata-only ``TxnTable.count()``.
+    None when footers can't be read (the count falls back to a scan,
+    never to a wrong number)."""
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for name in sorted(os.listdir(bucket_dir)):
+            if name.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(bucket_dir, name)
+                ).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
 class _TxnState:
     """Open multi-statement transaction: the snapshot it read, the
     statements recorded so far (merges/delete_keys stage their inputs
@@ -1122,6 +1142,26 @@ class TxnTable:
         if missing:
             raise VacuumedVersionError(f"snapshot files vacuumed: {missing[:3]}")
         return self._read_entries(meta, self._active_items(active))
+
+    def count(self, version: int | None = None) -> int:
+        """Exact row count as of ``version`` from COMMIT-LOG METADATA —
+        no Spark job, no file reads: every entry records its footer row
+        total at commit time (``rows``), and a deletion-vector mask
+        records exactly how many of those it hides (``dv.rows``; masks
+        are computed over already-masked reads, so positions never
+        double-count). Live rows = Σ(rows − dv rows). The lakehouse
+        answer to the most common query there is, at O(active entries)
+        driver work. Entries written by pre-r13 builds carry no row
+        total — then this falls back to one counting scan (never a
+        wrong number); any rewrite refreshes the metadata."""
+        meta, active, _ = self._state(version)
+        total = 0
+        for a in active.values():
+            rows = a.get("rows")
+            if rows is None:
+                return self.snapshot(version).count()
+            total += int(rows) - int((a.get("dv") or {}).get("rows", 0))
+        return total
 
     def _items_for_range(
         self, col: str, lo, hi, version: int | None = None
@@ -1831,6 +1871,10 @@ class TxnTable:
                     "path": os.path.join(rel, name),
                     "bucket": int(name.split("=", 1)[1]),
                 }
+                rows = _footer_rows(os.path.join(out, name))
+                if rows is not None:
+                    # metadata-only count(): live rows = rows − dv rows
+                    entry["rows"] = rows
                 stats, per_file = _footer_stats(
                     os.path.join(out, name), meta.get("stats_cols") or []
                 )
@@ -3962,6 +4006,7 @@ class TxnTable:
         bytes_by_bucket: dict[int, int] = {}
         dv_rows = 0
         max_dv_chain = 0
+        live_rows: int | None = 0
         for p, a in active.items():
             b = a["bucket"]
             by_bucket[b] = by_bucket.get(b, 0) + 1
@@ -3972,6 +4017,12 @@ class TxnTable:
             if d:
                 dv_rows += int(d.get("rows", 0))
                 max_dv_chain = max(max_dv_chain, len(d.get("paths", [])))
+            if live_rows is not None and a.get("rows") is not None:
+                live_rows += int(a["rows"]) - int(
+                    (d or {}).get("rows", 0)
+                )
+            else:
+                live_rows = None  # pre-r13 entries: no metadata count
         live = sum(bytes_by_bucket.values())
         n_buckets = int(meta["n_buckets"])
         target = target_bucket_mb * 1024 * 1024
@@ -4059,6 +4110,7 @@ class TxnTable:
             # REORG ... PURGE) and wants_compact flags it.
             "dv_rows": dv_rows,
             "max_dv_chain": max_dv_chain,
+            "live_rows": live_rows,
             "wants_compact": bool(frag) or max_dv_chain >= _DV_PURGE_CHAIN,
             # BOTH directions (ADVICE r11): growth — the suggestion moved
             # up AND some bucket actually overflows the target (a mere

@@ -586,6 +586,8 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
             t.compact()
         got = {r.id: (r.val, r.version) for r in t.snapshot().collect()}
         assert got == model, f"step {step} op {op}: {got} != {model}"
+        # metadata-only count stays exact through every op, DV included
+        assert t.count() == len(model), f"step {step} op {op}: count"
         for _ in range(t.version() - before_v):
             history.append(dict(model))
 

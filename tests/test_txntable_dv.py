@@ -478,3 +478,29 @@ def test_dv_merge_txn_stamp_and_evolution(spark, tmp_path):
             _df(spark, [(1, "z", 9)]), ["version"],
             delete_where=F.col("version") < 0, deletion_vectors=True,
         )
+
+
+def test_metadata_only_count(spark, table):
+    """r13: count() answers from commit-log metadata — footer row
+    totals minus deletion-vector rows — with no Spark job; exact
+    through DV deletes/updates/merges, version-pinned, and falling
+    back to a scan for entries that predate the row metadata."""
+    import json
+
+    assert table.count() == 20
+    table.delete_where(F.col("id") % 4 == 0)  # 5 masked
+    assert table.count() == 15 == table.snapshot().count()
+    table.update_where(F.col("id") == 1, {"version": F.lit(9)})
+    assert table.count() == 15  # masks 1, appends 1
+    table.merge(_df(spark, [(1, "m", 11), (100, "new", 1)]), ["version"])
+    assert table.count() == 16 == table.snapshot().count()
+    assert table.count(version=1) == 20  # time travel
+    # pre-r13 entries (no "rows") fall back to one counting scan
+    log = os.path.join(table.path, "_txnlog", "00000000000000000001.json")
+    c = json.loads(open(log).read())
+    for a in c["adds"]:
+        a.pop("rows", None)
+    open(log, "w").write(json.dumps(c))
+    fresh = TxnTable(spark, table.path)
+    assert fresh.count() == 16
+    assert fresh.maintenance_report()["live_rows"] is None
