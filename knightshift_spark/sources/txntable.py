@@ -4503,6 +4503,75 @@ class TxnTable:
         return v
 
 
+def consume_table_changes(
+    table: "TxnTable",
+    state_path: str,
+    fn,
+    include_removed: bool = False,
+    row_level: bool = False,
+) -> int:
+    """Incremental change-feed consumption with a durable checkpoint —
+    the generic form of the loop the built-in maintainers
+    (``sync_view_from_table``, ``sync_scd2_from_table``) run: read the
+    delta since the last committed catch-up, hand it to ``fn``, stamp
+    the sidecar. One call per schedule tick; returns the version
+    consumed to (== the previous stamp when there is nothing new).
+
+    ``fn(changes, lo, hi)`` receives ONE DataFrame covering commits in
+    ``(lo, hi]`` — the file-granular ``table_changes`` feed by default
+    (pass ``include_removed=True`` for pre-image remove rows), or the
+    exact row-level CDC union (``row_changes`` per data commit, columns
+    + ``_change_type`` + ``_commit_version``) with ``row_level=True``.
+    Deletion-vector commits are exact in both feeds.
+
+    Delivery contract (the same one Structured Streaming's foreachBatch
+    gives): the sidecar is stamped AFTER ``fn`` returns, so a crash
+    between the two replays the SAME range on the next call — ``fn``
+    must be idempotent per (lo, hi] (overwrite a partition, MERGE on a
+    key, write to a path derived from ``hi``). A RESTORE inside the
+    range raises ``RestoreInRangeError`` (resync the consumer from
+    ``snapshot()`` and stamp manually with ``write_sync_sidecar``);
+    expired commits raise ``VacuumedVersionError`` — schedule catch-ups
+    inside the log retention window."""
+    from knightshift_spark.sources.syncstate import (
+        read_sync_sidecar,
+        write_sync_sidecar,
+    )
+
+    cur, _ = read_sync_sidecar(state_path, name="_CONSUMED_VERSION")
+    target = table.version()
+    if target <= cur:
+        return cur
+    if row_level:
+        parts = []
+        for c in sorted(table._commits(), key=lambda c: c["version"]):
+            v = c["version"]
+            if not (cur < v <= target):
+                continue
+            if c["op"] == "restore":
+                raise RestoreInRangeError(
+                    f"commit {v} is a restore — resync this consumer "
+                    "from snapshot() and restamp its sidecar"
+                )
+            if c["op"] not in ("append", "merge", "delete", "txn", "update"):
+                continue
+            parts.append(table.row_changes(v, _commit=c))
+        if parts:
+            changes = parts[0]
+            for p in parts[1:]:
+                changes = changes.unionByName(p, allowMissingColumns=True)
+        else:
+            changes = None
+    else:
+        changes = table.table_changes(
+            cur, target, include_removed=include_removed
+        )
+    if changes is not None:
+        fn(changes, cur, target)
+    write_sync_sidecar(state_path, target, 0, name="_CONSUMED_VERSION")
+    return target
+
+
 def read_scd2(spark, history_path: str) -> DataFrame:
     """The materialized SCD2 history maintained by
     ``sync_scd2_from_table``: data columns + ``__valid_from`` /

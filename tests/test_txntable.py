@@ -2843,3 +2843,49 @@ def test_update_from_joined_source(spark, table):
     with pytest.raises(RuntimeError, match="not a transaction statement"):
         with table.transaction():
             table.update_from(dim, {"version": F.lit(9)})
+
+
+def test_consume_table_changes_checkpointed_loop(spark, table, tmp_path):
+    """late r13: the generic change-feed consumer — durable sidecar,
+    replay-on-crash delivery, exact row-level mode across DV commits,
+    restore refusal."""
+    from knightshift_spark.sources.txntable import (
+        RestoreInRangeError,
+        consume_table_changes,
+    )
+
+    state = str(tmp_path / "consumer")
+    table.append(_df(spark, [(i, f"v{i}", 1) for i in range(6)]))
+    seen: list[tuple] = []
+
+    def sink(df, lo, hi):
+        seen.append((lo, hi, df.count()))
+
+    v1 = consume_table_changes(table, state, sink)
+    assert v1 == table.version() and seen == [(-1, v1, 6)]
+    # nothing new: no delivery, same stamp
+    assert consume_table_changes(table, state, sink) == v1
+    assert len(seen) == 1
+    # a crash between fn and the stamp replays the SAME range
+    table.merge(_df(spark, [(0, "m", 2)]), ["version"])
+
+    def boom(df, lo, hi):
+        raise RuntimeError("sink crashed")
+
+    with pytest.raises(RuntimeError, match="sink crashed"):
+        consume_table_changes(table, state, boom)
+    v2 = consume_table_changes(table, state, sink)
+    assert seen[-1][0] == v1 and seen[-1][1] == v2  # replayed range
+    # row-level mode is exact across a deletion-vector delete
+    table.delete_where(F.col("id") == 3, deletion_vectors=True)
+    rows: list = []
+    consume_table_changes(
+        table, state, lambda df, lo, hi: rows.extend(df.collect()),
+        row_level=True,
+    )
+    assert {(r.id, r._change_type) for r in rows} == {(3, "delete")}
+    # a restore in the range refuses — the consumer must resync
+    table.merge(_df(spark, [(1, "x", 3)]), ["version"])
+    table.restore(v2)
+    with pytest.raises(RestoreInRangeError):
+        consume_table_changes(table, state, sink, row_level=True)
