@@ -3295,7 +3295,14 @@ class TxnTable:
         are written as a small dataset and the touched files are
         re-committed with a ``dv`` mask instead of being rewritten —
         see ``_mor_statement``. ``range_hint`` then prunes the scan's
-        candidate files by footer stats; ``rewrite_all`` is ignored.
+        candidate files by footer stats — NOTE the asymmetry: on the
+        rewrite plans the hint only picks a plan and a wrong hint
+        cannot change results, but on the DV path a hint that is NOT
+        a true superset of where the matching rows lie would skip
+        files containing matches (rows silently not deleted). The
+        hint's documented contract ("a superset range the matching
+        rows are known to lie in") is exactly what makes the pruning
+        sound; omit it when unsure. ``rewrite_all`` is ignored.
         Inside ``transaction()`` statements always fuse into the
         copy-on-write rewrite (an explicit ``deletion_vectors=True``
         there raises — a fused plan has no per-statement mask)."""
