@@ -448,74 +448,90 @@ def _atomic_publish(
     return (backend or LinkCommitBackend()).put_if_absent(dst, data)
 
 
-def _footer_stats(bucket_dir: str, cols: Sequence[str]) -> tuple[dict, dict]:
-    """(directory-level, per-FILE) min/max for ``cols``, read from the
-    parquet footers the write already produced — data skipping for
-    free, no Spark job. Returns ``({}, {})`` (no stats, never wrong
+def _footer_stats(
+    bucket_dir: str, cols: Sequence[str]
+) -> tuple[dict, dict, int | None]:
+    """(directory-level min/max, per-FILE min/max, total rows) for the
+    parquet footers the write already produced — data skipping AND the
+    metadata-only ``count()`` off ONE footer pass per file, no Spark
+    job. Stats come back empty (``{}, {}`` — no stats, never wrong
     stats) when a column is missing, a row group lacks min/max, or a
-    value isn't JSON-round-trippable. File-level stats power
+    value isn't JSON-round-trippable; the row total (``num_rows``,
+    always present in a footer) survives those bails and is ``None``
+    only when footers can't be read at all. File-level stats power
     intra-bucket pruning when a write splits a bucket into several
     curve-segment files (``zorder_cols``)."""
-    if not cols:
-        return {}, {}
     try:
         import pyarrow.parquet as pq
     except Exception:
-        return {}, {}
+        return {}, {}, None
     per_file: dict[str, dict] = {}
+    rows = 0
+    stats_ok = bool(cols)
     try:
         for name in sorted(os.listdir(bucket_dir)):
             if not name.endswith(".parquet"):
                 continue
             md = pq.ParquetFile(os.path.join(bucket_dir, name)).metadata
+            rows += md.num_rows
+            if not stats_ok:
+                continue
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
             mins: dict[str, object] = {}
             maxs: dict[str, object] = {}
+            bail = False
             for c in cols:
                 j = idx.get(c)
                 if j is None:
-                    return {}, {}
+                    bail = True
+                    break
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(j).statistics
                     if st is None or not st.has_min_max:
-                        return {}, {}
+                        bail = True
+                        break
                     lo, hi = st.min, st.max
                     if not all(
                         isinstance(v, (int, float, str)) and not isinstance(v, bool)
                         for v in (lo, hi)
                     ):
-                        return {}, {}
+                        bail = True
+                        break
                     mins[c] = lo if c not in mins else min(mins[c], lo)
                     maxs[c] = hi if c not in maxs else max(maxs[c], hi)
+                if bail:
+                    break
+            if bail:
+                stats_ok = False  # keep counting rows, drop stats
+                per_file = {}
+                continue
             per_file[name] = {c: [mins[c], maxs[c]] for c in cols if c in mins}
     except Exception:
-        return {}, {}
+        return {}, {}, None
+    if not stats_ok:
+        return {}, {}, rows
     dir_stats: dict = {}
     for c in cols:
         vals = [fs[c] for fs in per_file.values() if c in fs]
         if vals and len(vals) == len(per_file):
             dir_stats[c] = [min(v[0] for v in vals), max(v[1] for v in vals)]
-    return dir_stats, per_file
+    return dir_stats, per_file, rows
 
 
-def _footer_rows(bucket_dir: str) -> int | None:
-    """Total rows in a bucket directory, summed from the parquet
-    footers the write already produced (``num_rows`` is always present,
-    unlike min/max stats) — powers metadata-only ``TxnTable.count()``.
-    None when footers can't be read (the count falls back to a scan,
-    never to a wrong number)."""
-    try:
-        import pyarrow.parquet as pq
-
-        total = 0
-        for name in sorted(os.listdir(bucket_dir)):
-            if name.endswith(".parquet"):
-                total += pq.ParquetFile(
-                    os.path.join(bucket_dir, name)
-                ).metadata.num_rows
-        return total
-    except Exception:
-        return None
+def _stats_overlap(st, lo, hi) -> bool:
+    """Can a footer [min, max] intersect ``lo <= col <= hi``? Missing
+    stats read (the never-wrong rule). THE shared overlap predicate —
+    range pruning (``_items_for_range``), the delete plan crossover
+    (``_resolve_rewrite_all``) and the DV candidate prune
+    (``_mor_statement``) must never diverge: on the DV path a wrong
+    prune is silently-undeleted rows, not just a worse plan."""
+    if st is None:
+        return True
+    if hi is not None and st[0] > hi:
+        return False
+    if lo is not None and st[1] < lo:
+        return False
+    return True
 
 
 class _TxnState:
@@ -1059,6 +1075,7 @@ class TxnTable:
         dved: list[str] = []
         dv_rels: list[str] = []
         seen: set[str] = set()
+        seen_entries: set[str] = set()
         dv_rows = 0
         for path, a in items:
             d = a.get("dv")
@@ -1068,7 +1085,12 @@ class TxnTable:
                     if rel not in seen:
                         seen.add(rel)
                         dv_rels.append(rel)
-                dv_rows += int(d.get("rows", 0))
+                # per ENTRY, not per item: file-level pruned items of
+                # one entry would multiply the broadcast estimate and
+                # wrongly shuffle a small mask (review)
+                if a["path"] not in seen_entries:
+                    seen_entries.add(a["path"])
+                    dv_rows += int(d.get("rows", 0))
             else:
                 plain.append(path)
 
@@ -1172,13 +1194,7 @@ class TxnTable:
         vector."""
 
         def overlaps(st) -> bool:
-            if st is None:
-                return True  # no stats: must read (never-wrong rule)
-            if hi is not None and st[0] > hi:
-                return False
-            if lo is not None and st[1] < lo:
-                return False
-            return True
+            return _stats_overlap(st, lo, hi)
 
         _, active, _ = self._state(version)
         items: list[tuple[str, dict]] = []
@@ -1871,13 +1887,12 @@ class TxnTable:
                     "path": os.path.join(rel, name),
                     "bucket": int(name.split("=", 1)[1]),
                 }
-                rows = _footer_rows(os.path.join(out, name))
+                stats, per_file, rows = _footer_stats(
+                    os.path.join(out, name), meta.get("stats_cols") or []
+                )
                 if rows is not None:
                     # metadata-only count(): live rows = rows − dv rows
                     entry["rows"] = rows
-                stats, per_file = _footer_stats(
-                    os.path.join(out, name), meta.get("stats_cols") or []
-                )
                 if stats:
                     entry["stats"] = stats
                 if len(per_file) > 1:  # 1-file dirs: dir stats suffice
@@ -2740,6 +2755,7 @@ class TxnTable:
         when_matched_delete=None,
         delete_where=None,
         deletion_vectors: bool | None = None,
+        _state_hint: tuple | None = None,
     ) -> int:
         """MERGE INTO: last-writer-wins upsert (``operators/merge.upsert``
         — updates beat stored rows on ``order_by`` ties, the reference's
@@ -2853,7 +2869,15 @@ class TxnTable:
                     "statement standalone"
                 )
             return self._record_merge(updates, list(order_by), evolve, txn)
-        meta, active, read_v = self._state()
+        # _state_hint (internal): a caller whose UPDATE PLAN was built
+        # against an earlier state (update_from joins the snapshot it
+        # read) pins the OCC baseline to THAT read — otherwise a commit
+        # landing between the caller's read and this one would sit
+        # inside the conflict window unseen and its rows would be
+        # silently overwritten by stale post-images (review)
+        meta, active, read_v = (
+            _state_hint if _state_hint is not None else self._state()
+        )
         use_dv = (
             deletion_vectors
             if deletion_vectors is not None
@@ -2945,12 +2969,7 @@ class TxnTable:
         cand: set[int] = set()
         for a in active.values():
             all_buckets.add(a["bucket"])
-            st = (a.get("stats") or {}).get(col)
-            could_match = st is None or not (
-                (hi is not None and st[0] > hi)
-                or (lo is not None and st[1] < lo)
-            )
-            if could_match:
+            if _stats_overlap((a.get("stats") or {}).get(col), lo, hi):
                 cand.add(a["bucket"])
         return len(cand) / len(all_buckets) >= 0.75
 
@@ -3058,20 +3077,15 @@ class TxnTable:
         — the ``delete_keys`` DV path); ``buckets`` (known key-owning
         buckets, from the staged key listing) prunes the candidate
         scan harder than footer stats can."""
-        schema = self._schema(meta)
         if buckets is not None:
             cands = {p: a for p, a in active.items() if a["bucket"] in buckets}
         elif range_hint is not None:
             col, lo, hi = range_hint
-
-            def could(a) -> bool:
-                st = (a.get("stats") or {}).get(col)
-                return st is None or not (
-                    (hi is not None and st[0] > hi)
-                    or (lo is not None and st[1] < lo)
-                )
-
-            cands = {p: a for p, a in active.items() if could(a)}
+            cands = {
+                p: a
+                for p, a in active.items()
+                if _stats_overlap((a.get("stats") or {}).get(col), lo, hi)
+            }
         else:
             cands = dict(active)
         if not cands:
@@ -3228,7 +3242,27 @@ class TxnTable:
                 sorted({os.path.dirname(a["path"]) for a in new_adds})
             )
             if delta_rel is None and not new_adds:
-                return read_v  # whole batch lost the rank: no-op
+                if txn is None:
+                    return read_v  # whole batch lost the rank: no-op
+                # exactly-once stamps must advance even for a losing
+                # batch (review): the CoW path commits an equivalent-
+                # state rewrite and stamps; skipping the stamp here
+                # would let a later replay of this batch run against
+                # DIFFERENT table state (e.g. after the outranking
+                # rows were deleted) and decide differently than the
+                # no-crash run. An empty DV commit carries the stamp;
+                # its conflict set is the read set, like any merge.
+                return self._commit(
+                    "merge",
+                    [],
+                    [],
+                    sorted(set(touched)),
+                    read_v,
+                    schema=new_schema,
+                    txn=txn,
+                    extra={"mode": "dv"},
+                    rollback_dirs=[],
+                )
             if delta_rel is not None:
                 adds, _ = self._dv_entry_adds(cands, delta_rel, counts)
             else:
@@ -3659,7 +3693,7 @@ class TxnTable:
                 "stages from; compute the joined batch yourself and "
                 "merge() it inside the transaction"
             )
-        meta, _, read_v = self._state()
+        meta, active, read_v = self._state()
         schema = self._schema(meta)
         keys = list(meta["keys"])
         tcols = [f.name for f in schema.fields]
@@ -3720,8 +3754,14 @@ class TxnTable:
             ]
         )
         # merge with no order_by columns: the post-image (__src=1) beats
-        # the stored row on the tie, which is exactly UPDATE semantics
-        return self.merge(post, order_by=[])
+        # the stored row on the tie, which is exactly UPDATE semantics.
+        # The OCC baseline is pinned to THIS method's state read — the
+        # post-images were computed against snapshot(read_v), so a
+        # commit landing after it must conflict (bucket overlap) or
+        # rebase (disjoint), never be silently overwritten (review)
+        return self.merge(
+            post, order_by=[], _state_hint=(meta, active, read_v)
+        )
 
     def _stage_keys(self, keys_df: DataFrame, meta: dict) -> tuple[str, list[int]]:
         """Stage a deduplicated key list once (same pattern as merge's
@@ -4550,11 +4590,21 @@ def consume_table_changes(
     if target <= cur:
         return cur
     if row_level:
+        commits_by_v = {c["version"]: c for c in table._commits()}
         parts = []
-        for c in sorted(table._commits(), key=lambda c: c["version"]):
-            v = c["version"]
-            if not (cur < v <= target):
-                continue
+        for v in range(cur + 1, target + 1):
+            c = commits_by_v.get(v)
+            if c is None:
+                # an expired commit inside the range would make the
+                # feed silently INCOMPLETE — the one failure mode a
+                # change feed must never have (the consumer would
+                # stamp past the hole); same loud rule as
+                # table_changes and _scd2_events
+                raise VacuumedVersionError(
+                    f"commit {v} expired from the log (expire_log) — "
+                    "this consumer is behind the retention window; "
+                    "resync from snapshot() and restamp its sidecar"
+                )
             if c["op"] == "restore":
                 raise RestoreInRangeError(
                     f"commit {v} is a restore — resync this consumer "

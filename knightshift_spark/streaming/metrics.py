@@ -434,13 +434,25 @@ class MetricsTotalsView:
         self._spark = spark
         self.view_path = view_path
         self.n_buckets = n_buckets
+        self._legacy: bool | None = None  # layout cache, set on 1st merge
 
     def _legacy_layout(self) -> bool:
-        import os
+        # cached after the first detection: the layout is fixed for the
+        # life of a view (the first merge creates it wide; a legacy
+        # view stays legacy), and re-resolving the parquet schema on
+        # every flush is a directory listing + footer read that grows
+        # with view size (review)
+        if self._legacy is None:
+            import os
 
-        if not os.path.isdir(self.view_path):
-            return False
-        return "metric" in self._spark.read.parquet(self.view_path).columns
+            if os.path.isdir(self.view_path):
+                self._legacy = (
+                    "metric"
+                    in self._spark.read.parquet(self.view_path).columns
+                )
+            else:
+                self._legacy = False  # first merge creates it wide
+        return self._legacy
 
     def merge(self, flushed: DataFrame) -> None:
         """Fold one flush's rows (``PersistentMetricsLog._SCHEMA``)
@@ -533,6 +545,7 @@ class MetricsTotalsView:
         import shutil
 
         shutil.rmtree(self.view_path, ignore_errors=True)
+        self._legacy = None  # rebuild migrates: re-detect (→ wide)
         if os.path.isdir(log_path):
             raw = self._spark.read.parquet(log_path)
             if raw.take(1):

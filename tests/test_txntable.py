@@ -2889,3 +2889,59 @@ def test_consume_table_changes_checkpointed_loop(spark, table, tmp_path):
     table.restore(v2)
     with pytest.raises(RestoreInRangeError):
         consume_table_changes(table, state, sink, row_level=True)
+
+
+def test_consume_row_level_refuses_expired_gap(spark, table, tmp_path):
+    """Review fix: a commit missing from the log inside the unconsumed
+    range must raise, never deliver a silently incomplete row-level
+    feed and stamp past the hole."""
+    from knightshift_spark.sources.txntable import (
+        VacuumedVersionError,
+        consume_table_changes,
+    )
+
+    state = str(tmp_path / "c2")
+    table.append(_df(spark, [(1, "a", 1)]))
+    consume_table_changes(table, state, lambda df, lo, hi: None)
+    table.merge(_df(spark, [(1, "b", 2)]), ["version"])  # v2
+    table.merge(_df(spark, [(1, "c", 3)]), ["version"])  # v3
+    os.remove(os.path.join(table.path, "_txnlog", f"{2:020d}.json"))
+    with pytest.raises(VacuumedVersionError, match="expired"):
+        consume_table_changes(
+            table, state, lambda df, lo, hi: None, row_level=True
+        )
+
+
+def test_dv_merge_losing_batch_still_stamps_txn(spark, tmp_path):
+    """Review fix: a DV merge whose batch wholly loses the rank must
+    still advance the exactly-once watermark (the CoW path commits an
+    equivalent-state rewrite and stamps) — otherwise a crash-replay of
+    the batch runs against different table state and can decide
+    differently than the no-crash run."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "w"), keys=["id"], schema=SCHEMA,
+        n_buckets=2, deletion_vectors=True,
+    )
+    t.append(_df(spark, [(1, "a", 9)]))
+    v0 = t.version()
+    v1 = t.merge(_df(spark, [(1, "stale", 1)]), ["version"], txn=("app", 3))
+    assert v1 == v0 + 1  # empty DV commit carries the stamp
+    assert t.streaming_watermark("app") == 3
+    assert _rows(t.snapshot()) == {(1, "a", 9)}  # state untouched
+    # the empty commit diffs to nothing
+    assert t.row_changes(v1).count() == 0
+
+
+def test_merge_state_hint_pins_occ_baseline(spark, table):
+    """Review fix (update_from's lost-update window): a merge whose
+    update plan was built against an earlier state passes that state as
+    its OCC baseline — a commit landing in between must conflict, not
+    be silently overwritten by stale post-images."""
+    table.append(_df(spark, [(1, "a", 1)]))
+    stale = table._state()
+    table.update_where(F.col("id") == 1, {"val": F.lit("fresh")})
+    with pytest.raises(ConcurrentWriteError):
+        table.merge(
+            _df(spark, [(1, "stale-post", 1)]), [], _state_hint=stale
+        )
+    assert {r.val for r in table.snapshot().collect()} == {"fresh"}
