@@ -1165,6 +1165,57 @@ class TxnTable:
             raise VacuumedVersionError(f"snapshot files vacuumed: {missing[:3]}")
         return self._read_entries(meta, self._active_items(active))
 
+    def files(self, version: int | None = None) -> DataFrame:
+        """The active file inventory as a relation (Iceberg's
+        ``.files`` metadata table / Delta's file manifest): one row per
+        active entry with its bucket, footer row total, deletion-vector
+        footprint and byte size — driver-side metadata lifted into a
+        DataFrame so operators can SQL over table health (skew, mask
+        debt, fragmentation) without touching data files. ``bytes`` is
+        an os.walk per entry (one LIST per prefix on an object store);
+        everything else comes straight from the commit log."""
+        _, active, _ = self._state(version)
+        rows = [
+            (
+                p,
+                int(a["bucket"]),
+                a.get("rows"),
+                int((a.get("dv") or {}).get("rows", 0)),
+                len((a.get("dv") or {}).get("paths", [])),
+                self._dir_bytes(os.path.join(self.path, p)),
+                bool(a.get("stats")),
+            )
+            for p, a in sorted(active.items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, bucket int, rows bigint, dv_rows bigint, "
+            "dv_chain int, bytes bigint, has_stats boolean",
+        )
+
+    def detail(self) -> dict:
+        """One-call table summary (Delta's ``DESCRIBE DETAIL`` shape):
+        contract fields off the log head plus the maintenance metrics —
+        all driver-side metadata."""
+        meta, active, latest = self._state()
+        rpt = self.maintenance_report()
+        return {
+            "version": latest,
+            "keys": list(meta["keys"]),
+            "n_buckets": int(meta["n_buckets"]),
+            "num_files_dirs": len(active),
+            "live_bytes": rpt["live_bytes"],
+            "live_rows": rpt["live_rows"],
+            "dv_rows": rpt["dv_rows"],
+            "max_dv_chain": rpt["max_dv_chain"],
+            "deletion_vectors_default": bool(meta.get("dv_default")),
+            "zorder_cols": list(meta.get("zorder_cols") or []),
+            "stats_cols": list(meta.get("stats_cols") or []),
+            "bloom_cols": list(meta.get("bloom_cols") or []),
+            "constraints": dict(meta.get("constraints") or {}),
+            "log_tail_commits": rpt["log_tail_commits"],
+        }
+
     def count(self, version: int | None = None) -> int:
         """Exact row count as of ``version`` from COMMIT-LOG METADATA —
         no Spark job, no file reads: every entry records its footer row
@@ -4430,7 +4481,9 @@ class TxnTable:
                 deleted += 1
         return deleted
 
-    def vacuum(self, retention_s: float = 3600.0) -> int:
+    def vacuum(
+        self, retention_s: float = 3600.0, dry_run: bool = False
+    ) -> int | dict:
         """Physically delete data directories that no live snapshot at
         the current version references AND that are older than
         ``retention_s`` seconds (directory mtime — Delta's
@@ -4458,23 +4511,34 @@ class TxnTable:
           ``retention_s=0`` (tests, stop-the-world maintenance windows)
           disables that protection and must not run concurrently with
           writers.
-        """
+
+        ``dry_run=True`` returns ``{"data_dirs": [...], "staging_dirs":
+        [...]}`` — what a real vacuum would delete right now — without
+        committing a vacuum marker or touching anything (Delta's
+        ``VACUUM ... DRY RUN``). The operator's look-before-you-leap
+        for a retention window they're about to tighten."""
         self._no_txn("vacuum")
-        while True:
+        if dry_run:
             _, active, read_v = self._state()
-            v = read_v + 1
-            payload = {
-                "op": "vacuum",
-                "adds": [],
-                "removes": [],
-                "buckets": [],
-                "read_version": read_v,
-                "version": v,
-                "ts": time.time(),
-            }
-            if _atomic_publish(payload, _log_path(self.path, v), self._backend):
-                break
-        self._maybe_checkpoint(v)
+            v = read_v  # no marker committed
+        else:
+            while True:
+                _, active, read_v = self._state()
+                v = read_v + 1
+                payload = {
+                    "op": "vacuum",
+                    "adds": [],
+                    "removes": [],
+                    "buckets": [],
+                    "read_version": read_v,
+                    "version": v,
+                    "ts": time.time(),
+                }
+                if _atomic_publish(
+                    payload, _log_path(self.path, v), self._backend
+                ):
+                    break
+            self._maybe_checkpoint(v)
         cutoff = time.time() - max(float(retention_s), 0.0)
         # re-resolve liveness at the LATEST version right before
         # deleting: a restore committed after the vacuum commit may have
@@ -4502,6 +4566,8 @@ class TxnTable:
             | dv_rels(active)
             | dv_rels(latest_active)
         )
+        dead_data: list[str] = []
+        dead_staging: list[str] = []
         data_root = os.path.join(self.path, _DATA_DIR)
         for d in sorted(os.listdir(data_root)):
             base = os.path.join(_DATA_DIR, d)
@@ -4520,6 +4586,9 @@ class TxnTable:
                 except OSError:
                     continue
                 dead.append(s)
+            if dry_run:
+                dead_data.extend(dead)
+                continue
             for s in dead:
                 shutil.rmtree(os.path.join(self.path, s))
             if subs and len(dead) == len(subs):
@@ -4546,7 +4615,15 @@ class TxnTable:
                         continue
                 except OSError:
                     continue
+                if dry_run:
+                    dead_staging.append(os.path.join(_STAGING_DIR, d))
+                    continue
                 shutil.rmtree(full, ignore_errors=True)
+        if dry_run:
+            return {
+                "data_dirs": sorted(dead_data),
+                "staging_dirs": sorted(dead_staging),
+            }
         return v
 
 

@@ -545,3 +545,53 @@ def test_concurrent_threaded_dv_deletes(spark, table):
     }
     # metadata count stays exact through the race
     assert table.count() == len(got)
+
+
+def test_files_detail_and_vacuum_dry_run(spark, table):
+    """late r13 operator surfaces: the file inventory as a relation,
+    DESCRIBE DETAIL, and vacuum's look-before-you-leap."""
+    table.delete_where(F.col("id") < 2)
+    inv = table.files()
+    assert inv.count() == len(table._state()[1])
+    agg = inv.agg(
+        F.sum("rows").alias("r"), F.sum("dv_rows").alias("d")
+    ).collect()[0]
+    assert agg["r"] - agg["d"] == table.count() == 18
+    assert inv.filter(F.col("dv_chain") > 0).count() >= 1
+    d = table.detail()
+    assert d["live_rows"] == 18 and d["dv_rows"] == 2
+    assert d["deletion_vectors_default"] and d["keys"] == ["id"]
+    # dry run names the dead dirs without deleting or committing
+    table.compact(min_files=1)  # makes the old entries + masks dead
+    v = table.version()
+    plan = table.vacuum(retention_s=0.0, dry_run=True)
+    assert plan["data_dirs"] and table.version() == v  # no marker
+    for rel in plan["data_dirs"]:
+        assert os.path.isdir(os.path.join(table.path, rel))  # untouched
+    assert table.snapshot().count() == 18
+    real = table.vacuum(retention_s=0.0)
+    assert real == v + 1
+    for rel in plan["data_dirs"]:
+        assert not os.path.isdir(os.path.join(table.path, rel))
+
+
+def test_masked_read_plan_shape(spark, table):
+    """Plan lint (PLANS.md): the masked read is ONE broadcast-hash
+    LEFT ANTI join, user filters still push into the parquet scan, and
+    unread columns stay pruned."""
+    import contextlib
+    import io
+
+    table.delete_where(F.col("id") == 5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        table.snapshot().filter(F.col("version") == 1).select(
+            "id"
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "EqualTo(version,1)" in plan  # pushed into the data scan
+    # val is projected out before the scan: not in any ReadSchema
+    assert "val" not in plan.split("== Physical Plan ==")[-1].replace(
+        "eval", ""
+    )
