@@ -112,6 +112,18 @@ def main(base: str) -> None:
     table.maintain()
     print("final row count:", table.snapshot().count())
 
+    # 7. operator surfaces (late r13): the file inventory as a
+    # relation (SQL over skew / mask debt / fragmentation), the
+    # DESCRIBE DETAIL dict, metadata-only count, and vacuum's
+    # look-before-you-leap
+    table.files().orderBy("bucket").show(4, truncate=False)
+    d = table.detail()
+    print("detail:", {k: d[k] for k in ("version", "live_rows", "dv_rows",
+                                        "n_buckets", "log_tail_commits")})
+    print("metadata count:", table.count(), "(no Spark job)")
+    print("vacuum would delete:", table.vacuum(retention_s=0.0,
+                                               dry_run=True))
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/ks-txn-demo")
