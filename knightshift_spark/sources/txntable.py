@@ -76,6 +76,7 @@ _CHECKPOINT_EVERY = 20
 _DV_FILE = "__dv_file"
 _DV_POS = "__dv_pos"
 _DV_PURGE_CHAIN = 4
+_DV_RECLAIM_RATIO = 0.25
 _DV_BROADCAST_ROWS = 2_000_000
 
 # staging dirs a live writer in THIS process is still reading: vacuum's
@@ -3927,6 +3928,84 @@ class TxnTable:
             _INFLIGHT_STAGING.discard(out)
             shutil.rmtree(out, ignore_errors=True)
 
+    def coalesce_masks(self, min_chain: int = 2) -> int:
+        """Merge chained deletion-vector position dirs into ONE per
+        bucket — the cheap cure for mask-chain read amplification
+        (every chained dir is another anti-join input opened by every
+        masked read). Costs one positions-sized job and a commit; data
+        files never move, live rows never change, per-entry mask totals
+        carry over. Buckets holding an entry with a chain of at least
+        ``min_chain`` are rewritten; ALL dv'd entries of those buckets
+        re-point at the coalesced dir (chain = 1), and the orphaned
+        position dirs age out through vacuum. When the problem is mask
+        VOLUME rather than chain length, ``compact()`` (which rewrites
+        the data and drops the masks entirely) is the reclaim path —
+        ``maintenance_report`` distinguishes the two
+        (``wants_mask_coalesce`` vs ``wants_compact``), and
+        ``maintain()`` runs the cheaper op when chains are the only
+        complaint. Conflict semantics: the commit declares the touched
+        buckets, so a concurrent mask/rewrite on them wins or loses the
+        ordinary OCC race (a lost race would otherwise drop its chained
+        delta from the re-pointed entries)."""
+        self._no_txn("coalesce_masks")
+        meta, active, read_v = self._state()
+        chained = {
+            a["bucket"]
+            for a in active.values()
+            if len((a.get("dv") or {}).get("paths", [])) >= int(min_chain)
+        }
+        if not chained:
+            return read_v
+        ent = {
+            p: a
+            for p, a in active.items()
+            if a["bucket"] in chained and a.get("dv")
+        }
+        rels: list[str] = []
+        seen: set[str] = set()
+        total = 0
+        for a in ent.values():
+            for r in a["dv"]["paths"]:
+                if r not in seen:
+                    seen.add(r)
+                    rels.append(r)
+            total += int(a["dv"].get("rows", 0))
+        # positions carry their bucket inside the file key
+        # (<uuid>/__bucket=N/<name>) — parse it back out so the
+        # coalesced dataset lands bucket-partitioned like every mask
+        dv = self._read_dv(rels, total)
+        positions = dv.select(
+            F.col("__kf").alias("f"),
+            F.col("__kp").alias("p"),
+            F.regexp_extract(F.col("__kf"), f"{_BUCKET}=(\\d+)", 1)
+            .cast("long")
+            .alias(_BUCKET),
+        )
+        if len(rels) > 32:
+            positions = positions.repartition(F.col(_BUCKET))
+        delta_rel, _counts = self._write_dv(positions)
+        if delta_rel is None:  # chains existed but held zero positions
+            return read_v
+        adds = [
+            {
+                **a,
+                "dv": {
+                    "paths": [f"{delta_rel}/{_BUCKET}={a['bucket']}"],
+                    "rows": int(a["dv"].get("rows", 0)),
+                },
+            }
+            for a in ent.values()
+        ]
+        return self._commit(
+            "compact",
+            adds,
+            [],
+            sorted(chained),
+            read_v,
+            extra={"mode": "dv"},
+            rollback_dirs=[delta_rel],
+        )
+
     def compact(
         self,
         min_files: int = 2,
@@ -4004,10 +4083,23 @@ class TxnTable:
             return self._commit(
                 "compact", adds, removes, touched, read_v, extra=extra
             )
-        # candidates: fragmented buckets, plus buckets whose deletion-
-        # vector chains grew past the purge threshold — compaction is
-        # how a merge-on-read table materializes its masks (Delta's
-        # REORG ... PURGE): rewritten buckets re-land with no dv
+        # candidates: fragmented buckets, buckets whose deletion-vector
+        # chains grew past the purge threshold, and buckets whose MASK
+        # VOLUME crosses the reclaim ratio (storage holding >25% dead
+        # rows) — compaction is how a merge-on-read table materializes
+        # its masks (Delta's REORG ... PURGE): rewritten buckets
+        # re-land with no dv. Chain-only amplification has the cheaper
+        # cure (coalesce_masks), which maintain() prefers.
+        def dv_ratio(ps) -> float:
+            rows = dead = 0
+            for p in ps:
+                r = active[p].get("rows")
+                if r is None:
+                    return 0.0  # unknown totals: never force a rewrite
+                rows += int(r)
+                dead += int((active[p].get("dv") or {}).get("rows", 0))
+            return dead / rows if rows else 0.0
+
         touched = sorted(
             b
             for b, ps in by_bucket.items()
@@ -4017,6 +4109,7 @@ class TxnTable:
                 >= _DV_PURGE_CHAIN
                 for p in ps
             )
+            or dv_ratio(ps) > _DV_RECLAIM_RATIO
         )
         if not touched:
             return read_v
@@ -4200,16 +4293,32 @@ class TxnTable:
             "max_dirs_per_bucket": max(by_bucket.values(), default=0),
             "max_bucket_bytes": max(bytes_by_bucket.values(), default=0),
             "suggested_n_buckets": suggested,
-            # deletion-vector health (r13): total masked positions and
-            # the longest per-entry dv chain. Every chained dv adds an
-            # anti-join input to that entry's reads, so past
-            # _DV_PURGE_CHAIN the bucket is a compact() candidate (the
-            # same rewrite that materializes the mask — Delta's
-            # REORG ... PURGE) and wants_compact flags it.
+            # deletion-vector health (r13): total masked positions, the
+            # longest per-entry dv chain, and the dead-row fraction.
+            # Chains tax READS (each chained dir is another anti-join
+            # input) — the cheap cure is coalesce_masks(); mask VOLUME
+            # taxes STORAGE and every masked scan — the cure is a
+            # materializing compact() (Delta's REORG ... PURGE).
+            # wants_compact stays the umbrella flag; maintain() runs
+            # the cheaper op when chains are the only complaint.
             "dv_rows": dv_rows,
             "max_dv_chain": max_dv_chain,
             "live_rows": live_rows,
-            "wants_compact": bool(frag) or max_dv_chain >= _DV_PURGE_CHAIN,
+            "dv_ratio": (
+                round(dv_rows / (live_rows + dv_rows), 4)
+                if live_rows is not None and (live_rows + dv_rows)
+                else None
+            ),
+            "wants_mask_coalesce": max_dv_chain >= _DV_PURGE_CHAIN,
+            "wants_compact": (
+                bool(frag)
+                or max_dv_chain >= _DV_PURGE_CHAIN
+                or (
+                    live_rows is not None
+                    and (live_rows + dv_rows) > 0
+                    and dv_rows / (live_rows + dv_rows) > _DV_RECLAIM_RATIO
+                )
+            ),
             # BOTH directions (ADVICE r11): growth — the suggestion moved
             # up AND some bucket actually overflows the target (a mere
             # pow2 boundary crossing with comfortable buckets isn't worth
@@ -4263,6 +4372,13 @@ class TxnTable:
         touching the table."""
         rpt = self.maintenance_report(target_bucket_mb)
         actions: list[tuple[str, object]] = []
+        # chains-only mask debt takes the positions-sized coalesce, not
+        # a data rewrite: compact is reserved for fragmentation and for
+        # mask VOLUME past the reclaim ratio (late r13)
+        compact_for_space = bool(rpt["fragmented_buckets"]) or (
+            rpt["dv_ratio"] is not None
+            and rpt["dv_ratio"] > _DV_RECLAIM_RATIO
+        )
         if rpt["wants_rebucket"]:
             actions.append(("rebucket", rpt["suggested_n_buckets"]))
         elif rpt["wants_cluster"]:
@@ -4271,8 +4387,10 @@ class TxnTable:
             # review: on an object-store backend that was a redundant
             # round of GETs per maintenance pass)
             actions.append(("compact_zorder", rpt["zorder_cols"]))
-        elif rpt["wants_compact"]:
+        elif compact_for_space:
             actions.append(("compact", None))
+        elif rpt["wants_mask_coalesce"]:
+            actions.append(("coalesce_masks", None))
         actions.append(("expire_log", float(log_retention_s)))
         actions.append(("vacuum", float(vacuum_retention_s)))
         if not dry_run:
@@ -4283,6 +4401,8 @@ class TxnTable:
                     self.compact(zorder_by=list(arg))
                 elif op == "compact":
                     self.compact()
+                elif op == "coalesce_masks":
+                    self.coalesce_masks()
                 elif op == "expire_log":
                     self.expire_log(retention_s=float(arg))
                 elif op == "vacuum":

@@ -595,3 +595,69 @@ def test_masked_read_plan_shape(spark, table):
     assert "val" not in plan.split("== Physical Plan ==")[-1].replace(
         "eval", ""
     )
+
+
+def test_coalesce_masks_flattens_chains_without_moving_data(spark, table):
+    """late r13: chain-only mask debt takes the positions-sized
+    coalesce — chains drop to 1, data files never move, reads are
+    identical, and maintain() plans the cheap op instead of a data
+    rewrite when chains are the only complaint."""
+    # four ids OF THE SAME BUCKET, deleted one statement each → a
+    # deterministic chain of 4 on that bucket (ids spread across
+    # buckets would chain 1 each and coalesce would be a no-op)
+    by_bucket: dict[int, list[int]] = {}
+    for r in (
+        spark.createDataFrame([(i,) for i in range(20)], "id long")
+        .select("id", F.pmod(F.xxhash64("id"), F.lit(4)).alias("b"))
+        .collect()
+    ):
+        by_bucket.setdefault(int(r.b), []).append(r.id)
+    victims = next(ids for ids in by_bucket.values() if len(ids) >= 4)[:4]
+    for i in victims:
+        table.delete_where(F.col("id") == i)
+    before = _rows(table.snapshot())
+    rpt = table.maintenance_report()
+    assert rpt["dv_ratio"] == 0.2  # 4 of 20: under the reclaim ratio
+    assert rpt["max_dv_chain"] == 4 and rpt["wants_mask_coalesce"]
+    # neutralize the toy table's rebucket sizing (it would outrank the
+    # mask actions): a target that makes suggested == current count
+    tb = table.live_bytes() / 4 / 1024 / 1024
+    plan = table.maintain(dry_run=True, target_bucket_mb=tb)
+    assert ("coalesce_masks", None) in plan["actions"]
+    assert ("compact", None) not in plan["actions"]
+    v = table.coalesce_masks(min_chain=2)
+    commit = next(c for c in table._commits() if c["version"] == v)
+    assert commit["op"] == "compact" and commit.get("mode") == "dv"
+    _, active, _ = table._state()
+    chains = [
+        len((a.get("dv") or {}).get("paths", [])) for a in active.values()
+    ]
+    assert max(chains) == 1
+    assert _rows(table.snapshot()) == before
+    assert table.count() == 16
+    assert table.maintenance_report()["dv_rows"] == 4  # masks kept, merged
+    # orphaned position dirs reclaim; the coalesced one survives
+    table.vacuum(retention_s=0.0)
+    assert _rows(table.snapshot()) == before
+
+
+def test_compact_reclaims_on_mask_volume(spark, table):
+    """late r13: mask VOLUME (not chains) triggers the materializing
+    rewrite — per-bucket dead fraction over the reclaim ratio makes the
+    bucket a compact candidate even at chain 1, and maintain() plans
+    compact, not coalesce."""
+    table.delete_where(F.col("id") < 10)  # one statement: chain 1
+    rpt = table.maintenance_report()
+    assert rpt["dv_ratio"] == 0.5
+    assert rpt["wants_compact"] and not rpt["wants_mask_coalesce"]
+    tb = table.live_bytes() / 4 / 1024 / 1024  # see coalesce test
+    plan = table.maintain(dry_run=True, target_bucket_mb=tb)
+    assert ("compact", None) in plan["actions"]
+    assert ("coalesce_masks", None) not in plan["actions"]
+    table.compact()
+    inv = table.files()
+    # every entry past the reclaim ratio was rewritten mask-free
+    assert inv.filter(
+        F.col("dv_rows") * 4 > F.col("rows")  # ratio > 0.25
+    ).count() == 0
+    assert table.count() == 10 == table.snapshot().count()
