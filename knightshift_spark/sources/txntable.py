@@ -1082,14 +1082,25 @@ class TxnTable:
             d = a.get("dv")
             if d:
                 dved.append(path)
+                # broadcast estimate: per-bucket mask dirs are SHARED
+                # across co-bucketed entries, so when the entry records
+                # dir totals ("dir_rows", r13 late) the estimate sums
+                # each unique dir ONCE at its true size — what the
+                # anti-join build side actually loads. Entries from
+                # older builds (no dir totals) fall back to their own
+                # recorded share, counted once per entry (not per
+                # file-level pruned item, which would multiply it —
+                # r13 review); that underestimates a shared dir, the
+                # pre-dir_rows status quo.
+                dirs = d.get("dir_rows") or {}
+                full = all(r in dirs for r in d["paths"])
                 for rel in d["paths"]:
                     if rel not in seen:
                         seen.add(rel)
                         dv_rels.append(rel)
-                # per ENTRY, not per item: file-level pruned items of
-                # one entry would multiply the broadcast estimate and
-                # wrongly shuffle a small mask (review)
-                if a["path"] not in seen_entries:
+                        if full:
+                            dv_rows += int(dirs[rel])
+                if not full and a["path"] not in seen_entries:
                     seen_entries.add(a["path"])
                     dv_rows += int(d.get("rows", 0))
             else:
@@ -1174,20 +1185,28 @@ class TxnTable:
         DataFrame so operators can SQL over table health (skew, mask
         debt, fragmentation) without touching data files. ``bytes`` is
         an os.walk per entry (one LIST per prefix on an object store);
-        everything else comes straight from the commit log."""
+        everything else comes straight from the commit log. A
+        historical ``version`` whose directories were vacuumed raises
+        ``VacuumedVersionError`` like every other historical read —
+        silently reporting ``bytes=0`` would pass phantom entries off
+        as empty files to an operator sizing a restore."""
         _, active, _ = self._state(version)
-        rows = [
-            (
-                p,
-                int(a["bucket"]),
-                a.get("rows"),
-                int((a.get("dv") or {}).get("rows", 0)),
-                len((a.get("dv") or {}).get("paths", [])),
-                self._dir_bytes(os.path.join(self.path, p)),
-                bool(a.get("stats")),
+        rows = []
+        for p, a in sorted(active.items()):
+            d = os.path.join(self.path, p)
+            if not os.path.isdir(d):
+                raise VacuumedVersionError(f"snapshot files vacuumed: {p}")
+            rows.append(
+                (
+                    p,
+                    int(a["bucket"]),
+                    a.get("rows"),
+                    int((a.get("dv") or {}).get("rows", 0)),
+                    len((a.get("dv") or {}).get("paths", [])),
+                    self._dir_bytes(d),
+                    bool(a.get("stats")),
+                )
             )
-            for p, a in sorted(active.items())
-        ]
         return self.spark.createDataFrame(
             rows,
             "path string, bucket int, rows bigint, dv_rows bigint, "
@@ -1197,9 +1216,12 @@ class TxnTable:
     def detail(self) -> dict:
         """One-call table summary (Delta's ``DESCRIBE DETAIL`` shape):
         contract fields off the log head plus the maintenance metrics —
-        all driver-side metadata."""
+        all driver-side metadata. ONE log replay feeds both halves, so
+        the version reported is exactly the one the metrics describe
+        (two replays could straddle a concurrent commit) and an
+        object-store backend pays one round of GETs."""
         meta, active, latest = self._state()
-        rpt = self.maintenance_report()
+        rpt = self.maintenance_report(_state=(meta, active, latest))
         return {
             "version": latest,
             "keys": list(meta["keys"]),
@@ -3080,15 +3102,31 @@ class TxnTable:
                     "owning active entry — concurrent rewrite mid-scan?"
                 )
             by_entry[rel_entry] = by_entry.get(rel_entry, 0) + n
+        # a bucket's delta dir is SHARED by every touched entry of that
+        # bucket, so each entry also records the dir's TOTAL position
+        # count ("dir_rows") alongside its own share ("rows"): the
+        # masked read's broadcast estimate must size what the dir
+        # actually holds, not the share of whichever entries happen to
+        # be in the scan (a stats-pruned read of a 100-position entry
+        # co-bucketed with a 3M-position delete would otherwise
+        # broadcast 3M rows under a 100-row estimate)
+        by_bucket_total: dict[int, int] = {}
+        for rel_entry, n in by_entry.items():
+            b = int(cands[rel_entry]["bucket"])
+            by_bucket_total[b] = by_bucket_total.get(b, 0) + n
         adds: list[dict] = []
         touched: set[int] = set()
         for rel_entry, n in by_entry.items():
             a = dict(cands[rel_entry])  # never mutate cached entries
             old = a.get("dv") or {"paths": [], "rows": 0}
+            new_path = f"{delta_rel}/{_BUCKET}={a['bucket']}"
             a["dv"] = {
-                "paths": list(old["paths"])
-                + [f"{delta_rel}/{_BUCKET}={a['bucket']}"],
+                "paths": list(old["paths"]) + [new_path],
                 "rows": int(old.get("rows", 0)) + n,
+                "dir_rows": {
+                    **(old.get("dir_rows") or {}),
+                    new_path: by_bucket_total[int(a["bucket"])],
+                },
             }
             adds.append(a)
             touched.add(int(a["bucket"]))
@@ -3986,16 +4024,31 @@ class TxnTable:
         delta_rel, _counts = self._write_dv(positions)
         if delta_rel is None:  # chains existed but held zero positions
             return read_v
-        adds = [
-            {
-                **a,
-                "dv": {
-                    "paths": [f"{delta_rel}/{_BUCKET}={a['bucket']}"],
-                    "rows": int(a["dv"].get("rows", 0)),
-                },
-            }
-            for a in ent.values()
-        ]
+        # the coalesced per-bucket dir holds the UNION of the bucket's
+        # entries' masks (position sets never overlap: masks are
+        # computed over already-masked reads), so each entry's
+        # dir_rows records the bucket sum — the broadcast estimate for
+        # a read of ANY subset of the bucket's entries then equals
+        # exactly what the shared dir loads
+        bucket_total: dict[int, int] = {}
+        for a in ent.values():
+            b = int(a["bucket"])
+            bucket_total[b] = bucket_total.get(b, 0) + int(
+                a["dv"].get("rows", 0)
+            )
+        adds = []
+        for a in ent.values():
+            path = f"{delta_rel}/{_BUCKET}={a['bucket']}"
+            adds.append(
+                {
+                    **a,
+                    "dv": {
+                        "paths": [path],
+                        "rows": int(a["dv"].get("rows", 0)),
+                        "dir_rows": {path: bucket_total[int(a["bucket"])]},
+                    },
+                }
+            )
         return self._commit(
             "compact",
             adds,
@@ -4163,7 +4216,11 @@ class TxnTable:
         count's floor of 1."""
         return self._pow2_buckets(self.live_bytes(), target_bucket_mb)
 
-    def maintenance_report(self, target_bucket_mb: float = 256.0) -> dict:
+    def maintenance_report(
+        self,
+        target_bucket_mb: float = 256.0,
+        _state: tuple | None = None,
+    ) -> dict:
         """Operator-facing health check tying the maintenance ops
         together: per-bucket fragmentation (compact when a bucket
         spreads over many directories), live bytes vs the bucket count
@@ -4191,10 +4248,20 @@ class TxnTable:
         ``wants_cluster`` recommends ``compact(zorder_by=zorder_cols)``
         when the table declares clustering and amplification exceeds
         2.5 (a point read opens ≥2.5× the files it should; fresh
-        layouts measure 1.1–1.8 across file counts)."""
-        meta, active, latest = self._state()
+        layouts measure 1.1–1.8 across file counts).
+
+        ``_state``: internal — a pre-resolved (meta, active, version)
+        so a caller that already replayed the log (``detail``) doesn't
+        pay a second round of GETs, and its version can't drift from
+        the metrics under a concurrent writer."""
+        meta, active, latest = (
+            _state if _state is not None else self._state()
+        )
         by_bucket: dict[int, int] = {}
         bytes_by_bucket: dict[int, int] = {}
+        rows_by_bucket: dict[int, int] = {}
+        dead_by_bucket: dict[int, int] = {}
+        unknown_rows: set[int] = set()  # bucket holds a pre-r13 entry
         dv_rows = 0
         max_dv_chain = 0
         live_rows: int | None = 0
@@ -4207,12 +4274,18 @@ class TxnTable:
             d = a.get("dv")
             if d:
                 dv_rows += int(d.get("rows", 0))
-                max_dv_chain = max(max_dv_chain, len(d.get("paths", [])))
-            if live_rows is not None and a.get("rows") is not None:
-                live_rows += int(a["rows"]) - int(
-                    (d or {}).get("rows", 0)
+                dead_by_bucket[b] = dead_by_bucket.get(b, 0) + int(
+                    d.get("rows", 0)
                 )
+                max_dv_chain = max(max_dv_chain, len(d.get("paths", [])))
+            if a.get("rows") is not None:
+                rows_by_bucket[b] = rows_by_bucket.get(b, 0) + int(a["rows"])
+                if live_rows is not None:
+                    live_rows += int(a["rows"]) - int(
+                        (d or {}).get("rows", 0)
+                    )
             else:
+                unknown_rows.add(b)
                 live_rows = None  # pre-r13 entries: no metadata count
         live = sum(bytes_by_bucket.values())
         n_buckets = int(meta["n_buckets"])
@@ -4274,6 +4347,22 @@ class TxnTable:
             amp_sum += amp
             amp_n += 1
         amplification = (amp_sum / amp_n) if amp_n else 1.0
+        # dv reclaim is judged PER BUCKET — the same rule compact()'s
+        # candidate filter applies — because that's where the debt
+        # lives: one hot-key bucket 90% dead in an otherwise clean
+        # table never moves the global ratio past the threshold, yet
+        # compact would (and should) rewrite it. Buckets containing a
+        # pre-r13 entry (no footer row total) never force a rewrite,
+        # matching compact's unknown-totals rule.
+        max_bucket_dv = max(
+            (
+                dead_by_bucket.get(b, 0) / tot
+                for b, tot in rows_by_bucket.items()
+                if tot and b not in unknown_rows
+            ),
+            default=0.0,
+        )
+        wants_dv_reclaim = max_bucket_dv > _DV_RECLAIM_RATIO
         ckpt_v = max(
             (
                 int(n.split(".")[0])
@@ -4309,15 +4398,17 @@ class TxnTable:
                 if live_rows is not None and (live_rows + dv_rows)
                 else None
             ),
+            "max_bucket_dv_ratio": round(max_bucket_dv, 4),
+            # the decision flag maintain() trusts — raw per-bucket
+            # ratio, never the rounded display field (a 0.25003 table
+            # must not read wants_compact=True while maintain, diffing
+            # the rounded 0.25, plans nothing)
+            "wants_dv_reclaim": wants_dv_reclaim,
             "wants_mask_coalesce": max_dv_chain >= _DV_PURGE_CHAIN,
             "wants_compact": (
                 bool(frag)
                 or max_dv_chain >= _DV_PURGE_CHAIN
-                or (
-                    live_rows is not None
-                    and (live_rows + dv_rows) > 0
-                    and dv_rows / (live_rows + dv_rows) > _DV_RECLAIM_RATIO
-                )
+                or wants_dv_reclaim
             ),
             # BOTH directions (ADVICE r11): growth — the suggestion moved
             # up AND some bucket actually overflows the target (a mere
@@ -4375,9 +4466,8 @@ class TxnTable:
         # chains-only mask debt takes the positions-sized coalesce, not
         # a data rewrite: compact is reserved for fragmentation and for
         # mask VOLUME past the reclaim ratio (late r13)
-        compact_for_space = bool(rpt["fragmented_buckets"]) or (
-            rpt["dv_ratio"] is not None
-            and rpt["dv_ratio"] > _DV_RECLAIM_RATIO
+        compact_for_space = (
+            bool(rpt["fragmented_buckets"]) or rpt["wants_dv_reclaim"]
         )
         if rpt["wants_rebucket"]:
             actions.append(("rebucket", rpt["suggested_n_buckets"]))
@@ -4639,8 +4729,7 @@ class TxnTable:
         for a retention window they're about to tighten."""
         self._no_txn("vacuum")
         if dry_run:
-            _, active, read_v = self._state()
-            v = read_v  # no marker committed
+            pass  # no marker committed; one shared state read below
         else:
             while True:
                 _, active, read_v = self._state()
@@ -4664,8 +4753,12 @@ class TxnTable:
         # deleting: a restore committed after the vacuum commit may have
         # reactivated historical files (their mtimes are old, so the
         # retention guard alone doesn't cover them — restore also
-        # freshens them, so either side closes the window)
+        # freshens them, so either side closes the window). Dry run
+        # commits nothing, so ONE replay serves both roles (a second
+        # back-to-back read would close no race it doesn't also have).
         _, latest_active, _ = self._state()
+        if dry_run:
+            active = latest_active
 
         def dv_rels(act: dict[str, dict]) -> set[str]:
             # deletion-vector position dirs referenced by live entries

@@ -597,48 +597,158 @@ def test_masked_read_plan_shape(spark, table):
     )
 
 
-def test_coalesce_masks_flattens_chains_without_moving_data(spark, table):
+def test_coalesce_masks_flattens_chains_without_moving_data(spark, tmp_path):
     """late r13: chain-only mask debt takes the positions-sized
     coalesce — chains drop to 1, data files never move, reads are
     identical, and maintain() plans the cheap op instead of a data
-    rewrite when chains are the only complaint."""
+    rewrite when chains are the only complaint. The table is sized so
+    the chained bucket stays UNDER the per-bucket reclaim ratio (4 of
+    ~50 rows): on a smaller table the same construction is genuine
+    mask-volume debt and compact is the right call (next test)."""
+    t = TxnTable.create(
+        spark,
+        str(tmp_path / "big"),
+        keys=["id"],
+        schema=SCHEMA,
+        n_buckets=4,
+        deletion_vectors=True,
+    )
+    t.append(_df(spark, [(i, f"v{i}", 1) for i in range(200)]))
     # four ids OF THE SAME BUCKET, deleted one statement each → a
     # deterministic chain of 4 on that bucket (ids spread across
     # buckets would chain 1 each and coalesce would be a no-op)
     by_bucket: dict[int, list[int]] = {}
     for r in (
-        spark.createDataFrame([(i,) for i in range(20)], "id long")
+        spark.createDataFrame([(i,) for i in range(200)], "id long")
         .select("id", F.pmod(F.xxhash64("id"), F.lit(4)).alias("b"))
         .collect()
     ):
         by_bucket.setdefault(int(r.b), []).append(r.id)
     victims = next(ids for ids in by_bucket.values() if len(ids) >= 4)[:4]
     for i in victims:
-        table.delete_where(F.col("id") == i)
-    before = _rows(table.snapshot())
-    rpt = table.maintenance_report()
-    assert rpt["dv_ratio"] == 0.2  # 4 of 20: under the reclaim ratio
+        t.delete_where(F.col("id") == i)
+    before = _rows(t.snapshot())
+    rpt = t.maintenance_report()
+    assert rpt["dv_ratio"] == 0.02  # 4 of 200: nowhere near reclaim
+    assert rpt["max_bucket_dv_ratio"] < 0.25
+    assert not rpt["wants_dv_reclaim"]
     assert rpt["max_dv_chain"] == 4 and rpt["wants_mask_coalesce"]
     # neutralize the toy table's rebucket sizing (it would outrank the
     # mask actions): a target that makes suggested == current count
-    tb = table.live_bytes() / 4 / 1024 / 1024
-    plan = table.maintain(dry_run=True, target_bucket_mb=tb)
+    tb = t.live_bytes() / 4 / 1024 / 1024
+    plan = t.maintain(dry_run=True, target_bucket_mb=tb)
     assert ("coalesce_masks", None) in plan["actions"]
     assert ("compact", None) not in plan["actions"]
-    v = table.coalesce_masks(min_chain=2)
-    commit = next(c for c in table._commits() if c["version"] == v)
+    v = t.coalesce_masks(min_chain=2)
+    commit = next(c for c in t._commits() if c["version"] == v)
     assert commit["op"] == "compact" and commit.get("mode") == "dv"
-    _, active, _ = table._state()
+    _, active, _ = t._state()
     chains = [
         len((a.get("dv") or {}).get("paths", [])) for a in active.values()
     ]
     assert max(chains) == 1
-    assert _rows(table.snapshot()) == before
-    assert table.count() == 16
-    assert table.maintenance_report()["dv_rows"] == 4  # masks kept, merged
+    # the coalesced dir total is recorded for the broadcast estimate
+    for a in active.values():
+        d = a.get("dv")
+        if d:
+            assert d["dir_rows"] == {d["paths"][0]: 4}
+    assert _rows(t.snapshot()) == before
+    assert t.count() == 196
+    assert t.maintenance_report()["dv_rows"] == 4  # masks kept, merged
     # orphaned position dirs reclaim; the coalesced one survives
+    t.vacuum(retention_s=0.0)
+    assert _rows(t.snapshot()) == before
+
+
+def test_bucket_skewed_mask_volume_flags_compact(spark, tmp_path):
+    """r13 review: dv reclaim is judged PER BUCKET, the same rule
+    compact()'s candidate filter applies — a hot-key bucket 40% dead
+    never moves the GLOBAL ratio past the threshold on a large table,
+    but maintain() must still schedule the rewrite a manual compact()
+    would perform."""
+    t = TxnTable.create(
+        spark,
+        str(tmp_path / "skew"),
+        keys=["id"],
+        schema=SCHEMA,
+        n_buckets=4,
+        deletion_vectors=True,
+    )
+    t.append(_df(spark, [(i, f"v{i}", 1) for i in range(200)]))
+    by_bucket: dict[int, list[int]] = {}
+    for r in (
+        spark.createDataFrame([(i,) for i in range(200)], "id long")
+        .select("id", F.pmod(F.xxhash64("id"), F.lit(4)).alias("b"))
+        .collect()
+    ):
+        by_bucket.setdefault(int(r.b), []).append(r.id)
+    bucket, ids = max(by_bucket.items(), key=lambda kv: len(kv[1]))
+    victims = ids[: int(len(ids) * 0.4)]  # ~40% of ONE bucket, chain 1
+    t.delete_where(F.col("id").isin([int(i) for i in victims]))
+    rpt = t.maintenance_report()
+    assert rpt["dv_ratio"] < 0.25  # global ratio says "fine"
+    assert rpt["max_bucket_dv_ratio"] > 0.25  # the bucket says not
+    assert rpt["wants_dv_reclaim"] and rpt["wants_compact"]
+    assert not rpt["wants_mask_coalesce"]
+    tb = t.live_bytes() / 4 / 1024 / 1024
+    plan = t.maintain(dry_run=True, target_bucket_mb=tb)
+    assert ("compact", None) in plan["actions"]
+    assert ("coalesce_masks", None) not in plan["actions"]
+    t.compact()
+    # the skewed bucket was rewritten mask-free; untouched buckets kept
+    inv = t.files()
+    assert inv.filter(F.col("bucket") == bucket).agg(
+        F.sum("dv_rows")
+    ).collect()[0][0] in (0, None)
+    assert t.count() == 200 - len(victims)
+
+
+def test_shared_dv_dir_records_bucket_total(spark, tmp_path):
+    """r13 review: a bucket's position dir is shared by every touched
+    entry, so each entry records the dir TOTAL (dir_rows) alongside its
+    own share (rows) — the masked read's broadcast estimate then sizes
+    what the dir actually loads even when the scan prunes to one small
+    entry."""
+    t = TxnTable.create(
+        spark,
+        str(tmp_path / "shared"),
+        keys=["id"],
+        schema=SCHEMA,
+        n_buckets=2,
+        deletion_vectors=True,
+    )
+    t.append(_df(spark, [(i, f"v{i}", 1) for i in range(20)]))
+    t.append(_df(spark, [(i, f"v{i}", 1) for i in range(20, 40)]))
+    # one statement masking rows in BOTH entries of each bucket
+    t.delete_where((F.col("id") % 4) == 1)  # hits both appends' ranges
+    _, active, _ = t._state()
+    shares: dict[str, int] = {}
+    totals: dict[str, set[int]] = {}
+    for a in active.values():
+        d = a.get("dv")
+        if not d:
+            continue
+        path = d["paths"][0]
+        shares[path] = shares.get(path, 0) + int(d["rows"])
+        totals.setdefault(path, set()).add(int(d["dir_rows"][path]))
+    assert shares  # the delete touched something
+    for path, share_sum in shares.items():
+        # every co-referencing entry recorded the same dir total, and
+        # it equals the sum of their shares
+        assert totals[path] == {share_sum}
+    assert t.count() == 30
+
+
+def test_files_raises_on_vacuumed_version(spark, table):
+    """r13 review: the files() inventory fails LOUDLY on a vacuumed
+    historical version like every other historical read — bytes=0
+    phantom rows would mislead an operator sizing a restore."""
+    v0 = table.version()
+    table.delete_where(F.col("id") < 10, deletion_vectors=False)
     table.vacuum(retention_s=0.0)
-    assert _rows(table.snapshot()) == before
+    assert table.files().count() > 0  # current version always readable
+    with pytest.raises(VacuumedVersionError):
+        table.files(version=v0).count()
 
 
 def test_compact_reclaims_on_mask_volume(spark, table):
