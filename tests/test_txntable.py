@@ -446,7 +446,8 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
     for step in range(14):
         op = rng.choice(["append", "merge", "merge", "delete", "compact",
                          "txn", "txn", "rebucket", "zorder", "merge_clause",
-                         "update_where", "dv_delete", "dv_update"])
+                         "update_where", "dv_delete", "dv_update",
+                         "coalesce"])
         before_v = t.version()
         if op == "append":
             rows = [
@@ -574,6 +575,11 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
             for i in [k for k in model if k % m == r2]:
                 v0, ver0 = model[i]
                 model[i] = (f"d{step}-{v0}", ver0 + 1)
+        elif op == "coalesce":
+            # mask-chain coalescing (late r13) rewrites POSITIONS only —
+            # live rows, data files and the model are untouched; a
+            # chain-free table commits nothing
+            t.coalesce_masks()
         elif op == "rebucket":
             # partition evolution moves bytes, never rows — the model
             # is untouched; no-op respecs (same count) commit nothing
