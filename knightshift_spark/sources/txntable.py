@@ -1008,12 +1008,47 @@ class TxnTable:
         historical read."""
         return self.snapshot(self.version_as_of(ts))
 
-    def history(self) -> list[dict]:
-        """Commit log, oldest first — op, version, touched buckets."""
-        return [
-            {k: c.get(k) for k in ("version", "op", "buckets", "read_version", "ts")}
-            for c in self._commits()
-        ]
+    def history(self, detailed: bool = False) -> list[dict]:
+        """Commit log, oldest first — op, version, touched buckets.
+
+        ``detailed=True`` adds per-commit operation metrics in the
+        Delta ``DESCRIBE HISTORY`` shape, straight off each commit
+        payload (no replay, no file reads): ``mode`` (``"dv"`` for
+        merge-on-read statements), entry counts, and — where footer
+        row totals were recorded at commit time — ``rows_in_adds``
+        (total rows in the committed entries) plus ``dv_rows_in_adds``
+        (positions those entries' masks hide). On a DV statement the
+        adds RE-REFERENCE live entries (removes stay empty), so the
+        row numbers describe the entries' state after the commit, not
+        freshly written data — that distinction is exactly what an
+        operator auditing write amplification needs to see."""
+        out = []
+        for c in sorted(self._commits(), key=lambda c: c["version"]):
+            row = {
+                k: c.get(k)
+                for k in ("version", "op", "buckets", "read_version", "ts")
+            }
+            if detailed:
+                adds = c.get("adds") or []
+                rows_known = all(a.get("rows") is not None for a in adds)
+                row.update(
+                    {
+                        "mode": c.get("mode"),
+                        "n_adds": len(adds),
+                        "n_removes": len(c.get("removes") or []),
+                        "rows_in_adds": (
+                            sum(int(a["rows"]) for a in adds)
+                            if rows_known
+                            else None
+                        ),
+                        "dv_rows_in_adds": sum(
+                            int((a.get("dv") or {}).get("rows", 0))
+                            for a in adds
+                        ),
+                    }
+                )
+            out.append(row)
+        return out
 
     # -- reads -------------------------------------------------------------
 

@@ -739,6 +739,27 @@ def test_shared_dv_dir_records_bucket_total(spark, tmp_path):
     assert t.count() == 30
 
 
+def test_history_detailed_operation_metrics(spark, table):
+    """late r13: history(detailed=True) carries Delta DESCRIBE
+    HISTORY-shape operation metrics off the commit payloads — a DV
+    statement shows mode="dv" with zero removes and masked positions,
+    a copy-on-write delete shows its rewrites; rows are oldest-first
+    regardless of log listing order."""
+    table.delete_where(F.col("id") == 3)  # dv (table default)
+    table.delete_where(F.col("id") == 5, deletion_vectors=False)  # cow
+    hist = table.history(detailed=True)
+    assert [h["version"] for h in hist] == sorted(h["version"] for h in hist)
+    append = next(h for h in hist if h["op"] == "append")
+    assert append["n_removes"] == 0 and append["rows_in_adds"] == 20
+    assert append["dv_rows_in_adds"] == 0 and append["mode"] is None
+    dv, cow = (h for h in hist if h["op"] == "delete")
+    assert dv["mode"] == "dv" and dv["n_removes"] == 0
+    assert dv["dv_rows_in_adds"] == 1  # one masked position
+    assert cow["mode"] != "dv" and cow["n_removes"] > 0
+    # the plain listing keeps its lean shape
+    assert "n_adds" not in table.history()[0]
+
+
 def test_files_raises_on_vacuumed_version(spark, table):
     """r13 review: the files() inventory fails LOUDLY on a vacuumed
     historical version like every other historical read — bytes=0
