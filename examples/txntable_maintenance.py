@@ -89,6 +89,15 @@ def main(base: str) -> None:
     table.restore(v)
     print("restored; history:",
           [(h["version"], h["op"]) for h in table.history()])
+    # detailed=True adds DESCRIBE HISTORY-shape operation metrics off
+    # the commit payloads — mode ("dv" = merge-on-read), entry counts,
+    # rows and masked positions in the committed entries — the write-
+    # amplification audit trail, no replay and no file reads
+    for h in table.history(detailed=True):
+        print(f"  v{h['version']:>3} {h['op']:<8}",
+              f"mode={h['mode'] or '-':<4} adds={h['n_adds']}",
+              f"removes={h['n_removes']} rows={h['rows_in_adds']}",
+              f"dv_rows={h['dv_rows_in_adds']}")
 
     # 4. hygiene: compact small files, then drop data no live-or-
     # recent snapshot references (time travel inside retention keeps
