@@ -7,7 +7,11 @@ user of a general relational workload can stay on this engine; same
 determinism rules as ``relational.py``. Round-2 fusions (driver's
 50-query correctness budget): q46←q04, q47←q03, q61←q43 (CUBE ⊇ ROLLUP
 grouping sets), percentiles moved into q15, moving window into q39,
-EXCEPT into q24.
+EXCEPT into q24. Round-14 fusions (bring the registry to exactly 50 so
+q73/q74 enter the driver audit window): q61←q44 (pivot = conditional
+aggregation, tagged branch of the same grouping-set family),
+q52←q49 (correlated scalar subquery as a tagged branch of the grouped
+HAVING shape — both are grouped-predicate filters over customer/orders).
 """
 
 from __future__ import annotations
@@ -21,19 +25,10 @@ from knightshift_spark.tables import load_table as t
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
-@query(
-    "q44_pivot",
-    oracle="""SELECT user_id,
-              COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
-              COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
-              COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
-              COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
-              COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
-              FROM events GROUP BY user_id""",
-    doc="pivot = conditional aggregation; explicit value list keeps the "
-        "plan single-pass (no distinct-values pre-scan)",
-)
-def q44(spark: SparkSession, sf: str) -> DataFrame:
+def _pivot_branch(spark: SparkSession, sf: str) -> DataFrame:
+    """Former q44_pivot (fused into q61_cube, round 14): pivot =
+    conditional aggregation; the explicit value list keeps the plan
+    single-pass (no distinct-values pre-scan)."""
     piv = (
         t(spark, sf, "events")
         .groupBy("user_id")
@@ -127,15 +122,11 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "q49_correlated_avg",
-    oracle="""SELECT c_custkey FROM customer c
-              WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2
-                                 WHERE c2.c_nationkey = c.c_nationkey)""",
-    doc="correlated scalar subquery — engine plans it as a window average "
-        "over the nation partition (one shuffle, no per-row subquery)",
-)
-def q49(spark: SparkSession, sf: str) -> DataFrame:
+def _correlated_branch(spark: SparkSession, sf: str) -> DataFrame:
+    """Former q49_correlated_avg (fused into q52_exists_having, round
+    14): correlated scalar subquery — engine plans it as a window
+    average over the nation partition (one shuffle, no per-row
+    subquery)."""
     w = Window.partitionBy("c_nationkey")
     return (
         t(spark, sf, "customer")
@@ -185,18 +176,51 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q61_cube",
-    oracle="""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
-              FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
-    doc="CUBE multi-dim aggregation (all grouping-set combinations; "
-        "supersedes former q43_rollup — ROLLUP's grouping sets are a "
-        "subset of CUBE's and `.rollup()` stays pytest-covered)",
+    oracle="""SELECT 'cube' AS branch, l_returnflag AS gk, l_linestatus,
+              COUNT(*) AS n,
+              CAST(NULL AS BIGINT) AS click, CAST(NULL AS BIGINT) AS error,
+              CAST(NULL AS BIGINT) AS purchase, CAST(NULL AS BIGINT) AS signup,
+              CAST(NULL AS BIGINT) AS view
+              FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+              UNION ALL
+              SELECT 'pivot' AS branch, CAST(user_id AS VARCHAR) AS gk,
+              CAST(NULL AS VARCHAR) AS l_linestatus, CAST(NULL AS BIGINT) AS n,
+              COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+              COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+              COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+              COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+              COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+              FROM events GROUP BY user_id""",
+    doc="grouping-set family, two tagged branches (round-14 fusion — "
+        "COVERAGE.md): branch='cube' is CUBE multi-dim aggregation (all "
+        "grouping-set combinations; supersedes former q43_rollup — "
+        "ROLLUP's grouping sets are a subset of CUBE's and `.rollup()` "
+        "stays pytest-covered); branch='pivot' is former q44_pivot "
+        "(explicit-value-list `.pivot()` = single-pass conditional "
+        "aggregation on events). Each branch is one independent "
+        "shuffle-agg; the union is a plan-level concat, no extra exchange",
 )
 def q61(spark: SparkSession, sf: str) -> DataFrame:
-    return (
+    cube = (
         t(spark, sf, "lineitem")
         .cube("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("cube").alias("branch"),
+            F.col("l_returnflag").alias("gk"),
+            "l_linestatus",
+            "n",
+            *[F.lit(None).cast("long").alias(e) for e in EVENT_TYPES],
+        )
     )
+    piv = _pivot_branch(spark, sf).select(
+        F.lit("pivot").alias("branch"),
+        F.col("user_id").cast("string").alias("gk"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        F.lit(None).cast("long").alias("n"),
+        *EVENT_TYPES,
+    )
+    return cube.unionByName(piv)
 
 
 @query(
@@ -300,14 +324,38 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q52_exists_having",
-    oracle="""SELECT o_custkey, COUNT(*) AS n_orders FROM orders
-              GROUP BY o_custkey HAVING COUNT(*) >= 15""",
-    doc="grouped HAVING filter (post-aggregation predicate)",
+    oracle="""SELECT 'having' AS branch, o_custkey AS grp_key,
+              COUNT(*) AS n_orders FROM orders
+              GROUP BY o_custkey HAVING COUNT(*) >= 15
+              UNION ALL
+              SELECT 'correlated' AS branch, c_custkey AS grp_key,
+              CAST(NULL AS BIGINT) AS n_orders
+              FROM customer c
+              WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2
+                                 WHERE c2.c_nationkey = c.c_nationkey)""",
+    doc="grouped-predicate family, two tagged branches (round-14 fusion — "
+        "COVERAGE.md): branch='having' is the grouped HAVING filter "
+        "(post-aggregation predicate); branch='correlated' is former "
+        "q49_correlated_avg — a correlated scalar subquery the engine "
+        "plans as a window average over the nation partition (one "
+        "shuffle, no per-row subquery). Independent single-shuffle "
+        "branches, plan-level union",
 )
 def q52(spark: SparkSession, sf: str) -> DataFrame:
-    return (
+    having = (
         t(spark, sf, "orders")
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 15)
+        .select(
+            F.lit("having").alias("branch"),
+            F.col("o_custkey").alias("grp_key"),
+            "n_orders",
+        )
     )
+    corr = _correlated_branch(spark, sf).select(
+        F.lit("correlated").alias("branch"),
+        F.col("c_custkey").alias("grp_key"),
+        F.lit(None).cast("long").alias("n_orders"),
+    )
+    return having.unionByName(corr)
