@@ -1739,6 +1739,123 @@ def txn_table_section(spark, sf_dir: str) -> dict:
     naive_bytes = _dir_bytes(swap_dir)
     shutil.rmtree(swap_dir, ignore_errors=True)
 
+    # r14 (VERDICT r13 item 4): the DV-vs-CoW byte claim at a REALISTIC
+    # payload — sf≈1 lineitem (~6M rows, 16 real columns, built by the
+    # sf1_relational section just before this one) in a 64-bucket
+    # table, so each bucket holds megabytes of columnar payload instead
+    # of the 50k-doc toy above. A scattered-key predicate delete (the
+    # GDPR shape: matches spread across every bucket) forces CoW to
+    # rewrite the whole touched surface while DV writes positions; the
+    # measured ratio is SCALE.md's bucket-width-scaling claim as a
+    # number, one order of magnitude closer to the 256 MB production
+    # regime.
+    sf1_scale = None
+    sf1_li = os.path.join(
+        os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/knightshift-sf1"),
+        os.path.basename(sf_dir.rstrip("/")),
+        "lineitem.parquet",
+    )
+    if os.path.exists(os.path.join(sf1_li, "_SUCCESS")):
+        li = spark.read.parquet(sf1_li)
+        schema_str = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in li.schema.fields
+        )
+        big_path = os.path.join(base, "txn_sf1")
+        shutil.rmtree(big_path, ignore_errors=True)
+        t0 = time.perf_counter()
+        big = TxnTable.create(
+            spark, big_path, keys=["l_orderkey", "l_linenumber"],
+            schema=schema_str, n_buckets=64, deletion_vectors=True,
+        )
+        big.append(li)
+        big_seed = time.perf_counter() - t0
+        big_rows = big.count()
+        live_mb = big.live_bytes() / 1e6
+        # scattered predicate delete: ~1/9973 of orders, every bucket hit
+        _, b0, _ = big._state()
+        t0 = time.perf_counter()
+        big.delete_where(F.col("l_orderkey") % 9973 == 7)
+        big_dv_sec = time.perf_counter() - t0
+        _, b1, _ = big._state()
+        big_dv_kb = sum(
+            _dir_bytes(os.path.join(big_path, r))
+            for r in _dv_roots(b1) - _dv_roots(b0)
+        ) / 1e3
+        dv_del_rows = big_rows - big.count()
+        t0 = time.perf_counter()
+        big.delete_where(
+            F.col("l_orderkey") % 9973 == 11, deletion_vectors=False
+        )
+        big_cow_sec = time.perf_counter() - t0
+        _, b2, _ = big._state()
+        big_cow_mb = sum(
+            _dir_bytes(os.path.join(big_path, p))
+            for p in set(b2) - set(b1)
+        ) / 1e6
+        # the hot upsert: a 1000-row batch, DV merge vs CoW merge
+        mbatch = li.filter(F.col("l_orderkey") % 5987 == 3).limit(1000).select(
+            *[
+                F.col(c) if c != "l_comment"
+                else F.concat(F.lit("edited: "), F.col(c)).alias(c)
+                for c in li.columns
+            ]
+        ).localCheckpoint()
+        _, m0, _ = big._state()
+        t0 = time.perf_counter()
+        big.merge(mbatch, order_by=["l_shipdate"])
+        big_dvm_sec = time.perf_counter() - t0
+        _, m1, _ = big._state()
+        dvm_roots = {
+            os.path.dirname(p) for p in set(m1) - set(m0)
+        } | (_dv_roots(m1) - _dv_roots(m0))
+        big_dvm_kb = sum(
+            _dir_bytes(os.path.join(big_path, r)) for r in dvm_roots
+        ) / 1e3
+        t0 = time.perf_counter()
+        big.merge(
+            mbatch.select(
+                *[
+                    F.col(c) if c != "l_comment"
+                    else F.concat(F.lit("again: "), F.col(c)).alias(c)
+                    for c in mbatch.columns
+                ]
+            ),
+            order_by=["l_shipdate"],
+            deletion_vectors=False,
+        )
+        big_cowm_sec = time.perf_counter() - t0
+        _, m2, _ = big._state()
+        big_cowm_mb = sum(
+            _dir_bytes(os.path.join(big_path, p))
+            for p in set(m2) - set(m1)
+        ) / 1e6
+        sf1_scale = {
+            "table_rows": big_rows,
+            "n_buckets": 64,
+            "live_mb": round(live_mb, 1),
+            "bucket_mb": round(live_mb / 64, 2),
+            "seed_sec": round(big_seed, 2),
+            "deleted_rows": int(dv_del_rows),
+            "dv_delete_sec": round(big_dv_sec, 3),
+            "cow_delete_sec": round(big_cow_sec, 3),
+            "dv_delete_written_kb": round(big_dv_kb, 1),
+            "cow_delete_written_mb": round(big_cow_mb, 2),
+            "delete_bytes_ratio": (
+                round(big_cow_mb * 1e3 / big_dv_kb, 1) if big_dv_kb else None
+            ),
+            "merge_rows": 1000,
+            "dv_merge_sec": round(big_dvm_sec, 3),
+            "cow_merge_sec": round(big_cowm_sec, 3),
+            "dv_merge_written_kb": round(big_dvm_kb, 1),
+            "cow_merge_written_mb": round(big_cowm_mb, 2),
+            "merge_bytes_ratio": (
+                round(big_cowm_mb * 1e3 / big_dvm_kb, 1)
+                if big_dvm_kb
+                else None
+            ),
+        }
+        shutil.rmtree(big_path, ignore_errors=True)
+
     return {
         "note": "single-run timings (a merge mutates state; best-of-N "
                 "would measure a different table each run). At this "
@@ -1765,6 +1882,7 @@ def txn_table_section(spark, sf_dir: str) -> dict:
         "zorder_compact": zorder_compact,
         "scd2_incremental": scd2,
         "deletion_vectors": deletion_vectors,
+        "sf1_scale": sf1_scale,
     }
 
 

@@ -437,21 +437,28 @@ class MetricsTotalsView:
         self._legacy: bool | None = None  # layout cache, set on 1st merge
 
     def _legacy_layout(self) -> bool:
-        # cached after the first detection: the layout is fixed for the
-        # life of a view (the first merge creates it wide; a legacy
-        # view stays legacy), and re-resolving the parquet schema on
-        # every flush is a directory listing + footer read that grows
-        # with view size (review)
+        # cached after the first POSITIVE detection: the layout is
+        # fixed once a view exists (the first merge creates it wide; a
+        # legacy view stays legacy), and re-resolving the parquet
+        # schema on every flush is a directory listing + footer read
+        # that grows with view size (review). An ABSENT or still-empty
+        # directory is deliberately NOT cached (ADVICE r13): caching
+        # 'wide' here would mis-merge a legacy view that appears
+        # between probes (another process creating it, or a restore of
+        # old files into view_path) — mixed layouts in one store, with
+        # totals() then reading only one branch's rows.
         if self._legacy is None:
             import os
 
-            if os.path.isdir(self.view_path):
-                self._legacy = (
-                    "metric"
-                    in self._spark.read.parquet(self.view_path).columns
-                )
-            else:
-                self._legacy = False  # first merge creates it wide
+            if not os.path.isdir(self.view_path):
+                return False  # no view yet: uncached, re-probe later
+            try:
+                cols = self._spark.read.parquet(self.view_path).columns
+            except Exception:
+                # exists-but-empty dir: schema inference fails; treat
+                # as no-view-yet (uncached) rather than crash the flush
+                return False
+            self._legacy = "metric" in cols
         return self._legacy
 
     def merge(self, flushed: DataFrame) -> None:

@@ -1152,3 +1152,42 @@ def test_metrics_totals_view_legacy_long_form_kept(spark, tmp_path):
     assert view2.totals() == {
         "n_batches": 1, "input_rows": 7, "wall_ms": 50,
     }
+
+
+def test_totals_view_redetects_layout_when_view_appears_late(spark, tmp_path):
+    """ADVICE r13: probing an absent (or exists-but-empty) view dir
+    must NOT cache 'wide' — a legacy view materialized between probes
+    (another process, or restored files) still merges in long form;
+    and an empty directory never crashes the flush."""
+    import os
+
+    from knightshift_spark.streaming.matview import merge_view_batch
+    from knightshift_spark.streaming.metrics import MetricsTotalsView
+
+    view_path = str(tmp_path / "late")
+    view = MetricsTotalsView(spark, view_path, n_buckets=4)
+    assert view._legacy_layout() is False      # absent: probe says wide...
+    assert view._legacy is None                # ...but is NOT cached
+    os.makedirs(view_path)                     # exists-but-empty
+    assert view._legacy_layout() is False      # guarded, no crash
+    assert view._legacy is None
+    os.rmdir(view_path)
+    # a legacy (long-form) view appears AFTER those probes
+    long = spark.createDataFrame(
+        [("q", 0, "input_rows", 5.0), ("q", 0, "duration_ms", 100.0)],
+        "query_id string, batch_id long, metric string, value double",
+    )
+    merge_view_batch(
+        long, view_path, keys=["query_id", "batch_id", "metric"],
+        value_col="value", n_buckets=4,
+    )
+    flushed = spark.createDataFrame(
+        [("q", 1, 7, 50)],
+        "query_id string, batch_id long, input_rows long, duration_ms long",
+    )
+    view.merge(flushed)  # same instance: re-detects LONG, no mixing
+    assert "metric" in spark.read.parquet(view_path).columns
+    assert view._legacy is True  # positive detection is cached
+    assert view.totals() == {
+        "n_batches": 2, "input_rows": 12, "wall_ms": 150,
+    }

@@ -527,12 +527,15 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path):
         elif op == "merge_clause":
             # r13 conditional MERGE: update batch + fused predicate
             # delete in ONE statement/commit; the model applies the
-            # merge, then the post-merge whole-table delete
+            # merge, then the post-merge whole-table delete —
+            # randomly via r14 clause deletion vectors (same
+            # semantics, positions masked instead of rewritten)
             batch = random_merge_rows(step)
             m, r2 = rng.choice([(3, 0), (4, 1), (5, 2)])
             t.merge(
                 _df(spark, batch), ["version"],
                 delete_where=F.col("id") % m == r2,
+                deletion_vectors=rng.choice([True, False, None]),
             )
             lww(batch)
             for i in [k for k in model if k % m == r2]:

@@ -472,12 +472,18 @@ def test_dv_merge_txn_stamp_and_evolution(spark, tmp_path):
     t.merge(wide, ["version"], evolve=True)
     got = {r.id: (r.val, r.note) for r in t.snapshot().collect()}
     assert got == {1: ("a2", None), 2: ("b2", "x")}
-    # clauses refuse to combine with explicit DV
-    with pytest.raises(ValueError, match="does not compose"):
-        t.merge(
-            _df(spark, [(1, "z", 9)]), ["version"],
-            delete_where=F.col("version") < 0, deletion_vectors=True,
-        )
+    # clauses compose with explicit DV since r14 (no-op predicate:
+    # plain DV merge outcome, one commit)
+    t.merge(
+        spark.createDataFrame(
+            [(1, "z", 9, "y")],
+            "id long, val string, version int, note string",
+        ),
+        ["version"],
+        delete_where=F.col("version") < 0, deletion_vectors=True,
+    )
+    got = {r.id: r.val for r in t.snapshot().collect()}
+    assert got[1] == "z"
 
 
 def test_metadata_only_count(spark, table):
@@ -558,8 +564,20 @@ def test_files_detail_and_vacuum_dry_run(spark, table):
     ).collect()[0]
     assert agg["r"] - agg["d"] == table.count() == 18
     assert inv.filter(F.col("dv_chain") > 0).count() >= 1
+    # mask storage accounting (ADVICE r13): masked entries report
+    # their position dirs' bytes; the deduped total rides detail()
+    assert inv.filter(
+        (F.col("dv_chain") > 0) & (F.col("dv_bytes") > 0)
+    ).count() == inv.filter(F.col("dv_chain") > 0).count()
+    assert inv.filter(
+        (F.col("dv_chain") == 0) & (F.col("dv_bytes") != 0)
+    ).count() == 0
     d = table.detail()
     assert d["live_rows"] == 18 and d["dv_rows"] == 2
+    assert 0 < d["dv_bytes"] <= (
+        inv.agg(F.sum("dv_bytes")).collect()[0][0]
+    )  # dedup: table total never exceeds the per-entry (shared) sum
+    assert d["dv_bytes"] == table.maintenance_report()["dv_bytes"]
     assert d["deletion_vectors_default"] and d["keys"] == ["id"]
     # dry run names the dead dirs without deleting or committing
     table.compact(min_files=1)  # makes the old entries + masks dead
@@ -792,3 +810,209 @@ def test_compact_reclaims_on_mask_volume(spark, table):
         F.col("dv_rows") * 4 > F.col("rows")  # ratio > 0.25
     ).count() == 0
     assert table.count() == 10 == table.snapshot().count()
+
+
+def _mk_clause_pair(spark, tmp_path, names=("ccow", "cdv")):
+    """Two identical tables (CoW / DV) seeded with rows + a blind
+    duplicate, for clause-equivalence runs."""
+    out = []
+    for name, dv in zip(names, (False, True)):
+        t = TxnTable.create(
+            spark, str(tmp_path / name), keys=["id"], schema=SCHEMA,
+            n_buckets=4, deletion_vectors=dv,
+        )
+        t.append(_df(spark, [(i, f"v{i}", 2) for i in range(12)]))
+        t.append(_df(spark, [(5, "dup5", 1)]))  # stored duplicate key
+        out.append(t)
+    return out
+
+
+def test_clause_merge_dv_equals_cow(spark, tmp_path):
+    """r14 (VERDICT r13 item 2): merge clauses compose with deletion
+    vectors — final state AND row-level CDC pinned ≡ the CoW clause
+    path across the matrix: matched post-image delete (batch winner
+    and stored winner), unmatched batch insert where the condition
+    holds (kept — WHEN MATCHED only), delete_where hitting touched
+    AND untouched buckets, and the stored-duplicate mask side effect."""
+    cow, dv = _mk_clause_pair(spark, tmp_path)
+    batch = _df(
+        spark,
+        [
+            (1, "del1", 9),    # matched, batch wins, cond hits -> deleted
+            (2, "keep2", 9),   # matched, batch wins, cond misses -> kept
+            (3, "low3", 1),    # matched, stored wins; stored post-image kept
+            (50, "del50", 9),  # UNmatched insert, cond would hit -> kept
+        ],
+    )
+    wmd = F.col("val").startswith("del")
+    dw = F.col("id").isin(7, 50) & (F.col("version") < 5)
+    vs = {}
+    for t in (cow, dv):
+        vs[t] = t.merge(batch, ["version"], when_matched_delete=wmd,
+                        delete_where=dw)
+    assert _rows(cow.snapshot()) == _rows(dv.snapshot())
+    got = {r.id: (r.val, r.version) for r in dv.snapshot().collect()}
+    assert 1 not in got                   # matched delete (batch winner)
+    assert got[2] == ("keep2", 9)
+    assert got[3] == ("v3", 2)            # stored winner, cond miss
+    assert got[50] == ("del50", 9)        # unmatched insert survives wmd
+    assert 7 not in got                   # delete_where, untouched bucket ok
+    assert got[5] == ("v5", 2)            # duplicate deduped
+    # CDC equality (row-level change feed of the clause commit)
+    cdc = lambda t, v: {  # noqa: E731
+        (r.id, r.val, r._change_type) for r in t.row_changes(v).collect()
+    }
+    assert cdc(cow, vs[cow]) == cdc(dv, vs[dv])
+    # the DV commit moved no files and masked instead
+    commit = next(c for c in dv._commits() if c["version"] == vs[dv])
+    assert commit["op"] == "merge" and commit.get("mode") == "dv"
+    assert commit["removes"] == []
+    # time-travel replay: pre-clause snapshots still read on both
+    assert _rows(cow.snapshot(vs[cow] - 1)) == _rows(dv.snapshot(vs[dv] - 1))
+
+
+def test_clause_merge_dv_matched_delete_only(spark, tmp_path):
+    """when_matched_delete alone: conflict set stays touched-bucket
+    sized (no whole-table read), stored winners satisfying the
+    post-image condition are masked."""
+    cow, dv = _mk_clause_pair(spark, tmp_path, ("mc", "md"))
+    # stored row wins the rank but its post-image (the stored image)
+    # satisfies the condition -> stored winner masked, loser batch row
+    # NOT inserted (the key matched and was deleted)
+    batch = _df(spark, [(4, "x4", 1)])
+    wmd = F.col("version") == 2  # hits the stored post-image v4/2
+    for t in (cow, dv):
+        t.merge(batch, ["version"], when_matched_delete=wmd)
+    assert _rows(cow.snapshot()) == _rows(dv.snapshot())
+    assert 4 not in {r.id for r in dv.snapshot().collect()}
+    commit = dv._commits()[-1]
+    # only the touched bucket in the conflict set
+    assert commit.get("mode") == "dv"
+    assert len(commit["buckets"]) < 4
+
+
+def test_clause_merge_dv_empty_batch_delete_where(spark, tmp_path):
+    """An empty batch with a delete_where clause still deletes on the
+    DV path (parity with the CoW statement recording)."""
+    cow, dv = _mk_clause_pair(spark, tmp_path, ("ec", "ed"))
+    empty = _df(spark, [])
+    for t in (cow, dv):
+        t.merge(empty, ["version"], delete_where=F.col("id") >= 10)
+    assert _rows(cow.snapshot()) == _rows(dv.snapshot())
+    # ids 10,11 deleted; ids 0..9 remain, plus the blind duplicate of
+    # id 5 (an empty batch touches no buckets, so no dedup side effect)
+    assert dv.snapshot().count() == 11
+    commit = dv._commits()[-1]
+    assert commit.get("mode") == "dv" and commit["removes"] == []
+
+
+def test_clause_merge_dv_occ_conflict_and_stamp(spark, tmp_path):
+    """The clause-DV commit plays the ordinary OCC race (whole-table
+    read set with delete_where) and carries the exactly-once stamp;
+    a replayed stamped batch is a no-op."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "o"), keys=["id"], schema=SCHEMA,
+        n_buckets=4, deletion_vectors=True,
+    )
+    t.append(_df(spark, [(i, f"v{i}", 1) for i in range(8)]))
+    batch = _df(spark, [(1, "del1", 9)])
+    v = t.merge(batch, ["version"], when_matched_delete=F.lit(True),
+                txn=("clauseapp", 3))
+    assert t.streaming_watermark("clauseapp") == 3
+    # replay of the same stamped batch: skipped by the caller contract
+    # (watermark already at 3); a racing writer between read and commit
+    # forces ConcurrentWriteError on the clause commit
+    t2 = TxnTable(t.spark, t.path)
+    meta, active, read_v = t2._state()
+    t.append(_df(spark, [(100, "race", 1)]))  # interloper
+    from knightshift_spark.sources.txntable import ConcurrentWriteError
+    import pytest as _pt
+    with _pt.raises(ConcurrentWriteError):
+        t2.merge(
+            _df(spark, [(2, "del2", 9)]), ["version"],
+            delete_where=F.col("id") == 3,
+            deletion_vectors=True,
+            _state_hint=(meta, active, read_v),
+        )
+    # snapshot unchanged by the loser beyond the interloper append
+    assert (1, "del1", 9) not in _rows(t.snapshot())
+    assert t.snapshot().count() == 8  # 8 orig - id1 + race row
+
+
+def test_dv_range_hint_requires_trust_optin(spark, table):
+    """ADVICE r13: on the DV path range_hint prunes candidate files
+    (correctness input), so it is refused without
+    trusted_range_hint=True; the CoW path keeps it plan-only."""
+    with pytest.raises(ValueError, match="trusted_range_hint"):
+        table.delete_where(F.col("id") == 1, range_hint=("id", 0, 5))
+    with pytest.raises(ValueError, match="trusted_range_hint"):
+        table.update_where(
+            F.col("id") == 1, {"val": F.lit("x")}, range_hint=("id", 0, 5)
+        )
+    table.delete_where(
+        F.col("id") == 1, range_hint=("id", 0, 5), trusted_range_hint=True
+    )
+    assert table.snapshot().filter(F.col("id") == 1).count() == 0
+    # CoW override: the same hint is plan-only, no opt-in needed
+    table.delete_where(
+        F.col("id") == 2, range_hint=("id", 0, 5), deletion_vectors=False
+    )
+    assert table.snapshot().filter(F.col("id") == 2).count() == 0
+    assert table.snapshot().count() == 18
+
+
+def test_legacy_untotaled_dv_dir_disables_broadcast(spark, table):
+    """ADVICE r13: an entry without dir_rows (pre-late-r13 build) can
+    under-estimate a SHARED position dir, so the masked read must fall
+    back to a non-broadcast anti-join rather than trust it."""
+    import contextlib
+    import io
+    import json as _json
+
+    table.delete_where(F.col("id") == 5)
+
+    def anti_lines(t):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            t.snapshot().explain("formatted")
+        return [
+            ln for ln in buf.getvalue().splitlines() if "LeftAnti" in ln
+        ]
+
+    # control FIRST (the handle re-reads the log on every _state):
+    # with dir totals recorded, the pinned F.broadcast hint wins even
+    # when Spark's size-based auto broadcast is off
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = anti_lines(table)
+        assert any("Broadcast" in ln for ln in hinted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    # simulate a legacy commit: strip dir_rows from the dv entries
+    log = os.path.join(table.path, "_txnlog")
+    latest = max(
+        (n for n in os.listdir(log) if n.endswith(".json")
+         and not n.endswith(".checkpoint.json")),
+        key=lambda n: int(n.split(".")[0]),
+    )
+    fp = os.path.join(log, latest)
+    commit = _json.load(open(fp))
+    stripped = False
+    for a in commit["adds"]:
+        if a.get("dv") and a["dv"].pop("dir_rows", None) is not None:
+            stripped = True
+    assert stripped
+    _json.dump(commit, open(fp, "w"))
+    t2 = TxnTable(table.spark, table.path)  # fresh handle
+    # without totals the hint is dropped: Spark's own size estimate is
+    # the only thing that could broadcast now (safe — it reads real
+    # file sizes, not our under-attributed row share)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        legacy = anti_lines(t2)
+        assert legacy and all("Broadcast" not in ln for ln in legacy)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    # and the read is still exact
+    assert t2.snapshot().count() == 19
