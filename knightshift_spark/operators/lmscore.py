@@ -66,8 +66,12 @@ def unigram_logprob_table(
         "token",
         F.round(F.log((F.col("n") + 1) / F.lit(denom)), 12).alias("logp"),
     )
-    unseen_row = ref_docs.sparkSession.createDataFrame(
-        [(None, round(math.log(1.0 / denom), 12))], "token string, logp double"
+    from knightshift_spark.plans.localrel import local_relation
+
+    unseen_row = local_relation(
+        ref_docs.sparkSession,
+        [(None, round(math.log(1.0 / denom), 12))],
+        "token string, logp double",
     )
     return vocab_rows.unionByName(unseen_row)
 

@@ -137,8 +137,10 @@ def apply_mixture_plan(
     ]
     if not rows:
         return docs.limit(0).withColumn("epoch", F.lit(1))
-    plan_df = spark.createDataFrame(
-        rows, f"{source_col} string, __full int, __frac double"
+    from knightshift_spark.plans.localrel import local_relation
+
+    plan_df = local_relation(
+        spark, rows, f"{source_col} string, __full int, __frac double"
     )
     joined = docs.join(F.broadcast(plan_df), source_col)
     hi = F.col("__full") + (F.col("__frac") > 0).cast("int")

@@ -227,11 +227,13 @@ def query_text_index(
     ``bm25_scores`` (same Lucene idf, same decimal accumulation), but
     the scan reads ONLY the query terms' bucket partitions: cost
     follows the query's posting lists, not the corpus."""
+    from knightshift_spark.plans.localrel import local_relation
+
     meta = spark.read.parquet(f"{path}/_index_meta").collect()[0]
     terms = sorted({t.lower() for t in query_terms})
     buckets = [
         r["b"]
-        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        for r in local_relation(spark, [(t,) for t in terms], "term string")
         .select(F.pmod(F.xxhash64("term"), F.lit(int(meta["n_buckets"]))).cast("int").alias("b"))
         .distinct()
         .collect()

@@ -110,8 +110,11 @@ def stratified_sample(
     scan → broadcast-hash-join → filter: no shuffle of the corpus side,
     which is what lets this run as a pass-through stage at 100 TB.
     """
+    from knightshift_spark.plans.localrel import local_relation
+
     spark = df.sparkSession
-    weights = spark.createDataFrame(
+    weights = local_relation(
+        spark,
         [(k, int(v * _BUCKETS)) for k, v in fractions.items()],
         f"{strata_col} string, __keep_below int",
     )

@@ -292,7 +292,10 @@ def assign_ivf_clusters(
 
 
 def _cents_df(spark, cents: list[list[float]]) -> DataFrame:
-    return spark.createDataFrame(
+    from knightshift_spark.plans.localrel import local_relation
+
+    return local_relation(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cid int, cvec array<double>",
     )

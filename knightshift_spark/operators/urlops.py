@@ -264,8 +264,10 @@ def suffix_rules(spark, rules: tuple[str, ...] = DEFAULT_PUBLIC_SUFFIXES) -> Dat
             rows.append((parent, parent.count(".") + 1 + 1, False))
         else:
             rows.append((r, r.count(".") + 1, False))
-    return spark.createDataFrame(
-        rows, "match string, ps_labels int, is_exception boolean"
+    from knightshift_spark.plans.localrel import local_relation
+
+    return local_relation(
+        spark, rows, "match string, ps_labels int, is_exception boolean"
     )
 
 

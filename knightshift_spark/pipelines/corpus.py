@@ -529,8 +529,12 @@ def curate_corpus(
                 rows.append((name, prev - n, prev - n >= 0))
             prev = n
         rows.append(("kept", prev, prev >= 0))
-        stats = docs.sparkSession.createDataFrame(
-            rows, "reason string, n bigint, ok boolean"
+        # JVM LocalTableScan, not a Python-RDD relation: the stats frame
+        # is re-executed by every downstream action (plans.localrel)
+        from knightshift_spark.plans.localrel import local_relation
+
+        stats = local_relation(
+            docs.sparkSession, rows, "reason string, n bigint, ok boolean"
         )
     else:
         # stats stay LAZY: one action materializes the whole funnel. Eager

@@ -84,13 +84,15 @@ _OPENINGS_GOLDEN = """
 )
 def q63(spark: SparkSession, sf: str) -> DataFrame:  # sf unused: fixture input
     from knightshift_spark.pipelines.enrich import backfill_openings
+    from knightshift_spark.plans.localrel import local_relation
 
-    games = spark.createDataFrame(
+    games = local_relation(
+        spark,
         _GAMES_FIXTURE,
         "id_game string, val_opening_eco_code string, val_opening_name string, "
         "val_elo_white int, val_elo_black int",
     )
-    bodies = spark.createDataFrame(_BODIES_FIXTURE, "id_game string, body string")
+    bodies = local_relation(spark, _BODIES_FIXTURE, "id_game string, body string")
     return backfill_openings(games, bodies)
 
 
@@ -100,7 +102,9 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:  # sf unused: fixture input
     doc="OP-21 nested JSON flatten with OP-20 sentinel cleaning vs golden rows",
 )
 def q42(spark: SparkSession, sf: str) -> DataFrame:  # sf unused: fixture input
-    bodies = spark.createDataFrame(FIXTURE, "id_user string, body string")
+    from knightshift_spark.plans.localrel import local_relation
+
+    bodies = local_relation(spark, FIXTURE, "id_user string, body string")
     return flatten_profiles(bodies).select(
         "id_user",
         "val_username",

@@ -220,7 +220,9 @@ def ann_recall_harness(
     rows = out.collect()  # one row per method — driver-safe by construction
     truth.unpersist()
     scored.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    from knightshift_spark.plans.localrel import local_relation
+
+    return local_relation(spark, rows, out.schema)
 
 
 # q59_ann_recall is declared at the end of this module: its round-7

@@ -70,12 +70,16 @@ def read_pgn_lines(spark: SparkSession, path: str) -> DataFrame:
 def lines_from_text(spark: SparkSession, text: str, src: str = "inline") -> DataFrame:
     """Build the same shape from an in-memory PGN string (tests/fixtures).
 
-    No repartitioning: local data arrives as a pure-JVM LocalTableScan;
-    bolting ``coalesce(1)`` onto it forces the rows through a Python
-    worker pipeline and costs seconds (measured 7×) — leave it alone.
+    Built as a true JVM ``LocalTableScan`` (``plans.localrel``): the
+    list-based ``createDataFrame`` lands as a Python RDD whose
+    ``defaultParallelism`` worker tasks re-run on EVERY action over the
+    pipeline (r14 measurement: ~7 CPU-s per execution of the q28 plan at
+    ``local[32]`` for a 40-line fixture).
     """
+    from knightshift_spark.plans.localrel import local_relation
+
     rows = [(ln, i + 1, src) for i, ln in enumerate(text.splitlines())]
-    return spark.createDataFrame(rows, "line string, line_no long, src string")
+    return local_relation(spark, rows, "line string, line_no long, src string")
 
 
 def sessionize(lines: DataFrame) -> DataFrame:

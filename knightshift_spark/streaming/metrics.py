@@ -237,7 +237,9 @@ class PersistentMetricsLog:
         if not self._buf:
             return
         rows, self._buf = self._buf, []
-        df = self._spark.createDataFrame(rows, self._SCHEMA)
+        from knightshift_spark.plans.localrel import local_relation
+
+        df = local_relation(self._spark, rows, self._SCHEMA)
         df.write.mode("append").parquet(self._path)
         if self._totals is not None:
             self._totals.merge(df)
