@@ -88,31 +88,11 @@ from knightshift_spark.functions.text import (
 from knightshift_spark.operators.dedup import jaccard_pairs, lsh_candidate_pairs
 
 
-from contextlib import contextmanager
-
-
-@contextmanager
-def _tiny_job_confs(spark, enabled: bool):
-    """Scoped execution confs for the funnel's eager jobs when the
-    caller declared a BOUNDED input (``small_input=True``): AQE's
-    per-stage re-optimization and 32-way tiny shuffles are pure
-    overhead on a few-thousand-doc scope (measured: the near-dup job
-    drops ~40% with AQE off + 8 partitions at the q57 demo scope),
-    while at corpus scale both are load-bearing. Confs are restored on
-    exit, so only the jobs launched inside the block are affected."""
-    if not enabled:
-        yield
-        return
-    confs = {"spark.sql.adaptive.enabled": "false",
-             "spark.sql.shuffle.partitions": "8"}
-    saved = {k: spark.conf.get(k) for k in confs}
-    for k, v in confs.items():
-        spark.conf.set(k, v)
-    try:
-        yield
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
+# r14: the scoped bounded-job confs moved to plans.partitioning
+# (tiny_job_confs) so the q59 recall harness can declare the same
+# bounded-input execution shape; this alias keeps the funnel's
+# call sites and their history readable.
+from knightshift_spark.plans.partitioning import tiny_job_confs as _tiny_job_confs
 
 
 class CurationResult(NamedTuple):

@@ -160,3 +160,29 @@ def lint_checkpoint(df: DataFrame, label: str, eager: bool = True) -> DataFrame:
     if _pre_checkpoint_capture is not None:
         _pre_checkpoint_capture.append((label, explain_str(df)))
     return df.localCheckpoint(eager=eager)
+
+
+@contextmanager
+def tiny_job_confs(spark, enabled: bool):
+    """Scoped execution confs for eager jobs over a caller-DECLARED
+    bounded input (q57's ``small_input=True``, the q59 recall harness):
+    AQE's per-stage re-optimization and 32-way tiny shuffles are pure
+    overhead on a few-thousand-row scope (measured r9: the q57 near-dup
+    job drops ~40% with AQE off + 8 partitions; r14: the q59 harness
+    build drops ~5 CPU-s), while at corpus scale both are load-bearing
+    — the declaration, not a hard-coded core count, is what gates this.
+    Confs are restored on exit, so only jobs launched inside the block
+    are affected."""
+    if not enabled:
+        yield
+        return
+    confs = {"spark.sql.adaptive.enabled": "false",
+             "spark.sql.shuffle.partitions": "8"}
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -58,21 +58,53 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _dual_topk(scored: DataFrame, base_flag, k: int) -> tuple[DataFrame, DataFrame]:
+    """(base top-k, widened top-k) from ONE scored relation in ONE pass.
+
+    r14 (guide §2.4): the previous shape persisted ``scored`` and ran
+    two separate ``topk_by_sim`` plans (filtered base + full) over the
+    cache — two window plans, a cache write + read, and measurable
+    block-manager contention (event-log: 32-task stages at ~1 s run /
+    ~0.02 s CPU each while tasks queued on the same cached blocks).
+    Both rankings are windows clustered on ``query_id``:
+    ``HashPartitioning(query_id)`` satisfies the clustered distribution
+    of BOTH (``query_id`` ⊆ both window keys), so computing the two
+    row_numbers side by side costs ONE exchange and two local sorts —
+    no persist, no duplicated scoring subtree.
+
+    Output is bit-identical to ``topk_by_sim`` on the filtered/full
+    relations: each (query, neighbor) pair appears exactly once in
+    ``scored`` (disjoint probe/cluster membership — the callers'
+    invariant), and the base window partitions additionally by
+    ``base_flag`` so base ranks count only base rows, with the same
+    (sim desc, neighbor_id) order and rounding."""
+    from pyspark.sql import Window
+
+    order = [F.col("__sim").desc(), F.col("neighbor_id")]
+    w_all = Window.partitionBy("query_id").orderBy(*order)
+    w_base = Window.partitionBy("query_id", base_flag).orderBy(*order)
+    ranked = scored.withColumn(
+        "__rn_all", F.row_number().over(w_all)
+    ).withColumn("__rn_base", F.row_number().over(w_base))
+    sim = F.round("__sim", 4).alias("sim")
+    base = ranked.filter(base_flag & (F.col("__rn_base") <= k)).select(
+        "query_id", "neighbor_id", sim, F.col("__rn_base").alias("rank")
+    )
+    widened = ranked.filter(F.col("__rn_all") <= k).select(
+        "query_id", "neighbor_id", sim, F.col("__rn_all").alias("rank")
+    )
+    return base, widened
+
+
 def _lsh_variant_pair(
     queries: DataFrame, c_lsh: DataFrame, k: int, bits: int
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(exact-bucket top-k, Hamming-1-probed top-k) from ONE persisted
-    scored relation: the widening variant's candidate set strictly
-    contains the base's (probe index 0 = the query's own sketch), so the
-    base is a pre-window filter instead of a second codegen-heavy
-    scoring plan. The caller owns unpersisting the returned relation
-    via the third element."""
-    from knightshift_spark.operators.similarity import (
-        dot,
-        norm,
-        srp_probe_array,
-        topk_by_sim,
-    )
+    """(exact-bucket top-k, Hamming-1-probed top-k) from ONE scored
+    relation (see ``_dual_topk``): the widening variant's candidate set
+    strictly contains the base's (probe index 0 = the query's own
+    sketch). The third element is kept for call-site compatibility
+    (formerly the persisted relation; unpersist on it is a no-op)."""
+    from knightshift_spark.operators.similarity import dot, norm, srp_probe_array
 
     probes = srp_probe_array(F.col("embedding"), bits, 64, hamming_probe=1)
     q = queries.select(
@@ -92,27 +124,24 @@ def _lsh_variant_pair(
                 "__sim"
             ),
         )
-        .persist()
     )
-    return (
-        topk_by_sim(scored.filter(F.col("__pi") == 0), k),
-        topk_by_sim(scored, k),
-        scored,
-    )
+    base, widened = _dual_topk(scored, F.col("__pi") == 0, k)
+    return base, widened, scored
 
 
 def _ivf_variant_pair(
     queries: DataFrame, c_ivf: DataFrame, cents: list, k: int
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(1-probe top-k, 2-probe top-k) from ONE persisted scored relation
-    — probe rank 0 is the nearest centroid, exactly ``knn_ivf``'s
-    ``n_probe=1`` candidate set (clusters are disjoint, so each pair
-    appears once and no dedup is needed)."""
+    """(1-probe top-k, 2-probe top-k) from ONE scored relation (see
+    ``_dual_topk``) — probe rank 0 is the nearest centroid, exactly
+    ``knn_ivf``'s ``n_probe=1`` candidate set (clusters are disjoint,
+    so each pair appears once and no dedup is needed). The third
+    element is kept for call-site compatibility (formerly the persisted
+    relation; unpersist on it is a no-op)."""
     from knightshift_spark.operators.similarity import (
         assign_ivf_clusters,
         dot,
         norm,
-        topk_by_sim,
     )
 
     q = queries.select(
@@ -134,13 +163,9 @@ def _ivf_variant_pair(
                 "__sim"
             ),
         )
-        .persist()
     )
-    return (
-        topk_by_sim(scored.filter(F.col("__pr") == 0), k),
-        topk_by_sim(scored, k),
-        scored,
-    )
+    base, widened = _dual_topk(scored, F.col("__pr") == 0, k)
+    return base, widened, scored
 
 
 def ann_recall_harness(
@@ -423,7 +448,20 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
         prepare_ivf_candidates,
         prepare_lsh_candidates,
     )
+    from knightshift_spark.plans.partitioning import tiny_job_confs
 
+    # r14: the recall harness is a BOUNDED parameter-evaluation surface
+    # (10 queries × the candidate sample, method-count-sized output) —
+    # the same declaration q57 makes with small_input=True, so its eager
+    # jobs run under the same scoped confs (AQE re-optimization + 32-way
+    # tiny shuffles are pure overhead here; measured −5 CPU-s/build).
+    with tiny_job_confs(spark, True):
+        return _q59_body(spark, sf, stable_hash32, prepare_ivf_candidates,
+                         prepare_lsh_candidates)
+
+
+def _q59_body(spark, sf, stable_hash32, prepare_ivf_candidates,
+              prepare_lsh_candidates) -> DataFrame:
     emb = t(spark, sf, "embeddings")
     q, c = emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10)
     # the candidate relation feeds truth + codebook + 2 prepared index
