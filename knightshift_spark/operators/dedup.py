@@ -181,6 +181,80 @@ def jaccard_pairs(
     )
 
 
+def jaccard_rescore_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    threshold: float = 0.05,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_max: int | None = None,
+    broadcast_sets: bool = False,
+) -> DataFrame:
+    """Exact shingle-Jaccard for a GIVEN candidate pair list — the
+    rescore half of LSH near-dup, pair-driven.
+
+    ``jaccard_pairs`` scores every pair sharing ≥1 shingle and the
+    caller then semi-joins down to its LSH candidates — at the q57
+    bench scope that computes 835k co-shingled pairs (3.3M shingle-join
+    fan-out rows through a pair-keyed shuffle) to keep 39.7k (r14
+    measurement; 95% discarded). Here the candidate pairs DRIVE the
+    join instead (guide §3.3: join on the un-exploded key, explode
+    never): each doc's capped shingle set is collected once
+    (``collect_list`` over the per-doc-distinct gram table), the pair
+    list joins the two doc-set relations by id, and the intersection is
+    a per-row ``array_intersect`` — no shingle-keyed fan-out, no
+    pair-keyed aggregation, shuffle rows ∝ |pairs| + |docs|.
+
+    Output is exactly ``jaccard_pairs(docs, ...) ⋉ pairs``: for a pair
+    in ``pairs``, both shapes compute |A∩B| / (|A|+|B|−|A∩B|) over the
+    df-capped shingle universe with the same round-then-threshold; a
+    pair sharing no shingle is dropped by the explicit ``inter >= 1``
+    filter exactly as the old inner shingle join dropped it (even at
+    threshold 0); a doc with no surviving shingles drops its pairs in
+    both (inner join here, absent shingle rows there). Equivalence
+    pinned in tests/test_dedup_similarity.py.
+
+    ``docs`` should already be restricted to pair members (the callers'
+    existing semi-join). ``broadcast_sets=True`` is for callers that
+    DECLARED a bounded scope (q57's ``small_input``): the per-doc set
+    relation rides the pair join as a broadcast. At corpus scale leave
+    it False — two id-keyed shuffles of the pair list, payload bounded
+    by bucket caps × doc shingle count.
+
+    Scale note, stated: a doc's shingle array ships once per pair it
+    participates in (≤ ``max_bucket``·bands arrays), where the
+    shingle-join shape ships Σ_sh df(sh)² rows — both are cap-bounded;
+    the pair-driven form is strictly less work whenever candidates are
+    sparser than co-shingled pairs, which is the entire premise of LSH
+    banding."""
+    sh = shingle_table(docs, id_col, text_col)
+    if df_max is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= df_max)
+            .drop("__df")
+        )
+    sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("__sh"))
+
+    def _side(alias: str, out: str) -> DataFrame:
+        side = sets.select(F.col(id_col).alias(alias), F.col("__sh").alias(out))
+        return F.broadcast(side) if broadcast_sets else side
+
+    joined = pairs.join(_side("doc_a", "__sha"), "doc_a").join(
+        _side("doc_b", "__shb"), "doc_b"
+    )
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    jac = inter / (F.size("__sha") + F.size("__shb") - inter)
+    return (
+        joined.filter(inter >= 1)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.round(jac, 4) >= threshold)
+    )
+
+
 def dedup_paragraphs(
     docs: DataFrame,
     id_col: str = "doc_id",

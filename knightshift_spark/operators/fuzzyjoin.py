@@ -21,8 +21,9 @@ relations):
    and still surfaces through its other bands — the standard
    banding-recall trade, stated;
 3. exact Jaccard rescore of candidates only: shingle tables restricted
-   to candidate ids, one shingle equi-join, pair-keyed count vs the
-   per-side shingle sizes — the LSH estimate never reaches the output.
+   to candidate ids, collected to one capped set per doc; the candidate
+   pairs drive an id-keyed join and a per-row ``array_intersect`` — the
+   LSH estimate never reaches the output.
 
 ``fuzzy_join_exact`` is the small-scope baseline (every shared-shingle
 pair, no banding) used by tests and honest-recall measurements.
@@ -70,9 +71,9 @@ def _rescore(
         "left_semi",
     )
     # size-gated checkpoint (r13): each shingle table is consumed by up
-    # to THREE subtrees below (the df_max rarity count, the intersection
-    # join, and its side's per-doc size count), and every reference
-    # re-runs the candidate semi-join — which re-SCANS its corpus side.
+    # to TWO subtrees below (the df_max rarity count and its side's
+    # per-doc set collection), and every reference re-runs the
+    # candidate semi-join — which re-SCANS its corpus side.
     # Cheap on a small corpus (the recompute beats two eager
     # checkpoint jobs — measured at sf0.1: +0.7 s charged if always
     # on), corpus-proportional waste at scale — so cut the lineage only
@@ -109,23 +110,26 @@ def _rescore(
         )
         lsh_t = lsh_t.join(rare, "shingle", "left_semi")
         rsh_t = rsh_t.join(rare, "shingle", "left_semi")
-    inter = (
-        lsh_t.join(rsh_t, "shingle")
-        .groupBy("left_id", "right_id")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-        # the shingle join pairs ANY colliding docs among the candidate
-        # ids; keep only the actual candidate PAIRS
-        .join(cands, ["left_id", "right_id"], "left_semi")
-    )
-    ls = lsh_t.groupBy("left_id").agg(F.count(F.lit(1)).alias("n_l"))
-    rs = rsh_t.groupBy("right_id").agg(F.count(F.lit(1)).alias("n_r"))
-    jac = F.col("n_inter") / (F.col("n_l") + F.col("n_r") - F.col("n_inter"))
+    # r14: pair-driven intersection (the jaccard_rescore_pairs shape,
+    # cross-relation — see operators/dedup.py): the candidate pairs
+    # drive an id-keyed join against each side's collected shingle set
+    # and the intersection is a per-row array_intersect. The old
+    # shingle-keyed join paired ANY colliding docs among the candidate
+    # ids (Σ_sh df_l(sh)·df_r(sh) fan-out rows through a pair-keyed
+    # aggregation) before the cands semi-join kept the actual pairs.
+    # Output identical: same |L∩R| / (|L|+|R|−|L∩R|) over the df-capped
+    # shingle universe, same round-then-threshold, and the explicit
+    # ``inter >= 1`` filter reproduces the old inner shingle join's
+    # ≥1-shared-shingle requirement exactly (even at threshold 0).
+    lsets = lsh_t.groupBy("left_id").agg(F.collect_list("shingle").alias("__sha"))
+    rsets = rsh_t.groupBy("right_id").agg(F.collect_list("shingle").alias("__shb"))
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    jac = inter / (F.size("__sha") + F.size("__shb") - inter)
     return (
-        inter.join(ls, "left_id")
-        .join(rs, "right_id")
-        .select(
-            "left_id", "right_id", F.round(jac, 4).alias("jaccard")
-        )
+        cands.join(lsets, "left_id")
+        .join(rsets, "right_id")
+        .filter(inter >= 1)
+        .select("left_id", "right_id", F.round(jac, 4).alias("jaccard"))
         .filter(F.round(jac, 4) >= threshold)
     )
 

@@ -85,7 +85,10 @@ from knightshift_spark.functions.text import (
     stopword_ratio,
     token_count,
 )
-from knightshift_spark.operators.dedup import jaccard_pairs, lsh_candidate_pairs
+from knightshift_spark.operators.dedup import (
+    jaccard_rescore_pairs,
+    lsh_candidate_pairs,
+)
 
 
 # r14: the scoped bounded-job confs moved to plans.partitioning
@@ -279,23 +282,28 @@ def curate_corpus(
         text_col=text_col,
         max_bucket=lsh_max_bucket,
     )
-    confirmed = (
-        jaccard_pairs(
-            raw.join(
-                _tiny(
-                    cands.select(
-                        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
-                    ).distinct()
-                ),
-                id_col,
-                "left_semi",
+    # r14: pair-driven rescore (jaccard_rescore_pairs) — the LSH pairs
+    # drive an array_intersect join instead of scoring every co-shingled
+    # pair and semi-joining down (at this scope the old shape computed
+    # 835k pairs to keep 39.7k; A/B: 2.28 s/10.3 CPU-s → 1.65 s/5.6
+    # CPU-s, output set-equal). Under small_input the per-doc shingle
+    # sets broadcast like every other bounded id relation here.
+    confirmed = jaccard_rescore_pairs(
+        cands,
+        raw.join(
+            _tiny(
+                cands.select(
+                    F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+                ).distinct()
             ),
-            threshold=jaccard_threshold,
-            id_col=id_col,
-            text_col=text_col,
-            df_max=jaccard_df_max,
-        )
-        .join(_tiny(cands), ["doc_a", "doc_b"], "left_semi")  # rescore candidates only
+            id_col,
+            "left_semi",
+        ),
+        threshold=jaccard_threshold,
+        id_col=id_col,
+        text_col=text_col,
+        df_max=jaccard_df_max,
+        broadcast_sets=small_input,
     )
     if transitive_closure:
         # C4/RefinedWeb-style CLUSTER dedup: confirmed pairs → connected

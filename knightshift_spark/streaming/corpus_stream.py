@@ -234,7 +234,7 @@ def _ingest_batch_with_neardup(
 
     from knightshift_spark.operators.dedup import (
         append_lsh_index,
-        jaccard_pairs,
+        jaccard_rescore_pairs,
         query_lsh_index,
     )
 
@@ -268,10 +268,15 @@ def _ingest_batch_with_neardup(
             F.least("doc_a", "doc_b").alias("doc_a"),
             F.greatest("doc_a", "doc_b").alias("doc_b"),
         ).distinct()
-        confirmed = jaccard_pairs(
+        # r14: pair-driven rescore — the candidate pairs drive an
+        # array_intersect join (jaccard_rescore_pairs ≡ the old
+        # jaccard_pairs ⋉ cands_n, see the operator docstring); no
+        # co-shingled-pair fan-out over the corpus∪batch text slice
+        confirmed = jaccard_rescore_pairs(
+            cands_n,
             texts.join(cand_ids, "doc_id", "left_semi"),
             threshold=threshold,
-        ).join(cands_n, ["doc_a", "doc_b"], "left_semi")
+        )
         # loser per confirmed pair, by batch membership (NOT id order):
         # cross pair → the batch side loses (corpus copy wins);
         # within-batch pair → the higher id loses (lower id wins)

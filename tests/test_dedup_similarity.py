@@ -1219,3 +1219,33 @@ def test_q59_shared_scored_variants_match_knn_operators(spark):
         knn_ivf(q, c_ivf, k=3, n_clusters=4, n_probe=2, centroids=cents)
     )
     s2.unpersist()
+
+
+def test_jaccard_rescore_pairs_equals_pair_filtered_jaccard_pairs(spark):
+    """r14 pair-driven rescore ≡ jaccard_pairs ⋉ pairs — including the
+    ≥1-shared-shingle requirement at threshold 0, df_max capping, and a
+    candidate pair with no shared shingle (dropped by both shapes)."""
+    from knightshift_spark.operators.dedup import jaccard_rescore_pairs
+
+    docs = _docs(spark)
+    # candidate list: a real near-dup, an exact dup, an UNRELATED pair
+    # (no shared shingle), and one pair deliberately absent (2,4)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 4), (1, 3)], "doc_a int, doc_b int"
+    )
+    for thr, dfm in ((0.05, None), (0.0, None), (0.5, 5), (0.0, 2)):
+        old = {
+            tuple(r)
+            for r in jaccard_pairs(docs, threshold=thr, df_max=dfm)
+            .join(pairs, ["doc_a", "doc_b"], "left_semi")
+            .collect()
+        }
+        for bcast in (False, True):
+            new = {
+                tuple(r)
+                for r in jaccard_rescore_pairs(
+                    pairs, docs, threshold=thr, df_max=dfm,
+                    broadcast_sets=bcast,
+                ).collect()
+            }
+            assert new == old, (thr, dfm, bcast, new, old)
