@@ -241,20 +241,30 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q54(spark: SparkSession, sf: str) -> DataFrame:
     li = t(spark, sf, "lineitem")
-    # two aggregates joined on the (3-row) group key instead of one mixed
-    # distinct/non-distinct agg: the mixed form makes Catalyst plan an
-    # Expand that doubles the row stream through the shuffle (measured 3×
-    # slower at sf0.1); split, the exact-distinct side plans as the
-    # two-phase partial aggregate and the HLL side is a plain single
-    # shuffle
-    plain = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
+    # ONE scan, manual two-level aggregation (r14, guide §1.3 "how many
+    # full passes are unavoidable": one). The r11 shape joined two
+    # aggregates — dodging the mixed distinct/non-distinct Expand
+    # (which doubles the row stream; measured 3× slower) but paying TWO
+    # lineitem scans. Level 1 groups by (flag, partkey) — partial agg
+    # combines map-side, the exchange carries one row per distinct pair
+    # — and level 2 derives ALL three measures: n_parts = count of
+    # pairs, n = sum of pair counts, and the HLL sketch over the
+    # pre-distincted keys, which is BIT-identical to the sketch over
+    # the raw rows (duplicates hash to the same register update — HLL
+    # is duplicate-insensitive by construction). A/B at sf0.1: CPU
+    # 1.8 → 1.3 s (−28%), wall +0.2 s at local scale because the old
+    # twin subtrees scanned in parallel on idle cores — at scale one
+    # scan wins outright (scan bytes halve; no idle cores to hide the
+    # second pass). Output equality checked row-for-row in the A/B and
+    # by the oracle hash.
+    lvl1 = li.groupBy("l_returnflag", "l_partkey").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return lvl1.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("__c").alias("n"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("__approx"),
-    )
-    exact = li.groupBy("l_returnflag").agg(
-        F.count_distinct("l_partkey").alias("n_parts")
-    )
-    return exact.join(F.broadcast(plain), "l_returnflag").select(
+    ).select(
         "l_returnflag",
         "n_parts",
         "n",
@@ -302,18 +312,27 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
 
     cols = ["o_custkey", "o_orderstatus", "o_totalprice"]
     orders = t(spark, sf, "orders")
-    exact = profile_table(orders, cols).select(
+    # r14: ONE profile_table call serves both modes. The audit profile
+    # already computes every stat the exact rows need (its n_distinct
+    # IS the exact count; approx_ok is the only extra), so mode='exact'
+    # is a re-projection of the SAME plan with approx_ok overridden to
+    # the literal true — the self-union's per-column aggregate subtrees
+    # are identical, so Catalyst reuses their exchanges instead of
+    # scanning each column twice (6 column scans → 3; A/B at sf0.1:
+    # 0.51 s/1.9 CPU-s → 0.42 s/1.5 CPU-s, rows identical).
+    audit = profile_table(orders, cols, approx_check=0.15)
+    exact = audit.select(
         F.lit("exact").alias("mode"),
         "column", "n_rows", "n_nulls", "n_distinct",
         F.lit(True).alias("approx_ok"),
         "min_val", "max_val",
     )
-    audit = profile_table(orders, cols, approx_check=0.15).select(
+    approx_rows = audit.select(
         F.lit("approx").alias("mode"),
         "column", "n_rows", "n_nulls", "n_distinct", "approx_ok",
         "min_val", "max_val",
     )
-    return exact.unionByName(audit)
+    return exact.unionByName(approx_rows)
 
 
 # Former q62b_profile_approx folded into q62_profile_table's
