@@ -122,8 +122,19 @@ def lm_quality_score(
         ),
     )
     # docs with zero tokens never reach the explode — restore them with
-    # NULL scores so the output covers the input id space
-    empties = docs.select(id_col).join(out.select(id_col), id_col, "left_anti")
+    # NULL scores so the output covers the input id space. r14: detect
+    # them with a direct token-count predicate on the docs scan instead
+    # of anti-joining against ``out`` — the anti-join's build side was
+    # the ENTIRE explode+join+aggregate subtree executed a second time
+    # (runtime exchange reuse deduped only its shuffle stages), where
+    # ``size(word_tokens(text)) = 0`` is one scan-level projection.
+    # Identical output for per-id-unique inputs (the operator's
+    # contract — callers run it post-dedup / per keyed batch): a doc
+    # row yields exploded tokens iff its token array is non-empty, so
+    # "id absent from out" ⟺ "this id's rows all have size 0".
+    empties = docs.filter(
+        F.coalesce(F.size(word_tokens(F.col(text_col))), F.lit(0)) == 0
+    ).select(id_col)
     return out.unionByName(
         empties.select(
             id_col,
