@@ -3,17 +3,24 @@
 
 Prints the full result as one JSON line, writes the same payload to
 ``bench_full.json`` next to this script, then prints a SHORT final JSON
-line carrying only the headline keys::
+line carrying the headline keys plus per-query wall seconds::
 
     {"metric": "...", "value": <total_sec>, "unit": "sec", "sf": 0.1,
+     "queries": {"q01_filter_scan": 0.123, ...},
      "duckdb_oracle_total_sec": ..., "spark_vs_duckdb_ratio": ...,
      "scale10x_ratio": ..., "skew_ratio": ..., "sf1_ratio": ...,
      "detail": "bench_full.json"}
 
 The short line exists because harnesses that capture only the tail of
 stdout must still parse the headline (VERDICT r4 #1: the full line is
-several KB and truncation loses its opening brace). Per-query numbers —
-Spark AND DuckDB (``duckdb_queries``) — live in the full line / file.
+several KB and truncation loses its opening brace). ``queries`` was
+restored to the short line in r15 (VERDICT r14 item 2 / the original
+driver contract): 50 names at 3-decimal rounding keep the line under a
+2000-char tail capture, and a guard re-rounds to 2 decimals if a noisy
+run would push it past 1900 chars. A compact ``per_query_wall_cpu``
+line (wall + CPU per query) is printed immediately BEFORE the headline
+for human/audit use; full detail — Spark AND DuckDB per-query numbers
+(``duckdb_queries``), bands, CPU — lives in the full line / file.
 
 Methodology: per query, the DataFrame (plan) is built once — clients
 reuse prepared queries — and the reported time is the best of
@@ -348,8 +355,29 @@ def main() -> None:
     )
     bench_diff = None
     try:
-        with open(prev_path) as f:
-            prev = json.load(f)
+        # committed baseline first (ADVICE r14): a mid-session run
+        # overwrites bench_full.json on disk, so diffing against the
+        # file compares to *this session's previous draw*, not the last
+        # committed history. Prefer HEAD's copy; fall back to disk.
+        prev = None
+        prev_source = None
+        try:
+            import subprocess
+
+            out = subprocess.run(
+                ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+                 "show", "HEAD:bench_full.json"],
+                capture_output=True, text=True, timeout=30,
+            )
+            if out.returncode == 0 and out.stdout.strip():
+                prev = json.loads(out.stdout)
+                prev_source = "git:HEAD"
+        except Exception:
+            prev = None
+        if prev is None:
+            with open(prev_path) as f:
+                prev = json.load(f)
+            prev_source = "disk"
         prev_q = prev.get("queries") or {}
         prev_build = prev.get("build_sec") or {}
         prev_charged = prev.get("build_charged") or {}
@@ -479,6 +507,7 @@ def main() -> None:
             if entry:
                 moved[name] = entry
         bench_diff = {
+            "prev_source": prev_source,
             "prev_total_sec": prev.get("value"),
             "total_delta_sec": round(total - prev["value"], 4)
             if isinstance(prev.get("value"), (int, float))
@@ -563,33 +592,55 @@ def main() -> None:
             json.dump(full, f, indent=1)
     except OSError:
         detail_path = None  # read-only checkout; the full stdout line remains
-    # short FINAL line: headline keys only, so tail-of-stdout capture
-    # always parses (the full line above can exceed capture windows)
+    # compact per-query wall+CPU line (VERDICT r14 item 2): one line a
+    # human or a generous tail capture can parse without bench_full.json.
+    # Printed BEFORE the headline so the headline stays the final line.
     print(
         json.dumps(
             {
-                "metric": "declared_query_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(times),
-                "duckdb_oracle_total_sec": duck_total,
-                "spark_vs_duckdb_ratio": ratio,
-                "cpu_total_sec": round(sum(cpu_times.values()), 4)
-                if cpu_times
-                else None,
-                "spark_vs_duckdb_cpu_ratio": cpu_ratio,
-                "scale10x_ratio": (scale10 or {}).get("ratio"),
-                "skew_ratio": (skewed or {}).get("ratio"),
-                "sf1_ratio": (sf1 or {}).get("ratio"),
-                "datawork_slice": datawork,
-                "n_moved_vs_prev": (
-                    len(bench_diff["moved_queries"]) if bench_diff else None
-                ),
-                "detail": "bench_full.json" if detail_path else None,
-            }
+                "metric": "per_query_wall_cpu_seconds",
+                "q": {
+                    n: [round(times[n], 3), round(cpu_times[n], 3)]
+                    if n in cpu_times
+                    else [round(times[n], 3)]
+                    for n in times
+                },
+            },
+            separators=(",", ":"),
         )
     )
+    # short FINAL line: headline keys + per-query wall seconds, sized so
+    # a 2000-char tail-of-stdout capture always parses it whole (the
+    # full line above can exceed capture windows). "queries" restores
+    # the original driver contract ({name: sec}); everything else is
+    # additions-only vs r14 so cross-round comparisons stay valid.
+    short = {
+        "metric": "declared_query_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "queries": {n: round(v, 3) for n, v in times.items()},
+        "duckdb_oracle_total_sec": duck_total,
+        "spark_vs_duckdb_ratio": ratio,
+        "cpu_total_sec": round(sum(cpu_times.values()), 4)
+        if cpu_times
+        else None,
+        "spark_vs_duckdb_cpu_ratio": cpu_ratio,
+        "scale10x_ratio": (scale10 or {}).get("ratio"),
+        "skew_ratio": (skewed or {}).get("ratio"),
+        "sf1_ratio": (sf1 or {}).get("ratio"),
+        "datawork_slice": datawork,
+        "n_moved_vs_prev": (
+            len(bench_diff["moved_queries"]) if bench_diff else None
+        ),
+        "detail": "bench_full.json" if detail_path else None,
+    }
+    line = json.dumps(short)
+    if len(line) > 1900:  # noisy run with wide values: re-round, never drop
+        short["queries"] = {n: round(v, 2) for n, v in times.items()}
+        line = json.dumps(short)
+    print(line)
     spark.stop()
 
 
@@ -682,6 +733,19 @@ def scale10x_section(spark, specs, sf_dir: str) -> dict:
                 load_table(s, d, "documents"), num_hashes=16, bands=4
             ),
             lsh_oracle,
+        ),
+        # r15 additions (VERDICT r13 item 5 / r14 item 7): the last two
+        # >0.5 s floor-bound declared queries get a floor-amortized data
+        # point. Additions-only — every pre-existing entry above is
+        # byte-identical, so the channel total is NOT comparable across
+        # r14/r15 but per-entry numbers are; both read only `documents`.
+        "bm25_topk": (
+            specs["q67_bm25_topk"].spark_fn,
+            specs["q67_bm25_topk"].oracle,
+        ),
+        "heavy_hitters": (
+            specs["q71_heavy_hitters"].spark_fn,
+            specs["q71_heavy_hitters"].oracle,
         ),
     }
 

@@ -189,6 +189,7 @@ def jaccard_rescore_pairs(
     text_col: str = "text",
     df_max: int | None = None,
     broadcast_sets: bool = False,
+    max_set_size: int | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard for a GIVEN candidate pair list — the
     rescore half of LSH near-dup, pair-driven.
@@ -226,7 +227,17 @@ def jaccard_rescore_pairs(
     shingle-join shape ships Σ_sh df(sh)² rows — both are cap-bounded;
     the pair-driven form is strictly less work whenever candidates are
     sparser than co-shingled pairs, which is the entire premise of LSH
-    banding."""
+    banding.
+
+    ``max_set_size`` is the payload GUARD for that note (VERDICT r14
+    #6): with ``df_max=None`` and one pathological hub document, the
+    per-pair shingle arrays become the dominant shuffle payload at
+    corpus scale. The guard does NOT truncate (any truncation would
+    change the Jaccard): a doc whose capped-universe shingle set
+    exceeds it raises from the executor with the offending id, so the
+    operator's bounded-payload premise is enforced loudly instead of
+    silently degrading the cluster. A no-op for every conforming input
+    — output bytes identical."""
     sh = shingle_table(docs, id_col, text_col)
     if df_max is not None:
         from pyspark.sql import Window
@@ -238,18 +249,93 @@ def jaccard_rescore_pairs(
             .drop("__df")
         )
     sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("__sh"))
+    if max_set_size is not None:
+        # guard, not a cap: over-limit docs error with their id (see
+        # docstring); when() branch types coerce NullType → array<string>
+        sets = sets.select(
+            F.col(id_col),
+            F.when(F.size("__sh") <= max_set_size, F.col("__sh"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("jaccard_rescore_pairs: doc "),
+                        F.col(id_col).cast("string"),
+                        F.lit(
+                            f" has > {max_set_size} shingles — pre-chunk "
+                            "the document or raise max_set_size"
+                        ),
+                    )
+                )
+            )
+            .alias("__sh"),
+        )
 
-    def _side(alias: str, out: str) -> DataFrame:
-        side = sets.select(F.col(id_col).alias(alias), F.col("__sh").alias(out))
-        return F.broadcast(side) if broadcast_sets else side
-
-    joined = pairs.join(_side("doc_a", "__sha"), "doc_a").join(
-        _side("doc_b", "__shb"), "doc_b"
+    # pair-MELT join (r15): reference ``sets`` exactly ONCE. The r14
+    # shape joined pairs→sets(doc_a)→sets(doc_b), i.e. the whole
+    # scan→shingle→df-window→collect pipeline appeared twice in the
+    # plan; Catalyst/AQE exchange reuse canonically dedupes identical
+    # subtrees — EXCEPT when they contain an RDD-scan leaf
+    # (localCheckpoint output), whose deduplicated copies never
+    # canonicalize equal (measured this round on a minimal repro:
+    # ReusedExchange 2→0 the moment a checkpointed relation enters the
+    # subtree). Every production caller feeds exactly such leaves (the
+    # funnel's exact-dedup checkpoint, the streaming micro-batch
+    # checkpoint), so the duplicated pipeline really executed twice: 4
+    # parquet scans / 2 Windows / 4 ObjectHashAggregates in q57's
+    # AQE-off pre-checkpoint plan. Melting each pair into its two
+    # (pair, member-id) rows joins the ONE sets relation a single time,
+    # then a pair-keyed aggregation reassembles (set_a, set_b): sets
+    # pipeline ×1 instead of ×2, at the cost of shipping both arrays
+    # (instead of one) through the pair-keyed exchange — a win whenever
+    # one full shingle+collect pass over the candidate docs outweighs
+    # one extra array hop over the (LSH-sparse) pair list.
+    #
+    # Contract made explicit by the melt: ``pairs`` must be DISTINCT
+    # (doc_a, doc_b) rows — true of every producer here
+    # (lsh_candidate_pairs / query_lsh_index end in .distinct()); a
+    # duplicated input pair would now collapse to one output row where
+    # the old join shape duplicated it. first(ignorenulls) is
+    # deterministic: each (pair, side) group holds at most ONE non-null
+    # array (the side's single sets row).
+    side = sets.withColumnRenamed(id_col, "__id")
+    if broadcast_sets:
+        side = F.broadcast(side)
+    melted = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(True).alias("__is_a"), F.col("doc_a").alias("__id")
+                ),
+                F.struct(
+                    F.lit(False).alias("__is_a"), F.col("doc_b").alias("__id")
+                ),
+            )
+        ).alias("__e"),
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("__e.__is_a").alias("__is_a"),
+        F.col("__e.__id").alias("__id"),
+    )
+    per_pair = (
+        melted.join(side, "__id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(F.when(F.col("__is_a"), F.col("__sh")), ignorenulls=True)
+            .alias("__sha"),
+            F.first(F.when(~F.col("__is_a"), F.col("__sh")), ignorenulls=True)
+            .alias("__shb"),
+        )
+        # inner-join semantics of the old shape: a pair whose member has
+        # no sets row (zero surviving shingles) drops
+        .filter(F.col("__sha").isNotNull() & F.col("__shb").isNotNull())
     )
     inter = F.size(F.array_intersect("__sha", "__shb"))
     jac = inter / (F.size("__sha") + F.size("__shb") - inter)
     return (
-        joined.filter(inter >= 1)
+        per_pair.filter(inter >= 1)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.round(jac, 4) >= threshold)
     )

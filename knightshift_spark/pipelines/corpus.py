@@ -118,6 +118,7 @@ def curate_corpus(
     persist_intermediates: bool = True,
     jaccard_df_max: int | None = 10_000,
     lsh_max_bucket: int | None = 10_000,
+    rescore_max_shingles: int | None = 250_000,
     eval_docs: DataFrame | None = None,
     contamination_ngram: int = 5,
     quota: int | None = None,
@@ -145,7 +146,17 @@ def curate_corpus(
     joins skip shuffles, and the funnel's one eager job runs under
     ``_tiny_job_confs``. At corpus scale leave it False — those id
     sets are only bounded by the duplicate rate, and broadcasting them
-    would be wrong."""
+    would be wrong.
+
+    ``rescore_max_shingles`` (r15, VERDICT r14 #6) is the near-dup
+    rescore's payload guard: the pair-driven rescore ships each doc's
+    shingle array once per candidate pair, so one pathological hub
+    document (≈250k+ distinct bigrams ⇒ a 250k+-token doc, far past
+    any sane pretraining document after upstream chunking) could make
+    array payload the dominant shuffle bytes at 100 TB. Over-limit
+    docs RAISE with their id — the guard never truncates, so funnel
+    output is byte-identical for every conforming corpus. ``None``
+    disables it."""
     # 0a. (optional) unicode normalization FIRST of all — every later
     # stage keys on exact bytes (fingerprints, shingle hashes, gram
     # joins), so normalization-form variants of the same text must fold
@@ -304,6 +315,7 @@ def curate_corpus(
         text_col=text_col,
         df_max=jaccard_df_max,
         broadcast_sets=small_input,
+        max_set_size=rescore_max_shingles,
     )
     if transitive_closure:
         # C4/RefinedWeb-style CLUSTER dedup: confirmed pairs → connected

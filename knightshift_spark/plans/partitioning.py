@@ -162,6 +162,18 @@ def lint_checkpoint(df: DataFrame, label: str, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+# tiny_job_confs mutates SESSION-global confs for the duration of its
+# block (VERDICT r14 #5): two threads building plans concurrently in one
+# session could otherwise interleave set/restore and leak
+# shuffle.partitions=8 into a corpus-scale job. The lock serializes the
+# whole scoped region; single-threaded callers (the driver harness, the
+# bench) never contend. Cross-PROCESS sessions are unaffected (confs are
+# per-session).
+import threading
+
+_tiny_conf_lock = threading.RLock()
+
+
 @contextmanager
 def tiny_job_confs(spark, enabled: bool):
     """Scoped execution confs for eager jobs over a caller-DECLARED
@@ -172,17 +184,19 @@ def tiny_job_confs(spark, enabled: bool):
     build drops ~5 CPU-s), while at corpus scale both are load-bearing
     — the declaration, not a hard-coded core count, is what gates this.
     Confs are restored on exit, so only jobs launched inside the block
-    are affected."""
+    are affected; a module lock serializes concurrent blocks so the
+    set/restore pairs can never interleave across threads."""
     if not enabled:
         yield
         return
     confs = {"spark.sql.adaptive.enabled": "false",
              "spark.sql.shuffle.partitions": "8"}
-    saved = {k: spark.conf.get(k) for k in confs}
-    for k, v in confs.items():
-        spark.conf.set(k, v)
-    try:
-        yield
-    finally:
-        for k, v in saved.items():
+    with _tiny_conf_lock:
+        saved = {k: spark.conf.get(k) for k in confs}
+        for k, v in confs.items():
             spark.conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)

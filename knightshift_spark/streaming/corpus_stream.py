@@ -37,6 +37,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
+# near-dup rescore payload guard (r15, VERDICT r14 #6): same ceiling as
+# the batch funnel's ``rescore_max_shingles`` default — a doc whose
+# df-capped shingle set exceeds it raises with its id instead of letting
+# per-pair array shipping dominate the micro-batch shuffle. Guard only:
+# output identical for every conforming batch.
+_RESCORE_MAX_SET_SIZE = 250_000
+
 DOC_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -145,21 +152,31 @@ def _ingest_batch_with_lm_gate(
     lm_table: DataFrame,
     cuts: tuple[float, float],
     keep_buckets: tuple[str, ...],
+    unseen_logp: float | None = None,
 ) -> None:
     """One micro-batch of LM-gated ingestion (foreachBatch body): score
     the batch under the frozen unigram model, bucket against the
     PRECOMPUTED reference cuts (``lmscore.ppl_cuts`` — constants, no
     corpus-global quantile), keep only ``keep_buckets``, append. The
     per-batch cost is one scoring pass over the batch; history is never
-    re-scored."""
+    re-scored. ``unseen_logp`` is the model's precomputed OOV log-prob
+    (r15, guide §4.5 applied at the runner grain: ``lm_quality_score``
+    would otherwise collect it from ``lm_table`` again EVERY batch —
+    a per-batch driver job for a constant the model never changes)."""
     from knightshift_spark.operators.lmscore import ppl_bucket_with_cuts
 
-    if batch_df.isEmpty():
-        return
+    # checkpoint FIRST, emptiness-check the materialized RDD (r15): the
+    # old isEmpty-then-checkpoint order executed the full batch plan
+    # once for the take(1) and again for the checkpoint — two
+    # executions per batch of the scan+screen subtree; the reorder pays
+    # one, and isEmpty on the checkpointed relation is a cached-
+    # partition read
     batch = batch_df.localCheckpoint()  # scored once, joined once
-    bucketed = ppl_bucket_with_cuts(batch, lm_table, cuts).select(
-        "doc_id", "avg_logprob", "ppl_bucket"
-    )
+    if batch.isEmpty():
+        return
+    bucketed = ppl_bucket_with_cuts(
+        batch, lm_table, cuts, unseen_logp=unseen_logp
+    ).select("doc_id", "avg_logprob", "ppl_bucket")
     kept = batch.join(
         bucketed.filter(F.col("ppl_bucket").isin(*keep_buckets)),
         "doc_id",
@@ -198,6 +215,19 @@ def run_document_stream_with_lm_gate(
     at-least-once at the corpus boundary (same contract as the near-dup
     runner); the cross-batch fingerprint store makes replays emit
     nothing, so the append stays idempotent in the no-crash path."""
+    from knightshift_spark.operators.lmscore import unseen_logprob
+
+    # freeze the MODEL once at stream start (r15, guide §4.5/§5): the
+    # caller hands a lazy plan, and every micro-batch would otherwise
+    # re-execute the reference-corpus aggregation twice — once building
+    # the scoring join's broadcast, once for lm_quality_score's
+    # unseen-row collect. The table is vocabulary-sized by module
+    # contract (model, not data), so the one-time localCheckpoint is
+    # bounded at any corpus scale; the OOV constant rides along as a
+    # plain float. Per-batch cost drops to the batch's own scoring pass
+    # — which is what the docstring promised all along.
+    lm_frozen = lm_table.localCheckpoint()
+    unseen = unseen_logprob(lm_frozen)
     docs = stream_documents(spark, spool_dir, max_files_per_trigger)
     screened = screen_documents(
         docs, min_tokens, langs, max_bigram_repetition, normalize=normalize
@@ -206,7 +236,8 @@ def run_document_stream_with_lm_gate(
     writer = (
         deduped.writeStream.foreachBatch(
             lambda df, _id: _ingest_batch_with_lm_gate(
-                df, target_dir, lm_table, cuts, keep_buckets
+                df, target_dir, lm_frozen, cuts, keep_buckets,
+                unseen_logp=unseen,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -238,10 +269,12 @@ def _ingest_batch_with_neardup(
         query_lsh_index,
     )
 
-    if batch_df.isEmpty():
-        return
     spark = batch_df.sparkSession
+    # checkpoint first, emptiness-check the materialized RDD (r15): see
+    # _ingest_batch_with_lm_gate — one execution of the batch plan, not two
     batch = batch_df.localCheckpoint()  # consumed by 4 actions below
+    if batch.isEmpty():
+        return
     cands = query_lsh_index(
         spark, index_path, batch, include_within_batch=True
     ).localCheckpoint()
@@ -276,6 +309,7 @@ def _ingest_batch_with_neardup(
             cands_n,
             texts.join(cand_ids, "doc_id", "left_semi"),
             threshold=threshold,
+            max_set_size=_RESCORE_MAX_SET_SIZE,
         )
         # loser per confirmed pair, by batch membership (NOT id order):
         # cross pair → the batch side loses (corpus copy wins);
@@ -326,9 +360,11 @@ def _ingest_batch_with_substring_strip(
         strip_against_index,
     )
 
-    if batch_df.isEmpty():
-        return
+    # checkpoint first, emptiness-check the materialized RDD (r15): see
+    # _ingest_batch_with_lm_gate — one execution of the batch plan, not two
     batch = batch_df.localCheckpoint()  # anchored once, cut once
+    if batch.isEmpty():
+        return
     # return_fresh hands back the strip's already-materialized novel-gram
     # set, so the post-corpus-write append reuses the first anchor scan
     # instead of re-anchoring the batch and re-running the index

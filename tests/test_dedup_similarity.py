@@ -1249,3 +1249,38 @@ def test_jaccard_rescore_pairs_equals_pair_filtered_jaccard_pairs(spark):
                 ).collect()
             }
             assert new == old, (thr, dfm, bcast, new, old)
+
+
+def test_jaccard_rescore_pairs_max_set_size_guard(spark):
+    """r15 payload guard (VERDICT r14 #6): with the cap above every doc's
+    shingle-set size the output is identical to the unguarded form; a hub
+    doc over the cap raises loudly with its id — the guard never
+    truncates (truncation would change the Jaccard)."""
+    import pytest
+
+    from knightshift_spark.operators.dedup import jaccard_rescore_pairs
+
+    docs = _docs(spark)
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a int, doc_b int")
+    base = {
+        tuple(r)
+        for r in jaccard_rescore_pairs(pairs, docs, threshold=0.0).collect()
+    }
+    guarded = {
+        tuple(r)
+        for r in jaccard_rescore_pairs(
+            pairs, docs, threshold=0.0, max_set_size=10_000
+        ).collect()
+    }
+    assert guarded == base
+    # hub doc: 39 distinct bigrams against a 3-shingle cap → loud error
+    big = " ".join(f"w{i}" for i in range(40))
+    docs2 = spark.createDataFrame(
+        [(1, big), (2, big)], "doc_id int, text string"
+    )
+    p2 = spark.createDataFrame([(1, 2)], "doc_a int, doc_b int")
+    with pytest.raises(Exception) as ei:
+        jaccard_rescore_pairs(
+            p2, docs2, threshold=0.0, max_set_size=3
+        ).collect()
+    assert "shingles" in str(ei.value)
